@@ -1,0 +1,226 @@
+"""Benchmark harness.
+
+Headline: the flagship web-page pipeline — read pages parquet →
+html→text extraction (actor pool) → geocode → hex encode → two-phase
+per-hex language-mix aggregate — over a deterministic synthetic pages
+corpus sized to the testdata SF tier, plus timed runs of the
+registry's heavier queries over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": sec, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+--scaling: runs the headline twice in fresh processes (num_cpus=8 and
+32) on the SAME cached input and reports both throughputs plus
+efficiency = (t8/t32)/4  (1.0 = perfectly linear).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_TMP = os.environ.get("GRAFT_BENCH_TMP", "/tmp/hexscape_bench")
+
+# pages-corpus size per SF tier — sized so the 8-CPU scaling run is
+# compute-dominated, not overhead-dominated
+_PAGES_FOR_SF = {"sf0.001": 20_000, "sf0.01": 200_000, "sf0.1": 2_000_000}
+
+
+def _sf_tag() -> str:
+    return os.path.basename(SF_DIR.rstrip("/")) or "sf0.1"
+
+
+def ensure_pages(n: int, shard_rows: int = 25_000) -> str:
+    """Generate (once, cached) the bench pages corpus in parallel."""
+    import ray
+    import ray.data
+
+    out = os.path.join(BENCH_TMP, f"pages_{n}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    from hexscape_ray.sources.fixtures import SEED, gen_pages
+
+    n_shards = max(1, n // shard_rows)
+
+    def gen(batch):
+        import pyarrow as pa
+
+        shard = int(batch["id"][0])
+        rows = shard_rows if shard < n_shards - 1 else n - shard_rows * (n_shards - 1)
+        return gen_pages(n=rows, seed=SEED + shard)
+
+    (
+        ray.data.range(n_shards, override_num_blocks=n_shards)
+        .map_batches(gen, batch_size=1, batch_format="pandas")
+        .write_parquet(out)
+    )
+    open(marker, "w").close()
+    return out
+
+
+def _warm_workers():
+    import ray.data
+
+    def warm(batch):
+        from hexscape_ray.stages.textops import enrich_batch, extract_batch  # noqa: F401
+        from hexscape_ray.stages.dedup import MinHasher
+
+        MinHasher()
+        return batch
+
+    (
+        ray.data.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4)
+        .map_batches(warm, batch_size=1)
+        .count()
+    )
+
+
+def run_headline() -> dict:
+    """Full training-data pipeline: (A) extract + enrich (langid,
+    quality, tokens, MinHash sig) + geocode + hex encode → enriched
+    parquet; (B) per-hex aggregate from the enriched table."""
+    import shutil
+
+    import ray.data
+
+    from hexscape_ray.pipelines.hexagg import enriched_hex_stats, etl_enrich
+
+    n = _PAGES_FOR_SF.get(_sf_tag(), 2_000_000)
+    pages_path = ensure_pages(n)
+    out_dir = os.path.join(BENCH_TMP, f"enriched_{n}_{NUM_CPUS}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # warm the OS page cache so we measure compute + shuffle, not disk
+    ray.data.read_parquet(pages_path, columns=["url"]).count()
+    # warm the worker pool: first task per worker pays module import +
+    # singleton build (~1-2 s each; an import storm at high num_cpus)
+    _warm_workers()
+
+    t0 = time.perf_counter()
+    etl_enrich(pages_path, out_dir)
+    t_etl = time.perf_counter() - t0
+
+    t1 = time.perf_counter()
+    out = enriched_hex_stats(out_dir)
+    n_cells = out.count()
+    t_agg = time.perf_counter() - t1
+    sec = time.perf_counter() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return {
+        "sec": sec,
+        "sec_etl": t_etl,
+        "sec_agg": t_agg,
+        "docs": n,
+        "cells": n_cells,
+        "docs_per_sec": n / sec,
+    }
+
+
+def run_queries() -> dict:
+    from hexscape_ray.pipelines import queries as Q
+
+    names = [
+        "hex_lineitem_agg",
+        "pricing_summary",
+        "events_tumbling",
+        "user_activity",
+        "dedup_exact",
+        "knn_cosine",
+        "minhash_bands",
+    ]
+    out = {}
+    for name in names:
+        t0 = time.perf_counter()
+        res = Q.RAY_QUERIES[name](SF_DIR)
+        res.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main_single():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    head = run_headline()
+    queries = run_queries() if os.environ.get("GRAFT_SKIP_QUERIES") != "1" else {}
+    result = {
+        "metric": "hex-aggregation throughput (flagship pages pipeline)",
+        "value": round(head["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_tag(),
+        "num_cpus": NUM_CPUS,
+        "docs": head["docs"],
+        "docs_per_sec": round(head["docs_per_sec"], 1),
+        "cells": head["cells"],
+        "sec_etl": round(head["sec_etl"], 3),
+        "sec_agg": round(head["sec_agg"], 3),
+    }
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+def main_scaling():
+    """Same job, same input, two fresh processes at N and 4N CPUs.
+
+    Default N=4 (→ 16): the in-sandbox proxy for N→4N *nodes*.  The
+    8→32 pair underestimates multi-node scaling here because 32 busy
+    cores on ONE shared socket downclock ~22% (a pure-CPU
+    subprocess microbenchmark shows the same ceiling — see
+    BASELINE.md); separate nodes don't share a socket.
+    """
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+    hi = 4 * lo
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": f"scaling efficiency (N={lo} → 4N={hi} cpus, same input)",
+                f"sec_{lo}": r_lo["value"],
+                f"sec_{hi}": r_hi["value"],
+                f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
+                f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "sf": r_hi["sf"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    else:
+        main_single()

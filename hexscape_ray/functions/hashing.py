@@ -1,0 +1,65 @@
+"""Deterministic hashing primitives (no wall-clock, no RNG state).
+
+Used for: url geocoding, exact dedup keys, MinHash permutations,
+SimHash, salting hot keys, and the doc_id -> synthetic coordinate map
+that the DuckDB oracle reproduces in SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+# Knuth multiplicative constants — also used verbatim in oracle SQL.
+MULT_A = 2654435761
+MULT_B = 2246822519
+MOD32 = 4294967296
+
+
+def fnv1a_64(data: bytes) -> int:
+    """FNV-1a 64-bit over bytes (scalar; per-row in batch loops)."""
+    h = 0xCBF29CE484222325
+    for b in data:
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def fnv1a_64_str_array(strings) -> np.ndarray:
+    """uint64 FNV-1a per string.  Python loop over rows but each hash is
+    C-speed enough for key derivation on dedup/geocode stages; hot paths
+    should hash once and reuse the column."""
+    return np.fromiter(
+        (fnv1a_64(s.encode("utf-8") if isinstance(s, str) else bytes(s)) for s in strings),
+        dtype=np.uint64,
+        count=len(strings),
+    )
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorised splitmix64 finaliser — derives independent hash
+    families from one base hash (MinHash permutations, salts)."""
+    x = np.asarray(x, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        z = x + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D1B2C31E8C671D)
+        z = z ^ (z >> np.uint64(31))
+    return z
+
+
+def hash_combine(h: np.ndarray, seed: int) -> np.ndarray:
+    """Mix a seed into an array of uint64 hashes."""
+    return splitmix64(np.asarray(h, dtype=np.uint64) ^ np.uint64(seed))
+
+
+def knuth_frac(keys: np.ndarray, mult: int) -> np.ndarray:
+    """``((key * mult) % 2^32) / 2^32`` as float64 — bit-identical to the
+    SQL expression ``((key * mult) % 4294967296) / 4294967296.0`` which
+    the DuckDB oracle uses (integer ops are exact in both engines)."""
+    k = np.asarray(keys, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        v = (k * np.uint64(mult)) % np.uint64(MOD32)
+    return v.astype(np.float64) / float(MOD32)

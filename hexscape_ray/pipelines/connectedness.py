@@ -1,0 +1,128 @@
+"""generate_connectedness parity (A8): weighted hex-pair kernel sums.
+
+Reference semantics (/root/reference/R/generate_connectedness.R — the
+pure-R fallback at :181-235 defines them; the Rcpp class it prefers
+does not exist in-tree): for every source patch, lay a fine point grid
+over the neighbourhood, look up which patch each grid point falls in,
+and average a distance-kernel over the points per (Source, Target)
+pair; output sparse (Source, Target, Connectedness) rows (:171-176) or
+the dense square matrix (:249-265).
+
+Ray-Data form: the kernel ring is PRECOMPUTED once (T2 state: the
+(2k+1)² axial offset disk with centroid-distance kernel weights, the
+analogue of the reference's grid matrix) and broadcast; each batch of
+source hexes expands to (Source, Target, w) rows via vectorised offset
+arithmetic — no spatial join, no shuffle until the final
+``groupby(Source, Target).sum`` over partials.
+
+``kernel_fn`` is the user-extension surface (§2.10): any vectorised
+distance→weight function (default exponential decay).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from hexscape_ray import grid as hexgrid
+from hexscape_ray.config import GridSpec
+from hexscape_ray.stages.agg import two_phase_sum
+
+
+def kernel_ring(
+    spec: GridSpec,
+    k: int,
+    kernel_fn: Callable[[np.ndarray], np.ndarray] | None = None,
+    res: int = 0,
+):
+    """(dr, dq, w) arrays for the axial disk of radius k with kernel
+    weights of the centroid distances (the T2 kernel-grid state)."""
+    if kernel_fn is None:
+        scale = spec.width_at(res) * k / 3.0
+        kernel_fn = lambda d: np.exp(-d / scale)  # noqa: E731
+    dr, dq = hexgrid.grid_disk_axial(0, 0, k)
+    dr, dq = dr[0], dq[0]
+    dx, dy = hexgrid.axial_to_centroid(dr, dq, spec, res)
+    ox, oy = hexgrid.axial_to_centroid(np.array([0]), np.array([0]), spec, res)
+    dist = np.hypot(dx - ox[0], dy - oy[0])
+    return dr, dq, kernel_fn(dist)
+
+
+def generate_connectedness(
+    patches: Dataset,
+    spec: GridSpec,
+    k: int = 3,
+    kernel_fn: Callable[[np.ndarray], np.ndarray] | None = None,
+    res: int = 0,
+    sparse: bool = True,
+):
+    """patches(r, q) → (src_r, src_q, dst_r, dst_q, Connectedness).
+
+    Pairs are emitted only for existing target patches (membership via
+    a broadcast key set — per-hex tables are small at any corpus
+    scale); weights normalised per source to sum to 1 over the disk
+    (mean-kernel semantics, :227-234).
+    """
+    dr, dq, w = kernel_ring(spec, k, kernel_fn, res)
+    keys = patches.select_columns(["r", "q"]).to_pandas()
+    key_set = set(zip(keys["r"].astype(int), keys["q"].astype(int)))
+    ring_ref = ray.put((dr, dq, w, key_set))
+
+    class Expand:
+        def __init__(self):
+            self.dr, self.dq, self.w, self.keys = ray.get(ring_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            r = batch["r"].to_numpy(zero_copy_only=False)
+            q = batch["q"].to_numpy(zero_copy_only=False)
+            n = r.shape[0]
+            m = self.dr.shape[0]
+            src_r = np.repeat(r, m)
+            src_q = np.repeat(q, m)
+            dst_r = src_r + np.tile(self.dr, n)
+            dst_q = src_q + np.tile(self.dq, n)
+            ww = np.tile(self.w, n)
+            keep = np.fromiter(
+                ((rr, qq) in self.keys for rr, qq in zip(dst_r, dst_q)),
+                dtype=bool,
+                count=dst_r.shape[0],
+            )
+            return pa.table(
+                {
+                    "src_r": pa.array(src_r[keep]),
+                    "src_q": pa.array(src_q[keep]),
+                    "dst_r": pa.array(dst_r[keep]),
+                    "dst_q": pa.array(dst_q[keep]),
+                    "w": pa.array(ww[keep]),
+                }
+            )
+
+    pairs = patches.select_columns(["r", "q"]).map_batches(
+        Expand, batch_format="pyarrow", batch_size=2048, concurrency=(1, 8)
+    )
+    summed = two_phase_sum(pairs, ["src_r", "src_q", "dst_r", "dst_q"], ["w"], count_as=None)
+
+    def normalise(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["Connectedness"] = g["w"] / g["w"].sum()
+        return g.drop(columns=["w"])
+
+    out = summed.groupby(["src_r", "src_q"]).map_groups(normalise, batch_format="pandas")
+    if sparse:
+        return out
+    # dense matrix for small patch sets (:249-265)
+    pdf = out.to_pandas()
+    ids = sorted(key_set)
+    idx = {key: i for i, key in enumerate(ids)}
+    M = np.zeros((len(ids), len(ids)))
+    for row in pdf.itertuples(index=False):
+        M[idx[(int(row.src_r), int(row.src_q))], idx[(int(row.dst_r), int(row.dst_q))]] = (
+            row.Connectedness
+        )
+    return ids, M

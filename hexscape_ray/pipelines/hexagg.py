@@ -1,0 +1,171 @@
+"""Flagship pipeline: pages → geocode → hex encode → per-hex aggregate.
+
+The webtext instantiation of the reference's per-hex land-use fraction
+aggregate (/root/reference/R/generate_patches.R:208-355): per hex cell
+we emit document counts, language-mix proportions (≡ the LU_* columns,
+Σ = 1 checksum), and text-length stats.  Shape:
+
+    read_parquet(cols pruned)
+      → map_batches(extract_text)          [only when text is absent]
+      → map_batches(geocode url→x,y)       [stateless, vectorised]
+      → map_batches(hex encode multi-res)  [stateless, vectorised]
+      → map_batches(partial (cell,lang))   [combiner]
+      → groupby(cell, lang).sum            [the only shuffle]
+      → map_groups(pivot wide, Σ=1)        [over partials only]
+
+At 100 TB the shuffle moves ≤ (#cells × #langs × #blocks) partial rows
+— independent of document count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data import Dataset
+
+from hexscape_ray.config import DEFAULT_GRID, GridSpec
+from hexscape_ray.functions.text import LANG_PROFILES
+from hexscape_ray.stages.agg import partial_sum_batch, pivot_proportions, two_phase_sum
+from hexscape_ray.stages.encode import geocode_batch, hex_encode_batch
+
+LANGS = sorted(LANG_PROFILES)
+
+
+def prepare_pages(
+    ds: Dataset, spec: GridSpec = DEFAULT_GRID, res: int = 0
+) -> Dataset:
+    """pages(url, text|n_chars, lang, ...) → + x, y, cell_r{res}, r, q.
+
+    ``html`` is never read here — column pruning belongs at
+    ``read_parquet(columns=...)`` (SURVEY §7 hard part 4).
+    """
+
+    def enc(batch: pa.Table) -> pa.Table:
+        batch = geocode_batch(batch)
+        batch = hex_encode_batch(batch, spec, resolutions=(res,))
+        if "n_chars" not in batch.column_names:
+            batch = batch.append_column(
+                "n_chars", pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+            )
+        keep = [
+            c
+            for c in batch.column_names
+            if c in ("url", "url_hash", "lang", "n_chars", "x", "y", "r", "q")
+            or c.startswith("cell_r")
+        ]
+        return batch.select(keep)
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def hex_language_mix(
+    ds: Dataset,
+    spec: GridSpec = DEFAULT_GRID,
+    res: int = 0,
+    langs: list[str] | None = None,
+) -> Dataset:
+    """Per-hex doc counts + lang-mix proportions + length stats.
+
+    Output: one row per cell with ``cell``, ``n_docs``, ``len_sum``,
+    ``len_mean`` and ``LU_<lang>`` proportion columns (fixed lang set,
+    zero-filled, Σ=1).
+    """
+    langs = langs or LANGS
+    cell_col = f"cell_r{res}"
+    prepared = prepare_pages(ds, spec, res)
+    partials = two_phase_sum(prepared, [cell_col, "lang"], ["n_chars"], count_as="n_docs")
+
+    def widen(g: pd.DataFrame) -> pd.DataFrame:
+        n_total = int(g["n_docs"].sum())
+        len_sum = int(g["n_chars"].sum())
+        row = {
+            "cell": np.int64(g[cell_col].iloc[0]),
+            "n_docs": n_total,
+            "len_sum": len_sum,
+            "len_mean": len_sum / n_total if n_total else 0.0,
+        }
+        by = g.groupby("lang")["n_docs"].sum()
+        for lang in langs:
+            row[f"LU_{lang}"] = float(by.get(lang, 0)) / n_total if n_total else 0.0
+        return pd.DataFrame([row])
+
+    return partials.groupby(cell_col).map_groups(widen, batch_format="pandas")
+
+
+def hex_counts(ds: Dataset, spec: GridSpec = DEFAULT_GRID, res: int = 0) -> Dataset:
+    """Minimal per-hex doc count (the step-1 end-to-end slice)."""
+    cell_col = f"cell_r{res}"
+    prepared = prepare_pages(ds, spec, res)
+    return two_phase_sum(
+        prepared.select_columns([cell_col]), [cell_col], [], count_as="n_docs"
+    )
+
+
+def run_flagship(
+    pages_path: str | list[str],
+    spec: GridSpec = DEFAULT_GRID,
+    res: int = 0,
+    columns: list[str] | None = None,
+) -> Dataset:
+    ds = ray.data.read_parquet(pages_path, columns=columns or ["url", "text", "lang"])
+    return hex_language_mix(ds, spec, res)
+
+
+def etl_enrich(
+    pages_path: str | list[str],
+    out_dir: str,
+    spec: GridSpec = DEFAULT_GRID,
+    res: int = 0,
+    batch_size: int = 2048,
+) -> None:
+    """Stage A of the full pipeline: pages parquet → extract text →
+    enrich (langid, quality, tokens, MinHash sig) → geocode + hex
+    encode → enriched parquet (the checkpointable intermediate the
+    100 TB run would resume from).  All stateless tasks; html is
+    dropped at the first stage so wide binary rows never travel."""
+    from hexscape_ray.stages.textops import enrich_batch, extract_batch
+
+    ds = ray.data.read_parquet(pages_path, columns=["url", "html", "lang"])
+    ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(enrich_batch, batch_format="pyarrow", batch_size=batch_size)
+
+    def enc(batch: pa.Table) -> pa.Table:
+        batch = geocode_batch(batch)
+        return hex_encode_batch(batch, spec, resolutions=(res,))
+
+    ds = ds.map_batches(enc, batch_format="pyarrow", batch_size=batch_size)
+    ds.write_parquet(out_dir)
+
+
+def enriched_hex_stats(
+    enriched_path: str, res: int = 0, langs: list[str] | None = None
+) -> Dataset:
+    """Stage B: per-hex aggregate over the enriched table — doc count,
+    lang mix, length stats, mean quality (column-pruned read)."""
+    langs = langs or LANGS
+    cell_col = f"cell_r{res}"
+    ds = ray.data.read_parquet(
+        enriched_path, columns=[cell_col, "lang", "n_chars", "q_score"]
+    )
+    partials = two_phase_sum(ds, [cell_col, "lang"], ["n_chars", "q_score"], count_as="n_docs")
+
+    def widen(g: pd.DataFrame) -> pd.DataFrame:
+        n_total = int(g["n_docs"].sum())
+        len_sum = int(g["n_chars"].sum())
+        row = {
+            "cell": np.int64(g[cell_col].iloc[0]),
+            "n_docs": n_total,
+            "len_sum": len_sum,
+            "len_mean": len_sum / n_total if n_total else 0.0,
+            "q_mean": float(g["q_score"].sum()) / n_total if n_total else 0.0,
+        }
+        by = g.groupby("lang")["n_docs"].sum()
+        for lang in langs:
+            row[f"LU_{lang}"] = float(by.get(lang, 0)) / n_total if n_total else 0.0
+        return pd.DataFrame([row])
+
+    return partials.groupby(cell_col).map_groups(widen, batch_format="pandas")

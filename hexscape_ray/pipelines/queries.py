@@ -1,0 +1,986 @@
+"""Query registry: every driver-checkable operator, as (Ray callable,
+DuckDB oracle SQL) pairs over the /root/testdata tables.
+
+Float-determinism rules (the driver hash-compares values):
+
+- integer aggregates only (counts, exact cents/int sums) — float sums
+  are order-dependent under parallel reduction;
+- derived floats only as a final division of exact integers (identical
+  operands → identical IEEE doubles in numpy and DuckDB);
+- rounding is ALWAYS ``floor(x + 0.5)`` (numpy round is half-even,
+  DuckDB ROUND is half-away — so neither is used on the parity path);
+- the hex-cell assignment (cube rounding) is reproduced verbatim in
+  SQL — see ``_hex_cte`` — against the same Knuth-hash geocode.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from hexscape_ray.config import DEFAULT_GRID
+from hexscape_ray.stages.agg import two_phase_sum
+from hexscape_ray.stages.encode import geocode_ids_batch, hex_encode_batch, square_encode_batch
+from hexscape_ray.stages.joins import broadcast_join
+
+SPEC = DEFAULT_GRID
+DOC_LANGS = ["de", "en", "es", "fr", "zh"]  # driver documents table langs
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# SQL building blocks
+# ---------------------------------------------------------------------------
+
+# geocode: key -> (x, y) in the 100 km landscape (functions/geocode.py)
+_GEO_SQL = """
+    ((({key}) * 2654435761) % 4294967296) / 4294967296.0 * 100000.0 AS x,
+    ((({key}) * 2246822519) % 4294967296) / 4294967296.0 * 100000.0 AS y
+"""
+
+# point -> axial hex cell: fractional axial + cube rounding, identical
+# expression tree to grid.point_to_axial (half-up floor rounding)
+_AXIAL_SQL = """
+  frac AS (
+    SELECT *,
+      (100000.0 - y) / (1.5 * (2.0 * 2000.0 / sqrt(3.0) / 2.0)) AS rf
+    FROM pts
+  ),
+  frac2 AS (
+    SELECT *, x / 2000.0 - rf / 2.0 AS qf FROM frac
+  ),
+  cube AS (
+    SELECT *,
+      floor(qf + 0.5) AS rx,
+      floor((-qf - rf) + 0.5) AS ry,
+      floor(rf + 0.5) AS rz,
+      abs(floor(qf + 0.5) - qf) AS dx,
+      abs(floor((-qf - rf) + 0.5) - (-qf - rf)) AS dy,
+      abs(floor(rf + 0.5) - rf) AS dz
+    FROM frac2
+  ),
+  hexed AS (
+    SELECT *,
+      CAST(CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS BIGINT) AS q,
+      CAST(CASE WHEN NOT (dx > dy AND dx > dz) AND dz > dy THEN -rx - ry
+                ELSE rz END AS BIGINT) AS r
+    FROM cube
+  )
+"""
+
+
+def _hex_cte(table_sql: str, key: str, payload: str) -> str:
+    """WITH-prefix computing r, q for each row of ``table_sql``."""
+    geo = _GEO_SQL.format(key=key)
+    return f"WITH pts AS (SELECT {payload}, {geo} FROM {table_sql}),\n{_AXIAL_SQL}"
+
+
+def _hex_prepare(ds: Dataset, key_col: str) -> Dataset:
+    def enc(batch: pa.Table) -> pa.Table:
+        batch = geocode_ids_batch(batch, key_col)
+        return hex_encode_batch(batch, SPEC, resolutions=(0,))
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# hex / spatial queries
+# ---------------------------------------------------------------------------
+
+
+def q_hex_doc_counts(sf_dir: str) -> Dataset:
+    """Per-hex document counts + exact length sums (flagship A3 core)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    ds = _hex_prepare(ds, "doc_id")
+    out = two_phase_sum(ds, ["r", "q"], ["n_chars"], count_as="n_docs")
+    return out.rename_columns({"n_chars": "len_sum"})
+
+
+SQL_HEX_DOC_COUNTS = (
+    _hex_cte("documents", "doc_id", "doc_id, n_chars")
+    + """
+  SELECT r, q, CAST(sum(n_chars) AS BIGINT) AS len_sum,
+         count(*) AS n_docs
+  FROM hexed GROUP BY r, q
+"""
+)
+
+
+def q_hex_lang_mix(sf_dir: str) -> Dataset:
+    """Per-hex language mix: wide counts + proportions (Σ = 1)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    ds = _hex_prepare(ds, "doc_id")
+    partials = two_phase_sum(ds, ["r", "q", "lang"], [], count_as="n")
+
+    def widen(g: pd.DataFrame) -> pd.DataFrame:
+        total = int(g["n"].sum())
+        row = {"r": g["r"].iloc[0], "q": g["q"].iloc[0], "n_docs": total}
+        by = g.groupby("lang")["n"].sum()
+        for lang in DOC_LANGS:
+            c = int(by.get(lang, 0))
+            row[f"n_{lang}"] = c
+            row[f"p_{lang}"] = c / total
+        return pd.DataFrame([row])
+
+    return partials.groupby(["r", "q"]).map_groups(widen, batch_format="pandas")
+
+
+SQL_HEX_LANG_MIX = (
+    _hex_cte("documents", "doc_id", "doc_id, lang")
+    + """
+  SELECT r, q, count(*) AS n_docs,
+"""
+    + ",\n".join(
+        f"    CAST(sum(CASE WHEN lang='{l}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{l},\n"
+        f"    CAST(sum(CASE WHEN lang='{l}' THEN 1 ELSE 0 END) AS BIGINT) / count(*) AS p_{l}"
+        for l in DOC_LANGS
+    )
+    + "\n  FROM hexed GROUP BY r, q\n"
+)
+
+
+def q_square_tile_counts(sf_dir: str) -> Dataset:
+    """S2-style quadtree fallback key: 10 km square tile census."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def enc(batch: pa.Table) -> pa.Table:
+        batch = geocode_ids_batch(batch, "doc_id")
+        return square_encode_batch(batch, 10_000.0)
+
+    ds = ds.map_batches(enc, batch_format="pyarrow")
+    return two_phase_sum(ds, ["tile_id"], [], count_as="n_docs")
+
+
+SQL_SQUARE_TILE_COUNTS = (
+    "WITH pts AS (SELECT doc_id, "
+    + _GEO_SQL.format(key="doc_id")
+    + """ FROM documents)
+  SELECT (CAST(floor(x / 10000.0) AS BIGINT) + 134217728) * 268435456
+         + (CAST(floor(y / 10000.0) AS BIGINT) + 134217728) AS tile_id,
+         count(*) AS n_docs
+  FROM pts GROUP BY 1
+"""
+)
+
+
+def q_hex_lineitem_agg(sf_dir: str) -> Dataset:
+    """Hex aggregation at lineitem scale (the bench driver): geocode by
+    a composite integer key, per-hex quantity + exact revenue cents."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def enc(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = ok * 8 + ln
+        batch = batch.append_column("lkey", pa.array(key))
+        batch = geocode_ids_batch(batch, "lkey")
+        batch = hex_encode_batch(batch, SPEC, resolutions=(0,))
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        ext_cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        disc_pct = np.floor(disc * 100.0 + 0.5).astype(np.int64)
+        rev = ext_cents * (100 - disc_pct)  # exact integer cents*100
+        return pa.table(
+            {
+                "r": batch["r"],
+                "q": batch["q"],
+                "qty": pa.array(qty.astype(np.int64)),
+                "revenue_c100": pa.array(rev),
+            }
+        )
+
+    ds = ds.map_batches(enc, batch_format="pyarrow")
+    return two_phase_sum(ds, ["r", "q"], ["qty", "revenue_c100"], count_as="n_items")
+
+
+SQL_HEX_LINEITEM_AGG = (
+    _hex_cte(
+        "lineitem",
+        "l_orderkey * 8 + l_linenumber",
+        "CAST(l_quantity AS BIGINT) AS qty, "
+        "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)"
+        " * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)) AS revenue_c100",
+    )
+    + """
+  SELECT r, q, CAST(sum(qty) AS BIGINT) AS qty,
+         CAST(sum(revenue_c100) AS BIGINT) AS revenue_c100,
+         count(*) AS n_items
+  FROM hexed GROUP BY r, q
+"""
+)
+
+
+def q_hex_events(sf_dir: str) -> Dataset:
+    """Events into hexes by user_id: per-hex event count + value cents."""
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def enc(batch: pa.Table) -> pa.Table:
+        batch = geocode_ids_batch(batch, "user_id")
+        batch = hex_encode_batch(batch, SPEC, resolutions=(0,))
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"r": batch["r"], "q": batch["q"], "value_cents": pa.array(cents)})
+
+    ds = ds.map_batches(enc, batch_format="pyarrow")
+    return two_phase_sum(ds, ["r", "q"], ["value_cents"], count_as="n_events")
+
+
+SQL_HEX_EVENTS = (
+    _hex_cte(
+        "events",
+        "user_id",
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_cents",
+    )
+    + """
+  SELECT r, q, CAST(sum(value_cents) AS BIGINT) AS value_cents,
+         count(*) AS n_events
+  FROM hexed GROUP BY r, q
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# relational / census queries
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(sf_dir: str) -> Dataset:
+    """TPC-H Q1-shaped pricing summary with exact integer cents."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        tax = batch["l_tax"].to_numpy(zero_copy_only=False)
+        ext_cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        disc_pct = np.floor(disc * 100.0 + 0.5).astype(np.int64)
+        tax_pct = np.floor(tax * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": pa.array(qty),
+                "base_cents": pa.array(ext_cents),
+                "disc_c100": pa.array(ext_cents * (100 - disc_pct)),
+                "charge_c10000": pa.array(ext_cents * (100 - disc_pct) * (100 + tax_pct)),
+            }
+        )
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    out = two_phase_sum(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        ["sum_qty", "base_cents", "disc_c100", "charge_c10000"],
+        count_as="count_order",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["count_order"].to_numpy(zero_copy_only=False)
+        sq = batch["sum_qty"].to_numpy(zero_copy_only=False)
+        bc = batch["base_cents"].to_numpy(zero_copy_only=False)
+        return batch.append_column("avg_qty", pa.array(sq / n)).append_column(
+            "avg_price_cents", pa.array(bc / n)
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_PRICING_SUMMARY = """
+  WITH prep AS (
+    SELECT l_returnflag, l_linestatus,
+      CAST(l_quantity AS BIGINT) AS qty,
+      CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS ext_cents,
+      CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS disc_pct,
+      CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT) AS tax_pct
+    FROM lineitem
+  )
+  SELECT l_returnflag, l_linestatus,
+    CAST(sum(qty) AS BIGINT) AS sum_qty,
+    CAST(sum(ext_cents) AS BIGINT) AS base_cents,
+    CAST(sum(ext_cents * (100 - disc_pct)) AS BIGINT) AS disc_c100,
+    CAST(sum(ext_cents * (100 - disc_pct) * (100 + tax_pct)) AS BIGINT) AS charge_c10000,
+    count(*) AS count_order,
+    CAST(sum(qty) AS BIGINT) / count(*) AS avg_qty,
+    CAST(sum(ext_cents) AS BIGINT) / count(*) AS avg_price_cents
+  FROM prep GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_lang_source_census(sf_dir: str) -> Dataset:
+    """A1-style frequency census on (lang, source)."""
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    out = two_phase_sum(ds, ["lang", "source"], ["n_chars"], count_as="n_docs")
+    return out.rename_columns({"n_chars": "len_sum"})
+
+
+SQL_LANG_SOURCE_CENSUS = """
+  SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS len_sum, count(*) AS n_docs
+  FROM documents GROUP BY lang, source
+"""
+
+
+def q_region_customer_counts(sf_dir: str) -> Dataset:
+    """customer → nation → region broadcast joins + census (J5-style
+    dimension lookups; small sides ship once via ray.put)."""
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    dim = nation.merge(
+        region, left_on="n_regionkey", right_on="r_regionkey"
+    )[["n_nationkey", "n_name", "r_name"]].rename(columns={"n_nationkey": "c_nationkey"})
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    joined = broadcast_join(cust, dim, on="c_nationkey")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        bal = batch["c_acctbal"].to_numpy(zero_copy_only=False)
+        cents = np.floor(bal * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"r_name": batch["r_name"], "acctbal_cents": pa.array(cents)})
+
+    return two_phase_sum(
+        joined.map_batches(prep, batch_format="pyarrow"),
+        ["r_name"],
+        ["acctbal_cents"],
+        count_as="n_customers",
+    )
+
+
+SQL_REGION_CUSTOMER_COUNTS = """
+  SELECT r_name,
+    CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS acctbal_cents,
+    count(*) AS n_customers
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name
+"""
+
+
+def q_top_customers(sf_dir: str) -> Dataset:
+    """Top-10 customers by exact order cents (groupby + sort + limit)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table({"o_custkey": batch["o_custkey"], "total_cents": pa.array(cents)})
+
+    agg = two_phase_sum(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        ["o_custkey"],
+        ["total_cents"],
+        count_as="n_orders",
+    )
+    # deterministic tie-break on custkey so the top-10 *set* is stable
+    return agg.sort(["total_cents", "o_custkey"], descending=[True, False]).limit(10)
+
+
+SQL_TOP_CUSTOMERS = """
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+         count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+  ORDER BY total_cents DESC, o_custkey LIMIT 10
+"""
+
+
+def q_order_priority(sf_dir: str) -> Dataset:
+    """Filter by date range then census by priority (predicate pushdown)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= pa.scalar(np.datetime64("1996-01-01", "us")))
+        & (pc.field("o_orderdate") < pa.scalar(np.datetime64("1996-07-01", "us"))),
+    )
+    return two_phase_sum(
+        ds.select_columns(["o_orderpriority"]), ["o_orderpriority"], [], count_as="n_orders"
+    )
+
+
+SQL_ORDER_PRIORITY = """
+  SELECT o_orderpriority, count(*) AS n_orders
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  GROUP BY o_orderpriority
+"""
+
+
+def q_events_tumbling(sf_dir: str) -> Dataset:
+    """Tumbling 1-hour windows per event_type (streaming-shaped op over
+    the ordered log; window = plain groupby key, SURVEY §2.9)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = us // 3_600_000_000
+        cents = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "hour_bucket": pa.array(hour),
+                "event_type": batch["event_type"],
+                "value_cents": pa.array(cents),
+            }
+        )
+
+    return two_phase_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["hour_bucket", "event_type"],
+        ["value_cents"],
+        count_as="n_events",
+    )
+
+
+SQL_EVENTS_TUMBLING = """
+  SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+"""
+
+
+def q_user_activity(sf_dir: str) -> Dataset:
+    """Per-user event profile: counts per type (wide) + value cents."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_type": batch["event_type"],
+                "value_cents": pa.array(cents),
+            }
+        )
+
+    partials = two_phase_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id", "event_type"],
+        ["value_cents"],
+        count_as="n",
+    )
+
+    def widen(g: pd.DataFrame) -> pd.DataFrame:
+        row = {
+            "user_id": g["user_id"].iloc[0],
+            "n_events": int(g["n"].sum()),
+            "value_cents": int(g["value_cents"].sum()),
+        }
+        by = g.groupby("event_type")["n"].sum()
+        for et in ["click", "error", "purchase", "signup", "view"]:
+            row[f"n_{et}"] = int(by.get(et, 0))
+        return pd.DataFrame([row])
+
+    return partials.groupby("user_id").map_groups(widen, batch_format="pandas")
+
+
+SQL_USER_ACTIVITY = """
+  SELECT user_id, count(*) AS n_events,
+    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
+    CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+    CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+    CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+    CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+    CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+  FROM events GROUP BY user_id
+"""
+
+
+def q_top_parts(sf_dir: str) -> Dataset:
+    """Filter + deterministic sort + limit (O2/O4-style)."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_size", "p_retailprice"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["p_size"], 25)), batch_format="pyarrow"
+    )
+    return ds.sort(["p_size", "p_partkey"], descending=[True, False]).limit(15)
+
+
+SQL_TOP_PARTS = """
+  SELECT p_partkey, p_name, p_size, p_retailprice
+  FROM part WHERE p_size >= 25
+  ORDER BY p_size DESC, p_partkey LIMIT 15
+"""
+
+
+# ---------------------------------------------------------------------------
+# text / dedup queries
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str) -> Dataset:
+    """Exact dedup by text content: keeper = min doc_id per text group
+    (hash-partition groupby; SURVEY §2.5 url-dedup analogue)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.groupby("text").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies")
+    )
+    return out.select_columns(["doc_id", "n_copies"])
+
+
+SQL_DEDUP_EXACT = """
+  SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, count(*) AS n_copies
+  FROM documents GROUP BY text
+"""
+
+
+def q_token_counts(sf_dir: str) -> Dataset:
+    """Whitespace token count per document (M-web text op)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        n = np.fromiter(
+            (len(t.split(" ")) for t in batch["text"].to_pylist()),
+            dtype=np.int64,
+            count=len(batch),
+        )
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": pa.array(n)})
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
+SQL_TOKEN_COUNTS = """
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+"""
+
+
+def q_doc_quality(sf_dir: str) -> Dataset:
+    """Quality scoring + language id (heuristic; rows-only check)."""
+    from hexscape_ray.stages.textops import QualityScorer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=2)
+
+
+def q_minhash_bands(sf_dir: str) -> Dataset:
+    """MinHash-LSH candidate buckets (rows-only; full dedup pipeline in
+    stages.dedup)."""
+    from hexscape_ray.stages.dedup import MinHasher, lsh_band_rows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    sigs = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=2)
+    return lsh_band_rows(sigs)
+
+
+def q_knn_cosine(sf_dir: str) -> Dataset:
+    """Brute-force cosine top-k against a broadcast query matrix
+    (rows-only; ANN variants in stages.knn)."""
+    from hexscape_ray.stages.knn import brute_force_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    queries = _read(sf_dir, "embeddings").limit(8).to_pandas()
+    return brute_force_topk(emb, queries, k=5)
+
+
+def q_hex_doc_counts_r1(sf_dir: str) -> Dataset:
+    """Multi-resolution path: the same census one level finer (w=1 km)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def enc(batch: pa.Table) -> pa.Table:
+        batch = geocode_ids_batch(batch, "doc_id")
+        return hex_encode_batch(batch, SPEC, resolutions=(1,))
+
+    ds = ds.map_batches(enc, batch_format="pyarrow")
+    out = two_phase_sum(ds, ["r", "q"], ["n_chars"], count_as="n_docs")
+    return out.rename_columns({"n_chars": "len_sum"})
+
+
+_AXIAL_SQL_R1 = _AXIAL_SQL.replace("2000.0", "1000.0")
+
+SQL_HEX_DOC_COUNTS_R1 = (
+    f"WITH pts AS (SELECT doc_id, n_chars, {_GEO_SQL.format(key='doc_id')} FROM documents),\n"
+    + _AXIAL_SQL_R1
+    + """
+  SELECT r, q, CAST(sum(n_chars) AS BIGINT) AS len_sum, count(*) AS n_docs
+  FROM hexed GROUP BY r, q
+"""
+)
+
+
+def q_events_sessions(sf_dir: str) -> Dataset:
+    """Session windows (30-min inactivity gap) per user over the event
+    log — the streaming-shaped op done as groupby(key) + in-group
+    ordered pandas (SURVEY §2.9; ordering assumption: within-user)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "us": batch["ts"].cast(pa.int64()),
+            }
+        )
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("us", ignore_index=True)
+        gap = g["us"].diff().fillna(1 << 62)
+        sid = (gap > 1_800_000_000).cumsum()
+        out = g.groupby(sid).agg(
+            user_id=("user_id", "first"),
+            n_events=("us", "size"),
+            start_us=("us", "min"),
+            end_us=("us", "max"),
+        )
+        out["session_id"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        out["duration_s"] = (out["end_us"] - out["start_us"]) // 1_000_000
+        return out[["user_id", "session_id", "n_events", "duration_s"]]
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SQL_EVENTS_SESSIONS = """
+  WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+  d AS (
+    SELECT user_id, us,
+      CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+           THEN 1 ELSE 0 END AS new_s
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+  ),
+  s AS (
+    SELECT user_id, us,
+      SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM d
+  )
+  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         count(*) AS n_events,
+         (max(us) - min(us)) // 1000000 AS duration_s
+  FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_nation_top_customers(sf_dir: str) -> Dataset:
+    """Per-nation top-3 customers by balance (grouped top-k with
+    deterministic tie-break)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "c_nationkey": batch["c_nationkey"],
+                "acctbal_cents": pa.array(cents),
+            }
+        )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["acctbal_cents", "c_custkey"], ascending=[False, True]).head(3)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        cust.map_batches(prep, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
+SQL_NATION_TOP_CUSTOMERS = """
+  WITH prep AS (
+    SELECT c_custkey, c_nationkey,
+           CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS acctbal_cents
+    FROM customer
+  ),
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY c_nationkey
+                                 ORDER BY acctbal_cents DESC, c_custkey) AS rank
+    FROM prep
+  )
+  SELECT c_custkey, c_nationkey, acctbal_cents, CAST(rank AS BIGINT) AS rank
+  FROM ranked WHERE rank <= 3
+"""
+
+
+def q_segment_order_stats(sf_dir: str) -> Dataset:
+    """orders ⋈ customer as an explicit bucketed (both-sides-large)
+    hash join, then census per market segment (SURVEY §2.5 pattern)."""
+    from hexscape_ray.stages.joins import bucketed_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep_o(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table({"c_custkey": batch["o_custkey"], "total_cents": pa.array(cents)})
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = bucketed_join(
+        orders.map_batches(prep_o, batch_format="pyarrow"), cust, on="c_custkey", n_buckets=16
+    )
+    return two_phase_sum(joined, ["c_mktsegment"], ["total_cents"], count_as="n_orders")
+
+
+SQL_SEGMENT_ORDER_STATS = """
+  SELECT c_mktsegment,
+         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+         count(*) AS n_orders
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment
+"""
+
+
+def q_distinct_users(sf_dir: str) -> Dataset:
+    """count(DISTINCT) as a two-level aggregate (distinct = first-level
+    groupby; no global set materialisation)."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    lvl1 = two_phase_sum(ds, ["event_type", "user_id"], [], count_as="n")
+    return two_phase_sum(
+        lvl1.select_columns(["event_type"]), ["event_type"], [], count_as="n_users"
+    )
+
+
+SQL_DISTINCT_USERS = """
+  SELECT event_type, count(DISTINCT user_id) AS n_users
+  FROM events GROUP BY event_type
+"""
+
+
+def q_part_brand_stats(sf_dir: str) -> Dataset:
+    """Min/Max/Sum/Count per brand (aggregate kernel coverage)."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_size", "p_retailprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["p_retailprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "p_brand": batch["p_brand"],
+                "p_size": pc.cast(batch["p_size"], pa.int64()),
+                "price_cents": pa.array(cents),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(
+            Count(alias_name="n_parts"),
+            Sum("price_cents", alias_name="price_cents"),
+            Min("p_size", alias_name="min_size"),
+            Max("p_size", alias_name="max_size"),
+        )
+    )
+
+
+SQL_PART_BRAND_STATS = """
+  SELECT p_brand, count(*) AS n_parts,
+         CAST(sum(CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents,
+         CAST(min(p_size) AS BIGINT) AS min_size,
+         CAST(max(p_size) AS BIGINT) AS max_size
+  FROM part GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# spatial pipelines over deterministic synthetic boundaries (rows-only:
+# geometry ops are not SQL-expressible; invariants live in pytest)
+# ---------------------------------------------------------------------------
+
+_FIXTURE_CACHE: dict[str, object] = {}
+
+
+def _fixture_tables():
+    if "admin" not in _FIXTURE_CACHE:
+        from hexscape_ray.sources.fixtures import gen_admin, gen_landcover, gen_points
+
+        _FIXTURE_CACHE["admin"] = gen_admin()
+        _FIXTURE_CACHE["landcover"] = gen_landcover()
+        _FIXTURE_CACHE["points"] = gen_points()
+    return _FIXTURE_CACHE
+
+
+def q_generate_patches(sf_dir: str) -> Dataset:
+    from hexscape_ray.config import GridSpec
+    from hexscape_ray.pipelines.patches import generate_patches
+
+    fx = _fixture_tables()
+    admin = fx["admin"]
+    country = admin.filter(pc.equal(admin.column("level"), 0))
+    spec = GridSpec(hex_width=10_000.0, ref_x=0.0, ref_y=100_000.0)
+    return generate_patches(country, fx["landcover"], spec)
+
+
+def q_generate_neighbours(sf_dir: str) -> Dataset:
+    from hexscape_ray.config import GridSpec
+    from hexscape_ray.pipelines.patches import generate_neighbours, generate_patches
+
+    fx = _fixture_tables()
+    admin = fx["admin"]
+    country = admin.filter(pc.equal(admin.column("level"), 0))
+    spec = GridSpec(hex_width=10_000.0, ref_x=0.0, ref_y=100_000.0)
+    patches = generate_patches(country, None, spec)
+    return generate_neighbours(patches, country, spec)
+
+
+def q_point_in_polygon(sf_dir: str) -> Dataset:
+    """documents geocoded → admin level-2 containment assignment
+    (J1/S1a) → census per admin code.  Rows-only (geometry op), but
+    invariant-tested: every point assigned exactly one polygon."""
+    from hexscape_ray.stages.spatial import assign_points_to_polygons
+
+    fx = _fixture_tables()
+    admin = fx["admin"]
+    lvl2 = admin.filter(pc.equal(admin.column("level"), 2))
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    ds = ds.map_batches(lambda b: geocode_ids_batch(b, "doc_id"), batch_format="pyarrow")
+    assigned = assign_points_to_polygons(ds, lvl2)
+    return two_phase_sum(assigned.select_columns(["admin_code"]), ["admin_code"], [], count_as="n_docs")
+
+
+def q_voronoi(sf_dir: str) -> Dataset:
+    import ray.data as rd
+
+    from hexscape_ray.pipelines.voronoi import discretise_voronoi
+
+    fx = _fixture_tables()
+    return discretise_voronoi(rd.from_arrow(fx["points"])).drop_columns(["wkb"])
+
+
+def q_habitat(sf_dir: str):
+    import ray.data as rd
+
+    from hexscape_ray.config import GridSpec
+    from hexscape_ray.pipelines.habitat import discretise_habitat
+
+    fx = _fixture_tables()
+    spec = GridSpec(hex_width=5_000.0, ref_x=0.0, ref_y=100_000.0)
+    return discretise_habitat(
+        rd.from_arrow(fx["points"]), spec, target_area=20 * spec.hex_area
+    )
+
+
+def q_connectedness(sf_dir: str) -> Dataset:
+    import ray.data as rd
+
+    from hexscape_ray.config import GridSpec
+    from hexscape_ray.pipelines.connectedness import generate_connectedness
+    from hexscape_ray.pipelines.patches import generate_patches
+
+    fx = _fixture_tables()
+    admin = fx["admin"]
+    country = admin.filter(pc.equal(admin.column("level"), 0))
+    spec = GridSpec(hex_width=10_000.0, ref_x=0.0, ref_y=100_000.0)
+    patches = generate_patches(country, None, spec)
+    return generate_connectedness(patches, spec, k=2)
+
+
+def q_simhash(sf_dir: str) -> Dataset:
+    from hexscape_ray.stages.dedup import SimHasher
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=2)
+
+
+def q_embedding_near_dup(sf_dir: str) -> Dataset:
+    from hexscape_ray.stages.dedup import embedding_near_dup
+
+    # driver embeddings are near-orthogonal random vectors (max pairwise
+    # cosine ≈ 0.51) — 0.25 surfaces the heavy tail as "near dups"
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_near_dup(emb, threshold=0.25)
+
+
+def q_ivf_knn(sf_dir: str) -> Dataset:
+    from hexscape_ray.stages.knn import ivf_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    queries = _read(sf_dir, "embeddings").limit(8).to_pandas()
+    return ivf_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+RAY_QUERIES = {
+    "hex_doc_counts": q_hex_doc_counts,
+    "hex_lang_mix": q_hex_lang_mix,
+    "square_tile_counts": q_square_tile_counts,
+    "hex_lineitem_agg": q_hex_lineitem_agg,
+    "hex_events": q_hex_events,
+    "pricing_summary": q_pricing_summary,
+    "lang_source_census": q_lang_source_census,
+    "region_customer_counts": q_region_customer_counts,
+    "top_customers": q_top_customers,
+    "order_priority": q_order_priority,
+    "events_tumbling": q_events_tumbling,
+    "user_activity": q_user_activity,
+    "top_parts": q_top_parts,
+    "dedup_exact": q_dedup_exact,
+    "token_counts": q_token_counts,
+    "doc_quality": q_doc_quality,
+    "minhash_bands": q_minhash_bands,
+    "knn_cosine": q_knn_cosine,
+    "hex_doc_counts_r1": q_hex_doc_counts_r1,
+    "events_sessions": q_events_sessions,
+    "nation_top_customers": q_nation_top_customers,
+    "segment_order_stats": q_segment_order_stats,
+    "distinct_users": q_distinct_users,
+    "part_brand_stats": q_part_brand_stats,
+    "generate_patches": q_generate_patches,
+    "generate_neighbours": q_generate_neighbours,
+    "point_in_polygon": q_point_in_polygon,
+    "voronoi": q_voronoi,
+    "habitat": q_habitat,
+    "connectedness": q_connectedness,
+    "simhash": q_simhash,
+    "embedding_near_dup": q_embedding_near_dup,
+    "ivf_knn": q_ivf_knn,
+}
+
+ORACLES = {
+    "hex_doc_counts": SQL_HEX_DOC_COUNTS,
+    "hex_lang_mix": SQL_HEX_LANG_MIX,
+    "square_tile_counts": SQL_SQUARE_TILE_COUNTS,
+    "hex_lineitem_agg": SQL_HEX_LINEITEM_AGG,
+    "hex_events": SQL_HEX_EVENTS,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "lang_source_census": SQL_LANG_SOURCE_CENSUS,
+    "region_customer_counts": SQL_REGION_CUSTOMER_COUNTS,
+    "top_customers": SQL_TOP_CUSTOMERS,
+    "order_priority": SQL_ORDER_PRIORITY,
+    "events_tumbling": SQL_EVENTS_TUMBLING,
+    "user_activity": SQL_USER_ACTIVITY,
+    "top_parts": SQL_TOP_PARTS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "hex_doc_counts_r1": SQL_HEX_DOC_COUNTS_R1,
+    "events_sessions": SQL_EVENTS_SESSIONS,
+    "nation_top_customers": SQL_NATION_TOP_CUSTOMERS,
+    "segment_order_stats": SQL_SEGMENT_ORDER_STATS,
+    "distinct_users": SQL_DISTINCT_USERS,
+    "part_brand_stats": SQL_PART_BRAND_STATS,
+    # non-SQL (geometry / sketch / ANN) ops → rows-only checks:
+    # doc_quality, minhash_bands, knn_cosine, generate_patches,
+    # generate_neighbours, point_in_polygon, voronoi, habitat,
+    # connectedness, simhash, embedding_near_dup, ivf_knn
+}

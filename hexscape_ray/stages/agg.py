@@ -1,0 +1,136 @@
+"""Two-phase (partial + final) keyed aggregation with optional salting.
+
+The reference's flagship per-hex land-use aggregate
+(/root/reference/R/generate_patches.R:208-355) and its skew handling
+(greedy LPT chunking after a frequency census,
+/root/reference/R/extract_corine.R:64-94) map to:
+
+1. **partial**: inside ``map_batches`` collapse each Arrow batch to one
+   row per (key..., salt) with partial sums — the shuffle then moves
+   partials, not rows (combiner pattern);
+2. **final**: ``groupby(keys).sum`` over the partials;
+3. optional **pivot**: ``groupby(primary key).map_groups`` to widen
+   per-class rows into LU_*-style proportion columns with zero-fill
+   (grid completion, /root/reference/R/generate_patches.R:269-343).
+
+Salting: with per-batch partials the residual skew is tiny (≤ one row
+per key per block), but for high-cardinality grouped *map_groups*
+stages a ``salt`` column (hash(url) % k, census-driven k) splits hot
+keys; ``salted_sum`` shows the two-stage merge explicitly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+
+def partial_sum_batch(keys: list[str], sums: list[str], count_as: str | None = "n"):
+    """Build a map_batches fn: Arrow batch -> one row per key-tuple with
+    summed ``sums`` columns (+ a count column)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cols = list(keys) + list(sums)
+        t = batch.select([c for c in cols if c in batch.column_names])
+        if count_as:
+            t = t.append_column(count_as, pa.array(np.ones(len(t), dtype=np.int64)))
+        aggs = [(c, "sum") for c in sums]
+        if count_as:
+            aggs.append((count_as, "sum"))
+        out = t.group_by(keys).aggregate(aggs)
+        # normalise pyarrow's "<col>_sum" names back to plain names
+        ren = {f"{c}_sum": c for c in sums}
+        if count_as:
+            ren[f"{count_as}_sum"] = count_as
+        return out.rename_columns([ren.get(c, c) for c in out.column_names])
+
+    return fn
+
+
+def two_phase_sum(
+    ds: Dataset,
+    keys: list[str],
+    sums: list[str],
+    count_as: str | None = "n",
+    batch_size: int = 65536,
+) -> Dataset:
+    """partial-in-batch then groupby(keys).sum — the engine's default
+    aggregate; the all-to-all exchange only ever sees partials."""
+    partials = ds.map_batches(
+        partial_sum_batch(keys, sums, count_as),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    agg_cols = list(sums) + ([count_as] if count_as else [])
+    out = partials.groupby(keys).aggregate(
+        *[Sum(c, alias_name=c) for c in agg_cols]
+    )
+    return out
+
+
+def salted_sum(
+    ds: Dataset,
+    keys: list[str],
+    sums: list[str],
+    salt_col: str,
+    count_as: str | None = "n",
+) -> Dataset:
+    """Explicit two-stage salted aggregate: stage 1 groups on
+    (keys..., salt) — hot keys split across ``k`` reducers — stage 2
+    merges the per-salt partials on the true key."""
+    agg_cols = list(sums) + ([count_as] if count_as else [])
+    stage1 = two_phase_sum(ds, list(keys) + [salt_col], sums, count_as)
+    stage2 = stage1.groupby(keys).aggregate(*[Sum(c, alias_name=c) for c in agg_cols])
+    return stage2
+
+
+def add_salt(batch: pa.Table, key_hash_col: str, k: int, out: str = "salt") -> pa.Table:
+    h = np.asarray(batch[key_hash_col].to_numpy(zero_copy_only=False), dtype=np.uint64)
+    return batch.append_column(out, pa.array((h % np.uint64(max(k, 1))).astype(np.int64)))
+
+
+def census_salt_factor(
+    ds: Dataset, key: str, target_rows_per_group: int = 1_000_000
+) -> dict:
+    """A1-style frequency census → per-key salt factors for the hot
+    keys (/root/reference/R/extract_corine.R:64-94 analogue).  Returns
+    {key_value: k} for keys whose count exceeds the target."""
+    counts = two_phase_sum(ds.select_columns([key]), [key], [], count_as="n")
+    hot = counts.filter(lambda row: row["n"] > target_rows_per_group)
+    out = {}
+    for row in hot.take_all():  # hot-key list is small by construction
+        out[row[key]] = int(np.ceil(row["n"] / target_rows_per_group))
+    return out
+
+
+def pivot_proportions(
+    ds: Dataset,
+    group_key: str,
+    class_col: str,
+    value_col: str,
+    classes: list[str],
+    prefix: str = "LU_",
+    extra_sums: list[str] | None = None,
+) -> Dataset:
+    """Widen (key, class, value) → one row per key with ``prefix<class>``
+    proportion columns over the FIXED class list (zero-filled — the
+    full_join grid completion, /root/reference/R/generate_patches.R:269-277),
+    proportions summing to 1 (checksum invariant, :346-355)."""
+    extra_sums = extra_sums or []
+
+    def widen(g: pd.DataFrame) -> pd.DataFrame:
+        total = float(g[value_col].sum())
+        row = {group_key: g[group_key].iloc[0], f"{value_col}_sum": total}
+        for c in extra_sums:
+            row[c] = g[c].sum()
+        by = g.groupby(class_col)[value_col].sum()
+        for cls in classes:
+            v = float(by.get(cls, 0.0))
+            row[f"{prefix}{cls}"] = (v / total) if total > 0 else 0.0
+        return pd.DataFrame([row])
+
+    return ds.groupby(group_key).map_groups(widen, batch_format="pandas")

@@ -1,0 +1,96 @@
+"""Join stages.
+
+- ``broadcast_join``: small side shipped once via ``ray.put`` and
+  hash-joined inside ``map_batches`` (no shuffle) — the engine's J1/J5
+  pattern (SURVEY §2.5); correct whenever one side fits in worker
+  memory (dimension tables, code lookups, boundary attrs).
+- ``bucketed_join``: both sides large → co-partition on
+  ``hash(key) % B`` and join per bucket inside ``map_groups`` — the
+  explicit partitioned hash join; B and salt documented per call site.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+
+class _BroadcastJoiner:
+    """Actor-pool stage: resolve the broadcast ref once per actor."""
+
+    def __init__(self, small_ref, on: str, how: str):
+        self.small: pd.DataFrame = ray.get(small_ref)
+        self.on = on
+        self.how = how
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(self.small, on=self.on, how=self.how)
+
+
+def broadcast_join(
+    big: Dataset,
+    small: pd.DataFrame,
+    on: str,
+    how: str = "inner",
+    concurrency: int | tuple = (1, 4),
+    batch_size: int = 65536,
+) -> Dataset:
+    ref = ray.put(small)
+    return big.map_batches(
+        _BroadcastJoiner,
+        fn_constructor_args=(ref, on, how),
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def bucketed_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    n_buckets: int = 64,
+    how: str = "inner",
+) -> Dataset:
+    """Partitioned hash join: tag both sides with bucket = key % B (a
+    cheap integer hash is enough for int keys), union with a side tag,
+    then join inside each bucket group.  One shuffle total."""
+
+    lschema, rschema = left.schema(), right.schema()  # ray.data.Schema
+    lcols, rcols = list(lschema.names), list(rschema.names)
+    # pad each side to the union schema with typed nulls so the two
+    # Datasets share one Arrow schema and can union
+    all_fields = list(zip(lschema.names, lschema.types))
+    all_fields += [
+        (n, t) for n, t in zip(rschema.names, rschema.types) if n not in lcols
+    ]
+
+    def tag(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = np.asarray(batch[on].to_numpy(zero_copy_only=False), dtype=np.int64)
+            bucket = np.abs(k) % n_buckets
+            cols = {}
+            for name, typ in all_fields:
+                cols[name] = (
+                    batch[name] if name in batch.column_names else pa.nulls(len(batch), typ)
+                )
+            cols["__bucket"] = pa.array(bucket)
+            cols["__side"] = pa.array(np.repeat(side, len(batch)))
+            return pa.table(cols)
+
+        return fn
+
+    tagged = left.map_batches(tag("L"), batch_format="pyarrow").union(
+        right.map_batches(tag("R"), batch_format="pyarrow")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g.loc[g["__side"] == "L", lcols]
+        rg = g.loc[g["__side"] == "R", rcols]
+        return lg.merge(rg, on=on, how=how)
+
+    return tagged.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")

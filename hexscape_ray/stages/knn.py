@@ -1,0 +1,159 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``brute_force_topk``: the exact baseline — query matrix broadcast
+  once via ``ray.put``; each batch does one numpy matmul against it
+  and emits its local top-k; a final small groupby keeps the global
+  top-k per query.  Scales linearly in corpus size with zero shuffle
+  of the corpus.
+- ``ivf_topk``: the scale path — k-means-style coarse centroids
+  (seeded, trained on a sample), corpus bucketed by nearest centroid
+  (one groupby), queries probe only ``n_probe`` buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+
+def _normalize(vecs: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0] = 1.0
+    return vecs / norms[:, None]
+
+
+class _BatchTopK:
+    """Actor: holds the normalised query matrix; per batch emits the
+    batch-local top-k (query_id, vec_id, cosine) triples."""
+
+    def __init__(self, query_ref, k: int):
+        qdf = ray.get(query_ref)
+        self.qids = qdf["vec_id"].to_numpy()
+        self.Q = _normalize(np.asarray(qdf["embedding"].tolist(), dtype=np.float64))
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        V = _normalize(
+            np.asarray(batch["embedding"].to_numpy(zero_copy_only=False).tolist(), dtype=np.float64)
+        )
+        sim = self.Q @ V.T  # (nq, nb)
+        k = min(self.k, sim.shape[1])
+        top = np.argpartition(-sim, k - 1, axis=1)[:, :k]
+        rows_q = np.repeat(self.qids, k)
+        rows_v = ids[top.ravel()]
+        rows_s = np.take_along_axis(sim, top, axis=1).ravel()
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q.astype(np.int64)),
+                "vec_id": pa.array(rows_v.astype(np.int64)),
+                "cosine": pa.array(rows_s),
+            }
+        )
+
+
+def brute_force_topk(corpus: Dataset, queries: pd.DataFrame, k: int = 10) -> Dataset:
+    """Global top-k per query: per-batch local top-k → tiny global merge."""
+    ref = ray.put(queries)
+    local = corpus.map_batches(
+        _BatchTopK,
+        fn_constructor_args=(ref, k),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["cosine"] = np.round(g["cosine"], 6)
+        return g
+
+    return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def train_centroids(sample: np.ndarray, n_centroids: int, n_iter: int = 10, seed: int = 11) -> np.ndarray:
+    """Seeded Lloyd's k-means on a driver-side sample (no sklearn)."""
+    rng = np.random.default_rng(seed)
+    X = _normalize(sample)
+    C = X[rng.choice(X.shape[0], size=min(n_centroids, X.shape[0]), replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(C.shape[0]):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def ivf_topk(
+    corpus: Dataset,
+    queries: pd.DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 2048,
+) -> Dataset:
+    """IVF ANN: bucket corpus by nearest centroid, probe n_probe buckets
+    per query.  Approximate by design; recall grows with n_probe."""
+    sample = np.asarray(
+        corpus.limit(train_sample).to_pandas()["embedding"].tolist(), dtype=np.float64
+    )
+    C = train_centroids(sample, n_centroids)
+    c_ref = ray.put(C)
+
+    class Bucketize:
+        def __init__(self):
+            self.C = ray.get(c_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            V = _normalize(
+                np.asarray(
+                    batch["embedding"].to_numpy(zero_copy_only=False).tolist(), dtype=np.float64
+                )
+            )
+            b = np.argmax(V @ self.C.T, axis=1)
+            return batch.append_column("ivf_bucket", pa.array(b.astype(np.int64)))
+
+    bucketed = corpus.map_batches(Bucketize, batch_format="pyarrow", concurrency=(1, 8))
+
+    Q = _normalize(np.asarray(queries["embedding"].tolist(), dtype=np.float64))
+    qids = queries["vec_id"].to_numpy()
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    q_ref = ray.put((qids, Q, probe))
+
+    def search(g: pd.DataFrame) -> pd.DataFrame:
+        qids_, Q_, probe_ = ray.get(q_ref)
+        bucket = int(g["ivf_bucket"].iloc[0])
+        active = np.where((probe_ == bucket).any(axis=1))[0]
+        if active.size == 0:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []})
+        V = _normalize(np.asarray(g["embedding"].tolist(), dtype=np.float64))
+        ids = g["vec_id"].to_numpy()
+        sim = Q_[active] @ V.T
+        kk = min(k, sim.shape[1])
+        top = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qids_[active], kk),
+                "vec_id": ids[top.ravel()],
+                "cosine": np.take_along_axis(sim, top, axis=1).ravel(),
+            }
+        )
+
+    local = bucketed.groupby("ivf_bucket").map_groups(search, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["cosine"] = np.round(g["cosine"], 6)
+        return g
+
+    return local.groupby("query_id").map_groups(merge, batch_format="pandas")

@@ -1,0 +1,213 @@
+"""Stateful spatial stages: actor pools holding boundary polygon
+indexes (the engine's STRtree stand-in, SURVEY §2.4 T1).
+
+Boundary tables are broadcast ONCE via ``ray.put`` on the driver; each
+actor decodes WKB and builds a ``GeomIndex`` in ``__init__``; batches
+stream through ``__call__`` zero-copy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from hexscape_ray import grid
+from hexscape_ray.config import GridSpec
+from hexscape_ray.geom.clip import polygon_intersection_area_convex
+from hexscape_ray.geom.index import GeomIndex
+from hexscape_ray.geom.wkb import wkb_to_rings
+
+
+def load_boundary_ref(table: pa.Table, wkb_col: str = "wkb", id_col: str = "code"):
+    """Driver-side: decode a boundary table to (ids, flat polygon list,
+    owner map) and ``ray.put`` it once for all actors.
+
+    MultiPolygons are flattened to parts sharing one owner id, which
+    preserves the reference's multipart semantics for containment
+    (/root/reference/R/generate_patches.R:148-185)."""
+    ids = table.column(id_col).to_pylist()
+    flat, owner = [], []
+    for gid, buf in enumerate(table.column(wkb_col).to_pylist()):
+        for rings in wkb_to_rings(buf):
+            flat.append([np.asarray(r) for r in rings])
+            owner.append(gid)
+    return ray.put({"ids": ids, "polygons": flat, "owner": np.asarray(owner, dtype=np.int64)})
+
+
+class PolygonAssigner:
+    """Point → containing polygon id, with the reference's 3-stage
+    fallback collapsed to its point form: (1) exact containment via the
+    index, (2) unassigned points (boundary/gap cases) fall back to the
+    nearest polygon within ``max_snap_dist``
+    (/root/reference/R/download_maps.R:79-129 — contains, then
+    intersects, then max-overlap tie-break; for points the overlap
+    tie-break degenerates to nearest-boundary)."""
+
+    def __init__(self, boundary_ref, out_col: str = "admin_code", max_snap_dist: float = np.inf):
+        b = ray.get(boundary_ref)
+        self.ids = b["ids"]
+        self.owner = b["owner"]
+        self.index = GeomIndex(b["polygons"])
+        self.out_col = out_col
+        self.max_snap = max_snap_dist
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px = batch["x"].to_numpy(zero_copy_only=False)
+        py = batch["y"].to_numpy(zero_copy_only=False)
+        gid = self.index.assign_points(px, py)
+        miss = gid < 0
+        if miss.any() and np.isfinite(self.max_snap):
+            # fallback: nearest polygon (small count by construction)
+            mx, my = px[miss], py[miss]
+            best = np.full(mx.shape[0], -1, dtype=np.int64)
+            best_d = np.full(mx.shape[0], self.max_snap)
+            for fid, rings in enumerate(self.index.polygons):
+                from hexscape_ray.geom.poly import distance_to_polygon
+
+                d = distance_to_polygon(mx, my, rings)
+                upd = d < best_d
+                best[upd] = fid
+                best_d[upd] = d[upd]
+            gid[miss] = best
+        codes = np.asarray(
+            [self.ids[self.owner[g]] if g >= 0 else "" for g in gid], dtype=object
+        )
+        return batch.append_column(self.out_col, pa.array(codes, type=pa.string()))
+
+
+def assign_points_to_polygons(
+    points: Dataset,
+    boundary: pa.Table,
+    id_col: str = "code",
+    out_col: str = "admin_code",
+    concurrency=(1, 8),
+    batch_size: int = 65536,
+) -> Dataset:
+    ref = load_boundary_ref(boundary, id_col=id_col)
+    return points.map_batches(
+        PolygonAssigner,
+        fn_constructor_args=(ref, out_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class HexCategoryClipper:
+    """Per-hex area-weighted category fractions — the A3 kernel
+    (/root/reference/R/generate_patches.R:252-266).
+
+    Actor holds the land-cover polygons (+category labels) in a
+    ``GeomIndex``; each batch of (r, q) hex rows is clipped against
+    candidate polygons (bbox-pruned) and emits one row per
+    (r, q, category) with the exact intersection area.
+    """
+
+    def __init__(self, landcover_ref, spec: GridSpec, res: int = 0, cat_col: str = "category"):
+        b = ray.get(landcover_ref)
+        self.cats = b["cats"]
+        self.owner = b["owner"]
+        self.index = GeomIndex(b["polygons"])
+        self.spec = spec
+        self.res = res
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        r = batch["r"].to_numpy(zero_copy_only=False)
+        q = batch["q"].to_numpy(zero_copy_only=False)
+        hexes = grid.cell_polygon(r, q, self.spec, self.res)  # (n, 7, 2)
+        out_r, out_q, out_cat, out_area = [], [], [], []
+        for i in range(r.shape[0]):
+            ring = hexes[i]
+            bx0, by0 = ring[:, 0].min(), ring[:, 1].min()
+            bx1, by1 = ring[:, 0].max(), ring[:, 1].max()
+            cand = self.index.candidates_bbox(bx0, by0, bx1, by1)
+            acc: dict[str, float] = {}
+            for gid in cand:
+                a = polygon_intersection_area_convex(self.index.polygons[gid], ring)
+                if a > 0.0:
+                    cat = self.cats[self.owner[gid]]
+                    acc[cat] = acc.get(cat, 0.0) + a
+            for cat, a in acc.items():
+                out_r.append(r[i])
+                out_q.append(q[i])
+                out_cat.append(cat)
+                out_area.append(a)
+        return pa.table(
+            {
+                "r": pa.array(np.asarray(out_r, dtype=np.int64)),
+                "q": pa.array(np.asarray(out_q, dtype=np.int64)),
+                "category": pa.array(out_cat, type=pa.string()),
+                "area": pa.array(np.asarray(out_area, dtype=np.float64)),
+            }
+        )
+
+
+def load_landcover_ref(table: pa.Table, wkb_col: str = "wkb", cat_col: str = "category"):
+    cats = table.column(cat_col).to_pylist()
+    flat, owner = [], []
+    for gid, buf in enumerate(table.column(wkb_col).to_pylist()):
+        for rings in wkb_to_rings(buf):
+            flat.append([np.asarray(rr) for rr in rings])
+            owner.append(gid)
+    return ray.put({"cats": cats, "polygons": flat, "owner": np.asarray(owner, dtype=np.int64)})
+
+
+class LandscapeClipper:
+    """Hex candidate rows → clipped area within the landscape + the
+    distance prefilter (M3/M4,
+    /root/reference/R/generate_patches.R:103-142): drops hexes whose
+    centroid is ≥ hex_height/1.9 from the landscape, computes
+    area(hex ∩ landscape) and drops slivers < min_prop · hex_area."""
+
+    def __init__(self, landscape_ref, spec: GridSpec, res: int = 0):
+        b = ray.get(landscape_ref)
+        self.index = GeomIndex(b["polygons"])
+        self.spec = spec
+        self.res = res
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        r = batch["r"].to_numpy(zero_copy_only=False)
+        q = batch["q"].to_numpy(zero_copy_only=False)
+        cx, cy = grid.axial_to_centroid(r, q, self.spec, self.res)
+        dist = self.index.min_distance(cx, cy)
+        keep = dist < self.spec.hex_height / 1.9  # reference constant
+        r, q, cx, cy = r[keep], q[keep], cx[keep], cy[keep]
+        hexes = grid.cell_polygon(r, q, self.spec, self.res)
+        areas = np.empty(r.shape[0])
+        for i in range(r.shape[0]):
+            ring = hexes[i]
+            bx0, by0 = ring[:, 0].min(), ring[:, 1].min()
+            bx1, by1 = ring[:, 0].max(), ring[:, 1].max()
+            cand = self.index.candidates_bbox(bx0, by0, bx1, by1)
+            areas[i] = sum(
+                polygon_intersection_area_convex(self.index.polygons[g], ring)
+                for g in cand
+            )
+        ok = areas >= self.spec.min_prop * self.spec.hex_area
+        return pa.table(
+            {
+                "r": pa.array(r[ok]),
+                "q": pa.array(q[ok]),
+                "x": pa.array(cx[ok]),
+                "y": pa.array(cy[ok]),
+                "area": pa.array(areas[ok]),
+            }
+        )
+
+
+def coverage_gap(landcover: pa.Table, landscape_area: float) -> dict:
+    """A7 (/root/reference/R/extract_corine.R:177-205): fraction of the
+    landscape not covered by land-cover polygons; warn threshold 0.1%.
+    Driver-side scalar on the (small) boundary table."""
+    from hexscape_ray.geom.poly import polygon_area
+
+    covered = 0.0
+    for buf in landcover.column("wkb").to_pylist():
+        for rings in wkb_to_rings(buf):
+            covered += polygon_area(rings)
+    prop_miss = 1.0 - covered / landscape_area
+    return {"covered": covered, "prop_missing": prop_miss, "warn": prop_miss > 0.001}

@@ -1,0 +1,139 @@
+"""two-phase/salted aggregation equivalence, dedup stages, knn."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from hexscape_ray.stages.agg import add_salt, salted_sum, two_phase_sum
+from hexscape_ray.stages.dedup import (
+    MinHasher,
+    SimHasher,
+    embedding_near_dup,
+    exact_dedup,
+    minhash_candidate_pairs,
+)
+from hexscape_ray.stages.joins import bucketed_join
+from hexscape_ray.stages.knn import brute_force_topk, ivf_topk
+
+
+@pytest.fixture(scope="module")
+def kv_ds(ray_session):
+    rng = np.random.default_rng(2)
+    n = 20_000
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(rng.integers(0, 50, n)),
+                "v": pa.array(rng.integers(0, 1000, n).astype(np.int64)),
+                "h": pa.array(rng.integers(0, 2**62, n).astype(np.int64)),
+            }
+        )
+    ).repartition(8)
+
+
+def test_two_phase_equals_naive(kv_ds):
+    got = two_phase_sum(kv_ds, ["k"], ["v"]).to_pandas().sort_values("k", ignore_index=True)
+    pdf = kv_ds.to_pandas()
+    want = pdf.groupby("k").agg(v=("v", "sum"), n=("v", "size")).reset_index()
+    assert np.array_equal(got["v"].to_numpy(), want["v"].to_numpy())
+    assert np.array_equal(got["n"].to_numpy(), want["n"].to_numpy())
+
+
+def test_salted_equals_unsalted(kv_ds):
+    salted_ds = kv_ds.map_batches(
+        lambda t: add_salt(t, "h", 4), batch_format="pyarrow"
+    )
+    got = (
+        salted_sum(salted_ds, ["k"], ["v"], salt_col="salt")
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    want = two_phase_sum(kv_ds, ["k"], ["v"]).to_pandas().sort_values("k", ignore_index=True)
+    assert np.array_equal(got["v"].to_numpy(), want["v"].to_numpy())
+    assert np.array_equal(got["n"].to_numpy(), want["n"].to_numpy())
+
+
+def test_bucketed_join_matches_pandas(ray_session):
+    rng = np.random.default_rng(4)
+    left = pd.DataFrame({"id": rng.integers(0, 100, 500), "a": rng.integers(0, 9, 500)})
+    right = pd.DataFrame({"id": np.arange(100), "b": np.arange(100) * 2})
+    got = (
+        bucketed_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right), on="id", n_buckets=8
+        )
+        .to_pandas()
+        .sort_values(["id", "a"], ignore_index=True)
+    )
+    want = left.merge(right, on="id").sort_values(["id", "a"], ignore_index=True)
+    assert len(got) == len(want)
+    assert np.array_equal(got["b"].to_numpy(), want["b"].to_numpy())
+
+
+@pytest.fixture(scope="module")
+def dup_docs(ray_session):
+    texts = [f"alpha beta gamma delta epsilon zeta eta theta doc {i}" for i in range(50)]
+    texts += [texts[0], texts[1], texts[1]]  # exact dups
+    texts += [texts[2] + " tail"]  # near dup
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(np.arange(len(texts), dtype=np.int64)), "text": pa.array(texts)})
+    )
+
+
+def test_exact_dedup(dup_docs):
+    out = exact_dedup(dup_docs).to_pandas()
+    assert len(out) == 51  # 50 uniques + near-dup (distinct text)
+    assert out["n_copies"].sum() == 54
+    winners = out.sort_values("doc_id")
+    assert winners["n_copies"].max() == 3
+
+
+def test_minhash_finds_near_dup(dup_docs):
+    pairs = minhash_candidate_pairs(dup_docs).to_pandas()
+    got = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+    assert (0, 50) in got  # exact dup pair
+    assert (1, 51) in got and (1, 52) in got
+    assert (2, 53) in got  # near-dup shares most shingles
+
+
+def test_simhash_exact_dup_same_sig(dup_docs):
+    out = dup_docs.map_batches(SimHasher, batch_format="pyarrow", concurrency=1).to_pandas()
+    s = out.set_index("doc_id")["simhash"]
+    assert s[0] == s[50]
+    assert s[1] == s[51] == s[52]
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    rng = np.random.default_rng(6)
+    vecs = rng.standard_normal((300, 32)).astype(np.float64)
+    vecs[7] = vecs[3] + 1e-4  # near-dup pair
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(300, dtype=np.int64)),
+                "embedding": pa.array(list(vecs)),
+            }
+        )
+    )
+
+
+def test_brute_force_topk_self_first(emb_ds):
+    queries = emb_ds.limit(5).to_pandas()
+    out = brute_force_topk(emb_ds, queries, k=3).to_pandas()
+    r1 = out[out["rank"] == 1]
+    assert set(r1["query_id"]) == {0, 1, 2, 3, 4}
+    for _, row in r1.iterrows():
+        assert row["vec_id"] == row["query_id"] or row["cosine"] >= 0.999999
+
+
+def test_ivf_recall_of_near_identical(emb_ds):
+    queries = emb_ds.to_pandas().iloc[[3]]
+    out = ivf_topk(emb_ds, queries, k=2, n_centroids=8, n_probe=3).to_pandas()
+    assert set(out["vec_id"]) >= {3, 7}  # the near-identical vector found
+
+
+def test_embedding_near_dup_pair(emb_ds):
+    pairs = embedding_near_dup(emb_ds, threshold=0.999).to_pandas()
+    assert ((pairs["a"] == 3) & (pairs["b"] == 7)).any()

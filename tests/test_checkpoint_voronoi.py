@@ -1,0 +1,137 @@
+"""Kill–resume invariants (FIXTURES.md F5) + voronoi/sampling parity."""
+
+import os
+
+import numpy as np
+import pytest
+import ray.data
+
+from hexscape_ray.config import DEFAULT_GRID
+from hexscape_ray.pipelines.voronoi import (
+    discretise_voronoi,
+    randomise_voronoi,
+    sample_points_in_polygons,
+)
+from hexscape_ray.state.checkpoint import read_manifest, run_partitioned
+
+
+def _pipeline(files):
+    from hexscape_ray.pipelines.hexagg import prepare_pages
+
+    return prepare_pages(
+        ray.data.read_parquet(files, columns=["url", "text", "lang"]), DEFAULT_GRID
+    )
+
+
+@pytest.fixture(scope="module")
+def sharded_pages(ray_session, tmp_path_factory):
+    """4 page shards as separate parquet files."""
+    import pyarrow.parquet as pq
+
+    from hexscape_ray.sources.fixtures import gen_pages
+
+    d = tmp_path_factory.mktemp("shards")
+    parts = {}
+    for i in range(4):
+        p = str(d / f"shard{i}.parquet")
+        pq.write_table(gen_pages(n=400, seed=100 + i), p)
+        parts[f"p{i}"] = [p]
+    return parts
+
+
+def test_kill_resume_skips_finished(sharded_pages, tmp_path):
+    out = str(tmp_path / "out")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_partitioned(sharded_pages, out, _pipeline, spec_hash="h1", fail_after=2)
+    m = read_manifest(out)
+    assert sum(1 for r in m.values() if r["status"] == "ok") == 2
+
+    stats = run_partitioned(sharded_pages, out, _pipeline, spec_hash="h1")
+    assert stats["skipped"] == 2 and stats["done"] == 2 and stats["failed"] == 0
+    m2 = read_manifest(out)
+    assert len(m2) == 4 and all(r["status"] == "ok" for r in m2.values())
+    # finished partitions were NOT recomputed: content hashes stable
+    for pid in ("p0", "p1"):
+        assert m2[pid]["content_hash"] == m[pid]["content_hash"]
+    # all partition dirs exist with rows matching the manifest
+    import pyarrow.parquet as pq
+
+    for pid, rec in m2.items():
+        pdir = os.path.join(out, f"part={pid}")
+        rows = sum(
+            pq.read_metadata(os.path.join(pdir, f)).num_rows
+            for f in os.listdir(pdir)
+            if f.endswith(".parquet")
+        )
+        assert rows == rec["rows"] == 400
+
+
+def test_resume_output_byte_identical(sharded_pages, tmp_path):
+    out1 = str(tmp_path / "a")
+    out2 = str(tmp_path / "b")
+    with pytest.raises(RuntimeError):
+        run_partitioned(sharded_pages, out1, _pipeline, spec_hash="h", fail_after=3)
+    run_partitioned(sharded_pages, out1, _pipeline, spec_hash="h")
+    run_partitioned(sharded_pages, out2, _pipeline, spec_hash="h")
+    m1, m2 = read_manifest(out1), read_manifest(out2)
+    for pid in m1:
+        assert m1[pid]["content_hash"] == m2[pid]["content_hash"]
+
+
+def test_spec_change_invalidates(sharded_pages, tmp_path):
+    out = str(tmp_path / "c")
+    run_partitioned(sharded_pages, out, _pipeline, spec_hash="v1")
+    stats = run_partitioned(sharded_pages, out, _pipeline, spec_hash="v2")
+    assert stats["done"] == 4 and stats["skipped"] == 0
+
+
+# --- voronoi / sampling --------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def points_ds(ray_session, fixture_dir):
+    return ray.data.read_parquet(f"{fixture_dir}/points.parquet")
+
+
+def test_voronoi_cell_count_and_partition(points_ds):
+    out = discretise_voronoi(points_ds).to_pandas()
+    assert len(out) == 200  # one cell per point (:28-31 invariant)
+    # cells partition the bbox: areas sum to the landscape area (km²)
+    assert abs(out["Area"].sum() - 10_000.0) < 1e-6
+    # every point lies inside its own cell (containment ⇒ correct cell)
+    from hexscape_ray.geom.poly import points_in_polygon
+    from hexscape_ray.geom.wkb import wkb_to_rings
+
+    for row in out.head(50).itertuples(index=False):
+        rings = wkb_to_rings(row.wkb)[0]
+        assert points_in_polygon([row.x], [row.y], rings)[0]
+
+
+def test_sample_points_exact_count(points_ds):
+    vor = discretise_voronoi(points_ds)
+    pts = sample_points_in_polygons(vor.limit(40), size=7, seed=3).to_pandas()
+    assert len(pts) == 40 * 7
+    counts = pts.groupby("idx").size()
+    assert (counts == 7).all()
+
+
+def test_sample_points_deterministic_across_partitioning(points_ds):
+    vor = discretise_voronoi(points_ds).limit(32)
+    a = sample_points_in_polygons(vor, size=3, seed=9).to_pandas()
+    b = sample_points_in_polygons(vor.repartition(5), size=3, seed=9).to_pandas()
+    a = a.sort_values(["idx", "x"], ignore_index=True)
+    b = b.sort_values(["idx", "x"], ignore_index=True)
+    assert np.allclose(a[["x", "y"]].to_numpy(), b[["x", "y"]].to_numpy())
+
+
+def test_randomise_voronoi(points_ds):
+    small = points_ds.limit(60)
+    out = randomise_voronoi(small, randomise_size=10, max_tries=100, seed=2)
+    assert len(out) == 60
+    # without-replacement: each cell used at most once
+    assert out["assigned_cell"].is_unique
+    # audit column present and some points moved
+    assert out["RandomShift"].any()
+    # determinism
+    out2 = randomise_voronoi(small, randomise_size=10, max_tries=100, seed=2)
+    assert np.allclose(out[["new_x", "new_y"]], out2[["new_x", "new_y"]])

@@ -1,0 +1,83 @@
+"""Fixture determinism + the byte-identical-text-per-url invariant
+(BASELINE.json input_hint) + text function sanity."""
+
+import numpy as np
+
+from hexscape_ray.functions.geocode import geocode_ids, geocode_urls, host_of
+from hexscape_ray.functions.text import (
+    count_tokens_bpe,
+    count_tokens_ws,
+    detect_lang,
+    extract_text,
+    fingerprint,
+    quality_score,
+    shingles,
+    wrap_html,
+)
+from hexscape_ray.sources import fixtures as fx
+
+
+def test_pages_deterministic():
+    a = fx.gen_pages(n=500)
+    b = fx.gen_pages(n=500)
+    assert a.equals(b)
+
+
+def test_extract_text_byte_identical():
+    pages = fx.gen_pages(n=300)
+    html = pages.column("html").to_pylist()
+    text = pages.column("text").to_pylist()
+    for h, t in zip(html, text):
+        assert extract_text(h) == t
+
+
+def test_extract_handles_special_chars():
+    t = 'a < b & "c" > d\nnew <line>'
+    assert extract_text(wrap_html(t)) == t
+
+
+def test_extract_generic_fallback():
+    raw = b"<html><head><script>var x=1;</script><style>p{}</style></head><body><p>hello world</p></body></html>"
+    out = extract_text(raw)
+    assert "hello world" in out
+    assert "var x" not in out  # script content stripped on the fallback path
+    plain = extract_text(b"<div>just  text</div>")
+    assert "just  text" in plain
+
+
+def test_langid_accuracy():
+    pages = fx.gen_pages(n=400)
+    langs = pages.column("lang").to_pylist()
+    texts = pages.column("text").to_pylist()
+    acc = np.mean([detect_lang(t) == l for t, l in zip(texts, langs)])
+    assert acc > 0.85
+
+
+def test_geocode_host_stability_and_skew():
+    urls = ["https://h1.com/a", "https://h1.com/b", "https://h2.com/x"]
+    x, y = geocode_urls(urls)
+    assert x[0] == x[1] and y[0] == y[1]
+    assert (x[0], y[0]) != (x[2], y[2])
+    assert host_of("https://a.b.c/d/e") == "a.b.c"
+    assert host_of("a.b.c") == "a.b.c"
+
+
+def test_geocode_ids_in_bbox():
+    x, y = geocode_ids(np.arange(10_000))
+    assert (x >= 0).all() and (x <= 100_000).all()
+    assert (y >= 0).all() and (y <= 100_000).all()
+
+
+def test_text_metrics():
+    t = "the quick brown fox jumps over the lazy dog"
+    assert count_tokens_ws(t) == 9
+    assert count_tokens_bpe(t) == 9
+    assert 0.0 <= quality_score(t) <= 1.0
+    assert fingerprint(t) == fingerprint("the  quick brown fox jumps over the lazy  dog".replace("  ", " "))
+    assert shingles(t, 3).dtype == np.uint64
+
+
+def test_landcover_coverage_gap():
+    lc = fx.gen_landcover()
+    # 40x40 cells at 2500m minus 8 gap cells
+    assert lc.num_rows == 1600 - 8

@@ -1,0 +1,130 @@
+"""Geometry kernel: areas, PIP, convex clipping, WKB, spatial index."""
+
+import numpy as np
+import pytest
+
+from hexscape_ray.geom import (
+    clip_polygon_convex,
+    clip_ring_convex,
+    point_to_wkb,
+    points_in_polygon,
+    polygon_area,
+    polygon_centroid,
+    polygon_intersection_area_convex,
+    polygon_to_wkb,
+    multipolygon_to_wkb,
+    ring_area,
+    wkb_to_rings,
+)
+from hexscape_ray.geom.index import GeomIndex
+from hexscape_ray.geom.poly import distance_to_polygon
+
+SQ = np.array([[0.0, 0.0], [10, 0], [10, 10], [0, 10]])
+HOLE = np.array([[4.0, 4], [6, 4], [6, 6], [4, 6]])
+TRI = np.array([[0.0, 0], [4, 0], [0, 4]])
+
+
+def test_areas():
+    assert ring_area(SQ) == 100.0
+    assert polygon_area([SQ]) == 100.0
+    assert polygon_area([SQ, HOLE]) == 96.0
+    assert abs(ring_area(TRI)) == 8.0
+
+
+def test_centroid():
+    assert np.allclose(polygon_centroid([SQ]), (5, 5))
+    assert np.allclose(polygon_centroid([SQ, HOLE]), (5, 5))
+
+
+def test_point_in_polygon_with_hole():
+    px = np.array([5.0, 5.0, 15.0, 4.5])
+    py = np.array([2.0, 5.0, 5.0, 4.5])
+    got = points_in_polygon(px, py, [SQ, HOLE])
+    assert got.tolist() == [True, False, False, False]
+
+
+def test_clip_convex_full_and_partial():
+    win = np.array([[2.0, 2], [8, 2], [8, 8], [2, 8]])
+    assert polygon_intersection_area_convex([SQ], win) == 36.0
+    assert polygon_intersection_area_convex([SQ, HOLE], win) == 32.0
+    # window fully inside subject
+    tiny = np.array([[4.5, 4.5], [5.5, 4.5], [5.5, 5.5], [4.5, 5.5]])
+    assert polygon_intersection_area_convex([SQ], tiny) == 1.0
+    # disjoint
+    far = SQ + 100.0
+    assert polygon_intersection_area_convex([far], win) == 0.0
+
+
+def test_clip_cw_window_normalised():
+    win_cw = np.array([[2.0, 2], [2, 8], [8, 8], [8, 2]])  # clockwise
+    assert polygon_intersection_area_convex([SQ], win_cw) == 36.0
+
+
+def test_clip_additivity_over_tiling():
+    """Areas of clips against a tiling partition sum to the whole —
+    the invariant behind per-hex land-use fractions."""
+    rng = np.random.default_rng(5)
+    pts = rng.random((8, 2)) * 10
+    hull = _convex_hull(pts)
+    total = abs(ring_area(hull))
+    acc = 0.0
+    for i in range(5):
+        for j in range(5):
+            win = np.array(
+                [[i * 2.0, j * 2.0], [(i + 1) * 2.0, j * 2.0], [(i + 1) * 2.0, (j + 1) * 2.0], [i * 2.0, (j + 1) * 2.0]]
+            )
+            acc += polygon_intersection_area_convex([hull], win)
+    assert abs(acc - total) < 1e-9
+
+
+def _convex_hull(pts):
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def half(points):
+        out = []
+        for p in points:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def test_wkb_roundtrip():
+    w = polygon_to_wkb([SQ, HOLE])
+    back = wkb_to_rings(w)
+    assert len(back) == 1 and len(back[0]) == 2
+    assert np.allclose(back[0][0][:-1], SQ)
+    mw = multipolygon_to_wkb([[SQ], [TRI]])
+    back2 = wkb_to_rings(mw)
+    assert len(back2) == 2
+    from hexscape_ray.geom.wkb import wkb_to_point
+
+    assert wkb_to_point(point_to_wkb(1.5, -2.5)) == (1.5, -2.5)
+
+
+def test_distance_to_polygon():
+    d = distance_to_polygon([5, -3, 13], [5, 5, 14], [SQ])
+    assert d[0] == 0.0
+    assert abs(d[1] - 3.0) < 1e-12
+    assert abs(d[2] - 5.0) < 1e-12
+
+
+def test_geom_index_assign_and_first_wins():
+    polys = [[SQ], [SQ + 10.0], [SQ + 5.0]]  # third overlaps both
+    idx = GeomIndex(polys)
+    got = idx.assign_points(np.array([5.0, 15.0, 7.0]), np.array([5.0, 15.0, 7.0]))
+    # (7,7) is inside poly 0 and poly 2 → lowest gid wins (deterministic)
+    assert got.tolist() == [0, 1, 0]
+    miss = idx.assign_points(np.array([-5.0]), np.array([-5.0]))
+    assert miss.tolist() == [-1]
+
+
+def test_geom_index_min_distance():
+    idx = GeomIndex([[SQ]])
+    d = idx.min_distance(np.array([5.0, 12.0]), np.array([5.0, 10.0]))
+    assert d[0] == 0.0
+    assert abs(d[1] - 2.0) < 1e-12

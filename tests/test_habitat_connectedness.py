@@ -1,0 +1,109 @@
+"""discretise_habitat + generate_connectedness invariants."""
+
+import numpy as np
+import pytest
+import ray.data
+
+from hexscape_ray.config import GridSpec
+from hexscape_ray.pipelines.connectedness import generate_connectedness, kernel_ring
+from hexscape_ray.pipelines.habitat import (
+    bandwidth_nrd,
+    discretise_habitat,
+    kde2d_grid,
+    raster_to_hex,
+    threshold_by_cumulative_area,
+)
+
+SPEC = GridSpec(hex_width=5000.0, ref_x=0.0, ref_y=100_000.0)
+
+
+@pytest.fixture(scope="module")
+def clustered_points(ray_session):
+    rng = np.random.default_rng(8)
+    a = rng.normal([25_000, 25_000], 4_000, size=(300, 2))
+    b = rng.normal([70_000, 70_000], 6_000, size=(200, 2))
+    pts = np.clip(np.vstack([a, b]), 0, 100_000)
+    import pyarrow as pa
+
+    return ray.data.from_arrow(
+        pa.table({"x": pa.array(pts[:, 0]), "y": pa.array(pts[:, 1])})
+    )
+
+
+def test_bandwidth_nrd_positive():
+    x = np.random.default_rng(1).normal(0, 10, 500)
+    assert bandwidth_nrd(x) > 0
+
+
+def test_kde2d_integrates_to_one():
+    rng = np.random.default_rng(2)
+    px, py = rng.normal(50, 5, 400), rng.normal(50, 5, 400)
+    gx, gy, z = kde2d_grid(px, py, n=128, bbox=(0, 0, 100, 100))
+    dx, dy = gx[1] - gx[0], gy[1] - gy[0]
+    assert abs(z.sum() * dx * dy - 1.0) < 0.05
+
+
+def test_raster_to_hex_mean(ray_session):
+    gx = np.linspace(0, 100_000, 50)
+    gy = np.linspace(0, 100_000, 50)
+    z = np.ones((50, 50))
+    out = raster_to_hex(gx, gy, z, SPEC).to_pandas()
+    assert np.allclose(out["z"], 1.0)
+
+
+def test_threshold_keeps_top_density(ray_session, clustered_points):
+    pdf = clustered_points.to_pandas()
+    gx, gy, z = kde2d_grid(
+        pdf["x"].to_numpy(), pdf["y"].to_numpy(), n=64, bbox=(0, 0, 100_000, 100_000)
+    )
+    hexes = raster_to_hex(gx, gy, z, SPEC)
+    target = 12 * SPEC.hex_area
+    kept = threshold_by_cumulative_area(hexes, target, SPEC.hex_area).to_pandas()
+    assert len(kept) == 12
+    # kept are exactly the 12 densest
+    all_z = hexes.to_pandas().sort_values("z", ascending=False)
+    assert np.allclose(np.sort(kept["z"]), np.sort(all_z["z"].head(12)))
+
+
+def test_discretise_habitat_components(ray_session, clustered_points):
+    out = discretise_habitat(
+        clustered_points, SPEC, target_area=14 * SPEC.hex_area, n_components=2
+    )
+    assert len(out) == 14
+    assert set(out["component"]) == {0, 1}
+    # the two kmeans components sit near the two true clusters
+    c0 = out[out.component == 0][["cx", "cy"]].mean()
+    c1 = out[out.component == 1][["cx", "cy"]].mean()
+    d = np.hypot(c0[0] - c1[0], c0[1] - c1[1])
+    assert d > 30_000
+    assert (out["Capacity"] > 0).all()
+    assert out["PatchID"].str.match(r"main_\d").all()
+
+
+def test_kernel_ring_monotone():
+    dr, dq, w = kernel_ring(SPEC, 3)
+    assert dr.shape[0] == 37  # disk of radius 3
+    centre = (dr == 0) & (dq == 0)
+    assert w[centre][0] == w.max()
+
+
+def test_connectedness_rows_and_normalisation(ray_session):
+    import pyarrow as pa
+
+    r, q = np.meshgrid(np.arange(10, 16), np.arange(4, 10))
+    patches = ray.data.from_arrow(
+        pa.table({"r": pa.array(r.ravel()), "q": pa.array(q.ravel())})
+    )
+    out = generate_connectedness(patches, SPEC, k=2).to_pandas()
+    # per-source normalisation: Σ Connectedness = 1
+    s = out.groupby(["src_r", "src_q"])["Connectedness"].sum()
+    assert np.allclose(s, 1.0)
+    # self-pair has the max weight per source
+    for (sr, sq), g in out.groupby(["src_r", "src_q"]):
+        selfrow = g[(g.dst_r == sr) & (g.dst_q == sq)]
+        assert len(selfrow) == 1
+        assert selfrow["Connectedness"].iloc[0] >= g["Connectedness"].max() - 1e-12
+    # dense form round-trips
+    ids, M = generate_connectedness(patches, SPEC, k=2, sparse=False)
+    assert M.shape == (36, 36)
+    assert np.allclose(M.sum(axis=1), 1.0)

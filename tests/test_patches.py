@@ -1,0 +1,108 @@
+"""generate_patches / generate_neighbours parity invariants
+(SURVEY §5 table: proportions Σ=1, complete hex interior count,
+neighbour counts, border shortcut)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import pyarrow.parquet as pq
+
+from hexscape_ray.config import GridSpec
+from hexscape_ray.pipelines.patches import (
+    generate_neighbours,
+    generate_patches,
+    index_patches,
+)
+from hexscape_ray.stages.spatial import coverage_gap
+
+
+@pytest.fixture(scope="module")
+def spec():
+    return GridSpec(hex_width=10_000.0, ref_x=0.0, ref_y=100_000.0, min_prop=0.01)
+
+
+@pytest.fixture(scope="module")
+def tables(fixture_dir):
+    return (
+        pq.read_table(f"{fixture_dir}/admin.parquet"),
+        pq.read_table(f"{fixture_dir}/landcover.parquet"),
+    )
+
+
+@pytest.fixture(scope="module")
+def patches_df(ray_session, tables, spec):
+    admin, landcover = tables
+    country = admin.filter(pa.compute.equal(admin.column("level"), 0))
+    ds = generate_patches(country, landcover, spec)
+    return ds.to_pandas()
+
+
+def test_patch_count_and_area(patches_df, spec):
+    # interior hexes of a 100 km square at w=10 km: tens to ~150 rows
+    assert 80 <= len(patches_df) <= 200
+    # interior hexes have full area; boundary ones are clipped
+    full = np.isclose(patches_df["area"], spec.hex_area, rtol=1e-9)
+    assert full.sum() >= 50
+    assert (patches_df["area"] <= spec.hex_area * (1 + 1e-9)).all()
+    assert (patches_df["area"] >= spec.min_prop * spec.hex_area).all()
+    # total clipped area ≈ landscape area (hexes tile the plane)
+    assert abs(patches_df["area"].sum() - 100_000.0**2) < 1.0
+
+
+def test_lu_fractions_sum_to_one(patches_df):
+    lu_cols = [c for c in patches_df.columns if c.startswith("LU_")]
+    assert lu_cols
+    s = patches_df[lu_cols].sum(axis=1)
+    # land-cover has a deliberate ~0.5% gap: proportions are over the
+    # covered area (area/area_sum per the reference) so still sum to 1
+    assert np.allclose(s, 1.0, atol=1.5e-8)
+    assert (patches_df["lu_sum"] > 0).all()
+
+
+def test_index_patches_dense_and_ordered(ray_session, patches_df):
+    import ray.data
+
+    ds = ray.data.from_pandas(patches_df)
+    idx = index_patches(ds).to_pandas()
+    assert idx["Index"].tolist() == list(range(1, len(idx) + 1))
+    ordered = idx.sort_values(["q", "r"], ignore_index=True)
+    assert (idx["q"].values == ordered["q"].values).all()
+
+
+def test_neighbours(ray_session, tables, spec, patches_df):
+    import ray.data
+
+    admin, _ = tables
+    country = admin.filter(pa.compute.equal(admin.column("level"), 0))
+    nb = generate_neighbours(
+        ray.data.from_pandas(patches_df), country, spec
+    ).to_pandas()
+    # every edge endpoint is a known patch
+    keys = set(zip(patches_df["r"], patches_df["q"]))
+    assert all((r, q) in keys for r, q in zip(nb["r"], nb["q"]))
+    assert all((r, q) in keys for r, q in zip(nb["nb_r"], nb["nb_q"]))
+    # symmetry: (a → b) implies (b → a)
+    edges = set(zip(nb["r"], nb["q"], nb["nb_r"], nb["nb_q"]))
+    assert all((br, bq, ar, aq) in edges for ar, aq, br, bq in edges)
+    # ≤ 6 neighbours each; interior patches have exactly 6
+    per = nb.groupby(["r", "q"]).size()
+    assert per.max() <= 6
+    full_area = spec.hex_area * (1 - spec.min_prop)
+    interior = patches_df[patches_df["area"] > full_area]
+    inner = per[per == 6]
+    assert len(inner) >= len(interior) // 2
+    # complete-area shortcut: interior-pair borders equal hex_side
+    assert np.isclose(nb["Border"].max(), spec.hex_side, rtol=1e-9)
+    assert set(nb["Direction"]) <= {"NE", "E", "SE", "SW", "W", "NW"}
+    # directions are symmetric: E ↔ W etc.
+    dmap = dict(zip(zip(nb["r"], nb["q"], nb["nb_r"], nb["nb_q"]), nb["Direction"]))
+    opposite = {"E": "W", "W": "E", "NE": "SW", "SW": "NE", "NW": "SE", "SE": "NW"}
+    for (ar, aq, br, bq), d in list(dmap.items())[:200]:
+        assert dmap[(br, bq, ar, aq)] == opposite[d]
+
+
+def test_coverage_gap(tables):
+    _, landcover = tables
+    gap = coverage_gap(landcover, 100_000.0**2)
+    assert 0.003 < gap["prop_missing"] < 0.01  # 8 of 1600 cells
+    assert gap["warn"]

@@ -1,0 +1,114 @@
+"""Local stand-in for the driver's correctness gate: run every
+``queries()`` entry and its DuckDB oracle side-by-side and compare
+row count, column names, and order-insensitive values.
+
+Usage:  python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+
+def to_pandas(res) -> pd.DataFrame:
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    return pd.DataFrame(res)
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype(np.int64)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype(np.float64)
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
+    errs = []
+    if len(ray_df) != len(sql_df):
+        errs.append(f"rows {len(ray_df)} vs {len(sql_df)}")
+    rc, sc = sorted(ray_df.columns), sorted(sql_df.columns)
+    if rc != sc:
+        errs.append(f"cols {rc} vs {sc}")
+        return errs
+    a, b = canon(ray_df), canon(sql_df)
+    if len(a) == len(b):
+        for c in a.columns:
+            if pd.api.types.is_float_dtype(a[c]) or pd.api.types.is_float_dtype(b[c]):
+                ok = np.allclose(
+                    a[c].astype(float), b[c].astype(float), rtol=0, atol=0, equal_nan=True
+                )
+            else:
+                ok = a[c].equals(b[c])
+            if not ok:
+                bad = (a[c] != b[c]) if not pd.api.types.is_float_dtype(a[c]) else (
+                    a[c].astype(float) != b[c].astype(float)
+                )
+                n_bad = int(np.sum(bad))
+                errs.append(f"col {c}: {n_bad} mismatches e.g. {a[c][bad].head(2).tolist()} vs {b[c][bad].head(2).tolist()}")
+    return errs
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            ray_df = to_pandas(fn(sf_dir))
+        except Exception as e:
+            print(f"FAIL {name}: ray error {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(ray_df)} rows, cols {sorted(ray_df.columns)})")
+            continue
+        try:
+            sql_df = con.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: sql error {e}")
+            n_fail += 1
+            continue
+        errs = compare(name, ray_df, sql_df)
+        if errs:
+            print(f"FAIL {name}: " + "; ".join(errs))
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(ray_df)} rows)")
+    ray.shutdown()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
