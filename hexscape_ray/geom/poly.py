@@ -98,6 +98,46 @@ def points_in_polygon(px, py, rings) -> np.ndarray:
     return (crossings % 2).astype(bool)
 
 
+def simplify_ring(ring: np.ndarray, tolerance: float) -> np.ndarray:
+    """Douglas–Peucker simplification (M11 — the stand-in for
+    rmapshaper::ms_simplify, /root/reference/R/generate_patches.R:153;
+    documented deviation: not topology-preserving across neighbouring
+    polygons, so area drift is audited with the A4 area-loss metric
+    instead of byte-matching geometry)."""
+    r = np.asarray(ring, dtype=np.float64)
+    closed = r.shape[0] >= 2 and np.array_equal(r[0], r[-1])
+    pts = r[:-1] if closed else r
+    if pts.shape[0] <= 3:
+        return r
+
+    keep = np.zeros(pts.shape[0], dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, pts.shape[0] - 1)]
+    while stack:
+        i0, i1 = stack.pop()
+        if i1 <= i0 + 1:
+            continue
+        a, b = pts[i0], pts[i1]
+        ab = b - a
+        seg_len2 = ab @ ab
+        mid = pts[i0 + 1 : i1]
+        if seg_len2 == 0:
+            d = np.hypot(mid[:, 0] - a[0], mid[:, 1] - a[1])
+        else:
+            t = np.clip(((mid - a) @ ab) / seg_len2, 0.0, 1.0)
+            proj = a + t[:, None] * ab
+            d = np.hypot(mid[:, 0] - proj[:, 0], mid[:, 1] - proj[:, 1])
+        j = int(np.argmax(d))
+        if d[j] > tolerance:
+            keep[i0 + 1 + j] = True
+            stack.append((i0, i0 + 1 + j))
+            stack.append((i0 + 1 + j, i1))
+    out = pts[keep]
+    if closed:
+        out = np.vstack([out, out[:1]])
+    return out
+
+
 def point_segment_distance(px, py, ring: np.ndarray) -> np.ndarray:
     """Min distance from each point to the ring boundary (vectorised).
 

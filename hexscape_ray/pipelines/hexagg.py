@@ -141,13 +141,56 @@ def etl_enrich(
     ds.write_parquet(out_dir)
 
 
+def etl_enrich_resumable(
+    pages_files: list[str],
+    out_dir: str,
+    spec: GridSpec = DEFAULT_GRID,
+    res: int = 0,
+    files_per_partition: int = 8,
+) -> dict:
+    """Checkpointed form of :func:`etl_enrich`: input files grouped
+    into partitions, each written atomically under
+    ``out_dir/part=<pid>/`` with a lineage manifest; a killed run
+    rerun with the same arguments skips finished partitions
+    (state.checkpoint; the reference's per-NUTS1 cache resume,
+    /root/reference/R/load_corine.R:171-199)."""
+    from hexscape_ray.stages.textops import enrich_batch, extract_batch
+    from hexscape_ray.state.checkpoint import run_partitioned
+
+    parts = {
+        f"{i:05d}": pages_files[i * files_per_partition : (i + 1) * files_per_partition]
+        for i in range((len(pages_files) + files_per_partition - 1) // files_per_partition)
+    }
+
+    def pipeline(files: list[str]):
+        ds = ray.data.read_parquet(files, columns=["url", "html", "lang"])
+        ds = ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=2048)
+        ds = ds.map_batches(enrich_batch, batch_format="pyarrow", batch_size=2048)
+
+        def enc(batch: pa.Table) -> pa.Table:
+            batch = geocode_batch(batch)
+            return hex_encode_batch(batch, spec, resolutions=(res,))
+
+        return ds.map_batches(enc, batch_format="pyarrow", batch_size=2048)
+
+    return run_partitioned(parts, out_dir, pipeline, spec_hash=spec.content_hash())
+
+
 def enriched_hex_stats(
     enriched_path: str, res: int = 0, langs: list[str] | None = None
 ) -> Dataset:
     """Stage B: per-hex aggregate over the enriched table — doc count,
     lang mix, length stats, mean quality (column-pruned read)."""
+    import glob
+    import os
+
     langs = langs or LANGS
     cell_col = f"cell_r{res}"
+    # accept a checkpoint root (out/part=*/ + manifest.jsonl) as-is
+    if isinstance(enriched_path, str) and os.path.isdir(enriched_path):
+        parts = sorted(glob.glob(os.path.join(enriched_path, "part=*", "*.parquet")))
+        if parts:
+            enriched_path = parts
     ds = ray.data.read_parquet(
         enriched_path, columns=[cell_col, "lang", "n_chars", "q_score"]
     )

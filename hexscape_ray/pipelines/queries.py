@@ -800,6 +800,113 @@ SQL_PART_BRAND_STATS = """
 """
 
 
+def q_ngram_jaccard(sf_dir: str) -> Dataset:
+    """Word-set Jaccard between consecutive doc pairs — the n-gram
+    Jaccard dedup kernel, distributed as a keyed self-pair: each doc
+    emits (pair=doc_id, side=a) and (pair=doc_id−1, side=b) rows, one
+    groupby joins the pair (no driver-side loop)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        pair = np.concatenate([ids, ids - 1])
+        side = np.concatenate([np.zeros(len(ids), np.int8), np.ones(len(ids), np.int8)])
+        return pa.table(
+            {
+                "pair_id": pa.array(pair),
+                "side": pa.array(side),
+                "doc_id": pa.array(np.concatenate([ids, ids])),
+                "text": pa.array(texts + texts),
+            }
+        )
+
+    def jac(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) != 2:
+            return pd.DataFrame(
+                {"a_id": [], "b_id": [], "inter": [], "uni": [], "jaccard": []}
+            )
+        a = g[g["side"] == 0].iloc[0]
+        b = g[g["side"] == 1].iloc[0]
+        sa = set(a["text"].split(" "))
+        sb = set(b["text"].split(" "))
+        inter, uni = len(sa & sb), len(sa | sb)
+        return pd.DataFrame(
+            {
+                "a_id": [a["doc_id"]],
+                "b_id": [b["doc_id"]],
+                "inter": [inter],
+                "uni": [uni],
+                "jaccard": [inter / uni],
+            }
+        )
+
+    return (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .groupby("pair_id")
+        .map_groups(jac, batch_format="pandas")
+    )
+
+
+SQL_NGRAM_JACCARD = """
+  WITH t AS (
+    SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+  ),
+  p AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.toks AS ta, b.toks AS tb
+    FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+  )
+  SELECT a_id, b_id,
+    CAST(len(list_intersect(ta, tb)) AS BIGINT) AS inter,
+    CAST(len(list_distinct(list_concat(ta, tb))) AS BIGINT) AS uni,
+    CAST(len(list_intersect(ta, tb)) AS BIGINT)
+      / CAST(len(list_distinct(list_concat(ta, tb))) AS BIGINT) AS jaccard
+  FROM p
+"""
+
+
+def q_minhash_pairs_verified(sf_dir: str):
+    """Full MinHash-LSH near-dup pipeline: candidates from band
+    buckets, verified with exact shingle Jaccard (rows-only; the
+    verification threshold makes it non-SQL)."""
+    import pandas as pd_
+
+    from hexscape_ray.stages.dedup import minhash_candidate_pairs, verify_jaccard
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cand = minhash_candidate_pairs(ds).to_pandas()
+    texts = dict(
+        zip(
+            *[
+                _read(sf_dir, "documents", ["doc_id", "text"]).to_pandas()[c]
+                for c in ("doc_id", "text")
+            ]
+        )
+    )
+    out = verify_jaccard(cand, texts, threshold=0.5)
+    return out if len(out) else pd_.DataFrame({"a": [0], "b": [0], "jaccard": [0.0]})
+
+
+def q_media_features(sf_dir: str) -> Dataset:
+    """Multimodal plumbing: seeded media table → image feature stage
+    (stub decode backend; rows-only)."""
+    import ray.data as rd
+
+    from hexscape_ray.stages.multimodal import gen_media, media_pipeline
+
+    images, _, _ = media_pipeline(rd.from_arrow(gen_media(n=200)))
+    return images
+
+
+def q_video_frames(sf_dir: str) -> Dataset:
+    import ray.data as rd
+
+    from hexscape_ray.stages.multimodal import gen_media, media_pipeline
+
+    _, _, frames = media_pipeline(rd.from_arrow(gen_media(n=200)))
+    return frames.drop_columns(["frame_payload"])
+
+
 # ---------------------------------------------------------------------------
 # spatial pipelines over deterministic synthetic boundaries (rows-only:
 # geometry ops are not SQL-expressible; invariants live in pytest)
@@ -955,6 +1062,10 @@ RAY_QUERIES = {
     "simhash": q_simhash,
     "embedding_near_dup": q_embedding_near_dup,
     "ivf_knn": q_ivf_knn,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_pairs_verified": q_minhash_pairs_verified,
+    "media_features": q_media_features,
+    "video_frames": q_video_frames,
 }
 
 ORACLES = {
@@ -979,6 +1090,7 @@ ORACLES = {
     "segment_order_stats": SQL_SEGMENT_ORDER_STATS,
     "distinct_users": SQL_DISTINCT_USERS,
     "part_brand_stats": SQL_PART_BRAND_STATS,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
     # non-SQL (geometry / sketch / ANN) ops → rows-only checks:
     # doc_quality, minhash_bands, knn_cosine, generate_patches,
     # generate_neighbours, point_in_polygon, voronoi, habitat,

@@ -1,0 +1,58 @@
+"""Parquet IO with GridSpec sidecar metadata (SURVEY §1.3/§4).
+
+The reference guards cached objects with a package-version attribute
+(/root/reference/R/load_corine.R:187-195) and carries grid parameters
+as class attrs downstream stages require.  Here both travel INSIDE the
+Parquet key-value metadata: writers stamp engine version + GridSpec
+JSON; readers validate and error on mismatch (cache invalidation) —
+no sidecar files to lose.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from hexscape_ray.config import (
+    ENGINE_META_KEY,
+    ENGINE_VERSION,
+    GRIDSPEC_META_KEY,
+    GridSpec,
+)
+
+
+def write_table_with_spec(table: pa.Table, path: str, spec: GridSpec) -> None:
+    meta = dict(table.schema.metadata or {})
+    meta[GRIDSPEC_META_KEY] = spec.to_json().encode()
+    meta[ENGINE_META_KEY] = ENGINE_VERSION.encode()
+    pq.write_table(table.replace_schema_metadata(meta), path)
+
+
+class SpecMismatch(ValueError):
+    pass
+
+
+def read_table_with_spec(
+    path: str, expect_spec: GridSpec | None = None
+) -> tuple[pa.Table, GridSpec]:
+    """Read + validate: raises SpecMismatch when the stored GridSpec
+    (or engine version) differs from what the caller requires — the
+    recompute trigger."""
+    t = pq.read_table(path)
+    meta = t.schema.metadata or {}
+    if GRIDSPEC_META_KEY not in meta:
+        raise SpecMismatch(f"{path}: no GridSpec metadata (not an engine table?)")
+    spec = GridSpec.from_json(meta[GRIDSPEC_META_KEY].decode())
+    if expect_spec is not None and spec.content_hash() != expect_spec.content_hash():
+        raise SpecMismatch(
+            f"{path}: GridSpec/engine mismatch "
+            f"(stored {spec.content_hash()}, expected {expect_spec.content_hash()})"
+        )
+    return t, spec
+
+
+def read_pages(path, columns: list[str] | None = None):
+    """Column-pruned pages reader (never reads ``html`` unless asked)."""
+    import ray.data
+
+    return ray.data.read_parquet(path, columns=columns or ["url", "text", "lang"])

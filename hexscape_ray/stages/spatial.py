@@ -199,6 +199,89 @@ class LandscapeClipper:
         )
 
 
+class PolygonToPolygonAssigner:
+    """Child polygon → parent polygon with the reference's exact
+    3-stage fallback (/root/reference/R/download_maps.R:79-129, the
+    LAU→NUTS3 assignment):
+
+    1. parent containing the child's centroid (``st_contains``);
+    2. else parents whose bbox+geometry intersect the child
+       (``st_intersects``); a single hit wins;
+    3. else/tie: the parent with MAX intersection area, computed by
+       clipping each candidate parent by the child's shell
+       (assumption, documented: child shells are convex — true for
+       grid-cell land-cover and the fixture admin tree; general
+       concave children would need full boolean ops).
+
+    Emits exactly one parent per child (invariant,
+    /root/reference/R/download_maps.R:94,114-120) or "" when disjoint
+    from every parent.
+    """
+
+    def __init__(self, boundary_ref, wkb_col: str = "wkb", out_col: str = "parent_code"):
+        b = ray.get(boundary_ref)
+        self.ids = b["ids"]
+        self.owner = b["owner"]
+        self.index = GeomIndex(b["polygons"])
+        self.wkb_col = wkb_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from hexscape_ray.geom.poly import polygon_centroid, rings_bbox
+
+        out = []
+        for buf in batch[self.wkb_col].to_pylist():
+            parts = wkb_to_rings(buf)
+            # stage 1: centroid containment (area-weighted, all parts)
+            big = max(parts, key=lambda rr: abs(_ring_area(rr[0])))
+            cx, cy = polygon_centroid(big)
+            gid = self.index.assign_points(np.array([cx]), np.array([cy]))[0]
+            if gid >= 0:
+                out.append(self.ids[self.owner[gid]])
+                continue
+            # stage 2/3: intersecting candidates, max-area tie-break
+            best_area, best_id = 0.0, ""
+            for rings in parts:
+                bx0, by0, bx1, by1 = rings_bbox(rings)
+                for cand in self.index.candidates_bbox(bx0, by0, bx1, by1):
+                    from hexscape_ray.geom.clip import (
+                        polygon_intersection_area_convex,
+                    )
+
+                    a = polygon_intersection_area_convex(
+                        self.index.polygons[cand], rings[0]
+                    )
+                    pid = self.ids[self.owner[cand]]
+                    if a > best_area or (a == best_area and a > 0 and pid < best_id):
+                        best_area, best_id = a, pid  # strict deterministic tie-break
+            out.append(best_id)
+        return batch.append_column(self.out_col, pa.array(out, type=pa.string()))
+
+
+def assign_polygons_to_polygons(
+    children: Dataset,
+    parents: pa.Table,
+    id_col: str = "code",
+    wkb_col: str = "wkb",
+    out_col: str = "parent_code",
+    concurrency=(1, 8),
+) -> Dataset:
+    ref = load_boundary_ref(parents, id_col=id_col)
+    return children.map_batches(
+        PolygonToPolygonAssigner,
+        fn_constructor_args=(ref, wkb_col, out_col),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=concurrency,
+    )
+
+
+def _ring_area(ring):
+    from hexscape_ray.geom.poly import ring_area
+
+    return ring_area(ring)
+
+
 def coverage_gap(landcover: pa.Table, landscape_area: float) -> dict:
     """A7 (/root/reference/R/extract_corine.R:177-205): fraction of the
     landscape not covered by land-cover polygons; warn threshold 0.1%.

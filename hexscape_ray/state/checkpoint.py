@@ -78,6 +78,11 @@ def _content_hash(part_dir: str) -> str:
             continue
         df = pq.read_table(os.path.join(part_dir, name)).to_pandas()
         df = df[sorted(df.columns)]
+        for c in df.columns:  # list/array cells (e.g. sketch columns) → bytes
+            if df[c].dtype == object:
+                df[c] = df[c].map(
+                    lambda v: v.tobytes() if isinstance(v, np.ndarray) else v
+                )
         with np.errstate(over="ignore"):
             acc += np.uint64(hash_pandas_object(df, index=False).to_numpy().sum())
         n += len(df)
@@ -108,6 +113,7 @@ def run_partitioned(
             and rec.get("status") == "ok"
             and rec.get("engine_version") == ENGINE_VERSION
             and rec.get("spec_hash") == spec_hash
+            and os.path.isdir(os.path.join(out_dir, f"part={pid}"))  # not vanished
         ):
             skipped += 1
             continue
@@ -128,7 +134,8 @@ def run_partitioned(
             for name in os.listdir(tmp_dir):
                 if name.endswith(".parquet"):
                     rows += pq.read_metadata(os.path.join(tmp_dir, name)).num_rows
-            os.rename(tmp_dir, part_dir)
+            content_hash = _content_hash(tmp_dir)  # before rename: a hash
+            os.rename(tmp_dir, part_dir)  # failure leaves only tmp (retried clean)
             _append_manifest(
                 out_dir,
                 {
@@ -136,7 +143,7 @@ def run_partitioned(
                     "status": "ok",
                     "inputs": partitions[pid],
                     "rows": rows,
-                    "content_hash": _content_hash(part_dir),
+                    "content_hash": content_hash,
                     "wall_sec": round(time.perf_counter() - t0, 3),
                     "engine_version": ENGINE_VERSION,
                     "spec_hash": spec_hash,
