@@ -202,7 +202,12 @@ def main_scaling():
 
     lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi = 4 * lo
-    r_lo, r_hi = run(lo), run(hi)
+    reps = int(os.environ.get("GRAFT_SCALE_REPS", "3"))
+    # best-of-N per level: single-run variance on this shared VM is up
+    # to ~1.6× (frequency scaling + page-cache state); min is the
+    # honest estimate of the job's cost at each level
+    r_lo = min((run(lo) for _ in range(reps)), key=lambda r: r["value"])
+    r_hi = min((run(hi) for _ in range(reps)), key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     print(
         json.dumps(

@@ -158,6 +158,32 @@ def generate_patches(
     return joined.drop_columns(["hexkey"])
 
 
+def area_loss_audit(patches: Dataset, spec: GridSpec) -> Dataset:
+    """A4 (/root/reference/R/generate_patches.R:283-288): per-hex
+    covered-area ratio vs the full hexagon, sorted worst-first — the
+    QA metric for clipping/simplification loss.  Requires ``lu_sum``
+    (category-covered area) and ``area`` (in-landscape area)."""
+
+    def audit(batch: pa.Table) -> pa.Table:
+        area = batch["area"].to_numpy(zero_copy_only=False)
+        lu = batch["lu_sum"].to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            loss = 1.0 - np.where(area > 0, lu / area, 0.0)
+        return pa.table(
+            {
+                "r": batch["r"],
+                "q": batch["q"],
+                "area": batch["area"],
+                "covered": batch["lu_sum"],
+                "loss": pa.array(loss),
+            }
+        )
+
+    return patches.map_batches(audit, batch_format="pyarrow").sort(
+        "loss", descending=True
+    )
+
+
 def index_patches(patches: Dataset) -> Dataset:
     """Deterministic dense Index after arrange(q, r)
     (/root/reference/R/generate_patches.R:188-202).  A global sort +

@@ -800,6 +800,128 @@ SQL_PART_BRAND_STATS = """
 """
 
 
+LANG_FAMILY = {
+    "en": "germanic",
+    "de": "germanic",
+    "zh": "sinitic",
+    "es": "romance",
+    "fr": "romance",
+}
+
+
+def q_lang_family_census(sf_dir: str) -> Dataset:
+    """M14 CLC-regroup analogue: broadcast-dict category mapping then
+    census (/root/reference/R/load_corine.R:61-104)."""
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def remap(batch: pa.Table) -> pa.Table:
+        fam = [LANG_FAMILY.get(l, "other") for l in batch["lang"].to_pylist()]
+        return pa.table(
+            {"family": pa.array(fam, type=pa.string()), "n_chars": batch["n_chars"]}
+        )
+
+    out = two_phase_sum(
+        ds.map_batches(remap, batch_format="pyarrow"), ["family"], ["n_chars"], count_as="n_docs"
+    )
+    return out.rename_columns({"n_chars": "len_sum"})
+
+
+SQL_LANG_FAMILY_CENSUS = """
+  SELECT CASE lang
+           WHEN 'en' THEN 'germanic' WHEN 'de' THEN 'germanic'
+           WHEN 'zh' THEN 'sinitic'
+           WHEN 'es' THEN 'romance' WHEN 'fr' THEN 'romance'
+           ELSE 'other' END AS family,
+         CAST(sum(n_chars) AS BIGINT) AS len_sum, count(*) AS n_docs
+  FROM documents GROUP BY 1
+"""
+
+
+def q_total_revenue(sf_dir: str) -> Dataset:
+    """A5-style global scalar aggregate (one output row)."""
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice", "l_discount"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        ext_cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        disc_pct = np.floor(disc * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "one": pa.array(np.zeros(len(batch), dtype=np.int64)),
+                "revenue_c100": pa.array(ext_cents * (100 - disc_pct)),
+            }
+        )
+
+    out = two_phase_sum(
+        ds.map_batches(prep, batch_format="pyarrow"), ["one"], ["revenue_c100"], count_as="n_items"
+    )
+    return out.drop_columns(["one"])
+
+
+SQL_TOTAL_REVENUE = """
+  SELECT CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+              * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))) AS BIGINT)
+           AS revenue_c100,
+         count(*) AS n_items
+  FROM lineitem
+"""
+
+
+def q_source_prefix_filter(sf_dir: str) -> Dataset:
+    """M13/S3 prefix-pattern subsetting: str_detect('^src1') census."""
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+    filt = ds.map_batches(
+        lambda t: t.filter(pc.starts_with(t["source"], "src1")), batch_format="pyarrow"
+    )
+    out = two_phase_sum(filt, ["source"], ["n_chars"], count_as="n_docs")
+    return out.rename_columns({"n_chars": "len_sum"})
+
+
+SQL_SOURCE_PREFIX_FILTER = """
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS len_sum, count(*) AS n_docs
+  FROM documents WHERE source LIKE 'src1%' GROUP BY source
+"""
+
+
+def q_hex_lineitem_salted(sf_dir: str) -> Dataset:
+    """The SAME aggregate as hex_lineitem_agg but through the explicit
+    census-driven salted two-stage path (SURVEY §4 skew handling) —
+    oracle parity proves salting preserves exact results."""
+    from hexscape_ray.stages.agg import salted_sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def enc(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = ok * 8 + ln
+        batch = batch.append_column("lkey", pa.array(key))
+        batch = geocode_ids_batch(batch, "lkey")
+        batch = hex_encode_batch(batch, SPEC, resolutions=(0,))
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        ext_cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        disc_pct = np.floor(disc * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "r": batch["r"],
+                "q": batch["q"],
+                "salt": pa.array((np.asarray(key) % 8).astype(np.int64)),
+                "qty": pa.array(qty.astype(np.int64)),
+                "revenue_c100": pa.array(ext_cents * (100 - disc_pct)),
+            }
+        )
+
+    ds = ds.map_batches(enc, batch_format="pyarrow")
+    return salted_sum(ds, ["r", "q"], ["qty", "revenue_c100"], salt_col="salt", count_as="n_items")
+
+
 def q_ngram_jaccard(sf_dir: str) -> Dataset:
     """Word-set Jaccard between consecutive doc pairs — the n-gram
     Jaccard dedup kernel, distributed as a keyed self-pair: each doc
@@ -1062,6 +1184,10 @@ RAY_QUERIES = {
     "simhash": q_simhash,
     "embedding_near_dup": q_embedding_near_dup,
     "ivf_knn": q_ivf_knn,
+    "lang_family_census": q_lang_family_census,
+    "total_revenue": q_total_revenue,
+    "source_prefix_filter": q_source_prefix_filter,
+    "hex_lineitem_salted": q_hex_lineitem_salted,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_pairs_verified": q_minhash_pairs_verified,
     "media_features": q_media_features,
@@ -1090,6 +1216,10 @@ ORACLES = {
     "segment_order_stats": SQL_SEGMENT_ORDER_STATS,
     "distinct_users": SQL_DISTINCT_USERS,
     "part_brand_stats": SQL_PART_BRAND_STATS,
+    "lang_family_census": SQL_LANG_FAMILY_CENSUS,
+    "total_revenue": SQL_TOTAL_REVENUE,
+    "source_prefix_filter": SQL_SOURCE_PREFIX_FILTER,
+    "hex_lineitem_salted": SQL_HEX_LINEITEM_AGG,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     # non-SQL (geometry / sketch / ANN) ops → rows-only checks:
     # doc_quality, minhash_bands, knn_cosine, generate_patches,

@@ -64,10 +64,57 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     return _EXTRACTOR(batch)
 
 
+_PROFILE_SETS = {k: set(v) for k, v in T.LANG_PROFILES.items()}
+_PROFILE_ORDER = sorted(_PROFILE_SETS)
+# token → bitmask over languages: ONE dict lookup per token instead of
+# one set-membership test per language per token
+_LANG_MASK: dict[str, int] = {}
+for _j, _lang in enumerate(_PROFILE_ORDER):
+    for _w in _PROFILE_SETS[_lang]:
+        _LANG_MASK[_w] = _LANG_MASK.get(_w, 0) | (1 << _j)
+
+
+def _detect_lang_tokens(toks: list[str]) -> str:
+    """langid over a pre-tokenised doc (first 300 tokens): single pass
+    accumulating per-language hit counts from the token bitmask LUT."""
+    counts = [0] * len(_PROFILE_ORDER)
+    get = _LANG_MASK.get
+    for t in toks[:300]:
+        m = get(t, 0)
+        while m:
+            j = (m & -m).bit_length() - 1
+            counts[j] += 1
+            m &= m - 1
+    best_n = max(counts)
+    if best_n == 0:
+        return "und"
+    return _PROFILE_ORDER[counts.index(best_n)]
+
+
+def _quality_tokens(n_chars: int, toks: list[str]) -> float:
+    """quality_score semantics on shared tokens (same weighting; punct
+    proxy = tokens containing non-alphanumerics)."""
+    n_tok = len(toks)
+    if not n_tok:
+        return 0.0
+    n_punct = sum(1 for t in toks if not t.isalnum())
+    stop = sum(1 for t in toks if t in _PROFILE_SETS["en"])
+    mean_len = sum(len(t) for t in toks) / n_tok
+    length_ok = min(n_chars / 500.0, 1.0)
+    punct_ok = 1.0 - min(n_punct / n_tok, 1.0)
+    word_ok = 1.0 if 2.0 <= mean_len <= 12.0 else 0.5
+    return round(
+        0.4 * length_ok + 0.3 * punct_ok + 0.2 * word_ok + 0.1 * min(stop / n_tok * 5, 1.0),
+        6,
+    )
+
+
 def enrich_batch(batch: pa.Table) -> pa.Table:
     """The training-data enrichment stage: language id, quality score,
     token counts, n_chars, and a 64-perm MinHash signature column —
-    everything downstream dedup/curation consumes, in one pass."""
+    everything downstream dedup/curation consumes.  Tokenises each doc
+    ONCE and feeds all kernels from the shared token list (the hot
+    path: avoid re-running regex/split per kernel)."""
     global _MINHASHER
     if _MINHASHER is None:
         from hexscape_ray.stages.dedup import MinHasher
@@ -75,11 +122,16 @@ def enrich_batch(batch: pa.Table) -> pa.Table:
         _MINHASHER = MinHasher()
     texts = batch["text"].to_pylist()
     n = len(texts)
-    lang_pred = [T.detect_lang(t) for t in texts]
-    q = np.fromiter((T.quality_score(t) for t in texts), dtype=np.float64, count=n)
-    tws = np.fromiter((T.count_tokens_ws(t) for t in texts), dtype=np.int64, count=n)
+    toks_all = [t.lower().split() for t in texts]
+    lang_pred = [_detect_lang_tokens(tk) for tk in toks_all]
+    q = np.fromiter(
+        (_quality_tokens(len(t), tk) for t, tk in zip(texts, toks_all)),
+        dtype=np.float64,
+        count=n,
+    )
+    tws = np.fromiter((len(tk) for tk in toks_all), dtype=np.int64, count=n)
     nch = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
-    sigs = np.stack([_MINHASHER.signature(t) for t in texts]) if n else np.empty((0, 64))
+    sigs = _MINHASHER.signatures_batch(toks_all) if n else np.empty((0, 64))
     batch = batch.drop_columns(["text"])
     return (
         batch.append_column("lang_pred", pa.array(lang_pred, type=pa.string()))

@@ -106,3 +106,16 @@ def test_coverage_gap(tables):
     gap = coverage_gap(landcover, 100_000.0**2)
     assert 0.003 < gap["prop_missing"] < 0.01  # 8 of 1600 cells
     assert gap["warn"]
+
+def test_area_loss_audit(ray_session, tables, spec, patches_df):
+    import ray.data
+
+    from hexscape_ray.pipelines.patches import area_loss_audit
+
+    audit = area_loss_audit(ray.data.from_pandas(patches_df), spec).to_pandas()
+    assert len(audit) == len(patches_df)
+    # sorted worst-first
+    assert (audit["loss"].values[:-1] >= audit["loss"].values[1:] - 1e-12).all()
+    # the landcover gap is ~0.5% of the landscape → losses are small
+    assert audit["loss"].max() < 0.2
+    assert audit["loss"].min() > -1e-9
