@@ -194,7 +194,12 @@ def enriched_hex_stats(
     ds = ray.data.read_parquet(
         enriched_path, columns=[cell_col, "lang", "n_chars", "q_score"]
     )
-    partials = two_phase_sum(ds, [cell_col, "lang"], ["n_chars", "q_score"], count_as="n_docs")
+    # chunky partial tasks over the parquet re-read: a large explicit
+    # batch_size bundles the fused Read→partial into ~#cpus tasks
+    # (measured 2.5 s vs 8.5 s per-block at 2M rows / 32 cpus)
+    partials = two_phase_sum(
+        ds, [cell_col, "lang"], ["n_chars", "q_score"], count_as="n_docs", batch_size=65536
+    )
 
     def widen(g: pd.DataFrame) -> pd.DataFrame:
         n_total = int(g["n_docs"].sum())

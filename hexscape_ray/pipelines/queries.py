@@ -1122,6 +1122,18 @@ def q_connectedness(sf_dir: str) -> Dataset:
     return generate_connectedness(patches, spec, k=2)
 
 
+def q_group_union(sf_dir: str) -> Dataset:
+    """A2 geometric group-union by land-cover class (rows-only;
+    area/part-count invariants in pytest)."""
+    import ray.data as rd
+
+    from hexscape_ray.stages.spatial import group_union_by_class
+
+    fx = _fixture_tables()
+    out = group_union_by_class(rd.from_arrow(fx["landcover"]))
+    return out.drop_columns(["wkb"])
+
+
 def q_simhash(sf_dir: str) -> Dataset:
     from hexscape_ray.stages.dedup import SimHasher
 
@@ -1181,6 +1193,7 @@ RAY_QUERIES = {
     "voronoi": q_voronoi,
     "habitat": q_habitat,
     "connectedness": q_connectedness,
+    "group_union": q_group_union,
     "simhash": q_simhash,
     "embedding_near_dup": q_embedding_near_dup,
     "ivf_knn": q_ivf_knn,

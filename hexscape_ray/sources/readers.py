@@ -56,3 +56,37 @@ def read_pages(path, columns: list[str] | None = None):
     import ray.data
 
     return ray.data.read_parquet(path, columns=columns or ["url", "text", "lang"])
+
+
+def read_map(admin: pa.Table, country_code: str) -> pa.Table:
+    """S2 (/root/reference/R/read_map.R:6-44): subset the admin table
+    to one country prefix across all levels, normalised columns.
+    Invariant: exactly one level-0 row per country (:41)."""
+    import pyarrow.compute as pc
+
+    out = admin.filter(pc.starts_with(admin.column("code"), country_code))
+    lvl0 = out.filter(pc.equal(out.column("level"), 0))
+    if lvl0.num_rows != 1:
+        raise ValueError(
+            f"expected exactly one level-0 row for {country_code!r}, got {lvl0.num_rows}"
+        )
+    return out
+
+
+def load_map(
+    admin: pa.Table, codes: list[str], level: int | None = None
+) -> pa.Table:
+    """S3 (/root/reference/R/load_map.R:14-73): NUTS-code pattern
+    expansion — each requested code selects itself and every
+    descendant by prefix; optional level filter; concatenated and
+    de-duplicated, original order preserved."""
+    import pyarrow.compute as pc
+
+    mask = None
+    for code in codes:
+        m = pc.starts_with(admin.column("code"), code)
+        mask = m if mask is None else pc.or_(mask, m)
+    out = admin.filter(mask) if mask is not None else admin.slice(0, 0)
+    if level is not None:
+        out = out.filter(pc.equal(out.column("level"), level))
+    return out

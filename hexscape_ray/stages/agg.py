@@ -56,10 +56,16 @@ def two_phase_sum(
     keys: list[str],
     sums: list[str],
     count_as: str | None = "n",
-    batch_size: int = 65536,
+    batch_size: int | None = None,
 ) -> Dataset:
     """partial-in-batch then groupby(keys).sum — the engine's default
-    aggregate; the all-to-all exchange only ever sees partials."""
+    aggregate; the all-to-all exchange only ever sees partials.
+
+    batch_size=None = one partial per upstream BLOCK: a large explicit
+    batch_size here re-bundles the fused upstream chain into few huge
+    tasks (65536 collapsed a 200k-row stage to 4 tasks — ds.stats()
+    finding), while a small one shatters a parquet re-read into
+    hundreds of tiny tasks; per-block is right at both scales."""
     partials = ds.map_batches(
         partial_sum_batch(keys, sums, count_as),
         batch_format="pyarrow",

@@ -282,6 +282,62 @@ def _ring_area(ring):
     return ring_area(ring)
 
 
+def group_union_by_class(
+    landcover, class_col: str = "clc", wkb_col: str = "wkb"
+) -> "Dataset":
+    """A2 (/root/reference/R/extract_corine.R:153-159; load_corine
+    :274-284): geometric union of polygons per land-cover class.
+
+    Distributed as groupby(class).map_groups with a part-collecting
+    union: land-cover cells are non-overlapping by construction, so
+    the union is the MultiPolygon of the parts and the union area is
+    the exact part-area sum (documented assumption; overlapping
+    inputs would need full boolean ops).  Output: one row per class
+    with the merged MultiPolygon WKB, part count and union area.
+    """
+    import pandas as pd
+
+    from hexscape_ray.geom.poly import polygon_area
+    from hexscape_ray.geom.wkb import multipolygon_to_wkb
+
+    def union(g: pd.DataFrame) -> pd.DataFrame:
+        polys = []
+        area = 0.0
+        for buf in g[wkb_col]:
+            for rings in wkb_to_rings(buf):
+                polys.append(rings)
+                area += polygon_area(rings)
+        return pd.DataFrame(
+            {
+                class_col: [g[class_col].iloc[0]],
+                "n_parts": [len(polys)],
+                "union_area": [area],
+                "wkb": [multipolygon_to_wkb(polys)],
+            }
+        )
+
+    return landcover.groupby(class_col).map_groups(union, batch_format="pandas")
+
+
+def affine_transform_batch(
+    batch: pa.Table,
+    scale: float = 1.0,
+    dx: float = 0.0,
+    dy: float = 0.0,
+    cols=(("x", "y"),),
+) -> pa.Table:
+    """M9 CRS-transform stand-in (/root/reference/R/extract_corine.R:140):
+    no pyproj in-env, the engine is planar; supported re-projections
+    are affine (unit scale + translation, e.g. m ↔ km or datum
+    offsets), applied vectorised to point-column pairs."""
+    for cx, cy in cols:
+        x = np.asarray(batch[cx].to_numpy(zero_copy_only=False)) * scale + dx
+        y = np.asarray(batch[cy].to_numpy(zero_copy_only=False)) * scale + dy
+        batch = batch.set_column(batch.column_names.index(cx), cx, pa.array(x))
+        batch = batch.set_column(batch.column_names.index(cy), cy, pa.array(y))
+    return batch
+
+
 def coverage_gap(landcover: pa.Table, landscape_area: float) -> dict:
     """A7 (/root/reference/R/extract_corine.R:177-205): fraction of the
     landscape not covered by land-cover polygons; warn threshold 0.1%.
