@@ -130,7 +130,9 @@ def run_queries() -> dict:
         "hex_lineitem_agg",
         "pricing_summary",
         "events_tumbling",
+        "events_sessions",
         "user_activity",
+        "order_lineitem_join",
         "dedup_exact",
         "knn_cosine",
         "minhash_bands",

@@ -747,6 +747,48 @@ SQL_SEGMENT_ORDER_STATS = """
 """
 
 
+def q_order_lineitem_join(sf_dir: str) -> Dataset:
+    """Both-sides-large join via NATIVE ``Dataset.join`` (hash-
+    partitioned; Ray ≥2.46) — the third join strategy next to
+    broadcast_join and bucketed_join: lineitem ⋈ orders on orderkey,
+    revenue census per order priority."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        ext_cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        disc_pct = np.floor(disc * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": batch["l_orderkey"],
+                "revenue_c100": pa.array(ext_cents * (100 - disc_pct)),
+            }
+        )
+
+    joined = li.map_batches(prep, batch_format="pyarrow").join(
+        orders, join_type="inner", num_partitions=16, on=("o_orderkey",)
+    )
+    return two_phase_sum(
+        joined.select_columns(["o_orderpriority", "revenue_c100"]),
+        ["o_orderpriority"],
+        ["revenue_c100"],
+        count_as="n_items",
+    )
+
+
+SQL_ORDER_LINEITEM_JOIN = """
+  SELECT o_orderpriority,
+    CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+             * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))) AS BIGINT)
+      AS revenue_c100,
+    count(*) AS n_items
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_orderpriority
+"""
+
+
 def q_distinct_users(sf_dir: str) -> Dataset:
     """count(DISTINCT) as a two-level aggregate (distinct = first-level
     groupby; no global set materialisation)."""
@@ -1185,6 +1227,7 @@ RAY_QUERIES = {
     "events_sessions": q_events_sessions,
     "nation_top_customers": q_nation_top_customers,
     "segment_order_stats": q_segment_order_stats,
+    "order_lineitem_join": q_order_lineitem_join,
     "distinct_users": q_distinct_users,
     "part_brand_stats": q_part_brand_stats,
     "generate_patches": q_generate_patches,
@@ -1227,6 +1270,7 @@ ORACLES = {
     "events_sessions": SQL_EVENTS_SESSIONS,
     "nation_top_customers": SQL_NATION_TOP_CUSTOMERS,
     "segment_order_stats": SQL_SEGMENT_ORDER_STATS,
+    "order_lineitem_join": SQL_ORDER_LINEITEM_JOIN,
     "distinct_users": SQL_DISTINCT_USERS,
     "part_brand_stats": SQL_PART_BRAND_STATS,
     "lang_family_census": SQL_LANG_FAMILY_CENSUS,

@@ -177,6 +177,8 @@ def randomise_voronoi(
     candidate_points: int = 10,
     max_tries: int = 25,
     seed: int = 1,
+    mask_ids: set | None = None,
+    from_type: str = "point",
 ) -> pd.DataFrame:
     """Anonymise points by reassigning each to a sampled location in a
     voronoi cell drawn from its symmetric k-nearest pool, without
@@ -185,11 +187,24 @@ def randomise_voronoi(
     (/root/reference/R/randomise_voronoi.R:138-226).
 
     Returns a pandas frame (point-scale data): idx, x, y, new_x, new_y,
-    assigned_cell, RandomShift.
+    assigned_cell, RandomShift, VoronoiMasked.
+
+    ``mask_ids`` (§2.10 knob, /root/reference/R/randomise_voronoi.R:106-111):
+    masked points are NOT moved — they keep their own cell (which stays
+    consumed, preserving without-replacement) and carry the
+    ``VoronoiMasked`` audit flag.
     """
     vor = discretise_voronoi(points, bbox).to_pandas().sort_values("idx", ignore_index=True)
-    px = vor["x"].to_numpy()
-    py = vor["y"].to_numpy()
+    # from_type knob (§2.10, /root/reference/R/randomise_voronoi.R:114-133):
+    # distance ranks from the raw points or from the voronoi-cell centroids
+    if from_type == "voronoi":
+        px = vor["cx"].to_numpy()
+        py = vor["cy"].to_numpy()
+    elif from_type == "point":
+        px = vor["x"].to_numpy()
+        py = vor["y"].to_numpy()
+    else:
+        raise ValueError(f"from_type must be 'point' or 'voronoi', got {from_type!r}")
     n = len(vor)
     k = min(randomise_size, n - 1)
 
@@ -205,6 +220,14 @@ def randomise_voronoi(
     cells = {
         int(row.idx): wkb_to_rings(row.wkb)[0] for row in vor.itertuples(index=False)
     }
+
+    # masked points keep their own cell (pool collapses to {self})
+    masked = np.zeros(n, dtype=bool)
+    if mask_ids:
+        for i in range(n):
+            if int(vor["idx"].iloc[i]) in mask_ids:
+                masked[i] = True
+                pools[i] = {i}
 
     rng = np.random.default_rng(seed)
     ok = False
@@ -232,6 +255,10 @@ def randomise_voronoi(
 
     new_x, new_y = [], []
     for i, cell_i in enumerate(assign):
+        if masked[i]:  # masked: original location, no resample
+            new_x.append(float(vor["x"].iloc[i]))
+            new_y.append(float(vor["y"].iloc[i]))
+            continue
         rings = cells[int(vor["idx"].iloc[cell_i])]
         shell = np.asarray(rings[0])
         x0, y0 = shell[:, 0].min(), shell[:, 1].min()
@@ -250,4 +277,5 @@ def randomise_voronoi(
     out["new_x"] = new_x
     out["new_y"] = new_y
     out["RandomShift"] = out["assigned_cell"] != out["idx"]
+    out["VoronoiMasked"] = masked
     return out

@@ -135,3 +135,17 @@ def test_randomise_voronoi(points_ds):
     # determinism
     out2 = randomise_voronoi(small, randomise_size=10, max_tries=100, seed=2)
     assert np.allclose(out[["new_x", "new_y"]], out2[["new_x", "new_y"]])
+
+
+def test_randomise_voronoi_mask(points_ds):
+    small = points_ds.limit(60)
+    ids = small.to_pandas()["idx"].tolist()
+    mask = set(ids[:5])
+    out = randomise_voronoi(small, randomise_size=10, max_tries=100, seed=2, mask_ids=mask)
+    m = out[out["VoronoiMasked"]]
+    assert set(m["idx"]) == mask
+    # masked points did not move and kept their own cell
+    assert (m["new_x"] == m["x"]).all() and (m["new_y"] == m["y"]).all()
+    assert (m["assigned_cell"] == m["idx"]).all()
+    # still without replacement overall
+    assert out["assigned_cell"].is_unique
