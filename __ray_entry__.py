@@ -16,8 +16,16 @@ nothing here (or in hexscape_ray) initialises or shuts down Ray.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# the driver may import this module with any cwd — make the package
+# importable regardless
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 

@@ -20,6 +20,10 @@ hex-cell index) is implemented in vectorised numpy in
 """
 
 from hexscape_ray.config import ENGINE_VERSION, GridSpec
+from hexscape_ray._env import install_import_guard
+
+# make worker imports robust to the hosting process's cwd (see _env.py)
+install_import_guard()
 
 __version__ = ENGINE_VERSION
 
