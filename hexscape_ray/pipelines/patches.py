@@ -75,6 +75,7 @@ def generate_patches(
     spec: GridSpec,
     res: int = 0,
     concurrency=(1, 8),
+    split_parts: bool = False,
 ) -> Dataset:
     """Hex patch table: (r, q, x, y, area, lu_sum, LU_<cat>...).
 
@@ -110,7 +111,7 @@ def generate_patches(
     cells = candidate_cells(spec, bbox, res)
     patches = cells.map_batches(
         LandscapeClipper,
-        fn_constructor_args=(land_ref2, spec, res),
+        fn_constructor_args=(land_ref2, spec, res, split_parts),
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=concurrency,

@@ -1100,6 +1100,33 @@ def q_generate_patches(sf_dir: str) -> Dataset:
     return generate_patches(country, fx["landcover"], spec)
 
 
+def q_patches_split(sf_dir: str) -> Dataset:
+    """M5 per-part explosion on a two-island landscape (rows-only)."""
+    from hexscape_ray.config import GridSpec
+    from hexscape_ray.geom.wkb import polygon_to_wkb
+    from hexscape_ray.pipelines.patches import generate_patches
+
+    def rect(x0, y0, x1, y1):
+        return np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=np.float64
+        )
+
+    islands = pa.table(
+        {
+            "code": pa.array(["W", "E"]),
+            "wkb": pa.array(
+                [
+                    polygon_to_wkb([rect(0, 0, 48_500, 100_000)]),
+                    polygon_to_wkb([rect(51_500, 0, 100_000, 100_000)]),
+                ],
+                type=pa.binary(),
+            ),
+        }
+    )
+    spec = GridSpec(hex_width=10_000.0, ref_x=0.0, ref_y=100_000.0)
+    return generate_patches(islands, None, spec, split_parts=True)
+
+
 def q_generate_neighbours(sf_dir: str) -> Dataset:
     from hexscape_ray.config import GridSpec
     from hexscape_ray.pipelines.patches import generate_neighbours, generate_patches
@@ -1231,6 +1258,7 @@ RAY_QUERIES = {
     "distinct_users": q_distinct_users,
     "part_brand_stats": q_part_brand_stats,
     "generate_patches": q_generate_patches,
+    "patches_split": q_patches_split,
     "generate_neighbours": q_generate_neighbours,
     "point_in_polygon": q_point_in_polygon,
     "voronoi": q_voronoi,

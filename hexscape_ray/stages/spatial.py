@@ -161,15 +161,29 @@ class LandscapeClipper:
     distance prefilter (M3/M4,
     /root/reference/R/generate_patches.R:103-142): drops hexes whose
     centroid is ≥ hex_height/1.9 from the landscape, computes
-    area(hex ∩ landscape) and drops slivers < min_prop · hex_area."""
+    area(hex ∩ landscape) and drops slivers < min_prop · hex_area.
 
-    def __init__(self, landscape_ref, spec: GridSpec, res: int = 0):
+    ``split_parts`` (M5, :148-185): a hex cut into disjoint pieces by
+    a MULTI-PART landscape (islands) explodes into one row per part it
+    touches, each with its own area/centroid and a ``part`` ordinal —
+    the reference's st_cast(POLYGON) semantics for the dominant split
+    cause.  (Splits induced by a concave single polygon remain one
+    row — needs general boolean ops; documented deviation.)  Piece
+    slivers below min_prop · hex_area are dropped after the split
+    (:196-197), matching the reference's post-split filter.
+    """
+
+    def __init__(self, landscape_ref, spec: GridSpec, res: int = 0, split_parts: bool = False):
         b = ray.get(landscape_ref)
         self.index = GeomIndex(b["polygons"])
         self.spec = spec
         self.res = res
+        self.split_parts = split_parts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from hexscape_ray.geom.clip import clip_polygon_convex
+        from hexscape_ray.geom.poly import polygon_area, polygon_centroid
+
         r = batch["r"].to_numpy(zero_copy_only=False)
         q = batch["q"].to_numpy(zero_copy_only=False)
         cx, cy = grid.axial_to_centroid(r, q, self.spec, self.res)
@@ -177,26 +191,55 @@ class LandscapeClipper:
         keep = dist < self.spec.hex_height / 1.9  # reference constant
         r, q, cx, cy = r[keep], q[keep], cx[keep], cy[keep]
         hexes = grid.cell_polygon(r, q, self.spec, self.res)
-        areas = np.empty(r.shape[0])
+        thresh = self.spec.min_prop * self.spec.hex_area
+
+        out = {k: [] for k in ("r", "q", "part", "x", "y", "area")}
         for i in range(r.shape[0]):
             ring = hexes[i]
             bx0, by0 = ring[:, 0].min(), ring[:, 1].min()
             bx1, by1 = ring[:, 0].max(), ring[:, 1].max()
             cand = self.index.candidates_bbox(bx0, by0, bx1, by1)
-            areas[i] = sum(
-                polygon_intersection_area_convex(self.index.polygons[g], ring)
-                for g in cand
-            )
-        ok = areas >= self.spec.min_prop * self.spec.hex_area
-        return pa.table(
-            {
-                "r": pa.array(r[ok]),
-                "q": pa.array(q[ok]),
-                "x": pa.array(cx[ok]),
-                "y": pa.array(cy[ok]),
-                "area": pa.array(areas[ok]),
-            }
-        )
+            pieces = []  # (area, cx, cy) per landscape part touched
+            for g in cand:
+                clipped = clip_polygon_convex(self.index.polygons[g], ring)
+                if not clipped:
+                    continue
+                a = polygon_area(clipped)
+                if a > 0.0:
+                    pcx, pcy = polygon_centroid(clipped)
+                    pieces.append((a, pcx, pcy))
+            total = sum(p[0] for p in pieces)
+            if total < thresh:
+                continue  # pre-split filter (:140-141)
+            if self.split_parts:
+                part = 0
+                for a, pcx, pcy in pieces:
+                    if a < thresh:  # post-split sliver drop (:196-197)
+                        continue
+                    out["r"].append(r[i])
+                    out["q"].append(q[i])
+                    out["part"].append(part)
+                    out["x"].append(pcx)
+                    out["y"].append(pcy)
+                    out["area"].append(a)
+                    part += 1
+            else:
+                out["r"].append(r[i])
+                out["q"].append(q[i])
+                out["part"].append(0)
+                out["x"].append(cx[i])
+                out["y"].append(cy[i])
+                out["area"].append(total)
+        cols = {
+            "r": pa.array(np.asarray(out["r"], dtype=np.int64)),
+            "q": pa.array(np.asarray(out["q"], dtype=np.int64)),
+            "x": pa.array(np.asarray(out["x"], dtype=np.float64)),
+            "y": pa.array(np.asarray(out["y"], dtype=np.float64)),
+            "area": pa.array(np.asarray(out["area"], dtype=np.float64)),
+        }
+        if self.split_parts:
+            cols["part"] = pa.array(np.asarray(out["part"], dtype=np.int32))
+        return pa.table(cols)
 
 
 class PolygonToPolygonAssigner:

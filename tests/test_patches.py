@@ -119,3 +119,49 @@ def test_area_loss_audit(ray_session, tables, spec, patches_df):
     # the landcover gap is ~0.5% of the landscape → losses are small
     assert audit["loss"].max() < 0.2
     assert audit["loss"].min() > -1e-9
+
+
+def test_split_parts_on_island_landscape(ray_session, spec):
+    """M5: a hex straddling the channel between two islands explodes
+    into per-part rows with exact areas."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hexscape_ray.geom.wkb import polygon_to_wkb
+
+    def rect(x0, y0, x1, y1):
+        return np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=np.float64
+        )
+
+    # two islands separated by a 3 km channel (hex width 10 km spans it)
+    islands = pa.table(
+        {
+            "code": pa.array(["W", "E"]),
+            "wkb": pa.array(
+                [
+                    polygon_to_wkb([rect(0, 0, 48_500, 100_000)]),
+                    polygon_to_wkb([rect(51_500, 0, 100_000, 100_000)]),
+                ],
+                type=pa.binary(),
+            ),
+        }
+    )
+    split = generate_patches(islands, None, spec, split_parts=True).to_pandas()
+    merged = generate_patches(islands, None, spec, split_parts=False).to_pandas()
+
+    assert "part" in split.columns
+    per_hex = split.groupby(["r", "q"]).size()
+    assert per_hex.max() == 2  # straddling hexes became two rows
+    assert (per_hex == 2).sum() >= 3
+    # split areas sum to the merged hex areas (same pre-split filter)
+    s = split.groupby(["r", "q"])["area"].sum()
+    m = merged.set_index(["r", "q"])["area"]
+    joined = s.to_frame("s").join(m.to_frame("m"), how="inner")
+    # hexes whose pieces were all ≥ threshold match exactly; sliver-
+    # dropped pieces make split ≤ merged
+    assert (joined["s"] <= joined["m"] + 1e-6).all()
+    assert np.isclose(joined["s"], joined["m"]).mean() > 0.8
+    # part centroids sit inside their island (x strictly off-channel)
+    two = split[split.duplicated(["r", "q"], keep=False)]
+    assert ((two["x"] < 48_500) | (two["x"] > 51_500)).all()
