@@ -61,6 +61,7 @@ def generate_connectedness(
     kernel_fn: Callable[[np.ndarray], np.ndarray] | None = None,
     res: int = 0,
     sparse: bool = True,
+    grid_resolution: int | None = None,
 ):
     """patches(r, q) → (src_r, src_q, dst_r, dst_q, Connectedness).
 
@@ -68,11 +69,38 @@ def generate_connectedness(
     a broadcast key set — per-hex tables are small at any corpus
     scale); weights normalised per source to sum to 1 over the disk
     (mean-kernel semantics, :227-234).
+
+    ``grid_resolution``: when set, reference sub-grid parity
+    (/root/reference/R/generate_connectedness.R:85-102,151-176): a
+    grid_resolution² point grid is laid over the kernel disk around
+    each source centroid, every point kernel-weighted by its distance
+    and assigned to the hex CONTAINING it (point→cell cube rounding),
+    and weights aggregate per (source, target) — the fine-grid
+    integral, not the centroid approximation.  None = centroid mode.
     """
     dr, dq, w = kernel_ring(spec, k, kernel_fn, res)
     keys = patches.select_columns(["r", "q"]).to_pandas()
     key_set = set(zip(keys["r"].astype(int), keys["q"].astype(int)))
-    ring_ref = ray.put((dr, dq, w, key_set))
+    width = spec.width_at(res)
+    if kernel_fn is None:
+        scale = width * k / 3.0
+        kernel_fn = lambda d: np.exp(-d / scale)  # noqa: E731
+
+    if grid_resolution is not None:
+        if grid_resolution < 2:
+            # linspace(-R, R, 1) would sample the CORNER, not the centre
+            raise ValueError("grid_resolution must be >= 2")
+        # relative sample grid + weights are source-independent → T2
+        # state computed ONCE (the reference's precomputed grid matrix)
+        R = (k + 0.5) * width
+        g = grid_resolution
+        ax = np.linspace(-R, R, g)
+        GX, GY = np.meshgrid(ax, ax, indexing="ij")
+        rel = np.stack([GX.ravel(), GY.ravel()], axis=1)  # (g², 2)
+        rel_w = kernel_fn(np.hypot(rel[:, 0], rel[:, 1]))
+        ring_ref = ray.put((rel, rel_w, key_set))
+    else:
+        ring_ref = ray.put((dr, dq, w, key_set))
 
     class Expand:
         def __init__(self):
@@ -103,8 +131,51 @@ def generate_connectedness(
                 }
             )
 
+    class ExpandGrid:
+        """Sub-grid integral: per source, g² weighted sample points
+        assigned to containing hexes; partials via bincount."""
+
+        def __init__(self):
+            self.rel, self.rel_w, self.keys = ray.get(ring_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from hexscape_ray import grid as hexgrid
+
+            r = batch["r"].to_numpy(zero_copy_only=False)
+            q = batch["q"].to_numpy(zero_copy_only=False)
+            cx, cy = hexgrid.axial_to_centroid(r, q, spec, res)
+            out = {kk: [] for kk in ("src_r", "src_q", "dst_r", "dst_q", "w")}
+            m = self.rel.shape[0]
+            for i in range(r.shape[0]):
+                px = cx[i] + self.rel[:, 0]
+                py = cy[i] + self.rel[:, 1]
+                tr, tq = hexgrid.point_to_axial(px, py, spec, res)
+                # aggregate weights per target cell via unique+bincount
+                key = (tr + (1 << 20)) * (1 << 22) + (tq + (1 << 20))
+                uniq, inv = np.unique(key, return_inverse=True)
+                sums = np.bincount(inv, weights=self.rel_w, minlength=uniq.size)
+                ur = (uniq >> 22) - (1 << 20)
+                uq = (uniq & ((1 << 22) - 1)) - (1 << 20)
+                for j in range(uniq.size):
+                    if (int(ur[j]), int(uq[j])) in self.keys:
+                        out["src_r"].append(r[i])
+                        out["src_q"].append(q[i])
+                        out["dst_r"].append(ur[j])
+                        out["dst_q"].append(uq[j])
+                        out["w"].append(sums[j] / m)  # mean over grid points
+            return pa.table(
+                {
+                    "src_r": pa.array(np.asarray(out["src_r"], dtype=np.int64)),
+                    "src_q": pa.array(np.asarray(out["src_q"], dtype=np.int64)),
+                    "dst_r": pa.array(np.asarray(out["dst_r"], dtype=np.int64)),
+                    "dst_q": pa.array(np.asarray(out["dst_q"], dtype=np.int64)),
+                    "w": pa.array(np.asarray(out["w"], dtype=np.float64)),
+                }
+            )
+
+    expand_cls = ExpandGrid if grid_resolution is not None else Expand
     pairs = patches.select_columns(["r", "q"]).map_batches(
-        Expand, batch_format="pyarrow", batch_size=2048, concurrency=(1, 8)
+        expand_cls, batch_format="pyarrow", batch_size=2048, concurrency=(1, 8)
     )
     summed = two_phase_sum(pairs, ["src_r", "src_q", "dst_r", "dst_q"], ["w"], count_as=None)
 

@@ -1191,6 +1191,23 @@ def q_connectedness(sf_dir: str) -> Dataset:
     return generate_connectedness(patches, spec, k=2)
 
 
+def q_connectedness_subgrid(sf_dir: str) -> Dataset:
+    """A8 in reference sub-grid form: fine point grid per source,
+    points assigned to containing hexes (rows-only)."""
+    import ray.data as rd
+
+    from hexscape_ray.config import GridSpec
+    from hexscape_ray.pipelines.connectedness import generate_connectedness
+    from hexscape_ray.pipelines.patches import generate_patches
+
+    fx = _fixture_tables()
+    admin = fx["admin"]
+    country = admin.filter(pc.equal(admin.column("level"), 0))
+    spec = GridSpec(hex_width=10_000.0, ref_x=0.0, ref_y=100_000.0)
+    patches = generate_patches(country, None, spec)
+    return generate_connectedness(patches, spec, k=2, grid_resolution=15)
+
+
 def q_group_union(sf_dir: str) -> Dataset:
     """A2 geometric group-union by land-cover class (rows-only;
     area/part-count invariants in pytest)."""
@@ -1264,6 +1281,7 @@ RAY_QUERIES = {
     "voronoi": q_voronoi,
     "habitat": q_habitat,
     "connectedness": q_connectedness,
+    "connectedness_subgrid": q_connectedness_subgrid,
     "group_union": q_group_union,
     "simhash": q_simhash,
     "embedding_near_dup": q_embedding_near_dup,

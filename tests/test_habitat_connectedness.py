@@ -107,3 +107,28 @@ def test_connectedness_rows_and_normalisation(ray_session):
     ids, M = generate_connectedness(patches, SPEC, k=2, sparse=False)
     assert M.shape == (36, 36)
     assert np.allclose(M.sum(axis=1), 1.0)
+
+
+def test_connectedness_subgrid_mode(ray_session):
+    """Sub-grid integral (reference grid_resolution semantics):
+    normalised rows, self-pair dominant, and — unlike centroid mode —
+    weights reflect the area-share of each neighbour hex."""
+    import pyarrow as pa
+
+    r, q = np.meshgrid(np.arange(10, 16), np.arange(4, 10))
+    patches = ray.data.from_arrow(
+        pa.table({"r": pa.array(r.ravel()), "q": pa.array(q.ravel())})
+    )
+    out = generate_connectedness(patches, SPEC, k=2, grid_resolution=21).to_pandas()
+    s = out.groupby(["src_r", "src_q"])["Connectedness"].sum()
+    assert np.allclose(s, 1.0)
+    mid = out[(out.src_r == 12) & (out.src_q == 7)]
+    selfw = mid[(mid.dst_r == 12) & (mid.dst_q == 7)]["Connectedness"].iloc[0]
+    assert selfw == mid["Connectedness"].max()
+    # all six direct neighbours receive weight (grid points fall in them)
+    nb = mid[(mid.dst_r != 12) | (mid.dst_q != 7)]
+    from hexscape_ray import grid as hexgrid
+
+    direct = {(12 + dr, 7 + dq) for dr, dq in hexgrid.NEIGHBOR_OFFSETS}
+    got = set(zip(nb["dst_r"], nb["dst_q"]))
+    assert direct <= got
