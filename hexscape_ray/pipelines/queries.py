@@ -48,15 +48,23 @@ _GEO_SQL = """
 """
 
 # point -> axial hex cell: fractional axial + cube rounding, identical
-# expression tree to grid.point_to_axial (half-up floor rounding)
-_AXIAL_SQL = """
+# expression tree to grid.point_to_axial (half-up floor rounding).
+# Generated from a GridSpec so the oracle follows ANY lattice the
+# engine is configured with (constants emitted at full float repr
+# precision; expression order mirrors the numpy code exactly).
+
+
+def axial_sql(spec=None, res: int = 0) -> str:
+    spec = spec or SPEC
+    w = spec.width_at(res)
+    return f"""
   frac AS (
     SELECT *,
-      (100000.0 - y) / (1.5 * (2.0 * 2000.0 / sqrt(3.0) / 2.0)) AS rf
+      ({spec.ref_y!r} - y) / (1.5 * (2.0 * {w!r} / sqrt(3.0) / 2.0)) AS rf
     FROM pts
   ),
   frac2 AS (
-    SELECT *, x / 2000.0 - rf / 2.0 AS qf FROM frac
+    SELECT *, (x - {spec.ref_x!r}) / {w!r} - rf / 2.0 AS qf FROM frac
   ),
   cube AS (
     SELECT *,
@@ -76,6 +84,9 @@ _AXIAL_SQL = """
     FROM cube
   )
 """
+
+
+_AXIAL_SQL = axial_sql(res=0)
 
 
 def _hex_cte(table_sql: str, key: str, payload: str) -> str:
@@ -606,7 +617,7 @@ def q_hex_doc_counts_r1(sf_dir: str) -> Dataset:
     return out.rename_columns({"n_chars": "len_sum"})
 
 
-_AXIAL_SQL_R1 = _AXIAL_SQL.replace("2000.0", "1000.0")
+_AXIAL_SQL_R1 = axial_sql(res=1)
 
 SQL_HEX_DOC_COUNTS_R1 = (
     f"WITH pts AS (SELECT doc_id, n_chars, {_GEO_SQL.format(key='doc_id')} FROM documents),\n"
@@ -669,6 +680,62 @@ SQL_EVENTS_SESSIONS = """
          count(*) AS n_events,
          (max(us) - min(us)) // 1000000 AS duration_s
   FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_events_late(sf_dir: str) -> Dataset:
+    """Watermark-style late-event accounting (SURVEY §2.9): replaying
+    each user's stream in ARRIVAL order (event_id), an event is late
+    when its timestamp sits more than 10 min behind the running
+    event-time maximum (the per-key watermark).  Ordered in-group
+    cumulative max — deterministic, so SQL window functions oracle it."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "us": batch["ts"].cast(pa.int64()),
+            }
+        )
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+
+    def late(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id", ignore_index=True)
+        wm = g["us"].cummax().shift(1)  # watermark BEFORE this event
+        is_late = (wm - g["us"]) > 600_000_000
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [len(g)],
+                "n_late": [int(is_late.sum())],
+                "max_lag_s": [
+                    int(max(0, (wm - g["us"]).max() or 0) // 1_000_000)
+                    if len(g) > 1
+                    else 0
+                ],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(late, batch_format="pandas")
+
+
+SQL_EVENTS_LATE = """
+  WITH e AS (
+    SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+  ),
+  d AS (
+    SELECT user_id, us,
+      max(us) OVER (PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+    FROM e
+  )
+  SELECT user_id, count(*) AS n_events,
+    CAST(sum(CASE WHEN wm - us > 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+    CAST(COALESCE(greatest(max(wm - us), 0), 0) // 1000000 AS BIGINT) AS max_lag_s
+  FROM d GROUP BY user_id
 """
 
 
@@ -1269,6 +1336,7 @@ RAY_QUERIES = {
     "knn_cosine": q_knn_cosine,
     "hex_doc_counts_r1": q_hex_doc_counts_r1,
     "events_sessions": q_events_sessions,
+    "events_late": q_events_late,
     "nation_top_customers": q_nation_top_customers,
     "segment_order_stats": q_segment_order_stats,
     "order_lineitem_join": q_order_lineitem_join,
@@ -1314,6 +1382,7 @@ ORACLES = {
     "token_counts": SQL_TOKEN_COUNTS,
     "hex_doc_counts_r1": SQL_HEX_DOC_COUNTS_R1,
     "events_sessions": SQL_EVENTS_SESSIONS,
+    "events_late": SQL_EVENTS_LATE,
     "nation_top_customers": SQL_NATION_TOP_CUSTOMERS,
     "segment_order_stats": SQL_SEGMENT_ORDER_STATS,
     "order_lineitem_join": SQL_ORDER_LINEITEM_JOIN,

@@ -74,3 +74,29 @@ def test_rows_only_queries_run(registry):
     for name in ["doc_quality", "minhash_bands", "knn_cosine"]:
         df = qs[name](SF_SMOKE).to_pandas()
         assert len(df) > 0
+
+
+def test_axial_sql_generator_parity_random_spec():
+    """The generated SQL reproduces point_to_axial bit-for-bit for an
+    ARBITRARY GridSpec, not just the default lattice."""
+    import duckdb as ddb
+    import numpy as np
+
+    from hexscape_ray import grid
+    from hexscape_ray.config import GridSpec
+    from hexscape_ray.pipelines.queries import axial_sql
+
+    rng = np.random.default_rng(17)
+    for spec in [
+        GridSpec(hex_width=777.5, ref_x=-1234.25, ref_y=98765.125),
+        GridSpec(hex_width=3333.0, ref_x=50.0, ref_y=-10.5),
+    ]:
+        x = rng.random(5000) * 120_000 - 10_000
+        y = rng.random(5000) * 120_000 - 10_000
+        r, q = grid.point_to_axial(x, y, spec, 0)
+        con = ddb.connect()
+        con.register("ptsrc", __import__("pandas").DataFrame({"x": x, "y": y}))
+        sql = "WITH pts AS (SELECT x, y FROM ptsrc),\n" + axial_sql(spec, 0) + "\nSELECT r, q FROM hexed"
+        got = con.sql(sql).df()
+        assert np.array_equal(got["r"].to_numpy(), r), spec
+        assert np.array_equal(got["q"].to_numpy(), q), spec
