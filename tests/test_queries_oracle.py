@@ -100,3 +100,16 @@ def test_axial_sql_generator_parity_random_spec():
         got = con.sql(sql).df()
         assert np.array_equal(got["r"].to_numpy(), r), spec
         assert np.array_equal(got["q"].to_numpy(), q), spec
+
+
+def test_every_registry_query_returns_rows(registry):
+    """Smoke EVERY queries() entry at sf0.001 — catches breakage in
+    entries no named test covers (the driver runs all of them)."""
+    qs, _ = registry
+    already = set(ORACLE_NAMES) | {"doc_quality", "minhash_bands", "knn_cosine"}
+    for name, fn in qs.items():
+        if name in already:
+            continue
+        res = fn(SF_SMOKE)
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        assert len(df) > 0, name
