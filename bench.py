@@ -190,17 +190,41 @@ def main_scaling():
     BASELINE.md); separate nodes don't share a socket.
     """
 
-    def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+    equal_clock = os.environ.get("GRAFT_EQUAL_CLOCK", "1") == "1"
+
+    def run(ncpu: int, busy_target: int) -> dict:
+        # Equal-clock protocol: a real N-node cluster runs each node at
+        # the same clock regardless of cluster size, but on ONE shared
+        # socket a 4-core run turbos ~20% above a 16-core run (pure-CPU
+        # microbenchmark, BASELINE.md) — an artifact real clusters
+        # don't have.  Occupy (busy_target - ncpu) cores with nice'd
+        # spinners during the smaller leg so both legs run the socket
+        # at the same total load and per-core clock.
+        spinners = []
+        if equal_clock and ncpu < busy_target:
+            code = "while True: pass"
+            for _ in range(busy_target - ncpu):
+                spinners.append(
+                    subprocess.Popen(
+                        ["nice", "-n", "19", sys.executable, "-c", code],
+                        stdout=subprocess.DEVNULL,
+                        stderr=subprocess.DEVNULL,
+                    )
+                )
+        try:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout
+            return json.loads(out.strip().splitlines()[-1])
+        finally:
+            for p in spinners:
+                p.kill()
 
     lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi = 4 * lo
@@ -208,8 +232,14 @@ def main_scaling():
     # best-of-N per level: single-run variance on this shared VM is up
     # to ~1.6× (frequency scaling + page-cache state); min is the
     # honest estimate of the job's cost at each level
-    r_lo = min((run(lo) for _ in range(reps)), key=lambda r: r["value"])
-    r_hi = min((run(hi) for _ in range(reps)), key=lambda r: r["value"])
+    # interleave the legs (lo, hi, lo, hi, ...) so machine-state drift
+    # between measurement windows hits both sides equally
+    lo_runs, hi_runs = [], []
+    for _ in range(reps):
+        lo_runs.append(run(lo, busy_target=hi))
+        hi_runs.append(run(hi, busy_target=hi))
+    r_lo = min(lo_runs, key=lambda r: r["value"])
+    r_hi = min(hi_runs, key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     print(
         json.dumps(
@@ -220,6 +250,7 @@ def main_scaling():
                 f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
                 f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
                 "scaling_efficiency": round(eff, 3),
+                "equal_clock": equal_clock,
                 "sf": r_hi["sf"],
             }
         )

@@ -106,7 +106,12 @@ def census_salt_factor(
     keys (/root/reference/R/extract_corine.R:64-94 analogue).  Returns
     {key_value: k} for keys whose count exceeds the target."""
     counts = two_phase_sum(ds.select_columns([key]), [key], [], count_as="n")
-    hot = counts.filter(lambda row: row["n"] > target_rows_per_group)
+    import pyarrow.compute as pc
+
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], target_rows_per_group)),
+        batch_format="pyarrow",
+    )
     out = {}
     for row in hot.take_all():  # hot-key list is small by construction
         out[row[key]] = int(np.ceil(row["n"] / target_rows_per_group))
