@@ -121,6 +121,7 @@ def etl_enrich(
     spec: GridSpec = DEFAULT_GRID,
     res: int = 0,
     batch_size: int = 2048,
+    partition_cols: list[str] | None = None,
 ) -> None:
     """Stage A of the full pipeline: pages parquet → extract text →
     enrich (langid, quality, tokens, MinHash sig) → geocode + hex
@@ -138,7 +139,12 @@ def etl_enrich(
         return hex_encode_batch(batch, spec, resolutions=(res,))
 
     ds = ds.map_batches(enc, batch_format="pyarrow", batch_size=batch_size)
-    ds.write_parquet(out_dir)
+    if partition_cols:
+        # hive layout (out/lang=en/...) — downstream key-filtered reads
+        # touch only their partition directories
+        ds.write_parquet(out_dir, partition_cols=partition_cols)
+    else:
+        ds.write_parquet(out_dir)
 
 
 def etl_enrich_resumable(

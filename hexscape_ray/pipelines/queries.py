@@ -918,6 +918,41 @@ LANG_FAMILY = {
 }
 
 
+def q_hex_top_sources(sf_dir: str) -> Dataset:
+    """Per-hex heavy hitters: the top-2 document sources per cell (the
+    hot-host accounting a crawl pipeline needs).  Partial counts per
+    batch → groupby(hex, source).sum → grouped top-k with strict
+    tie-break — verified against SQL row_number()."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    ds = _hex_prepare(ds, "doc_id")
+    counts = two_phase_sum(ds, ["r", "q", "source"], [], count_as="n_docs")
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_docs", "source"], ascending=[False, True]).head(2)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return counts.groupby(["r", "q"]).map_groups(topk, batch_format="pandas")
+
+
+SQL_HEX_TOP_SOURCES = (
+    _hex_cte("documents", "doc_id", "doc_id, source")
+    + """
+  , counts AS (
+    SELECT r, q, source, count(*) AS n_docs FROM hexed GROUP BY r, q, source
+  ),
+  ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY r, q
+                                 ORDER BY n_docs DESC, source) AS rank
+    FROM counts
+  )
+  SELECT r, q, source, n_docs, CAST(rank AS BIGINT) AS rank
+  FROM ranked WHERE rank <= 2
+"""
+)
+
+
 def q_lang_family_census(sf_dir: str) -> Dataset:
     """M14 CLC-regroup analogue: broadcast-dict category mapping then
     census (/root/reference/R/load_corine.R:61-104)."""
@@ -1354,6 +1389,7 @@ RAY_QUERIES = {
     "simhash": q_simhash,
     "embedding_near_dup": q_embedding_near_dup,
     "ivf_knn": q_ivf_knn,
+    "hex_top_sources": q_hex_top_sources,
     "lang_family_census": q_lang_family_census,
     "total_revenue": q_total_revenue,
     "source_prefix_filter": q_source_prefix_filter,
@@ -1388,6 +1424,7 @@ ORACLES = {
     "order_lineitem_join": SQL_ORDER_LINEITEM_JOIN,
     "distinct_users": SQL_DISTINCT_USERS,
     "part_brand_stats": SQL_PART_BRAND_STATS,
+    "hex_top_sources": SQL_HEX_TOP_SOURCES,
     "lang_family_census": SQL_LANG_FAMILY_CENSUS,
     "total_revenue": SQL_TOTAL_REVENUE,
     "source_prefix_filter": SQL_SOURCE_PREFIX_FILTER,

@@ -149,3 +149,28 @@ def test_randomise_voronoi_mask(points_ds):
     assert (m["assigned_cell"] == m["idx"]).all()
     # still without replacement overall
     assert out["assigned_cell"].is_unique
+
+
+def test_etl_partitioned_by_lang(ray_session, tmp_path):
+    """Hive-partitioned enriched output: per-key directories, pruned
+    reads, and the aggregate over the hive root."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from hexscape_ray.pipelines.hexagg import enriched_hex_stats, etl_enrich
+    from hexscape_ray.sources.fixtures import gen_pages
+
+    src = str(tmp_path / "pages.parquet")
+    pq.write_table(gen_pages(n=800, seed=31), src)
+    out = str(tmp_path / "hive")
+    etl_enrich(src, out, partition_cols=["lang"])
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("lang="))
+    assert len(dirs) == 8
+    per_dir = {
+        d: ray.data.read_parquet(os.path.join(out, d)).count() for d in dirs[:2]
+    }
+    assert all(v > 0 for v in per_dir.values())
+    agg = enriched_hex_stats(out).to_pandas()
+    assert agg["n_docs"].sum() == 800
