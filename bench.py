@@ -140,9 +140,13 @@ def run_queries() -> dict:
     out = {}
     for name in names:
         t0 = time.perf_counter()
-        res = Q.RAY_QUERIES[name](SF_DIR)
-        res.count()
-        out[name] = round(time.perf_counter() - t0, 3)
+        try:
+            res = Q.RAY_QUERIES[name](SF_DIR)
+            res.count()
+            out[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # one broken query must not zero the bench
+            print(f"bench query {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+            out[name] = -1.0
     return out
 
 
