@@ -872,6 +872,17 @@ SQL_DISTINCT_USERS = """
 """
 
 
+def q_distinct_users_sketch(sf_dir: str) -> Dataset:
+    """Approximate COUNT(DISTINCT) via mergeable KMV sketches — the
+    shuffle moves one fixed-size sketch per key per block instead of
+    every (key, member) pair (rows-only; accuracy vs exact asserted in
+    pytest at ~1/√k)."""
+    from hexscape_ray.stages.sketch import approx_distinct
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return approx_distinct(ds, "event_type", "user_id", k=256)
+
+
 def q_part_brand_stats(sf_dir: str) -> Dataset:
     """Min/Max/Sum/Count per brand (aggregate kernel coverage)."""
     ds = _read(sf_dir, "part", ["p_brand", "p_size", "p_retailprice"])
@@ -1376,6 +1387,7 @@ RAY_QUERIES = {
     "segment_order_stats": q_segment_order_stats,
     "order_lineitem_join": q_order_lineitem_join,
     "distinct_users": q_distinct_users,
+    "distinct_users_sketch": q_distinct_users_sketch,
     "part_brand_stats": q_part_brand_stats,
     "generate_patches": q_generate_patches,
     "patches_split": q_patches_split,

@@ -1,0 +1,86 @@
+"""Mergeable sketches: approximate distinct counting at corpus scale.
+
+The exact two-level distinct (``distinct_users``) shuffles one row per
+(key, member) pair — at 10^12 docs that is the corpus itself.  The
+sketch path shuffles ONE fixed-size summary per key per block: each
+batch emits a KMV (k-minimum-values) sketch of the members it saw;
+sketches merge associatively in ``map_groups``; the estimator is
+(k−1) / kth_smallest_normalised_hash.  Error ≈ 1/√(k−2)
+(~10% at k=128, ~3% at k=1024).
+
+KMV over HLL here because merge and estimate are 20 lines of numpy
+with no bit-bucket bookkeeping; both are standard mergeable sketches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from hexscape_ray.functions.hashing import splitmix64
+
+_M = float(2**64)
+
+
+def _hash_members(values: np.ndarray) -> np.ndarray:
+    """uint64 member hashes (integers mixed; strings via crc path)."""
+    if values.dtype.kind in "iu":
+        with np.errstate(over="ignore"):
+            return splitmix64(values.astype(np.uint64))
+    from zlib import crc32
+
+    h32 = np.fromiter(
+        (crc32(str(v).encode()) for v in values), dtype=np.uint64, count=len(values)
+    )
+    return splitmix64(h32)
+
+
+def kmv_sketch_batches(
+    ds: Dataset, key: str, member: str, k: int = 256
+) -> Dataset:
+    """Stage 1: one bottom-k sketch row per key per batch."""
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        keys = batch[key].to_numpy(zero_copy_only=False)
+        h = _hash_members(batch[member].to_numpy(zero_copy_only=False))
+        out_k, out_s = [], []
+        order = np.argsort(keys, kind="stable")
+        sk, sh = keys[order], h[order]
+        starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+        ends = np.r_[starts[1:], sk.size]
+        for s, e in zip(starts, ends):
+            uniq = np.unique(sh[s:e])
+            out_k.append(sk[s])
+            out_s.append(uniq[:k].astype(np.int64))  # ascending bottom-k
+        return pa.table(
+            {
+                key: pa.array(out_k),
+                "kmv": pa.array([x.tolist() for x in out_s], type=pa.list_(pa.int64())),
+            }
+        )
+
+    return ds.map_batches(sketch, batch_format="pyarrow")
+
+
+def kmv_merge_estimate(sketches: Dataset, key: str, k: int = 256) -> Dataset:
+    """Stage 2: merge per-key sketches and estimate distinct counts."""
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        allh = np.unique(np.concatenate([np.asarray(x, dtype=np.uint64) for x in g["kmv"]]))
+        bottom = allh[:k]
+        if bottom.size < k:  # saw fewer than k distinct → exact
+            est = float(bottom.size)
+        else:
+            kth = bottom[-1].astype(np.float64) / _M
+            est = (k - 1) / kth
+        return pd.DataFrame({key: [g[key].iloc[0]], "distinct_est": [est]})
+
+    return sketches.groupby(key).map_groups(merge, batch_format="pandas")
+
+
+def approx_distinct(ds: Dataset, key: str, member: str, k: int = 256) -> Dataset:
+    """keyed approximate COUNT(DISTINCT member): sketch → merge."""
+    return kmv_merge_estimate(kmv_sketch_batches(ds, key, member, k), key, k)

@@ -137,3 +137,31 @@ def test_ivf_recall_of_near_identical(emb_ds):
 def test_embedding_near_dup_pair(emb_ds):
     pairs = embedding_near_dup(emb_ds, threshold=0.999).to_pandas()
     assert ((pairs["a"] == 3) & (pairs["b"] == 7)).any()
+
+
+def test_kmv_sketch_accuracy_and_merge(ray_session):
+    """KMV estimate within ~3/√k of exact; invariant to partitioning
+    (merge associativity)."""
+    import pyarrow as pa
+
+    from hexscape_ray.stages.sketch import approx_distinct
+
+    rng = np.random.default_rng(9)
+    n = 60_000
+    keys = rng.integers(0, 4, n)
+    # distinct cardinality differs by key: ~100, ~1000, ~5000, ~20000
+    card = np.array([100, 1000, 5000, 20000])
+    members = rng.integers(0, card[keys], n) + keys * 10**6
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys.astype(np.int64)), "m": pa.array(members.astype(np.int64))})
+    ).repartition(9)
+    est = approx_distinct(ds, "k", "m", k=256).to_pandas().set_index("k")["distinct_est"]
+    exact = pd.DataFrame({"k": keys, "m": members}).groupby("k")["m"].nunique()
+    for kk in range(4):
+        rel = abs(est[kk] - exact[kk]) / exact[kk]
+        assert rel < 0.2, (kk, est[kk], exact[kk])
+    # small-cardinality keys are exact (fewer than k distinct seen)
+    assert est[0] == exact[0]
+    # partitioning-invariant
+    est2 = approx_distinct(ds.repartition(3), "k", "m", k=256).to_pandas().set_index("k")["distinct_est"]
+    assert np.allclose(est.sort_index(), est2.sort_index())
