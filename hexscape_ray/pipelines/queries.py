@@ -1357,6 +1357,72 @@ def q_ivf_knn(sf_dir: str) -> Dataset:
     return ivf_topk(emb, queries, k=5)
 
 
+def q_curation_pipeline(sf_dir: str) -> Dataset:
+    """The end-to-end training-data curation story in one flow:
+    documents → enrich (quality) → exact dedup (hash-partition, keep
+    min doc_id) → quality gate → geocode + hex encode → per-hex
+    accounting of kept / dropped-duplicate / dropped-quality.
+
+    One groupby marks dedup keepers IN-STREAM (no driver
+    materialisation); the final exchange moves per-hex partials only.
+    Rows-only (per-hex invariant n_total = kept + dup + lowq is
+    asserted in pytest and implied by the column sums).
+    """
+    from hexscape_ray.functions.hashing import fnv1a_64_str_array
+    from hexscape_ray.stages.textops import _quality_tokens
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        toks = [t.lower().split() for t in texts]
+        q = np.fromiter(
+            (_quality_tokens(len(t), tk) for t, tk in zip(texts, toks)),
+            dtype=np.float64,
+            count=len(texts),
+        )
+        h = fnv1a_64_str_array(texts).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "q_score": pa.array(q),
+                "content_hash": pa.array(h),
+            }
+        )
+
+    enriched = ds.map_batches(enrich, batch_format="pyarrow")
+
+    def mark_keeper(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["is_dup"] = g["doc_id"] != g["doc_id"].min()
+        return g
+
+    marked = enriched.groupby("content_hash").map_groups(
+        mark_keeper, batch_format="pandas"
+    )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        batch = geocode_ids_batch(batch, "doc_id")
+        batch = hex_encode_batch(batch, SPEC, resolutions=(0,))
+        dup = batch["is_dup"].to_numpy(zero_copy_only=False)
+        lowq = (~dup) & (batch["q_score"].to_numpy(zero_copy_only=False) < 0.5)
+        kept = ~dup & ~lowq
+        return pa.table(
+            {
+                "r": batch["r"],
+                "q": batch["q"],
+                "n_kept": pa.array(kept.astype(np.int64)),
+                "n_dup": pa.array(dup.astype(np.int64)),
+                "n_lowq": pa.array(lowq.astype(np.int64)),
+            }
+        )
+
+    per_doc = marked.map_batches(bucketize, batch_format="pyarrow")
+    return two_phase_sum(
+        per_doc, ["r", "q"], ["n_kept", "n_dup", "n_lowq"], count_as="n_total"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1406,6 +1472,7 @@ RAY_QUERIES = {
     "total_revenue": q_total_revenue,
     "source_prefix_filter": q_source_prefix_filter,
     "hex_lineitem_salted": q_hex_lineitem_salted,
+    "curation_pipeline": q_curation_pipeline,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_pairs_verified": q_minhash_pairs_verified,
     "media_features": q_media_features,

@@ -165,3 +165,18 @@ def test_kmv_sketch_accuracy_and_merge(ray_session):
     # partitioning-invariant
     est2 = approx_distinct(ds.repartition(3), "k", "m", k=256).to_pandas().set_index("k")["distinct_est"]
     assert np.allclose(est.sort_index(), est2.sort_index())
+
+
+def test_curation_pipeline_accounting(ray_session):
+    """kept + dup + lowq == total per hex; dup count matches the
+    exact-dedup operator; totals match the corpus."""
+    from hexscape_ray.pipelines.queries import q_curation_pipeline, q_dedup_exact
+
+    sf = "/root/testdata/sf0.01"
+    out = q_curation_pipeline(sf).to_pandas()
+    assert (
+        out["n_kept"] + out["n_dup"] + out["n_lowq"] == out["n_total"]
+    ).all()
+    assert out["n_total"].sum() == 500
+    dedup = q_dedup_exact(sf).to_pandas()
+    assert out["n_dup"].sum() == dedup["n_copies"].sum() - len(dedup)
