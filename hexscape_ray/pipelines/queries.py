@@ -469,6 +469,56 @@ SQL_EVENTS_TUMBLING = """
 """
 
 
+def q_events_sliding(sf_dir: str) -> Dataset:
+    """Sliding windows (width 1 h, slide 15 min): each event flat-maps
+    to the 4 windows covering it (window id = slide bucket), then an
+    ordinary keyed aggregate — overlapping windows without any
+    watermark machinery (SURVEY §2.9)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    SLIDE = 900_000_000  # 15 min in µs
+
+    def expand(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        base = us // SLIDE
+        n = us.shape[0]
+        win = np.concatenate([base - j for j in range(4)])
+        return pa.table(
+            {
+                "window_id": pa.array(win),
+                "event_type": pa.array(np.tile(et, 4)),
+                "value_cents": pa.array(np.tile(cents, 4)),
+            }
+        )
+
+    return two_phase_sum(
+        ds.map_batches(expand, batch_format="pyarrow"),
+        ["window_id", "event_type"],
+        ["value_cents"],
+        count_as="n_events",
+    )
+
+
+SQL_EVENTS_SLIDING = """
+  WITH e AS (
+    SELECT epoch_us(ts) // 900000000 AS base, event_type,
+           CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_cents
+    FROM events
+  ),
+  expanded AS (
+    SELECT base - j AS window_id, event_type, value_cents
+    FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+  )
+  SELECT window_id, event_type,
+         CAST(sum(value_cents) AS BIGINT) AS value_cents,
+         count(*) AS n_events
+  FROM expanded GROUP BY window_id, event_type
+"""
+
+
 def q_user_activity(sf_dir: str) -> Dataset:
     """Per-user event profile: counts per type (wide) + value cents."""
     ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
@@ -1439,6 +1489,7 @@ RAY_QUERIES = {
     "top_customers": q_top_customers,
     "order_priority": q_order_priority,
     "events_tumbling": q_events_tumbling,
+    "events_sliding": q_events_sliding,
     "user_activity": q_user_activity,
     "top_parts": q_top_parts,
     "dedup_exact": q_dedup_exact,
@@ -1491,6 +1542,7 @@ ORACLES = {
     "top_customers": SQL_TOP_CUSTOMERS,
     "order_priority": SQL_ORDER_PRIORITY,
     "events_tumbling": SQL_EVENTS_TUMBLING,
+    "events_sliding": SQL_EVENTS_SLIDING,
     "user_activity": SQL_USER_ACTIVITY,
     "top_parts": SQL_TOP_PARTS,
     "dedup_exact": SQL_DEDUP_EXACT,
