@@ -71,8 +71,15 @@ def bucketed_join(
 
     def tag(side: str):
         def fn(batch: pa.Table) -> pa.Table:
-            k = np.asarray(batch[on].to_numpy(zero_copy_only=False), dtype=np.int64)
-            bucket = np.abs(k) % n_buckets
+            kcol = batch[on]
+            if pa.types.is_integer(kcol.type):
+                k = np.asarray(kcol.to_numpy(zero_copy_only=False), dtype=np.int64)
+                bucket = np.abs(k) % n_buckets
+            else:  # string/binary keys: stable content hash
+                from hexscape_ray.functions.hashing import fnv1a_64_str_array
+
+                h = fnv1a_64_str_array(kcol.to_pylist())
+                bucket = (h % np.uint64(n_buckets)).astype(np.int64)
             cols = {}
             for name, typ in all_fields:
                 cols[name] = (

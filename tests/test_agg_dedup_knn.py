@@ -180,3 +180,18 @@ def test_curation_pipeline_accounting(ray_session):
     assert out["n_total"].sum() == 500
     dedup = q_dedup_exact(sf).to_pandas()
     assert out["n_dup"].sum() == dedup["n_copies"].sum() - len(dedup)
+
+
+def test_bucketed_join_string_keys(ray_session):
+    left = pd.DataFrame({"name": [f"k{i%20}" for i in range(300)], "a": np.arange(300)})
+    right = pd.DataFrame({"name": [f"k{i}" for i in range(20)], "b": np.arange(20) * 7})
+    got = (
+        bucketed_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right), on="name", n_buckets=8
+        )
+        .to_pandas()
+        .sort_values(["name", "a"], ignore_index=True)
+    )
+    want = left.merge(right, on="name").sort_values(["name", "a"], ignore_index=True)
+    assert len(got) == len(want)
+    assert np.array_equal(got["b"].to_numpy(), want["b"].to_numpy())
