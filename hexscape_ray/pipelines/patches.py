@@ -76,6 +76,7 @@ def generate_patches(
     res: int = 0,
     concurrency=(1, 8),
     split_parts: bool = False,
+    with_geometry: bool = False,
 ) -> Dataset:
     """Hex patch table: (r, q, x, y, area, lu_sum, LU_<cat>...).
 
@@ -111,7 +112,7 @@ def generate_patches(
     cells = candidate_cells(spec, bbox, res)
     patches = cells.map_batches(
         LandscapeClipper,
-        fn_constructor_args=(land_ref2, spec, res, split_parts),
+        fn_constructor_args=(land_ref2, spec, res, split_parts, with_geometry),
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=concurrency,

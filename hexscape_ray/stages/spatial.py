@@ -173,16 +173,25 @@ class LandscapeClipper:
     (:196-197), matching the reference's post-split filter.
     """
 
-    def __init__(self, landscape_ref, spec: GridSpec, res: int = 0, split_parts: bool = False):
+    def __init__(
+        self,
+        landscape_ref,
+        spec: GridSpec,
+        res: int = 0,
+        split_parts: bool = False,
+        with_geometry: bool = False,
+    ):
         b = ray.get(landscape_ref)
         self.index = GeomIndex(b["polygons"])
         self.spec = spec
         self.res = res
         self.split_parts = split_parts
+        self.with_geometry = with_geometry
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from hexscape_ray.geom.clip import clip_polygon_convex
         from hexscape_ray.geom.poly import polygon_area, polygon_centroid
+        from hexscape_ray.geom.wkb import multipolygon_to_wkb, polygon_to_wkb
 
         r = batch["r"].to_numpy(zero_copy_only=False)
         q = batch["q"].to_numpy(zero_copy_only=False)
@@ -193,13 +202,13 @@ class LandscapeClipper:
         hexes = grid.cell_polygon(r, q, self.spec, self.res)
         thresh = self.spec.min_prop * self.spec.hex_area
 
-        out = {k: [] for k in ("r", "q", "part", "x", "y", "area")}
+        out = {k: [] for k in ("r", "q", "part", "x", "y", "area", "wkb")}
         for i in range(r.shape[0]):
             ring = hexes[i]
             bx0, by0 = ring[:, 0].min(), ring[:, 1].min()
             bx1, by1 = ring[:, 0].max(), ring[:, 1].max()
             cand = self.index.candidates_bbox(bx0, by0, bx1, by1)
-            pieces = []  # (area, cx, cy) per landscape part touched
+            pieces = []  # (area, cx, cy, rings) per landscape part touched
             for g in cand:
                 clipped = clip_polygon_convex(self.index.polygons[g], ring)
                 if not clipped:
@@ -207,13 +216,13 @@ class LandscapeClipper:
                 a = polygon_area(clipped)
                 if a > 0.0:
                     pcx, pcy = polygon_centroid(clipped)
-                    pieces.append((a, pcx, pcy))
+                    pieces.append((a, pcx, pcy, clipped))
             total = sum(p[0] for p in pieces)
             if total < thresh:
                 continue  # pre-split filter (:140-141)
             if self.split_parts:
                 part = 0
-                for a, pcx, pcy in pieces:
+                for a, pcx, pcy, rings in pieces:
                     if a < thresh:  # post-split sliver drop (:196-197)
                         continue
                     out["r"].append(r[i])
@@ -222,6 +231,8 @@ class LandscapeClipper:
                     out["x"].append(pcx)
                     out["y"].append(pcy)
                     out["area"].append(a)
+                    if self.with_geometry:
+                        out["wkb"].append(polygon_to_wkb(rings))
                     part += 1
             else:
                 out["r"].append(r[i])
@@ -230,6 +241,8 @@ class LandscapeClipper:
                 out["x"].append(cx[i])
                 out["y"].append(cy[i])
                 out["area"].append(total)
+                if self.with_geometry:
+                    out["wkb"].append(multipolygon_to_wkb([p[3] for p in pieces]))
         cols = {
             "r": pa.array(np.asarray(out["r"], dtype=np.int64)),
             "q": pa.array(np.asarray(out["q"], dtype=np.int64)),
@@ -239,6 +252,8 @@ class LandscapeClipper:
         }
         if self.split_parts:
             cols["part"] = pa.array(np.asarray(out["part"], dtype=np.int32))
+        if self.with_geometry:
+            cols["wkb"] = pa.array(out["wkb"], type=pa.binary())
         return pa.table(cols)
 
 

@@ -165,3 +165,21 @@ def test_split_parts_on_island_landscape(ray_session, spec):
     # part centroids sit inside their island (x strictly off-channel)
     two = split[split.duplicated(["r", "q"], keep=False)]
     assert ((two["x"] < 48_500) | (two["x"] > 51_500)).all()
+
+
+def test_patches_with_geometry(ray_session, tables, spec):
+    """with_geometry=True emits clipped-hex WKB whose decoded area
+    matches the area column (the reference's geometry list-column)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hexscape_ray.geom.poly import polygon_area
+    from hexscape_ray.geom.wkb import wkb_to_rings
+
+    admin, _ = tables
+    country = admin.filter(pa.compute.equal(admin.column("level"), 0))
+    out = generate_patches(country, None, spec, with_geometry=True).to_pandas()
+    assert "wkb" in out.columns
+    for row in out.head(40).itertuples(index=False):
+        decoded = sum(polygon_area(rings) for rings in wkb_to_rings(row.wkb))
+        assert np.isclose(decoded, row.area, rtol=1e-9)
