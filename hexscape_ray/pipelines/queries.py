@@ -1195,22 +1195,24 @@ SQL_NGRAM_JACCARD = """
 def q_minhash_pairs_verified(sf_dir: str):
     """Full MinHash-LSH near-dup pipeline: candidates from band
     buckets, verified with exact shingle Jaccard (rows-only; the
-    verification threshold makes it non-SQL)."""
+    verification threshold makes it non-SQL).
+
+    Fully streaming: candidates are joined BACK to the documents table
+    with two bucketed joins and verified inside ``map_batches`` — the
+    corpus is never materialised on the driver (round-1 verdict #2)."""
     import pandas as pd_
 
-    from hexscape_ray.stages.dedup import minhash_candidate_pairs, verify_jaccard
+    from hexscape_ray.stages.dedup import (
+        minhash_candidate_pairs,
+        verify_jaccard_distributed,
+    )
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    cand = minhash_candidate_pairs(ds).to_pandas()
-    texts = dict(
-        zip(
-            *[
-                _read(sf_dir, "documents", ["doc_id", "text"]).to_pandas()[c]
-                for c in ("doc_id", "text")
-            ]
-        )
-    )
-    out = verify_jaccard(cand, texts, threshold=0.5)
+    cand = minhash_candidate_pairs(ds)
+    out = verify_jaccard_distributed(
+        cand, _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5
+    ).to_pandas()
+    out = out.sort_values(["a", "b"], ignore_index=True)
     return out if len(out) else pd_.DataFrame({"a": [0], "b": [0], "jaccard": [0.0]})
 
 

@@ -254,18 +254,36 @@ def lsh_band_rows(sigs: Dataset, n_bands: int = N_BANDS) -> Dataset:
     return sigs.map_batches(explode, batch_format="pyarrow")
 
 
-def minhash_candidate_pairs(ds: Dataset, id_col: str = "doc_id") -> Dataset:
-    """documents(text) → LSH candidate pairs (a < b), deduplicated."""
+LSH_BUCKET_CAP = 64  # all-pairs below this; star edges above
+
+
+def minhash_candidate_pairs(
+    ds: Dataset, id_col: str = "doc_id", bucket_cap: int = LSH_BUCKET_CAP
+) -> Dataset:
+    """documents(text) → LSH candidate pairs (a < b), deduplicated.
+
+    Bucket blow-up guard: a band bucket with m ≤ ``bucket_cap`` docs
+    emits the full m·(m−1)/2 clique; a larger bucket (a boilerplate
+    cluster — think a 1M-page cookie banner) emits STAR edges to the
+    bucket's min doc id instead, i.e. O(m) pairs.  Star edges preserve
+    the connected component (every member links to the representative),
+    which is what dedup clustering consumes; only the explicit pair
+    list between non-representative members is dropped, and only for
+    pathological buckets.
+    """
     sigs = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 8))
     bands = lsh_band_rows(sigs)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g[id_col].to_numpy())
-        if ids.size < 2:
+        m = ids.size
+        if m < 2:
             return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
-        a, b = np.meshgrid(ids, ids, indexing="ij")
-        m = a < b
-        return pd.DataFrame({"a": a[m], "b": b[m]})
+        if m <= bucket_cap:
+            a, b = np.meshgrid(ids, ids, indexing="ij")
+            keep = a < b
+            return pd.DataFrame({"a": a[keep], "b": b[keep]})
+        return pd.DataFrame({"a": np.repeat(ids[0], m - 1), "b": ids[1:]})
 
     cand = (
         bands.groupby(["band_id", "band_hash"])
@@ -280,7 +298,10 @@ def verify_jaccard(
     pairs: pd.DataFrame, texts: dict, k: int = 5, threshold: float = 0.7
 ) -> pd.DataFrame:
     """Exact n-gram Jaccard verification of candidate pairs (driver-side
-    on the small candidate set — candidates ≪ corpus by LSH design)."""
+    on the small candidate set — candidates ≪ corpus by LSH design).
+
+    Test-scale reference path; production uses
+    :func:`verify_jaccard_distributed` (no corpus materialisation)."""
     out = []
     for a, b in zip(pairs["a"], pairs["b"]):
         sa = set(shingles(texts[a], k).tolist())
@@ -291,24 +312,134 @@ def verify_jaccard(
     return pd.DataFrame(out, columns=["a", "b", "jaccard"])
 
 
+def verify_jaccard_distributed(
+    cand: Dataset,
+    docs: Dataset,
+    k: int = 5,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+) -> Dataset:
+    """Exact shingle-Jaccard verification WITHOUT driver-side corpus
+    materialisation: candidate (a, b) rows are joined back to the
+    documents table twice with :func:`bucketed_join` (a-side then
+    b-side), then each pair is verified inside ``map_batches`` where
+    both texts are already co-located.  The documents table is never
+    collected — only the candidate set (≪ corpus by LSH design) and
+    its matched texts flow through the two shuffles.
+
+    Emits (a, b, jaccard) for pairs with jaccard ≥ threshold, matching
+    :func:`verify_jaccard` bit-for-bit on the same input.
+    """
+    from hexscape_ray.stages.joins import bucketed_join
+
+    def project(key: str, txt: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({key: batch[id_col], txt: batch[text_col]})
+
+        return fn
+
+    docs_a = docs.map_batches(project("a", "__text_a"), batch_format="pyarrow")
+    docs_b = docs.map_batches(project("b", "__text_b"), batch_format="pyarrow")
+    joined = bucketed_join(
+        bucketed_join(cand, docs_a, on="a", n_buckets=n_buckets),
+        docs_b,
+        on="b",
+        n_buckets=n_buckets,
+    )
+
+    def jac(batch: pa.Table) -> pa.Table:
+        ta = batch["__text_a"].to_pylist()
+        tb = batch["__text_b"].to_pylist()
+        n = len(batch)
+        js = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            sa = set(shingles(ta[i], k).tolist())
+            sb = set(shingles(tb[i], k).tolist())
+            js[i] = len(sa & sb) / max(len(sa | sb), 1)
+        keep = pa.array(js >= threshold)
+        return pa.table(
+            {"a": batch["a"], "b": batch["b"], "jaccard": pa.array(js)}
+        ).filter(keep)
+
+    return joined.map_batches(jac, batch_format="pyarrow")
+
+
 class SimHasher:
     """64-bit SimHash over token hashes; near-dups = small Hamming
     distance.  Emits the signature plus its 4 16-bit sub-bands as
-    bucket keys (docs within Hamming ≤ 3 share ≥ 1 exact band)."""
+    bucket keys (docs within Hamming ≤ 3 share ≥ 1 exact band).
+
+    Vectorised whole-batch kernel (same flattened pattern as
+    ``MinHasher.signatures_batch``): one fnv1a pass over every token in
+    the batch, bit-unpack via ``np.unpackbits``, per-doc bit sums via
+    ``np.add.reduceat`` in doc-aligned chunks sized so the (tokens × 64)
+    int32 intermediate stays ~1 MB (cache-resident per worker).  The
+    per-bit vote is ``2·popcount − n_tokens`` so only bit SUMS are
+    segmented, and the result is bit-identical to the scalar reference
+    path (``_sig_one``, kept for tests)."""
+
+    _CHUNK_TOKENS = 4096
+
+    @staticmethod
+    def _sig_one(text: str) -> int:
+        """Scalar reference: one doc → 64-bit SimHash (test oracle)."""
+        toks = text.lower().split()
+        if not toks:
+            return 0
+        h = fnv1a_64_str_array(toks)
+        bits = (
+            (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+        ).astype(np.int64)
+        vote = (2 * bits - 1).sum(axis=0)
+        return int(np.sum((vote > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)))
+
+    def _signatures(self, texts: list[str]) -> np.ndarray:
+        n = len(texts)
+        out_sig = np.zeros(n, dtype=np.uint64)
+        if n == 0:
+            return out_sig
+        toks_all = [t.lower().split() for t in texts]
+        lens = np.fromiter((len(t) for t in toks_all), dtype=np.int64, count=n)
+        flat = [t for toks in toks_all for t in toks]
+        if not flat:
+            return out_sig
+        h = fnv1a_64_str_array(flat)
+        # uint64 → 64 little-endian bits per token (uint8), then per-doc
+        # segmented sums; int32 is enough (doc length < 2^31 tokens)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        nz = np.flatnonzero(lens > 0)
+        bitsum = np.zeros((n, 64), dtype=np.int64)
+        # chunk over docs so each unpacked block stays small
+        pos = 0
+        bounds = np.concatenate([[0], np.cumsum(lens[nz])])
+        while pos < nz.size:
+            take = int(
+                np.searchsorted(bounds, bounds[pos] + self._CHUNK_TOKENS, side="left")
+                - pos
+            )
+            take = max(1, min(take, nz.size - pos))
+            rows = nz[pos : pos + take]
+            lo = starts[rows[0]]
+            hi = starts[rows[-1]] + lens[rows[-1]]
+            # note: rows are doc-ordered and docs with 0 tokens occupy no
+            # flat positions, so [lo, hi) covers exactly these docs
+            bits = np.unpackbits(
+                h[lo:hi].view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            ).astype(np.int32)
+            seg = (starts[rows] - lo).astype(np.int64)
+            bitsum[rows] = np.add.reduceat(bits, seg, axis=0)
+            pos += take
+        vote = 2 * bitsum - lens[:, None]
+        sigbits = (vote > 0).astype(np.uint8)
+        packed = np.ascontiguousarray(np.packbits(sigbits, axis=1, bitorder="little"))
+        out_sig = packed.view(np.uint64).ravel()
+        out_sig[lens == 0] = 0
+        return out_sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_sig = np.empty(len(batch), dtype=np.uint64)
-        for i, t in enumerate(batch["text"].to_pylist()):
-            toks = t.lower().split()
-            if not toks:
-                out_sig[i] = 0
-                continue
-            h = fnv1a_64_str_array(toks)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-                np.int64
-            )
-            vote = (2 * bits - 1).sum(axis=0)
-            out_sig[i] = np.sum((vote > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64))
+        out_sig = self._signatures(batch["text"].to_pylist())
         t = pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(out_sig.astype(np.int64))})
         for b in range(4):
             band = ((out_sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
@@ -316,24 +447,59 @@ class SimHasher:
         return t
 
 
+EMB_TARGET_BUCKET = 128  # expected docs per hyperplane bucket
+
+
 def embedding_near_dup(
-    emb: Dataset, threshold: float = 0.95, n_buckets: int = 8
+    emb: Dataset,
+    threshold: float = 0.95,
+    n_planes: int | None = None,
+    n_tables: int = 1,
 ) -> Dataset:
     """Embedding-cosine near-dup pairs via random-hyperplane LSH
-    bucketing + in-bucket exact cosine (scale path: bucket count grows
-    with corpus; brute force only within buckets)."""
+    bucketing + in-bucket exact cosine.
+
+    Scale path: the number of hyperplanes (→ 2^p buckets) GROWS with
+    corpus size — ``p = max(8, ceil(log2(n / EMB_TARGET_BUCKET)))`` so
+    the expected in-bucket population stays ~``EMB_TARGET_BUCKET`` and
+    the in-bucket O(m²) cosine stays bounded as n grows (the count() is
+    parquet-metadata-only, no scan).  More planes lower recall for
+    borderline pairs; pass ``n_tables > 1`` to union candidates from
+    independently-seeded plane sets (classic multi-table LSH) when
+    recall matters more than cost.  In-bucket similarity is computed in
+    row chunks so the (chunk × m) sim matrix stays cache-resident
+    regardless of a skewed bucket's size.
+    """
+    if n_planes is None:
+        n = emb.count()
+        n_planes = max(8, int(np.ceil(np.log2(max(n, 2) / EMB_TARGET_BUCKET))))
+    n_planes = min(n_planes, 62)  # bucket key must fit int64
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        vecs = np.asarray(batch["embedding"].to_numpy(zero_copy_only=False).tolist(), dtype=np.float64)
-        rng = np.random.default_rng(7)  # fixed planes — deterministic
-        planes = rng.standard_normal((vecs.shape[1], n_buckets))
-        sign = (vecs @ planes > 0).astype(np.int64)
-        bucket = (sign * (1 << np.arange(n_buckets, dtype=np.int64))[None, :]).sum(axis=1)
+        vecs = np.asarray(
+            batch["embedding"].to_numpy(zero_copy_only=False).tolist(), dtype=np.float64
+        )
+        out_id, out_bucket, out_table, out_emb = [], [], [], []
+        weights = (1 << np.arange(n_planes, dtype=np.int64))[None, :]
+        for t in range(n_tables):
+            rng = np.random.default_rng(7 + t)  # fixed planes — deterministic
+            planes = rng.standard_normal((vecs.shape[1], n_planes))
+            sign = (vecs @ planes > 0).astype(np.int64)
+            bucket = (sign * weights).sum(axis=1)
+            out_id.append(batch["vec_id"])
+            out_bucket.append(pa.array(bucket))
+            out_table.append(pa.array(np.full(len(batch), t, dtype=np.int64)))
+            out_emb.append(batch["embedding"])
         return pa.table(
             {
-                "vec_id": batch["vec_id"],
-                "bucket": pa.array(bucket),
-                "embedding": batch["embedding"],
+                "vec_id": pa.concat_arrays(
+                    [c.combine_chunks() if hasattr(c, "combine_chunks") else c for c in out_id]
+                ),
+                "table_id": pa.concat_arrays([c for c in out_table]),
+                "bucket": pa.concat_arrays([c for c in out_bucket]),
+                "embedding": pa.concat_arrays(
+                    [c.combine_chunks() if hasattr(c, "combine_chunks") else c for c in out_emb]
+                ),
             }
         )
 
@@ -343,14 +509,26 @@ def embedding_near_dup(
         norms = np.linalg.norm(vecs, axis=1)
         norms[norms == 0] = 1.0
         vn = vecs / norms[:, None]
-        sim = vn @ vn.T
-        a, b = np.where(np.triu(sim >= threshold, k=1))
-        return pd.DataFrame(
-            {"a": ids[a], "b": ids[b], "cosine": np.round(sim[a, b], 6)}
-        )
+        m = vn.shape[0]
+        chunk = max(1, (1 << 17) // max(m, 1))  # keep sim chunk ~1 M floats
+        ra, rb, rs = [], [], []
+        for s in range(0, m, chunk):
+            sim = vn[s : s + chunk] @ vn.T
+            a, b = np.where(sim >= threshold)
+            keep = (a + s) < b  # upper triangle only
+            ra.append(a[keep] + s)
+            rb.append(b[keep])
+            rs.append(sim[a[keep], b[keep]])
+        a = np.concatenate(ra) if ra else np.empty(0, dtype=np.int64)
+        b = np.concatenate(rb) if rb else np.empty(0, dtype=np.int64)
+        s = np.concatenate(rs) if rs else np.empty(0, dtype=np.float64)
+        return pd.DataFrame({"a": ids[a], "b": ids[b], "cosine": np.round(s, 6)})
 
-    return (
+    out = (
         emb.map_batches(bucketize, batch_format="pyarrow")
-        .groupby("bucket")
+        .groupby(["table_id", "bucket"])
         .map_groups(pairs, batch_format="pandas")
     )
+    if n_tables > 1:  # same pair can surface from several tables
+        out = out.groupby(["a", "b"]).aggregate(Min("cosine", alias_name="cosine"))
+    return out

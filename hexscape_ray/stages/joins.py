@@ -95,9 +95,34 @@ def bucketed_join(
         right.map_batches(tag("R"), batch_format="pyarrow")
     )
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g.loc[g["__side"] == "L", lcols]
-        rg = g.loc[g["__side"] == "R", rcols]
-        return lg.merge(rg, on=on, how=how)
+    # pandas `how` -> Acero join_type.  The per-bucket join runs in Arrow
+    # (pa.Table.join) so the typed nulls from the union padding never pass
+    # through pandas — an int64 column with nulls would otherwise come back
+    # float64+NaN and the wrong dtype would survive downstream aggregation
+    # (the round-1 segment_order_stats hash failure).
+    join_type = {
+        "inner": "inner",
+        "left": "left outer",
+        "right": "right outer",
+        "outer": "full outer",
+    }[how]
 
-    return tagged.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+    typed = dict(all_fields)
+    l_target = pa.schema([(n, typed[n]) for n in lcols])
+    r_target = pa.schema([(n, typed[n]) for n in rcols])
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_left = pc.equal(g["__side"], "L")
+        # cast restores declared dtypes on blocks whose columns degraded
+        # to null type (an empty upstream block's schema can infect the
+        # shuffled group); null→T casts are valid for all-null columns
+        lg = g.filter(is_left).select(lcols).cast(l_target)
+        rg = g.filter(pc.invert(is_left)).select(rcols).cast(r_target)
+        out = lg.join(rg, keys=on, join_type=join_type)
+        # Acero's output column order can vary; fix it to lcols + new rcols.
+        ordered = lcols + [c for c in rcols if c != on]
+        return out.select(ordered)
+
+    return tagged.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")

@@ -182,6 +182,74 @@ def test_curation_pipeline_accounting(ray_session):
     assert out["n_dup"].sum() == dedup["n_copies"].sum() - len(dedup)
 
 
+def test_simhash_vectorised_matches_scalar(ray_session):
+    """The flattened whole-batch SimHash kernel is bit-identical to the
+    per-doc scalar reference, including empty / 1-token / long docs."""
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(200)]
+    texts = ["", "solo", "a b", " ".join(rng.choice(vocab, 5000))]
+    texts += [" ".join(rng.choice(vocab, int(n))) for n in rng.integers(1, 400, 40)]
+    sh = SimHasher()
+    got = sh._signatures(texts)
+    want = np.array([sh._sig_one(t) for t in texts], dtype=np.uint64)
+    assert np.array_equal(got, want)
+
+
+def test_lsh_bucket_cap_star_edges(ray_session):
+    """An injected duplicate cluster of 3000 identical docs yields O(n)
+    candidate pairs (star edges to the min id), not O(n²) — the
+    round-1 clique-explosion fix."""
+    n = 3000
+    texts = ["the same boilerplate cookie banner text appears on every page"] * n
+    texts += [f"unique filler document number {i} with words {i*7} {i*13}" for i in range(20)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                "text": pa.array(texts),
+            }
+        )
+    )
+    pairs = minhash_candidate_pairs(ds, bucket_cap=64).to_pandas()
+    # star edges: every cluster member pairs with doc 0 only
+    cluster = pairs[(pairs["a"] < n) & (pairs["b"] < n)]
+    assert len(cluster) == n - 1, len(cluster)
+    assert (cluster["a"] == 0).all()
+    # connectivity preserved: all members reachable via the representative
+    assert set(cluster["b"]) == set(range(1, n))
+
+
+def test_verify_jaccard_distributed_matches_driver(dup_docs):
+    """Distributed candidate→text join verification matches the
+    driver-side reference path bit-for-bit."""
+    from hexscape_ray.stages.dedup import verify_jaccard, verify_jaccard_distributed
+
+    cand = minhash_candidate_pairs(dup_docs)
+    pdf = dup_docs.to_pandas()
+    texts = dict(zip(pdf["doc_id"], pdf["text"]))
+    want = (
+        verify_jaccard(cand.to_pandas(), texts, threshold=0.5)
+        .sort_values(["a", "b"], ignore_index=True)
+    )
+    got = (
+        verify_jaccard_distributed(cand, dup_docs, threshold=0.5)
+        .to_pandas()
+        .sort_values(["a", "b"], ignore_index=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    assert np.array_equal(got["a"].to_numpy(), want["a"].to_numpy())
+    assert np.array_equal(got["b"].to_numpy(), want["b"].to_numpy())
+    assert np.array_equal(got["jaccard"].to_numpy(), want["jaccard"].to_numpy())
+
+
+def test_embedding_near_dup_plane_scaling(emb_ds):
+    """n_planes derives from corpus size (min 8) and explicit n_planes
+    still finds the planted pair; multi-table union dedups pairs."""
+    pairs = embedding_near_dup(emb_ds, threshold=0.999, n_planes=10, n_tables=2).to_pandas()
+    assert ((pairs["a"] == 3) & (pairs["b"] == 7)).any()
+    assert not pairs.duplicated(subset=["a", "b"]).any()
+
+
 def test_bucketed_join_string_keys(ray_session):
     left = pd.DataFrame({"name": [f"k{i%20}" for i in range(300)], "a": np.arange(300)})
     right = pd.DataFrame({"name": [f"k{i}" for i in range(20)], "b": np.arange(20) * 7})
