@@ -105,3 +105,227 @@ def convex_clip_bbox(xmin, ymin, xmax, ymax) -> np.ndarray:
     return np.array(
         [[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax]], dtype=np.float64
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-component clip: Weiler–Atherton specialised to a CONVEX window.
+#
+# Sutherland–Hodgman merges a disconnected intersection into one
+# self-touching ring (zero-area bridges) — fine for areas, wrong for
+# the reference's st_cast(POLYGON) part explosion
+# (/root/reference/R/generate_patches.R:148-166).  For a convex window
+# the full Weiler–Atherton machinery collapses to: collect the maximal
+# in-window chains of the subject boundary, then stitch chain exits to
+# the next chain entry walking the window boundary CCW (inserting the
+# window corners passed).  Each stitched cycle is one connected
+# component of subject ∩ window.
+# ---------------------------------------------------------------------------
+
+
+def _cyrus_beck(p, q, edges, eps):
+    """Clip segment p→q to the convex window; returns
+    (t0, t1, enter_edge, exit_edge) with 0 ≤ t0 ≤ t1 ≤ 1, or None if
+    the segment misses the window.  enter/exit edge is None when the
+    endpoint itself is inside (t pinned to 0/1)."""
+    t0, t1 = 0.0, 1.0
+    e0 = e1 = None
+    for ei, (ax, ay, nx, ny) in enumerate(edges):
+        dp = (p[0] - ax) * nx + (p[1] - ay) * ny
+        dq = (q[0] - ax) * nx + (q[1] - ay) * ny
+        if dp > eps and dq > eps:
+            return None
+        if dp > eps:  # entering this half-plane
+            t = dp / (dp - dq)
+            if t > t0:
+                t0, e0 = t, ei
+        elif dq > eps:  # exiting
+            t = dp / (dp - dq)
+            if t < t1:
+                t1, e1 = t, ei
+    if t0 > t1:
+        return None
+    return t0, t1, e0, e1
+
+
+def _perimeter_param(pt, wverts, edges) -> float:
+    """Position of a boundary point along the CCW window perimeter:
+    ``edge_index + fraction`` (window vertex j ⇔ param j)."""
+    m = wverts.shape[0]
+    best, best_d = 0.0, np.inf
+    for j in range(m):
+        a = wverts[j]
+        b = wverts[(j + 1) % m]
+        abx, aby = b[0] - a[0], b[1] - a[1]
+        L2 = abx * abx + aby * aby
+        t = 0.0 if L2 == 0 else ((pt[0] - a[0]) * abx + (pt[1] - a[1]) * aby) / L2
+        t = min(max(t, 0.0), 1.0)
+        dx, dy = pt[0] - (a[0] + t * abx), pt[1] - (a[1] + t * aby)
+        d = dx * dx + dy * dy
+        if d < best_d:
+            best_d, best = d, j + t
+    return best % m
+
+
+def clip_ring_convex_parts(ring: np.ndarray, clip_ring: np.ndarray, eps: float = 1e-9):
+    """Clip a simple (possibly CONCAVE) ring by a convex window →
+    list of simple CCW rings, one per connected component of the
+    intersection.  The parity complement of ``clip_ring_convex``:
+    identical total area, but disconnected pieces come back as
+    separate rings instead of one bridge-merged ring.
+
+    Tolerances: vertices within ``eps`` (scaled by window size) of the
+    boundary count as inside; grazing tangencies may produce degenerate
+    rings, which are dropped (area ≤ eps²)."""
+    from hexscape_ray.geom.poly import points_in_ring
+
+    subj = _close(np.asarray(ring, dtype=np.float64))
+    if subj.shape[0] < 4:
+        return []
+    if ring_area(subj) < 0:
+        subj = subj[::-1]
+    win = _close(np.asarray(clip_ring, dtype=np.float64))
+    if ring_area(win) < 0:
+        win = win[::-1]
+    wverts = win[:-1]
+    edges = _edges_ccw(wverts)
+    scale = max(
+        wverts[:, 0].max() - wverts[:, 0].min(),
+        wverts[:, 1].max() - wverts[:, 1].min(),
+        1e-300,
+    )
+    tol = eps * scale
+
+    # vertex classification: inside = within every half-plane
+    d_all = np.empty((subj.shape[0], len(edges)))
+    for ei, (ax, ay, nx, ny) in enumerate(edges):
+        d_all[:, ei] = (subj[:, 0] - ax) * nx + (subj[:, 1] - ay) * ny
+    v_in = (d_all <= tol).all(axis=1)
+
+    # collect maximal in-window chains of the subject path
+    chains = []  # dicts: {pts, entry(bool), exit(bool), pe, px}
+    cur = None
+    n = subj.shape[0] - 1
+    for i in range(n):
+        p, q = subj[i], subj[i + 1]
+        p_in, q_in = v_in[i], v_in[i + 1]
+        if p_in:
+            if cur is None:
+                cur = {"pts": [p], "entry": None}  # started inside (wraps)
+            else:
+                cur["pts"].append(p)
+            if not q_in:
+                cb = _cyrus_beck(p, q, edges, tol)
+                x = p + cb[1] * (q - p) if cb else p
+                cur["pts"].append(x)
+                cur["exit"] = x
+                chains.append(cur)
+                cur = None
+        else:
+            cb = _cyrus_beck(p, q, edges, tol)
+            if cb is None:
+                continue
+            t0, t1, _, _ = cb
+            if q_in:
+                x = p + t0 * (q - p)
+                cur = {"pts": [x], "entry": x}
+            elif t1 - t0 > eps:  # pass-through: both endpoints outside
+                a = p + t0 * (q - p)
+                b = p + t1 * (q - p)
+                chains.append({"pts": [a, b], "entry": a, "exit": b})
+    if cur is not None:  # chain wrapped past the ring start
+        if chains and chains[0]["entry"] is None:
+            cur["pts"].extend(chains[0]["pts"])
+            cur["exit"] = chains[0]["exit"]
+            chains[0] = cur
+        else:  # never exited: whole ring inside the window
+            return [subj[:-1].copy()]
+    if not chains:
+        # disjoint, or window entirely inside the subject
+        if points_in_ring(wverts[:1, 0], wverts[:1, 1], subj)[0]:
+            return [wverts.copy()]
+        return []
+
+    # stitch: from each chain's exit, walk the window boundary CCW to
+    # the nearest chain entry (inserting window corners passed)
+    m = wverts.shape[0]
+    entry_params = [_perimeter_param(c["entry"], wverts, edges) for c in chains]
+    exit_params = [_perimeter_param(c["exit"], wverts, edges) for c in chains]
+    used = [False] * len(chains)
+    out = []
+    for start in range(len(chains)):
+        if used[start]:
+            continue
+        pts = []
+        ci = start
+        while not used[ci]:
+            used[ci] = True
+            pts.extend(chains[ci]["pts"])
+            te = exit_params[ci]
+            # next entry strictly ahead of the exit (cyclically); a
+            # coincident entry (touching) links immediately
+            best_j, best_gap = None, np.inf
+            for j, tn in enumerate(entry_params):
+                if used[j] and j != start:
+                    continue
+                gap = (tn - te) % m
+                if gap < best_gap:
+                    best_gap, best_j = gap, j
+            # insert window corners passed walking CCW from te to the
+            # chosen entry: integer params k with (k − te) mod m < gap
+            k0 = int(np.floor(te)) + 1
+            for s in range(m):
+                off = (k0 + s - te) % m
+                if off >= best_gap - 1e-9:
+                    break
+                pts.append(wverts[(k0 + s) % m])
+            if best_j == start:
+                break
+            ci = best_j
+        arr = np.asarray(pts)
+        if arr.shape[0] >= 3 and abs(ring_area(arr)) > tol * tol:
+            out.append(arr)
+    return out
+
+
+def clip_polygon_convex_parts(rings, clip_ring: np.ndarray, eps: float = 1e-9):
+    """Holed polygon ∩ convex window → list of components, each a ring
+    list [shell, holes…] (even-odd).  Clipped holes attach to the
+    component whose shell contains them.
+
+    Documented edge case: a hole part that touches the window boundary
+    keeps the even-odd AREA exact but does not further split its
+    component (the reference's st_buffer(0) normalises the same shapes);
+    component counts can undercount only in that configuration."""
+    from hexscape_ray.geom.poly import points_in_ring
+
+    comps = clip_ring_convex_parts(rings[0], clip_ring, eps)
+    if not comps:
+        return []
+    out = [[c] for c in comps]
+    for hole in rings[1:]:
+        for hp in clip_ring_convex_parts(hole, clip_ring, eps):
+            ix, iy = _interior_point(hp)
+            for comp in out:
+                if points_in_ring(np.array([ix]), np.array([iy]), comp[0])[0]:
+                    comp.append(hp)
+                    break
+    return out
+
+
+def _interior_point(ring: np.ndarray) -> tuple[float, float]:
+    """A point strictly inside a simple ring: midpoint of the first
+    crossing interval of an off-vertex horizontal chord."""
+    r = _close(np.asarray(ring, dtype=np.float64))
+    ys = r[:, 1]
+    y = 0.49 * ys.min() + 0.51 * ys.max()  # off-centre: avoids vertex hits
+    x0, y0 = r[:-1, 0], r[:-1, 1]
+    x1, y1 = r[1:, 0], r[1:, 1]
+    cond = (y0 <= y) != (y1 <= y)
+    if not cond.any():
+        return float(r[:-1, 0].mean()), float(r[:-1, 1].mean())
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(cond, (y - y0) / (y1 - y0), 0.0)
+    xs = np.sort((x0 + t * (x1 - x0))[cond])
+    if xs.size >= 2:
+        return float(0.5 * (xs[0] + xs[1])), float(y)
+    return float(xs[0]), float(y)

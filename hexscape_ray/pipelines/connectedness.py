@@ -74,12 +74,24 @@ def generate_connectedness(
     (/root/reference/R/generate_connectedness.R:85-102,151-176): a
     grid_resolution² point grid is laid over the kernel disk around
     each source centroid, every point kernel-weighted by its distance
-    and assigned to the hex CONTAINING it (point→cell cube rounding),
-    and weights aggregate per (source, target) — the fine-grid
-    integral, not the centroid approximation.  None = centroid mode.
+    and assigned to a target, and weights aggregate per
+    (source, target) — the fine-grid integral, not the centroid
+    approximation.  None = centroid mode.
+
+    Point→target assignment in sub-grid mode: when ``patches`` carries
+    a ``wkb`` geometry column (``generate_patches(with_geometry=True)``)
+    points are assigned by containment in the CLIPPED patch geometry —
+    the reference's ``st_contains_properly(candidates, x)`` (:106-121) —
+    so points over sea/sliver-dropped area contribute zero exactly as
+    the reference's ``Which == -1`` points do.  Without geometry the
+    ideal containing hex is used (boundary-clipped patches then get
+    slightly more weight than the reference would give them).
     """
     dr, dq, w = kernel_ring(spec, k, kernel_fn, res)
-    keys = patches.select_columns(["r", "q"]).to_pandas()
+    use_geometry = grid_resolution is not None and "wkb" in patches.schema().names
+    keys = patches.select_columns(
+        ["r", "q", "wkb"] if use_geometry else ["r", "q"]
+    ).to_pandas()
     key_set = set(zip(keys["r"].astype(int), keys["q"].astype(int)))
     width = spec.width_at(res)
     if kernel_fn is None:
@@ -98,7 +110,26 @@ def generate_connectedness(
         GX, GY = np.meshgrid(ax, ax, indexing="ij")
         rel = np.stack([GX.ravel(), GY.ravel()], axis=1)  # (g², 2)
         rel_w = kernel_fn(np.hypot(rel[:, 0], rel[:, 1]))
-        ring_ref = ray.put((rel, rel_w, key_set))
+        if use_geometry:
+            # flatten clipped patch polygons + (r, q) owner arrays for
+            # the broadcast geometry index (per-hex tables are
+            # landscape-bounded — a correct small-side broadcast)
+            from hexscape_ray.geom.wkb import wkb_to_rings
+
+            flat, own_r, own_q = [], [], []
+            for rr, qq, buf in zip(keys["r"], keys["q"], keys["wkb"]):
+                for rings in wkb_to_rings(buf):
+                    flat.append([np.asarray(x) for x in rings])
+                    own_r.append(int(rr))
+                    own_q.append(int(qq))
+            geoms = (
+                flat,
+                np.asarray(own_r, dtype=np.int64),
+                np.asarray(own_q, dtype=np.int64),
+            )
+        else:
+            geoms = None
+        ring_ref = ray.put((rel, rel_w, key_set, geoms))
     else:
         ring_ref = ray.put((dr, dq, w, key_set))
 
@@ -133,10 +164,18 @@ def generate_connectedness(
 
     class ExpandGrid:
         """Sub-grid integral: per source, g² weighted sample points
-        assigned to containing hexes; partials via bincount."""
+        assigned to containing patch geometry (or ideal hex when no
+        geometry is available); partials via bincount."""
 
         def __init__(self):
-            self.rel, self.rel_w, self.keys = ray.get(ring_ref)
+            self.rel, self.rel_w, self.keys, geoms = ray.get(ring_ref)
+            if geoms is not None:
+                from hexscape_ray.geom.index import GeomIndex
+
+                flat, self.own_r, self.own_q = geoms
+                self.index = GeomIndex(flat)
+            else:
+                self.index = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             from hexscape_ray import grid as hexgrid
@@ -149,11 +188,21 @@ def generate_connectedness(
             for i in range(r.shape[0]):
                 px = cx[i] + self.rel[:, 0]
                 py = cy[i] + self.rel[:, 1]
-                tr, tq = hexgrid.point_to_axial(px, py, spec, res)
+                if self.index is not None:
+                    # reference parity: containment in clipped geometry;
+                    # unassigned points (sea, dropped slivers) weigh 0
+                    gid = self.index.assign_points(px, py)
+                    hit = gid >= 0
+                    tr = self.own_r[gid[hit]]
+                    tq = self.own_q[gid[hit]]
+                    wts = self.rel_w[hit]
+                else:
+                    tr, tq = hexgrid.point_to_axial(px, py, spec, res)
+                    wts = self.rel_w
                 # aggregate weights per target cell via unique+bincount
                 key = (tr + (1 << 20)) * (1 << 22) + (tq + (1 << 20))
                 uniq, inv = np.unique(key, return_inverse=True)
-                sums = np.bincount(inv, weights=self.rel_w, minlength=uniq.size)
+                sums = np.bincount(inv, weights=wts, minlength=uniq.size)
                 ur = (uniq >> 22) - (1 << 20)
                 uq = (uniq & ((1 << 22) - 1)) - (1 << 20)
                 for j in range(uniq.size):

@@ -15,11 +15,14 @@ Parity target:
   deviation), Border > min_prop·hex_side filter, direction factor
   NE/E/SE/SW/W/NW from centroid deltas.
 
-Known deviation (round 1): hexes split into disjoint parts by the
-landscape/impassable mask stay ONE row (areas exact, geometry = the
-full clipped hex); the reference explodes them into per-part rows
-(st_cast POLYGON).  Part-splitting needs general boolean ops — tracked
-for a later round.
+Part splitting (M5): with ``split_parts=True`` hexes cut into
+disjoint pieces — by multi-part landscapes (islands) or by a CONCAVE
+single landscape polygon (coastline notch) — explode into per-part
+rows, matching the reference's st_cast(POLYGON)
+(/root/reference/R/generate_patches.R:148-185) via the convex-window
+Weiler–Atherton clip in ``geom/clip.py``.  Remaining edge case
+(documented there): a landscape hole part touching the hex boundary
+keeps exact area but does not further split its component.
 """
 
 from __future__ import annotations

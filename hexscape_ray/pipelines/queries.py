@@ -1358,7 +1358,9 @@ def q_connectedness(sf_dir: str) -> Dataset:
 
 def q_connectedness_subgrid(sf_dir: str) -> Dataset:
     """A8 in reference sub-grid form: fine point grid per source,
-    points assigned to containing hexes (rows-only)."""
+    points assigned by containment in the CLIPPED patch geometry
+    (st_contains_properly parity,
+    /root/reference/R/generate_connectedness.R:106-121; rows-only)."""
     import ray.data as rd
 
     from hexscape_ray.config import GridSpec
@@ -1369,7 +1371,7 @@ def q_connectedness_subgrid(sf_dir: str) -> Dataset:
     admin = fx["admin"]
     country = admin.filter(pc.equal(admin.column("level"), 0))
     spec = GridSpec(hex_width=10_000.0, ref_x=0.0, ref_y=100_000.0)
-    patches = generate_patches(country, None, spec)
+    patches = generate_patches(country, None, spec, with_geometry=True)
     return generate_connectedness(patches, spec, k=2, grid_resolution=15)
 
 

@@ -163,14 +163,18 @@ class LandscapeClipper:
     centroid is ≥ hex_height/1.9 from the landscape, computes
     area(hex ∩ landscape) and drops slivers < min_prop · hex_area.
 
-    ``split_parts`` (M5, :148-185): a hex cut into disjoint pieces by
-    a MULTI-PART landscape (islands) explodes into one row per part it
-    touches, each with its own area/centroid and a ``part`` ordinal —
-    the reference's st_cast(POLYGON) semantics for the dominant split
-    cause.  (Splits induced by a concave single polygon remain one
-    row — needs general boolean ops; documented deviation.)  Piece
-    slivers below min_prop · hex_area are dropped after the split
-    (:196-197), matching the reference's post-split filter.
+    ``split_parts`` (M5, :148-185): a hex cut into disjoint pieces
+    explodes into one row per connected component, each with its own
+    area/centroid and a ``part`` ordinal — the reference's
+    st_cast(POLYGON) semantics.  Both split causes are covered:
+    MULTI-PART landscapes (islands) AND a concave single polygon
+    (coastline/fjord notch crossing the hex), the latter via the
+    convex-window Weiler–Atherton clip
+    (``geom.clip.clip_polygon_convex_parts``).  Piece slivers below
+    min_prop · hex_area are dropped after the split (:196-197),
+    matching the reference's post-split filter.  Remaining edge case
+    (documented in clip.py): a landscape HOLE part touching the hex
+    boundary keeps exact area but does not further split a component.
     """
 
     def __init__(
@@ -189,7 +193,10 @@ class LandscapeClipper:
         self.with_geometry = with_geometry
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from hexscape_ray.geom.clip import clip_polygon_convex
+        from hexscape_ray.geom.clip import (
+            clip_polygon_convex,
+            clip_polygon_convex_parts,
+        )
         from hexscape_ray.geom.poly import polygon_area, polygon_centroid
         from hexscape_ray.geom.wkb import multipolygon_to_wkb, polygon_to_wkb
 
@@ -208,8 +215,19 @@ class LandscapeClipper:
             bx0, by0 = ring[:, 0].min(), ring[:, 1].min()
             bx1, by1 = ring[:, 0].max(), ring[:, 1].max()
             cand = self.index.candidates_bbox(bx0, by0, bx1, by1)
-            pieces = []  # (area, cx, cy, rings) per landscape part touched
+            pieces = []  # (area, cx, cy, rings) per connected component
             for g in cand:
+                if self.split_parts:
+                    # component-exact clip: a concave landscape part can
+                    # cut the hex into several pieces → one entry each
+                    for comp in clip_polygon_convex_parts(
+                        self.index.polygons[g], ring
+                    ):
+                        a = polygon_area(comp)
+                        if a > 0.0:
+                            pcx, pcy = polygon_centroid(comp)
+                            pieces.append((a, pcx, pcy, comp))
+                    continue
                 clipped = clip_polygon_convex(self.index.polygons[g], ring)
                 if not clipped:
                     continue

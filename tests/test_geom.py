@@ -128,3 +128,81 @@ def test_geom_index_min_distance():
     d = idx.min_distance(np.array([5.0, 12.0]), np.array([5.0, 10.0]))
     assert d[0] == 0.0
     assert abs(d[1] - 2.0) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# multi-component convex clip (Weiler–Atherton, M5 concave splits)
+# ---------------------------------------------------------------------------
+
+
+def test_clip_parts_u_shape():
+    from hexscape_ray.geom.clip import (
+        clip_ring_convex_parts,
+        convex_clip_bbox,
+        polygon_intersection_area_convex,
+    )
+    from hexscape_ray.geom.poly import ring_area
+
+    u = np.array(
+        [[0, 0], [1, 0], [1, 3], [2, 3], [2, 0], [3, 0], [3, 4], [0, 4]], float
+    )
+    win = convex_clip_bbox(-1, -1, 4, 2)  # cuts below the U's bridge
+    parts = clip_ring_convex_parts(u, win)
+    assert len(parts) == 2
+    areas = sorted(abs(ring_area(p)) for p in parts)
+    assert np.allclose(areas, [2.0, 2.0])
+    assert np.isclose(sum(areas), polygon_intersection_area_convex([u], win))
+
+
+def test_clip_parts_containment_cases():
+    from hexscape_ray.geom.clip import clip_ring_convex_parts, convex_clip_bbox
+    from hexscape_ray.geom.poly import ring_area
+
+    sq = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], float)
+    # subject inside window → subject unchanged
+    assert len(clip_ring_convex_parts(sq, convex_clip_bbox(-5, -5, 5, 5))) == 1
+    # window inside subject → window
+    big = np.array([[-10, -10], [10, -10], [10, 10], [-10, 10]], float)
+    p = clip_ring_convex_parts(big, convex_clip_bbox(0, 0, 1, 1))
+    assert len(p) == 1 and np.isclose(abs(ring_area(p[0])), 1.0)
+    # disjoint → empty
+    assert clip_ring_convex_parts(sq, convex_clip_bbox(5, 5, 6, 6)) == []
+
+
+def test_clip_parts_area_matches_sh_on_random_concave():
+    """Σ part areas == Sutherland–Hodgman area for 200 random simple
+    star-shaped concave polygons × random hexagon windows."""
+    from hexscape_ray.geom.clip import (
+        clip_ring_convex_parts,
+        polygon_intersection_area_convex,
+    )
+    from hexscape_ray.geom.poly import ring_area
+
+    rng = np.random.default_rng(5)
+    checked = 0
+    while checked < 200:
+        n = int(rng.integers(5, 16))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        if np.min(np.diff(ang)) < 1e-3:
+            continue
+        rad = rng.uniform(0.3, 3.0, n)
+        subj = np.c_[rad * np.cos(ang), rad * np.sin(ang)]
+        cx, cy = rng.uniform(-2, 2, 2)
+        s = float(rng.uniform(0.3, 2.0))
+        a6 = np.arange(6) * np.pi / 3 + rng.uniform(0, np.pi / 3)
+        win = np.c_[cx + s * np.cos(a6), cy + s * np.sin(a6)]
+        want = polygon_intersection_area_convex([subj], win)
+        got = sum(abs(ring_area(p)) for p in clip_ring_convex_parts(subj, win))
+        assert np.isclose(got, want, rtol=1e-8, atol=1e-10), (checked, got, want)
+        checked += 1
+
+
+def test_clip_polygon_parts_hole_attachment():
+    from hexscape_ray.geom.clip import clip_polygon_convex_parts, convex_clip_bbox
+    from hexscape_ray.geom.poly import polygon_area
+
+    shell = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)
+    hole = np.array([[4, 2], [6, 2], [6, 8], [4, 8]], float)
+    comps = clip_polygon_convex_parts([shell, hole], convex_clip_bbox(-1, -1, 11, 11))
+    assert len(comps) == 1
+    assert np.isclose(polygon_area(comps[0]), 100.0 - 12.0)

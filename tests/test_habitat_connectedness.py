@@ -132,3 +132,68 @@ def test_connectedness_subgrid_mode(ray_session):
     direct = {(12 + dr, 7 + dq) for dr, dq in hexgrid.NEIGHBOR_OFFSETS}
     got = set(zip(nb["dst_r"], nb["dst_q"]))
     assert direct <= got
+
+
+def test_connectedness_subgrid_geometry_parity(ray_session):
+    """Sub-grid mode with patch geometry (st_contains_properly parity,
+    /root/reference/R/generate_connectedness.R:106-121): grid points
+    over the sea are unassigned, so a coastline-clipped target patch
+    receives LESS weight relative to an interior self patch than in
+    ideal-hex mode."""
+    import pyarrow as pa
+
+    from hexscape_ray.geom.wkb import polygon_to_wkb
+    from hexscape_ray.pipelines.patches import generate_patches
+
+    # coastline at x = 31 km: land is the left strip only
+    ring = np.array(
+        [[0, 0], [31_000, 0], [31_000, 100_000], [0, 100_000], [0, 0]],
+        dtype=np.float64,
+    )
+    land = pa.table(
+        {
+            "code": pa.array(["L"]),
+            "wkb": pa.array([polygon_to_wkb([ring])], type=pa.binary()),
+        }
+    )
+    patches_geo = generate_patches(land, None, SPEC, with_geometry=True)
+    patches_plain = patches_geo.drop_columns(["wkb"])
+    geo = generate_connectedness(
+        patches_geo, SPEC, k=2, grid_resolution=21
+    ).to_pandas()
+    ideal = generate_connectedness(
+        patches_plain, SPEC, k=2, grid_resolution=21
+    ).to_pandas()
+    # both normalise per source
+    assert np.allclose(geo.groupby(["src_r", "src_q"])["Connectedness"].sum(), 1.0)
+
+    # pick an interior source (centroid well inside land) with a
+    # coastal target (clipped hex): weight(target)/weight(self) must
+    # shrink in geometry mode
+    pdf = patches_geo.to_pandas()
+    interior = pdf[pdf["x"] < 20_000].iloc[0]
+    coastal = pdf.loc[pdf["x"].idxmax()]  # most-clipped boundary hex
+    sr, sq = int(interior["r"]), int(interior["q"])
+
+    def ratio(df, tr, tq):
+        g = df[(df.src_r == sr) & (df.src_q == sq)].set_index(["dst_r", "dst_q"])
+        if (tr, tq) not in g.index:
+            return 0.0
+        return (
+            g.loc[(tr, tq), "Connectedness"] / g.loc[(sr, sq), "Connectedness"]
+        )
+
+    tr, tq = int(coastal["r"]), int(coastal["q"])
+    # only meaningful when the coastal hex is inside the kernel disk
+    if abs(tr - sr) <= 2 and abs(tq - sq) <= 2 and abs((tr + tq) - (sr + sq)) <= 2:
+        assert ratio(geo, tr, tq) < ratio(ideal, tr, tq)
+    # global direction: clipped hexes hold a smaller share of total
+    # incoming weight under geometry containment
+    coast_keys = set(
+        zip(pdf.loc[pdf["area"] < 0.9 * SPEC.hex_area, "r"],
+            pdf.loc[pdf["area"] < 0.9 * SPEC.hex_area, "q"])
+    )
+    def coast_share(df):
+        m = df.apply(lambda row: (row.dst_r, row.dst_q) in coast_keys, axis=1)
+        return df.loc[m, "Connectedness"].sum() / df["Connectedness"].sum()
+    assert coast_share(geo) < coast_share(ideal)

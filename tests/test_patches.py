@@ -167,6 +167,56 @@ def test_split_parts_on_island_landscape(ray_session, spec):
     assert ((two["x"] < 48_500) | (two["x"] > 51_500)).all()
 
 
+def test_split_parts_on_concave_landscape(ray_session, spec):
+    """M5 residue closed in round 2: a CONCAVE single landscape polygon
+    (U-shape — a fjord notch) splits straddling hexes into per-part
+    rows, matching the reference's st_cast(POLYGON)
+    (/root/reference/R/generate_patches.R:148-166)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hexscape_ray.geom.wkb import polygon_to_wkb
+
+    # one polygon: full square minus a 3 km-wide notch from the top
+    # edge down to y = 50 km (hex width 10 km spans the notch)
+    u_ring = np.array(
+        [
+            [0, 0],
+            [100_000, 0],
+            [100_000, 100_000],
+            [51_500, 100_000],
+            [51_500, 50_000],
+            [48_500, 50_000],
+            [48_500, 100_000],
+            [0, 100_000],
+            [0, 0],
+        ],
+        dtype=np.float64,
+    )
+    land = pa.table(
+        {
+            "code": pa.array(["U"]),
+            "wkb": pa.array([polygon_to_wkb([u_ring])], type=pa.binary()),
+        }
+    )
+    split = generate_patches(land, None, spec, split_parts=True).to_pandas()
+    merged = generate_patches(land, None, spec, split_parts=False).to_pandas()
+
+    per_hex = split.groupby(["r", "q"]).size()
+    assert per_hex.max() == 2  # notch-straddling hexes became two rows
+    assert (per_hex == 2).sum() >= 3
+    # split rows only where the notch is (x near 50 km, y above 50 km)
+    two = split[split.duplicated(["r", "q"], keep=False)]
+    assert (two["y"] > 40_000).all()
+    assert ((two["x"] < 48_500) | (two["x"] > 51_500)).all()
+    # areas: piece sums ≤ merged (sliver drop), mostly exact
+    s = split.groupby(["r", "q"])["area"].sum()
+    m = merged.set_index(["r", "q"])["area"]
+    joined = s.to_frame("s").join(m.to_frame("m"), how="inner")
+    assert (joined["s"] <= joined["m"] + 1e-6).all()
+    assert np.isclose(joined["s"], joined["m"]).mean() > 0.8
+
+
 def test_patches_with_geometry(ray_session, tables, spec):
     """with_geometry=True emits clipped-hex WKB whose decoded area
     matches the area column (the reference's geometry list-column)."""
