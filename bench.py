@@ -235,30 +235,44 @@ def main_scaling():
     reps = int(os.environ.get("GRAFT_SCALE_REPS", "3"))
     # best-of-N per level: single-run variance on this shared VM is up
     # to ~1.6× (frequency scaling + page-cache state); min is the
-    # honest estimate of the job's cost at each level
-    # interleave the legs (lo, hi, lo, hi, ...) so machine-state drift
-    # between measurement windows hits both sides equally
-    lo_runs, hi_runs = [], []
+    # honest estimate of the job's cost at each level.
+    # Both protocols are measured and reported (round-1 verdict #8):
+    #   raw        — lo leg with idle cores free to turbo (pessimistic
+    #                for multi-node: single-socket clock artifact)
+    #   equal_clock— lo leg with nice'd spinners pinning total socket
+    #                load, simulating fixed-clock cluster nodes
+    # The hi leg is identical under both, so 3 legs per rep suffice.
+    # Interleave so machine-state drift hits all sides equally.
+    lo_eq_runs, lo_raw_runs, hi_runs = [], [], []
     for _ in range(reps):
-        lo_runs.append(run(lo, busy_target=hi))
+        if equal_clock:
+            lo_eq_runs.append(run(lo, busy_target=hi))
+        lo_raw_runs.append(run(lo, busy_target=lo))  # no spinners
         hi_runs.append(run(hi, busy_target=hi))
-    r_lo = min(lo_runs, key=lambda r: r["value"])
     r_hi = min(hi_runs, key=lambda r: r["value"])
-    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
-    print(
-        json.dumps(
-            {
-                "metric": f"scaling efficiency (N={lo} → 4N={hi} cpus, same input)",
-                f"sec_{lo}": r_lo["value"],
-                f"sec_{hi}": r_hi["value"],
-                f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
-                f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
-                "scaling_efficiency": round(eff, 3),
-                "equal_clock": equal_clock,
-                "sf": r_hi["sf"],
-            }
-        )
-    )
+    r_lo_raw = min(lo_raw_runs, key=lambda r: r["value"])
+    eff_raw = (r_lo_raw["value"] / r_hi["value"]) / (hi / lo)
+    result = {
+        "metric": f"scaling efficiency (N={lo} → 4N={hi} cpus, same input)",
+        f"sec_{lo}_raw": r_lo_raw["value"],
+        f"sec_{hi}": r_hi["value"],
+        f"docs_per_sec_{lo}_raw": r_lo_raw["docs_per_sec"],
+        f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
+        "scaling_efficiency_raw": round(eff_raw, 3),
+        "sf": r_hi["sf"],
+    }
+    if equal_clock:
+        r_lo_eq = min(lo_eq_runs, key=lambda r: r["value"])
+        eff_eq = (r_lo_eq["value"] / r_hi["value"]) / (hi / lo)
+        result[f"sec_{lo}_equal_clock"] = r_lo_eq["value"]
+        result[f"docs_per_sec_{lo}_equal_clock"] = r_lo_eq["docs_per_sec"]
+        result["scaling_efficiency_equal_clock"] = round(eff_eq, 3)
+        # headline number stays the equal-clock one (documented
+        # protocol, BASELINE.md), raw is alongside for transparency
+        result["scaling_efficiency"] = round(eff_eq, 3)
+    else:
+        result["scaling_efficiency"] = round(eff_raw, 3)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -72,6 +72,28 @@ def candidate_cells(spec: GridSpec, bbox: tuple, res: int = 0, block_rows: int =
     )
 
 
+def _simplify_landcover(landcover: pa.Table, keep: float) -> pa.Table:
+    """Shared-arc simplify every land-cover polygon as ONE layer so
+    category boundaries stay coincident (no slivers between adjacent
+    cells of different categories — the M11 topology guarantee)."""
+    from hexscape_ray.geom.topo import simplify_shared
+    from hexscape_ray.geom.wkb import multipolygon_to_wkb, wkb_to_rings
+
+    polys, row_of = [], []
+    for i, buf in enumerate(landcover.column("wkb").to_pylist()):
+        for rings in wkb_to_rings(buf):
+            polys.append([np.asarray(r) for r in rings])
+            row_of.append(i)
+    simp = simplify_shared(polys, keep=keep)
+    by_row: dict[int, list] = {}
+    for rid, rings in zip(row_of, simp):
+        by_row.setdefault(rid, []).append(rings)
+    wkbs = [multipolygon_to_wkb(by_row[i]) for i in range(len(landcover))]
+    return landcover.set_column(
+        landcover.column_names.index("wkb"), "wkb", pa.array(wkbs, type=pa.binary())
+    )
+
+
 def generate_patches(
     landscape: pa.Table,
     landcover: pa.Table | None,
@@ -80,6 +102,7 @@ def generate_patches(
     concurrency=(1, 8),
     split_parts: bool = False,
     with_geometry: bool = False,
+    simplify_keep: float | None = None,
 ) -> Dataset:
     """Hex patch table: (r, q, x, y, area, lu_sum, LU_<cat>...).
 
@@ -88,6 +111,12 @@ def generate_patches(
     ``landcover``: optional table with ``wkb`` + ``category``; when
     given, LU_* fraction columns are produced (A3 semantics with the
     Σ = 1 invariant, /root/reference/R/generate_patches.R:312-355).
+    ``simplify_keep``: when set, the land-cover polygons are
+    simplified TOPOLOGY-PRESERVINGLY (shared-arc, geom/topo.py) before
+    the per-hex clip — the reference's
+    ``ms_simplify(keep=simplify_keep, keep_shapes=TRUE, method="dp")``
+    on the per-category unions (:241); applied driver-side because the
+    land-cover table is the broadcast small side.
     """
     from hexscape_ray.geom.poly import rings_bbox
     from hexscape_ray.geom.wkb import wkb_to_rings
@@ -124,6 +153,8 @@ def generate_patches(
     if landcover is None:
         return patches
 
+    if simplify_keep is not None:
+        landcover = _simplify_landcover(landcover, simplify_keep)
     lc_ref = load_landcover_ref(landcover)
     cats = sorted(set(landcover.column("category").to_pylist()))
     cat_areas = patches.select_columns(["r", "q"]).map_batches(

@@ -34,7 +34,16 @@ DOC_LANGS = ["de", "en", "es", "fr", "zh"]  # driver documents table langs
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    # explicit metadata-free schema: the testdata files carry pandas
+    # schema metadata that defeats Ray's schema-dedup hash (cosmetic
+    # "Failed to hash the schemas" warning on every read otherwise)
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{table}.parquet"
+    schema = pq.ParquetFile(path).schema_arrow.remove_metadata()
+    if columns is not None:  # schema must match the pruned column set
+        schema = pa.schema([schema.field(c) for c in columns])
+    return ray.data.read_parquet(path, columns=columns, schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -884,8 +893,11 @@ def q_order_lineitem_join(sf_dir: str) -> Dataset:
             }
         )
 
+    # partition count scales with input (≈ one partition per 128 MB of
+    # the big side, floor 16) — a fixed 16 floods/starves at 100× data
+    n_parts = max(16, int(li.size_bytes() // (128 << 20)) + 1)
     joined = li.map_batches(prep, batch_format="pyarrow").join(
-        orders, join_type="inner", num_partitions=16, on=("o_orderkey",)
+        orders, join_type="inner", num_partitions=n_parts, on=("o_orderkey",)
     )
     return two_phase_sum(
         joined.select_columns(["o_orderpriority", "revenue_c100"]),
@@ -1216,6 +1228,83 @@ def q_minhash_pairs_verified(sf_dir: str):
     return out if len(out) else pd_.DataFrame({"a": [0], "b": [0], "jaccard": [0.0]})
 
 
+def q_crs_transform(sf_dir: str) -> Dataset:
+    """M9 CRS transform: lon/lat → EPSG:3035 (ellipsoidal LAEA,
+    from-scratch — geom/crs.py) on deterministic per-doc test points,
+    rounded to integer metres so the DuckDB oracle (same Snyder
+    formulas inlined as SQL) hash-matches despite libm ulp noise.
+
+    Replaces the reference's st_transform at every map read
+    (/root/reference/R/extract_corine.R:140)."""
+    from hexscape_ray.geom.crs import lonlat_to_epsg3035
+
+    def project(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lon = -10.0 + (doc_id % 450) / 10.0  # -10°..34.9° E
+        lat = 35.0 + (doc_id % 350) / 10.0  # 35°..69.9° N
+        x, y = lonlat_to_epsg3035(lon, lat)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "x_m": pa.array(np.floor(x + 0.5).astype(np.int64)),
+                "y_m": pa.array(np.floor(y + 0.5).astype(np.int64)),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        project, batch_format="pyarrow"
+    )
+
+
+# the same Snyder LAEA forward formulas, inlined as SQL over the same
+# derived test points; outputs rounded to integer metres (floor(x+0.5))
+SQL_CRS_TRANSFORM = """
+  WITH k AS (
+    SELECT 6378137.0 AS a,
+           (1.0/298.257222101)*(2.0 - 1.0/298.257222101) AS e2,
+           sqrt((1.0/298.257222101)*(2.0 - 1.0/298.257222101)) AS e,
+           radians(52.0) AS phi1, radians(10.0) AS lon0
+  ),
+  k2 AS (
+    SELECT *,
+      (1.0-e2)*(1.0/(1.0-e2) - (1.0/(2.0*e))*ln((1.0-e)/(1.0+e))) AS qp,
+      (1.0-e2)*(sin(phi1)/(1.0-e2*sin(phi1)*sin(phi1))
+        - (1.0/(2.0*e))*ln((1.0-e*sin(phi1))/(1.0+e*sin(phi1)))) AS q1
+    FROM k
+  ),
+  k3 AS (
+    SELECT *, asin(q1/qp) AS beta1, a*sqrt(qp/2.0) AS rq FROM k2
+  ),
+  k4 AS (
+    SELECT *, a*(cos(phi1)/sqrt(1.0-e2*sin(phi1)*sin(phi1)))/(rq*cos(beta1)) AS d
+    FROM k3
+  ),
+  pts AS (
+    SELECT doc_id,
+      radians(-10.0 + (doc_id % 450)/10.0) AS lam,
+      radians(35.0 + (doc_id % 350)/10.0) AS phi
+    FROM documents
+  ),
+  fwd AS (
+    SELECT doc_id, lam, phi,
+      asin(((1.0-e2)*(sin(phi)/(1.0-e2*sin(phi)*sin(phi))
+        - (1.0/(2.0*e))*ln((1.0-e*sin(phi))/(1.0+e*sin(phi)))))/qp) AS beta,
+      lam - lon0 AS dl, beta1, rq, d
+    FROM pts, k4
+  ),
+  fwd2 AS (
+    SELECT doc_id, beta, dl, beta1, rq, d,
+      rq*sqrt(2.0/(1.0 + sin(beta1)*sin(beta) + cos(beta1)*cos(beta)*cos(dl))) AS b
+    FROM fwd
+  )
+  SELECT doc_id,
+    CAST(floor(b*d*cos(beta)*sin(dl) + 4321000.0 + 0.5) AS BIGINT) AS x_m,
+    CAST(floor((b/d)*(cos(beta1)*sin(beta) - sin(beta1)*cos(beta)*cos(dl))
+         + 3210000.0 + 0.5) AS BIGINT) AS y_m
+  FROM fwd2
+"""
+
+
 def q_media_features(sf_dir: str) -> Dataset:
     """Multimodal plumbing: seeded media table → image feature stage
     (stub decode backend; rows-only)."""
@@ -1532,6 +1621,7 @@ RAY_QUERIES = {
     "minhash_pairs_verified": q_minhash_pairs_verified,
     "media_features": q_media_features,
     "video_frames": q_video_frames,
+    "crs_transform": q_crs_transform,
 }
 
 ORACLES = {
@@ -1565,6 +1655,7 @@ ORACLES = {
     "source_prefix_filter": SQL_SOURCE_PREFIX_FILTER,
     "hex_lineitem_salted": SQL_HEX_LINEITEM_AGG,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "crs_transform": SQL_CRS_TRANSFORM,
     # non-SQL (geometry / sketch / ANN) ops → rows-only checks:
     # doc_quality, minhash_bands, knn_cosine, generate_patches,
     # generate_neighbours, point_in_polygon, voronoi, habitat,

@@ -62,11 +62,27 @@ def bucketed_join(
 
     lschema, rschema = left.schema(), right.schema()  # ray.data.Schema
     lcols, rcols = list(lschema.names), list(rschema.names)
+
+    def _arrow_type(t) -> pa.DataType:
+        # pandas-backed Datasets report numpy dtypes / Python classes
+        # (e.g. `str`) instead of Arrow DataTypes — normalise
+        if isinstance(t, pa.DataType):
+            return t
+        if t is str:
+            return pa.string()
+        if t is bytes:
+            return pa.binary()
+        if np.dtype(t) == np.dtype("O"):
+            return pa.string()
+        return pa.from_numpy_dtype(np.dtype(t))
+
     # pad each side to the union schema with typed nulls so the two
     # Datasets share one Arrow schema and can union
-    all_fields = list(zip(lschema.names, lschema.types))
+    all_fields = [(n, _arrow_type(t)) for n, t in zip(lschema.names, lschema.types)]
     all_fields += [
-        (n, t) for n, t in zip(rschema.names, rschema.types) if n not in lcols
+        (n, _arrow_type(t))
+        for n, t in zip(rschema.names, rschema.types)
+        if n not in lcols
     ]
 
     def tag(side: str):

@@ -402,10 +402,12 @@ def affine_transform_batch(
     dy: float = 0.0,
     cols=(("x", "y"),),
 ) -> pa.Table:
-    """M9 CRS-transform stand-in (/root/reference/R/extract_corine.R:140):
-    no pyproj in-env, the engine is planar; supported re-projections
-    are affine (unit scale + translation, e.g. m ↔ km or datum
-    offsets), applied vectorised to point-column pairs."""
+    """M9 planar affine transform (m ↔ km, datum offsets), applied
+    vectorised to point-column pairs.  Full geodetic re-projection —
+    the reference's st_transform at every read
+    (/root/reference/R/extract_corine.R:140) — is
+    ``geom.crs.crs_transform_batch`` (from-scratch ellipsoidal LAEA,
+    EPSG:4326 ↔ EPSG:3035, <1e-3 m round-trip)."""
     for cx, cy in cols:
         x = np.asarray(batch[cx].to_numpy(zero_copy_only=False)) * scale + dx
         y = np.asarray(batch[cy].to_numpy(zero_copy_only=False)) * scale + dy

@@ -95,6 +95,7 @@ def run_partitioned(
     pipeline_fn: Callable[[list[str]], Dataset],
     spec_hash: str = "",
     fail_after: int | None = None,
+    content_hashing: bool = False,
 ) -> dict:
     """Process ``partitions`` (partition_id → input files) resumably.
 
@@ -102,6 +103,14 @@ def run_partitioned(
     partition pipeline; its output is written to
     ``out_dir/part=<pid>/``.  Returns summary stats.  ``fail_after``
     injects a crash after N completed partitions (kill–resume tests).
+
+    ``content_hashing``: audit mode — re-read each finished partition
+    and record an order-insensitive row hash in the manifest.  OFF by
+    default: at 100-TB scale it doubles checkpoint I/O (every written
+    byte read back through pandas), and resume correctness never
+    needed it (the manifest's version/spec-hash + atomic rename are
+    the resume gate).  The manifest records which mode wrote each
+    partition (``content_hash`` present or ``null``).
     """
     os.makedirs(out_dir, exist_ok=True)
     manifest = read_manifest(out_dir)
@@ -134,7 +143,8 @@ def run_partitioned(
             for name in os.listdir(tmp_dir):
                 if name.endswith(".parquet"):
                     rows += pq.read_metadata(os.path.join(tmp_dir, name)).num_rows
-            content_hash = _content_hash(tmp_dir)  # before rename: a hash
+            # audit-mode only: hashing re-reads every written byte
+            content_hash = _content_hash(tmp_dir) if content_hashing else None
             os.rename(tmp_dir, part_dir)  # failure leaves only tmp (retried clean)
             _append_manifest(
                 out_dir,

@@ -42,11 +42,16 @@ def sharded_pages(ray_session, tmp_path_factory):
 def test_kill_resume_skips_finished(sharded_pages, tmp_path):
     out = str(tmp_path / "out")
     with pytest.raises(RuntimeError, match="injected failure"):
-        run_partitioned(sharded_pages, out, _pipeline, spec_hash="h1", fail_after=2)
+        run_partitioned(
+            sharded_pages, out, _pipeline, spec_hash="h1", fail_after=2,
+            content_hashing=True,
+        )
     m = read_manifest(out)
     assert sum(1 for r in m.values() if r["status"] == "ok") == 2
 
-    stats = run_partitioned(sharded_pages, out, _pipeline, spec_hash="h1")
+    stats = run_partitioned(
+        sharded_pages, out, _pipeline, spec_hash="h1", content_hashing=True
+    )
     assert stats["skipped"] == 2 and stats["done"] == 2 and stats["failed"] == 0
     m2 = read_manifest(out)
     assert len(m2) == 4 and all(r["status"] == "ok" for r in m2.values())
@@ -70,9 +75,12 @@ def test_resume_output_byte_identical(sharded_pages, tmp_path):
     out1 = str(tmp_path / "a")
     out2 = str(tmp_path / "b")
     with pytest.raises(RuntimeError):
-        run_partitioned(sharded_pages, out1, _pipeline, spec_hash="h", fail_after=3)
-    run_partitioned(sharded_pages, out1, _pipeline, spec_hash="h")
-    run_partitioned(sharded_pages, out2, _pipeline, spec_hash="h")
+        run_partitioned(
+            sharded_pages, out1, _pipeline, spec_hash="h", fail_after=3,
+            content_hashing=True,
+        )
+    run_partitioned(sharded_pages, out1, _pipeline, spec_hash="h", content_hashing=True)
+    run_partitioned(sharded_pages, out2, _pipeline, spec_hash="h", content_hashing=True)
     m1, m2 = read_manifest(out1), read_manifest(out2)
     for pid in m1:
         assert m1[pid]["content_hash"] == m2[pid]["content_hash"]
@@ -174,3 +182,16 @@ def test_etl_partitioned_by_lang(ray_session, tmp_path):
     assert all(v > 0 for v in per_dir.values())
     agg = enriched_hex_stats(out).to_pandas()
     assert agg["n_docs"].sum() == 800
+
+
+def test_resume_default_mode_no_content_hash(sharded_pages, tmp_path):
+    """Default (production) mode skips the content-hash re-read —
+    manifest records null — and kill–resume still works."""
+    out = str(tmp_path / "nohash")
+    with pytest.raises(RuntimeError):
+        run_partitioned(sharded_pages, out, _pipeline, spec_hash="h", fail_after=2)
+    stats = run_partitioned(sharded_pages, out, _pipeline, spec_hash="h")
+    assert stats["skipped"] == 2 and stats["done"] == 2
+    m = read_manifest(out)
+    assert all(r["status"] == "ok" for r in m.values())
+    assert all(r["content_hash"] is None for r in m.values())

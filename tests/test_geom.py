@@ -206,3 +206,139 @@ def test_clip_polygon_parts_hole_attachment():
     comps = clip_polygon_convex_parts([shell, hole], convex_clip_bbox(-1, -1, 11, 11))
     assert len(comps) == 1
     assert np.isclose(polygon_area(comps[0]), 100.0 - 12.0)
+
+
+# ---------------------------------------------------------------------------
+# CRS: from-scratch EPSG:4326 ↔ EPSG:3035 (ellipsoidal LAEA, M9)
+# ---------------------------------------------------------------------------
+
+
+def test_laea_epsg_guidance_point():
+    """IOGP Guidance Note 7-2 worked example for LAEA Europe:
+    50°N 5°E → E 3962799.45, N 2999718.85 (published test vector)."""
+    from hexscape_ray.geom.crs import lonlat_to_epsg3035
+
+    x, y = lonlat_to_epsg3035(np.array([5.0]), np.array([50.0]))
+    assert abs(x[0] - 3962799.45) < 0.01
+    assert abs(y[0] - 2999718.85) < 0.01
+
+
+def test_laea_roundtrip_under_one_metre():
+    from hexscape_ray.geom.crs import epsg3035_to_lonlat, lonlat_to_epsg3035
+
+    rng = np.random.default_rng(1)
+    lon = rng.uniform(-10, 35, 5000)
+    lat = rng.uniform(35, 70, 5000)
+    x, y = lonlat_to_epsg3035(lon, lat)
+    lo2, la2 = epsg3035_to_lonlat(x, y)
+    x2, y2 = lonlat_to_epsg3035(lo2, la2)
+    assert np.max(np.hypot(x - x2, y - y2)) < 1.0  # parity bar; measured ~1e-3
+
+
+def test_laea_equal_area_property():
+    """LAEA preserves areas: a 0.1°×0.1° cell's projected area matches
+    the ellipsoidal authalic area within 1e-6 relative."""
+    from hexscape_ray.geom.crs import GRS80_A, GRS80_E2, lonlat_to_epsg3035
+    from hexscape_ray.geom.poly import ring_area
+
+    for lon0, lat0 in [(10.0, 52.0), (-5.0, 40.0), (25.0, 65.0)]:
+        d = 0.1
+        lons = np.array([lon0, lon0 + d, lon0 + d, lon0])
+        lats = np.array([lat0, lat0, lat0 + d, lat0 + d])
+        # densify edges so the projected quad approximates the true cell
+        ring = []
+        for i in range(4):
+            a = np.array([lons[i], lats[i]])
+            b = np.array([lons[(i + 1) % 4], lats[(i + 1) % 4]])
+            for t in np.linspace(0, 1, 50, endpoint=False):
+                ring.append(a + t * (b - a))
+        ring = np.asarray(ring)
+        X, Y = lonlat_to_epsg3035(ring[:, 0], ring[:, 1])
+        got = abs(ring_area(np.c_[X, Y]))
+        # ellipsoidal area of the lon/lat cell via the authalic q
+        from hexscape_ray.geom.crs import _q_authalic, GRS80_E
+
+        q1 = _q_authalic(np.sin(np.radians(lat0)), GRS80_E, GRS80_E2)
+        q2 = _q_authalic(np.sin(np.radians(lat0 + d)), GRS80_E, GRS80_E2)
+        want = GRS80_A**2 / 2.0 * (q2 - q1) * np.radians(d)
+        assert abs(got - want) / want < 1e-6, (lon0, lat0, got, want)
+
+
+# ---------------------------------------------------------------------------
+# topology-preserving simplification (M11, geom/topo.py)
+# ---------------------------------------------------------------------------
+
+
+def _wiggly_grid(nx=3, ny=3, pts_per_edge=9, seed=7):
+    """nx×ny adjacent cells whose shared boundaries are wiggly but
+    IDENTICAL between neighbours (built from shared edge paths)."""
+    rng = np.random.default_rng(seed)
+    # horizontal/vertical edge paths between lattice corners
+    def path(a, b):
+        t = np.linspace(0, 1, pts_per_edge)[1:-1, None]
+        mid = a + t * (b - a)
+        normal = np.array([-(b - a)[1], (b - a)[0]], float)
+        normal /= np.linalg.norm(normal)
+        mid = mid + (rng.uniform(-0.15, 0.15, len(mid)))[:, None] * normal
+        return np.vstack([a, mid, b])
+
+    hpaths = {}
+    vpaths = {}
+    for j in range(ny + 1):
+        for i in range(nx):
+            a, b = np.array([i, j], float), np.array([i + 1, j], float)
+            hpaths[(i, j)] = path(a, b) if 0 < j < ny else np.vstack([a, b])
+    for j in range(ny):
+        for i in range(nx + 1):
+            a, b = np.array([i, j], float), np.array([i, j + 1], float)
+            vpaths[(i, j)] = path(a, b) if 0 < i < nx else np.vstack([a, b])
+    cells = []
+    for j in range(ny):
+        for i in range(nx):
+            bottom = hpaths[(i, j)]
+            right = vpaths[(i + 1, j)]
+            top = hpaths[(i, j + 1)][::-1]
+            left = vpaths[(i, j)][::-1]
+            ring = np.vstack([bottom[:-1], right[:-1], top[:-1], left[:-1]])
+            cells.append([ring])
+    return cells
+
+
+def test_simplify_shared_no_gaps():
+    """Adjacent cells keep IDENTICAL simplified shared boundaries: the
+    layer's total area equals the exact lattice area afterwards (no
+    slivers), while most wiggle vertices are dropped."""
+    from hexscape_ray.geom.poly import polygon_area
+    from hexscape_ray.geom.topo import simplify_shared
+
+    cells = _wiggly_grid()
+    simp = simplify_shared(cells, keep=0.1)
+    n_before = sum(len(c[0]) for c in cells)
+    n_after = sum(len(c[0]) for c in simp)
+    assert n_after < 0.55 * n_before
+    total = sum(polygon_area(c) for c in simp)
+    assert abs(total - 9.0) < 1e-9  # 3×3 unit cells exactly — gap-free
+
+
+def test_simplify_shared_keep_shapes():
+    """A polygon is never collapsed below 3 distinct vertices even at
+    keep→0 (ms_simplify keep_shapes=TRUE semantics)."""
+    from hexscape_ray.geom.poly import ring_area
+    from hexscape_ray.geom.topo import simplify_shared
+
+    tri = np.array([[0, 0], [1, 0], [0.5, 0.05], [0.5, 1]], float)
+    simp = simplify_shared([[tri]], keep=0.0)
+    ring = simp[0][0]
+    assert ring.shape[0] >= 3
+    assert abs(ring_area(ring)) > 0
+
+
+def test_simplify_shared_hole_structure():
+    from hexscape_ray.geom.poly import polygon_area
+    from hexscape_ray.geom.topo import simplify_shared
+
+    shell = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)
+    hole = np.array([[4, 4], [6, 4], [6.01, 5], [6, 6], [4, 6]], float)
+    simp = simplify_shared([[shell, hole]], keep=0.9)
+    assert len(simp[0]) == 2  # hole ring survives
+    assert abs(polygon_area(simp[0]) - polygon_area([shell, hole])) < 0.2

@@ -233,3 +233,23 @@ def test_patches_with_geometry(ray_session, tables, spec):
     for row in out.head(40).itertuples(index=False):
         decoded = sum(polygon_area(rings) for rings in wkb_to_rings(row.wkb))
         assert np.isclose(decoded, row.area, rtol=1e-9)
+
+
+def test_generate_patches_simplify_keep(ray_session, tables, spec, patches_df):
+    """M11: simplify_keep applies shared-arc topology-preserving
+    simplification to the land-cover layer before the clip; LU
+    fractions still sum to 1 and stay close to the unsimplified run
+    (the landcover fixture is mostly rectangles, so little can move)."""
+    admin, landcover = tables
+    country = admin.filter(pa.compute.equal(admin.column("level"), 0))
+    simp = generate_patches(
+        country, landcover, spec, simplify_keep=0.5
+    ).to_pandas()
+    lu_cols = [c for c in simp.columns if c.startswith("LU_")]
+    assert np.allclose(simp[lu_cols].sum(axis=1), 1.0)
+    assert len(simp) == len(patches_df)
+    a = simp.sort_values(["q", "r"], ignore_index=True)
+    b = patches_df.sort_values(["q", "r"], ignore_index=True)
+    # same hexes, land-use mix within a few percent of the exact layer
+    assert (a["r"] == b["r"]).all() and (a["q"] == b["q"]).all()
+    assert np.abs(a[lu_cols].to_numpy() - b[lu_cols].to_numpy()).max() < 0.05
