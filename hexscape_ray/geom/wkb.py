@@ -13,6 +13,7 @@ import struct
 import numpy as np
 
 WKB_POINT = 1
+WKB_LINESTRING = 2
 WKB_POLYGON = 3
 WKB_MULTIPOLYGON = 6
 
@@ -21,6 +22,18 @@ _LE = b"\x01"
 
 def point_to_wkb(x: float, y: float) -> bytes:
     return _LE + struct.pack("<I", WKB_POINT) + struct.pack("<dd", x, y)
+
+
+def linestring_to_wkb(pts) -> bytes:
+    """Open path → WKB LineString (the reference's RandomShift audit
+    geometry, /root/reference/R/randomise_voronoi.R:235)."""
+    p = np.asarray(pts, dtype="<f8")
+    return (
+        _LE
+        + struct.pack("<I", WKB_LINESTRING)
+        + struct.pack("<I", p.shape[0])
+        + p.tobytes()
+    )
 
 
 def _ring_bytes(ring: np.ndarray) -> bytes:

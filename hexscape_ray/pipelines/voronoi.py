@@ -179,6 +179,7 @@ def randomise_voronoi(
     seed: int = 1,
     mask_ids: set | None = None,
     from_type: str = "point",
+    additional_info: bool = False,
 ) -> pd.DataFrame:
     """Anonymise points by reassigning each to a sampled location in a
     voronoi cell drawn from its symmetric k-nearest pool, without
@@ -193,6 +194,16 @@ def randomise_voronoi(
     masked points are NOT moved — they keep their own cell (which stays
     consumed, preserving without-replacement) and carry the
     ``VoronoiMasked`` audit flag.
+
+    ``additional_info`` (/root/reference/R/randomise_voronoi.R:234-244):
+    adds the reference's audit-column surface — ``shift_wkb``
+    (LineString original→new, RandomShift), ``from_wkb`` / ``to_wkb``
+    (the rank-source geometries, FromType/ToType), ``cell_wkb`` /
+    ``assigned_cell_wkb`` (own and assigned voronoi cells,
+    VoronoiUnmasked/VoronoiMasked analogue), ``n_to_candidates``
+    (pool size, ToCandidates), ``n_from_candidates`` (pools containing
+    this point, FromCandidates) and ``from_times_chosen``
+    (FromTimesChosen).
     """
     vor = discretise_voronoi(points, bbox).to_pandas().sort_values("idx", ignore_index=True)
     # from_type knob (§2.10, /root/reference/R/randomise_voronoi.R:114-133):
@@ -278,4 +289,26 @@ def randomise_voronoi(
     out["new_y"] = new_y
     out["RandomShift"] = out["assigned_cell"] != out["idx"]
     out["VoronoiMasked"] = masked
+    if additional_info:
+        from hexscape_ray.geom.wkb import linestring_to_wkb, point_to_wkb
+
+        out["shift_wkb"] = [
+            linestring_to_wkb([[ox, oy], [nx, ny]])
+            for ox, oy, nx, ny in zip(out["x"], out["y"], new_x, new_y)
+        ]
+        out["from_wkb"] = [point_to_wkb(a, b) for a, b in zip(px, py)]
+        out["to_wkb"] = [point_to_wkb(a, b) for a, b in zip(new_x, new_y)]
+        out["cell_wkb"] = vor["wkb"]
+        own_cell_wkb = dict(zip(vor["idx"].astype(int), vor["wkb"]))
+        out["assigned_cell_wkb"] = [own_cell_wkb[c] for c in out["assigned_cell"]]
+        out["n_to_candidates"] = [len(p) for p in pools]
+        chosen_by = np.zeros(n, dtype=np.int64)
+        for p in pools:
+            for j in p:
+                chosen_by[j] += 1
+        out["n_from_candidates"] = chosen_by
+        times_chosen = np.zeros(n, dtype=np.int64)
+        for a in assign:
+            times_chosen[a] += 1
+        out["from_times_chosen"] = times_chosen
     return out

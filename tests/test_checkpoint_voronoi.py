@@ -195,3 +195,35 @@ def test_resume_default_mode_no_content_hash(sharded_pages, tmp_path):
     m = read_manifest(out)
     assert all(r["status"] == "ok" for r in m.values())
     assert all(r["content_hash"] is None for r in m.values())
+
+
+def test_randomise_voronoi_additional_info(points_ds):
+    """additional_info emits the reference audit-column surface
+    (/root/reference/R/randomise_voronoi.R:234-244) with the
+    without-replacement invariants visible in the counters."""
+    from hexscape_ray.geom.wkb import wkb_to_point
+
+    small = points_ds.limit(40)
+    out = randomise_voronoi(
+        small, randomise_size=10, max_tries=100, seed=2, additional_info=True
+    )
+    for col in (
+        "shift_wkb",
+        "from_wkb",
+        "to_wkb",
+        "cell_wkb",
+        "assigned_cell_wkb",
+        "n_to_candidates",
+        "n_from_candidates",
+        "from_times_chosen",
+    ):
+        assert col in out.columns, col
+    # without replacement: every cell chosen exactly once
+    assert (out["from_times_chosen"] == 1).all()
+    assert out["from_times_chosen"].sum() == len(out)
+    # pool counters: symmetric closure makes both ≥ k+1 on average
+    assert (out["n_to_candidates"] >= 2).all()
+    assert (out["n_from_candidates"] >= 1).all()
+    # to_wkb decodes back to the new location
+    x0, y0 = wkb_to_point(out["to_wkb"].iloc[0])
+    assert x0 == out["new_x"].iloc[0] and y0 == out["new_y"].iloc[0]

@@ -7,6 +7,7 @@ Usage:  python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
@@ -63,7 +64,12 @@ def main():
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("HEXRAY_ORACLE_CPUS", "16")),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -81,31 +87,54 @@ def main():
     ]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    n_fail = 0
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
+    def check_one(name: str) -> tuple[str, bool]:
+        fn = qs[name]
         try:
-            ray_df = to_pandas(fn(sf_dir))
+            try:
+                ray_df = to_pandas(fn(sf_dir))
+            except ImportError:
+                # concurrent threads can race Ray's OPTIONAL fsspec/http
+                # import (not cached on failure); retry once serially
+                ray_df = to_pandas(fn(sf_dir))
         except Exception as e:
-            print(f"FAIL {name}: ray error {type(e).__name__}: {e}")
-            n_fail += 1
-            continue
+            return f"FAIL {name}: ray error {type(e).__name__}: {e}", True
         if name not in oracles:
-            print(f"ok   {name}: rows-only ({len(ray_df)} rows, cols {sorted(ray_df.columns)})")
-            continue
+            return (
+                f"ok   {name}: rows-only ({len(ray_df)} rows, cols {sorted(ray_df.columns)})",
+                False,
+            )
         try:
-            sql_df = con.sql(oracles[name]).df()
+            # per-thread cursor: duckdb connections are not thread-safe
+            sql_df = con.cursor().sql(oracles[name]).df()
         except Exception as e:
-            print(f"FAIL {name}: sql error {e}")
-            n_fail += 1
-            continue
+            return f"FAIL {name}: sql error {e}", True
         errs = compare(name, ray_df, sql_df)
         if errs:
-            print(f"FAIL {name}: " + "; ".join(errs))
-            n_fail += 1
-        else:
-            print(f"PASS {name} ({len(ray_df)} rows)")
+            return f"FAIL {name}: " + "; ".join(errs), True
+        return f"PASS {name} ({len(ray_df)} rows)", False
+
+    names = [n for n in qs if not only or n in only]
+    n_fail = 0
+    if os.environ.get("HEXRAY_ORACLE_SEQ") == "1" or len(names) == 1:
+        results = [check_one(n) for n in names]
+    else:
+        # queries are independent Datasets — run several concurrently
+        # so the gate is wall-clock-bound by the slowest queries, not
+        # the sum (measured: 112 s sequential → 72 s at 4 threads /
+        # 16 cpus on sf0.01; contention-bound beyond that).
+        # Warm lazy code paths first (one tiny read) — concurrent FIRST
+        # imports of Ray's optional fs backends race otherwise.
+        import ray.data
+
+        ray.data.read_parquet(f"{sf_dir}/region.parquet").count()
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = int(os.environ.get("HEXRAY_ORACLE_THREADS", "4"))
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            results = list(pool.map(check_one, names))
+    for msg, failed in results:
+        print(msg)
+        n_fail += int(failed)
     ray.shutdown()
     sys.exit(1 if n_fail else 0)
 
