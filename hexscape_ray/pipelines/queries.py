@@ -1228,6 +1228,15 @@ def q_minhash_pairs_verified(sf_dir: str):
     return out if len(out) else pd_.DataFrame({"a": [0], "b": [0], "jaccard": [0.0]})
 
 
+def q_events_sessions_stream(sf_dir: str):
+    """Streaming sessionization: incremental per-shard actor state fed
+    a ts-ordered stream (stages/streaming.py) — same output as the
+    batch operator, checked against the SAME SQL oracle."""
+    from hexscape_ray.stages.streaming import streaming_sessions
+
+    return streaming_sessions(_read(sf_dir, "events", ["user_id", "ts"]))
+
+
 def q_crs_transform(sf_dir: str) -> Dataset:
     """M9 CRS transform: lon/lat → EPSG:3035 (ellipsoidal LAEA,
     from-scratch — geom/crs.py) on deterministic per-doc test points,
@@ -1622,6 +1631,7 @@ RAY_QUERIES = {
     "media_features": q_media_features,
     "video_frames": q_video_frames,
     "crs_transform": q_crs_transform,
+    "events_sessions_stream": q_events_sessions_stream,
 }
 
 ORACLES = {
@@ -1656,6 +1666,7 @@ ORACLES = {
     "hex_lineitem_salted": SQL_HEX_LINEITEM_AGG,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "crs_transform": SQL_CRS_TRANSFORM,
+    "events_sessions_stream": SQL_EVENTS_SESSIONS,
     # non-SQL (geometry / sketch / ANN) ops → rows-only checks:
     # doc_quality, minhash_bands, knn_cosine, generate_patches,
     # generate_neighbours, point_in_polygon, voronoi, habitat,

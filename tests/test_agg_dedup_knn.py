@@ -263,3 +263,58 @@ def test_bucketed_join_string_keys(ray_session):
     want = left.merge(right, on="name").sort_values(["name", "a"], ignore_index=True)
     assert len(got) == len(want)
     assert np.array_equal(got["b"].to_numpy(), want["b"].to_numpy())
+
+
+def test_streaming_sessions_matches_batch(ray_session):
+    """Incremental per-shard actor sessionization == the batch
+    groupby operator on the same events, including session ordinals
+    and durations."""
+    from hexscape_ray.pipelines.queries import q_events_sessions, q_events_sessions_stream
+
+    sf = "/root/testdata/sf0.01"
+    stream = q_events_sessions_stream(sf)
+    batch = (
+        q_events_sessions(sf)
+        .to_pandas()
+        .sort_values(["user_id", "session_id"], ignore_index=True)
+    )
+    assert len(stream) == len(batch)
+    for c in ("user_id", "session_id", "n_events", "duration_s"):
+        assert np.array_equal(stream[c].to_numpy(), batch[c].to_numpy()), c
+
+
+def test_streaming_sessions_mid_stream_drain(ray_session):
+    """drain() emits closed sessions incrementally; drained + flushed
+    together equal the full output (no loss, no duplication)."""
+    import pyarrow as pa_
+    import ray as ray_
+
+    from hexscape_ray.stages.streaming import GAP_US, SessionShard
+
+    ts = []
+    users = []
+    # two users, three sessions each, well separated
+    for s in range(3):
+        base = s * 10 * GAP_US
+        for k in range(4):
+            for u in (1, 2):
+                users.append(u)
+                ts.append(base + k * 1000)
+    order = np.argsort(np.asarray(ts), kind="stable")
+    ua = np.asarray(users, dtype=np.int64)[order]
+    ta = np.asarray(ts, dtype=np.int64)[order]
+
+    shard = SessionShard.remote(GAP_US)
+    half = len(ua) // 2
+    ray_.get(shard.feed.remote(ua[:half], ta[:half]))
+    early = ray_.get(shard.drain.remote())
+    ray_.get(shard.feed.remote(ua[half:], ta[half:]))
+    late = ray_.get(shard.flush.remote())
+    got = pa_.concat_tables([t for t in (early, late) if len(t)]).to_pandas()
+    got = got.sort_values(["user_id", "session_id"], ignore_index=True)
+    assert len(early) > 0  # sessions really closed mid-stream
+    assert len(got) == 6  # 2 users × 3 sessions
+    assert (got["n_events"] == 4).all()
+    assert got.groupby("user_id")["session_id"].apply(
+        lambda s: list(s) == [1, 2, 3]
+    ).all()
