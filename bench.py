@@ -10,9 +10,10 @@ Prints ONE JSON line:
   {"metric": ..., "value": sec, "unit": "sec", "queries": {...},
    "sf": ..., "num_cpus": N, "docs_per_sec": ...}
 
---scaling: runs the headline twice in fresh processes (num_cpus=8 and
-32) on the SAME cached input and reports both throughputs plus
-efficiency = (t8/t32)/4  (1.0 = perfectly linear).
+--scaling: runs the headline at N and 4N cpus (default 4 → 16) in
+fresh processes on the SAME cached input and reports throughput at
+both plus efficiency = (tN/t4N)/4 (1.0 = perfectly linear), under BOTH
+the raw and the equal-clock protocol (see BASELINE.md).
 """
 
 from __future__ import annotations

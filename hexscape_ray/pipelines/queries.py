@@ -135,6 +135,75 @@ SQL_HEX_DOC_COUNTS = (
 )
 
 
+def q_hex_kring(sf_dir: str, k: int = 2) -> Dataset:
+    """k-ring hex-neighbourhood aggregate (the north-star's "kNN
+    hex-neighbour query"): for every populated hex, the total docs in
+    its axial disk of radius k — pure offset expansion + groupby, no
+    spatial join (J3 semantics, grid.grid_disk_axial), then a
+    broadcast-membership filter to populated cells only."""
+    from hexscape_ray import grid as hexgrid
+
+    counts = q_hex_doc_counts(sf_dir).select_columns(["r", "q", "n_docs"])
+    dr, dq = hexgrid.grid_disk_axial(0, 0, k)
+    dr, dq = dr[0], dq[0]
+    # populated-cell membership: per-hex tables are landscape-bounded,
+    # so collecting the keys is a correct small-side broadcast
+    keys_df = counts.select_columns(["r", "q"]).to_pandas()
+    key_ref = ray.put(set(zip(keys_df["r"].astype(int), keys_df["q"].astype(int))))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        r = batch["r"].to_numpy(zero_copy_only=False)
+        q = batch["q"].to_numpy(zero_copy_only=False)
+        n = batch["n_docs"].to_numpy(zero_copy_only=False)
+        m = dr.shape[0]
+        return pa.table(
+            {
+                "r": pa.array(np.repeat(r, m) + np.tile(dr, r.shape[0])),
+                "q": pa.array(np.repeat(q, m) + np.tile(dq, r.shape[0])),
+                "n_docs": pa.array(np.repeat(n, m)),
+            }
+        )
+
+    def keep_existing(batch: pa.Table) -> pa.Table:
+        keys = ray.get(key_ref)
+        r = batch["r"].to_numpy(zero_copy_only=False)
+        q = batch["q"].to_numpy(zero_copy_only=False)
+        mask = np.fromiter(
+            ((rr, qq) in keys for rr, qq in zip(r, q)), dtype=bool, count=r.shape[0]
+        )
+        return batch.filter(pa.array(mask))
+
+    summed = two_phase_sum(
+        counts.map_batches(expand, batch_format="pyarrow"),
+        ["r", "q"],
+        ["n_docs"],
+        count_as=None,
+    )
+    out = summed.map_batches(keep_existing, batch_format="pyarrow")
+    return out.rename_columns({"n_docs": "kring_docs"})
+
+
+SQL_HEX_KRING = (
+    _hex_cte("documents", "doc_id", "doc_id")
+    + """
+  , counts AS (SELECT r, q, count(*) AS n_docs FROM hexed GROUP BY r, q),
+  offs AS (
+    SELECT t1.dq, t2.dr
+    FROM (SELECT range AS dq FROM range(-2, 3)) t1,
+         (SELECT range AS dr FROM range(-2, 3)) t2
+    WHERE (abs(t1.dq) + abs(t2.dr) + abs(t1.dq + t2.dr)) / 2 <= 2
+  ),
+  ring AS (
+    SELECT c.r + o.dr AS r, c.q + o.dq AS q, c.n_docs
+    FROM counts c, offs o
+  )
+  SELECT ring.r, ring.q, CAST(sum(ring.n_docs) AS BIGINT) AS kring_docs
+  FROM ring JOIN counts ex ON ring.r = ex.r AND ring.q = ex.q
+  GROUP BY ring.r, ring.q
+"""
+)
+
+
 def q_hex_lang_mix(sf_dir: str) -> Dataset:
     """Per-hex language mix: wide counts + proportions (Σ = 1)."""
     ds = _read(sf_dir, "documents", ["doc_id", "lang"])
@@ -1632,6 +1701,7 @@ RAY_QUERIES = {
     "video_frames": q_video_frames,
     "crs_transform": q_crs_transform,
     "events_sessions_stream": q_events_sessions_stream,
+    "hex_kring": q_hex_kring,
 }
 
 ORACLES = {
@@ -1667,6 +1737,7 @@ ORACLES = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "crs_transform": SQL_CRS_TRANSFORM,
     "events_sessions_stream": SQL_EVENTS_SESSIONS,
+    "hex_kring": SQL_HEX_KRING,
     # non-SQL (geometry / sketch / ANN) ops → rows-only checks:
     # doc_quality, minhash_bands, knn_cosine, generate_patches,
     # generate_neighbours, point_in_polygon, voronoi, habitat,

@@ -96,15 +96,29 @@ def ivf_topk(
     corpus: Dataset,
     queries: pd.DataFrame,
     k: int = 10,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     n_probe: int = 4,
     train_sample: int = 2048,
 ) -> Dataset:
     """IVF ANN: bucket corpus by nearest centroid, probe n_probe buckets
-    per query.  Approximate by design; recall grows with n_probe."""
-    sample = np.asarray(
-        corpus.limit(train_sample).to_pandas()["embedding"].tolist(), dtype=np.float64
+    per query.  Approximate by design; recall grows with n_probe.
+
+    Scale defaults (round-1 verdict): ``n_centroids`` derives as √n
+    (clamped [16, 65536]) so bucket population stays ~√n as the corpus
+    grows, and the training sample is a seeded RANDOM sample of the
+    corpus (``random_sample``), not the first rows — first-rows
+    sampling is biased whenever the corpus is sorted or clustered by
+    write order."""
+    n = corpus.count()  # parquet-metadata count, no scan
+    if n_centroids is None:
+        n_centroids = int(min(65536, max(16, np.sqrt(max(n, 1)))))
+    frac = min(1.0, (4.0 * train_sample) / max(n, 1))
+    sampled = (
+        corpus.random_sample(frac, seed=13).limit(train_sample).to_pandas()
+        if frac < 1.0
+        else corpus.to_pandas()
     )
+    sample = np.asarray(sampled["embedding"].tolist(), dtype=np.float64)
     C = train_centroids(sample, n_centroids)
     c_ref = ray.put(C)
 
