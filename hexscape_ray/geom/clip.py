@@ -292,10 +292,11 @@ def clip_polygon_convex_parts(rings, clip_ring: np.ndarray, eps: float = 1e-9):
     list [shell, holes…] (even-odd).  Clipped holes attach to the
     component whose shell contains them.
 
-    Documented edge case: a hole part that touches the window boundary
-    keeps the even-odd AREA exact but does not further split its
-    component (the reference's st_buffer(0) normalises the same shapes);
-    component counts can undercount only in that configuration."""
+    Edge case (this function only): a hole part that touches the
+    window boundary keeps the even-odd AREA exact but does not further
+    split its component here — use :func:`clip_polygon_components`,
+    which detects that configuration and falls back to the exact
+    trapezoid-decomposition splitter (geom/trapezoid.py)."""
     from hexscape_ray.geom.poly import points_in_ring
 
     comps = clip_ring_convex_parts(rings[0], clip_ring, eps)
@@ -310,6 +311,56 @@ def clip_polygon_convex_parts(rings, clip_ring: np.ndarray, eps: float = 1e-9):
                     comp.append(hp)
                     break
     return out
+
+
+def clip_polygon_components(rings, clip_ring: np.ndarray, eps: float = 1e-9):
+    """Holed polygon ∩ convex window → TRUE connected components as
+    ``(area, cx, cy, polygons)`` tuples, ``polygons`` a list of ring
+    lists ready for ``multipolygon_to_wkb``.
+
+    Fast path: the Weiler–Atherton ring components (one simple polygon
+    each, holes attached).  When a clipped HOLE part touches the window
+    boundary — the configuration that can cut a component in two, which
+    the ring-based clipper cannot express — the even-odd ring set is
+    re-split exactly via trapezoid decomposition
+    (:func:`hexscape_ray.geom.trapezoid.region_components`); those
+    components' geometry is the trapezoid partition (valid MultiPolygon,
+    exact area/centroid)."""
+    from hexscape_ray.geom.poly import polygon_area, polygon_centroid
+
+    comps = clip_polygon_convex_parts(rings, clip_ring, eps)
+    if not comps:
+        return []
+
+    win = _close(np.asarray(clip_ring, dtype=np.float64))
+    if ring_area(win) < 0:
+        win = win[::-1]
+    edges = _edges_ccw(win[:-1])
+    scale = max(
+        win[:, 0].max() - win[:, 0].min(), win[:, 1].max() - win[:, 1].min(), 1e-300
+    )
+    tol = eps * scale
+
+    def touches_boundary(ring: np.ndarray) -> bool:
+        d = np.full(ring.shape[0], -np.inf)
+        for ax, ay, nx, ny in edges:
+            d = np.maximum(d, (ring[:, 0] - ax) * nx + (ring[:, 1] - ay) * ny)
+        return bool((np.abs(d) <= tol).any())
+
+    risky = any(
+        touches_boundary(np.asarray(h)) for comp in comps for h in comp[1:]
+    )
+    if not risky:
+        return [
+            (polygon_area(c), *polygon_centroid(c), [c]) for c in comps
+        ]
+    from hexscape_ray.geom.trapezoid import region_components
+
+    flat = [r for comp in comps for r in comp]
+    return [
+        (a, cx, cy, [[q] for q in quads])
+        for a, cx, cy, quads in region_components(flat)
+    ]
 
 
 def _interior_point(ring: np.ndarray) -> tuple[float, float]:

@@ -16,13 +16,13 @@ Parity target:
   NE/E/SE/SW/W/NW from centroid deltas.
 
 Part splitting (M5): with ``split_parts=True`` hexes cut into
-disjoint pieces — by multi-part landscapes (islands) or by a CONCAVE
-single landscape polygon (coastline notch) — explode into per-part
-rows, matching the reference's st_cast(POLYGON)
+disjoint pieces — by multi-part landscapes (islands), by a CONCAVE
+single landscape polygon (coastline notch), or by a HOLE crossing the
+hex (impassable river) — explode into per-part rows, matching the
+reference's st_cast(POLYGON)
 (/root/reference/R/generate_patches.R:148-185) via the convex-window
-Weiler–Atherton clip in ``geom/clip.py``.  Remaining edge case
-(documented there): a landscape hole part touching the hex boundary
-keeps exact area but does not further split its component.
+Weiler–Atherton clip with an exact trapezoid-decomposition fallback
+(``geom/clip.py::clip_polygon_components``, ``geom/trapezoid.py``).
 """
 
 from __future__ import annotations

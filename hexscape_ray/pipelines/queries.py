@@ -1306,6 +1306,47 @@ def q_events_sessions_stream(sf_dir: str):
     return streaming_sessions(_read(sf_dir, "events", ["user_id", "ts"]))
 
 
+def q_priority_price_quantiles(sf_dir: str) -> Dataset:
+    """Exact per-priority order-price quantiles (quantile_disc
+    semantics): values compressed to (key, value, count) partials
+    before the shuffle, weighted quantile per group
+    (stages/agg.py::grouped_quantiles_disc)."""
+    from hexscape_ray.stages.agg import grouped_quantiles_disc
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "price_cents": pa.array(np.floor(p * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return grouped_quantiles_disc(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        "price_cents",
+        {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p95": 0.95},
+    )
+
+
+SQL_PRIORITY_PRICE_QUANTILES = """
+  WITH c AS (
+    SELECT o_orderpriority,
+           CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+    FROM orders
+  )
+  SELECT o_orderpriority,
+    quantile_disc(price_cents, 0.25) AS p25,
+    quantile_disc(price_cents, 0.50) AS p50,
+    quantile_disc(price_cents, 0.75) AS p75,
+    quantile_disc(price_cents, 0.95) AS p95
+  FROM c GROUP BY o_orderpriority
+"""
+
+
 def q_crs_transform(sf_dir: str) -> Dataset:
     """M9 CRS transform: lon/lat → EPSG:3035 (ellipsoidal LAEA,
     from-scratch — geom/crs.py) on deterministic per-doc test points,
@@ -1702,6 +1743,7 @@ RAY_QUERIES = {
     "crs_transform": q_crs_transform,
     "events_sessions_stream": q_events_sessions_stream,
     "hex_kring": q_hex_kring,
+    "priority_price_quantiles": q_priority_price_quantiles,
 }
 
 ORACLES = {
@@ -1738,6 +1780,7 @@ ORACLES = {
     "crs_transform": SQL_CRS_TRANSFORM,
     "events_sessions_stream": SQL_EVENTS_SESSIONS,
     "hex_kring": SQL_HEX_KRING,
+    "priority_price_quantiles": SQL_PRIORITY_PRICE_QUANTILES,
     # non-SQL (geometry / sketch / ANN) ops → rows-only checks:
     # doc_quality, minhash_bands, knn_cosine, generate_patches,
     # generate_neighbours, point_in_polygon, voronoi, habitat,

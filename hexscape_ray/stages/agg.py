@@ -145,3 +145,40 @@ def pivot_proportions(
         return pd.DataFrame([row])
 
     return ds.groupby(group_key).map_groups(widen, batch_format="pandas")
+
+
+def grouped_quantiles_disc(
+    ds: Dataset,
+    keys: list[str],
+    value_col: str,
+    qs: dict[str, float],
+) -> Dataset:
+    """Exact discrete quantiles per key group, DuckDB-``quantile_disc``
+    compatible: result = sorted_values[ceil(q·n) − 1] (verified against
+    DuckDB element-by-element).
+
+    Scale shape: values are first COMPRESSED to (key, value, count)
+    partials via :func:`two_phase_sum` — the shuffle moves one row per
+    DISTINCT value per key, not per input row — then each key group
+    computes weighted quantiles from its (value, count) pairs.  The
+    per-key group must fit a worker only after compression (true
+    whenever per-key value cardinality ≪ rows, e.g. prices, lengths,
+    scores).
+    """
+    import math
+
+    compressed = two_phase_sum(ds, keys + [value_col], [], count_as="__cnt")
+
+    def quant(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(value_col, ignore_index=True)
+        counts = g["__cnt"].to_numpy()
+        cum = np.cumsum(counts)
+        total = int(cum[-1])
+        row = {k: g[k].iloc[0] for k in keys}
+        vals = g[value_col].to_numpy()
+        for name, q in qs.items():
+            rank = max(math.ceil(q * total), 1)  # 1-based target rank
+            row[name] = vals[int(np.searchsorted(cum, rank))]
+        return pd.DataFrame([row])
+
+    return compressed.groupby(keys).map_groups(quant, batch_format="pandas")

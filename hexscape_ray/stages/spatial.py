@@ -169,12 +169,12 @@ class LandscapeClipper:
     st_cast(POLYGON) semantics.  Both split causes are covered:
     MULTI-PART landscapes (islands) AND a concave single polygon
     (coastline/fjord notch crossing the hex), the latter via the
-    convex-window Weiler–Atherton clip
-    (``geom.clip.clip_polygon_convex_parts``).  Piece slivers below
-    min_prop · hex_area are dropped after the split (:196-197),
-    matching the reference's post-split filter.  Remaining edge case
-    (documented in clip.py): a landscape HOLE part touching the hex
-    boundary keeps exact area but does not further split a component.
+    convex-window Weiler–Atherton clip, with an exact
+    trapezoid-decomposition fallback when a landscape HOLE touches the
+    hex boundary (``geom.clip.clip_polygon_components`` — all split
+    causes covered).  Piece slivers below min_prop · hex_area are
+    dropped after the split (:196-197), matching the reference's
+    post-split filter.
     """
 
     def __init__(
@@ -194,8 +194,8 @@ class LandscapeClipper:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from hexscape_ray.geom.clip import (
+            clip_polygon_components,
             clip_polygon_convex,
-            clip_polygon_convex_parts,
         )
         from hexscape_ray.geom.poly import polygon_area, polygon_centroid
         from hexscape_ray.geom.wkb import multipolygon_to_wkb, polygon_to_wkb
@@ -215,18 +215,17 @@ class LandscapeClipper:
             bx0, by0 = ring[:, 0].min(), ring[:, 1].min()
             bx1, by1 = ring[:, 0].max(), ring[:, 1].max()
             cand = self.index.candidates_bbox(bx0, by0, bx1, by1)
-            pieces = []  # (area, cx, cy, rings) per connected component
+            pieces = []  # (area, cx, cy, polygons) per connected component
             for g in cand:
                 if self.split_parts:
-                    # component-exact clip: a concave landscape part can
-                    # cut the hex into several pieces → one entry each
-                    for comp in clip_polygon_convex_parts(
+                    # component-exact clip: a concave landscape part OR a
+                    # boundary-touching hole can cut the hex into several
+                    # pieces → one entry each (exact area/centroid)
+                    for a, pcx, pcy, polys in clip_polygon_components(
                         self.index.polygons[g], ring
                     ):
-                        a = polygon_area(comp)
                         if a > 0.0:
-                            pcx, pcy = polygon_centroid(comp)
-                            pieces.append((a, pcx, pcy, comp))
+                            pieces.append((a, pcx, pcy, polys))
                     continue
                 clipped = clip_polygon_convex(self.index.polygons[g], ring)
                 if not clipped:
@@ -240,7 +239,7 @@ class LandscapeClipper:
                 continue  # pre-split filter (:140-141)
             if self.split_parts:
                 part = 0
-                for a, pcx, pcy, rings in pieces:
+                for a, pcx, pcy, polys in pieces:
                     if a < thresh:  # post-split sliver drop (:196-197)
                         continue
                     out["r"].append(r[i])
@@ -250,7 +249,11 @@ class LandscapeClipper:
                     out["y"].append(pcy)
                     out["area"].append(a)
                     if self.with_geometry:
-                        out["wkb"].append(polygon_to_wkb(rings))
+                        out["wkb"].append(
+                            polygon_to_wkb(polys[0])
+                            if len(polys) == 1
+                            else multipolygon_to_wkb(polys)
+                        )
                     part += 1
             else:
                 out["r"].append(r[i])

@@ -318,3 +318,30 @@ def test_streaming_sessions_mid_stream_drain(ray_session):
     assert got.groupby("user_id")["session_id"].apply(
         lambda s: list(s) == [1, 2, 3]
     ).all()
+
+
+def test_grouped_quantiles_disc_matches_bruteforce(ray_session):
+    """quantile_disc rule (sorted[ceil(q·n)−1]) on compressed
+    (value, count) pairs == brute force over the raw rows."""
+    import math
+
+    from hexscape_ray.stages.agg import grouped_quantiles_disc
+
+    rng = np.random.default_rng(21)
+    n = 30_000
+    keys = rng.integers(0, 6, n)
+    vals = rng.integers(0, 500, n).astype(np.int64)  # heavy value ties
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys.astype(np.int64)), "v": pa.array(vals)})
+    ).repartition(7)
+    qs = {"p10": 0.1, "p50": 0.5, "p90": 0.9, "p99": 0.99}
+    got = (
+        grouped_quantiles_disc(ds, ["k"], "v", qs)
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    for kk in range(6):
+        sv = np.sort(vals[keys == kk])
+        for name, q in qs.items():
+            want = sv[max(math.ceil(q * sv.size), 1) - 1]
+            assert got.loc[got["k"] == kk, name].iloc[0] == want, (kk, name)

@@ -342,3 +342,46 @@ def test_simplify_shared_hole_structure():
     simp = simplify_shared([[shell, hole]], keep=0.9)
     assert len(simp[0]) == 2  # hole ring survives
     assert abs(polygon_area(simp[0]) - polygon_area([shell, hole])) < 0.2
+
+
+def test_clip_components_hole_touching_boundary_splits():
+    """A hole crossing the whole window (touching its boundary) splits
+    the component in two — the trapezoid fallback closes the W-A ring
+    clipper's documented edge case."""
+    from hexscape_ray.geom.clip import clip_polygon_components, convex_clip_bbox
+
+    shell = np.array([[-10, -10], [110, -10], [110, 110], [-10, 110]], float)
+    hole = np.array([[4, -5], [6, -5], [6, 105], [4, 105]], float)  # channel
+    win = convex_clip_bbox(0, 0, 10, 10)
+    comps = clip_polygon_components([shell, hole], win)
+    assert len(comps) == 2
+    areas = sorted(round(c[0], 9) for c in comps)
+    assert areas == [40.0, 40.0]
+    # centroids on either side of the channel
+    xs = sorted(c[1] for c in comps)
+    assert xs[0] < 4 and xs[1] > 6
+
+
+def test_clip_components_fast_path_matches_parts():
+    """Without boundary-touching holes the component API returns the
+    same areas/centroids as the ring-based parts clipper."""
+    from hexscape_ray.geom.clip import (
+        clip_polygon_components,
+        clip_polygon_convex_parts,
+        convex_clip_bbox,
+    )
+    from hexscape_ray.geom.poly import polygon_area, polygon_centroid
+
+    u = np.array(
+        [[0, 0], [1, 0], [1, 3], [2, 3], [2, 0], [3, 0], [3, 4], [0, 4]], float
+    )
+    win = convex_clip_bbox(-1, -1, 4, 2)
+    comps = clip_polygon_components([u], win)
+    parts = clip_polygon_convex_parts([u], win)
+    assert len(comps) == len(parts) == 2
+    got = sorted((round(a, 12), round(cx, 9)) for a, cx, cy, _ in comps)
+    want = sorted(
+        (round(polygon_area(p), 12), round(polygon_centroid(p)[0], 9))
+        for p in parts
+    )
+    assert got == want

@@ -253,3 +253,44 @@ def test_generate_patches_simplify_keep(ray_session, tables, spec, patches_df):
     # same hexes, land-use mix within a few percent of the exact layer
     assert (a["r"] == b["r"]).all() and (a["q"] == b["q"]).all()
     assert np.abs(a[lu_cols].to_numpy() - b[lu_cols].to_numpy()).max() < 0.05
+
+
+def test_split_parts_on_channel_hole(ray_session, spec):
+    """A HOLE crossing the landscape (an impassable river) splits the
+    hexes it crosses — the trapezoid-fallback path of
+    clip_polygon_components (closes the last M5 edge case)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hexscape_ray.geom.wkb import polygon_to_wkb
+
+    shell = np.array(
+        [[0, 0], [100_000, 0], [100_000, 100_000], [0, 100_000], [0, 0]],
+        dtype=np.float64,
+    )
+    # 3 km-wide channel hole running almost the full height
+    hole = np.array(
+        [
+            [48_500, 1_000],
+            [51_500, 1_000],
+            [51_500, 99_000],
+            [48_500, 99_000],
+            [48_500, 1_000],
+        ],
+        dtype=np.float64,
+    )
+    land = pa.table(
+        {
+            "code": pa.array(["R"]),
+            "wkb": pa.array([polygon_to_wkb([shell, hole])], type=pa.binary()),
+        }
+    )
+    split = generate_patches(land, None, spec, split_parts=True).to_pandas()
+    per_hex = split.groupby(["r", "q"]).size()
+    assert per_hex.max() == 2  # channel-straddling hexes became two rows
+    assert (per_hex == 2).sum() >= 3
+    two = split[split.duplicated(["r", "q"], keep=False)]
+    assert ((two["x"] < 48_500) | (two["x"] > 51_500)).all()
+    # area accounting: hole area is excluded
+    merged = generate_patches(land, None, spec, split_parts=False).to_pandas()
+    assert abs(split["area"].sum() - merged["area"].sum()) < merged["area"].sum() * 0.01
