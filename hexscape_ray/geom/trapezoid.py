@@ -38,6 +38,201 @@ def _region_edges(rings) -> np.ndarray:
     return np.vstack(out)
 
 
+def union_components(polygons, eps: float = 1e-12):
+    """Exact UNION of possibly-OVERLAPPING even-odd polygons → list of
+    connected components ``(area, cx, cy, trapezoids)``.
+
+    Same scanline as :func:`region_components`, but per slab each
+    polygon contributes its own even-odd x-intervals and a coverage
+    sweep keeps the x-ranges covered by ≥ 1 polygon (boundary = the
+    edge where coverage transitions 0 ↔ 1) — overlap regions are
+    counted once, which even-odd alone cannot do.  Closes the
+    group-union disjoint-inputs assumption (A2/U2).
+    """
+    per_poly_edges = [
+        _region_edges(rings) for rings in polygons if len(rings)
+    ]
+    per_poly_edges = [E for E in per_poly_edges if E.shape[0]]
+    if not per_poly_edges:
+        return []
+    allE = np.vstack(per_poly_edges)
+    ys = np.unique(
+        np.concatenate([allE[:, 1], allE[:, 3], _crossing_ys(allE)])
+    )
+
+    traps = []
+    for si in range(ys.size - 1):
+        y0, y1 = ys[si], ys[si + 1]
+        if y1 - y0 <= eps:
+            continue
+        midy = 0.5 * (y0 + y1)
+        # coverage events: (x_mid, delta, edge row) — +1 sorts before
+        # −1 at equal x so touching intervals merge instead of pinching
+        events = []
+        for E in per_poly_edges:
+            ylo = np.minimum(E[:, 1], E[:, 3])
+            yhi = np.maximum(E[:, 1], E[:, 3])
+            span = (ylo <= y0 + eps) & (yhi >= y1 - eps)
+            if not span.any():
+                continue
+            Es = E[span]
+            t_mid = (midy - Es[:, 1]) / (Es[:, 3] - Es[:, 1])
+            x_mid = Es[:, 0] + t_mid * (Es[:, 2] - Es[:, 0])
+            order = np.argsort(x_mid, kind="stable")
+            for p in range(0, order.size - 1, 2):
+                el = Es[order[p]]
+                er = Es[order[p + 1]]
+                events.append((x_mid[order[p]], 0, el))  # 0 = open
+                events.append((x_mid[order[p + 1]], 1, er))  # 1 = close
+        if not events:
+            continue
+        events.sort(key=lambda e: (e[0], e[1]))  # opens first at ties
+        cover = 0
+        left_edge = None
+        for x, kind, edge in events:
+            if kind == 0:
+                if cover == 0:
+                    left_edge = edge
+                cover += 1
+            else:
+                cover -= 1
+                if cover == 0:
+                    el, er = left_edge, edge
+                    t0l = (y0 - el[1]) / (el[3] - el[1])
+                    t1l = (y1 - el[1]) / (el[3] - el[1])
+                    t0r = (y0 - er[1]) / (er[3] - er[1])
+                    t1r = (y1 - er[1]) / (er[3] - er[1])
+                    traps.append(
+                        (
+                            si,
+                            el[0] + t0l * (el[2] - el[0]),
+                            er[0] + t0r * (er[2] - er[0]),
+                            el[0] + t1l * (el[2] - el[0]),
+                            er[0] + t1r * (er[2] - er[0]),
+                            y0,
+                            y1,
+                        )
+                    )
+    return _components_from_traps(traps, eps)
+
+
+def _crossing_ys(E: np.ndarray) -> np.ndarray:
+    """y-coordinates of proper pairwise intersections among edges
+    (x0,y0,x1,y1).  Needed as extra slab breaks whenever edges from
+    DIFFERENT polygons can cross (union / boolean ops): inside a slab
+    the left/right boundary edges must keep one x-order, which an
+    interior crossing would violate.  O(E²) pairs — the inputs are
+    small-side geometry (landscape-bounded), never the corpus."""
+    m = E.shape[0]
+    if m < 2:
+        return np.empty(0)
+    p = E[:, :2]
+    r = E[:, 2:] - E[:, :2]
+    out = []
+    for i in range(m - 1):
+        q = p[i + 1 :]
+        s = r[i + 1 :]
+        rxs = r[i, 0] * s[:, 1] - r[i, 1] * s[:, 0]
+        qp = q - p[i]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (qp[:, 0] * s[:, 1] - qp[:, 1] * s[:, 0]) / rxs
+            u = (qp[:, 0] * r[i, 1] - qp[:, 1] * r[i, 0]) / rxs
+        ok = (rxs != 0) & (t > 0) & (t < 1) & (u > 0) & (u < 1)
+        if ok.any():
+            out.append(p[i, 1] + t[ok] * r[i, 1])
+    return np.concatenate(out) if out else np.empty(0)
+
+
+_BOOL_OPS = {
+    "union": lambda a, b: a or b,
+    "intersection": lambda a, b: a and b,
+    "difference": lambda a, b: a and not b,
+    "xor": lambda a, b: a != b,
+}
+
+
+def boolean_components(a_polys, b_polys, op: str, eps: float = 1e-12):
+    """General polygon boolean op on two LAYERS of even-odd polygons →
+    connected components ``(area, cx, cy, trapezoids)``.
+
+    ``a_polys`` / ``b_polys``: lists of ring lists (each entry one
+    even-odd polygon; overlaps within a layer count once).  ``op``:
+    'union' | 'intersection' | 'difference' (A − B) | 'xor'.  The same
+    coverage scanline as :func:`union_components`, with two coverage
+    counters and the op's predicate deciding interior intervals —
+    boundaries always lie on input edges, so areas are exact.
+    """
+    pred = _BOOL_OPS[op]
+    layers = []
+    for polys in (a_polys, b_polys):
+        per = [_region_edges(rings) for rings in polys if len(rings)]
+        layers.append([E for E in per if E.shape[0]])
+    allE = [E for per in layers for E in per]
+    if not allE:
+        return []
+    stacked = np.vstack(allE)
+    ys = np.unique(
+        np.concatenate([stacked[:, 1], stacked[:, 3], _crossing_ys(stacked)])
+    )
+
+    traps = []
+    for si in range(ys.size - 1):
+        y0, y1 = ys[si], ys[si + 1]
+        if y1 - y0 <= eps:
+            continue
+        midy = 0.5 * (y0 + y1)
+        events = []  # (x_mid, open0/close1, layer, edge)
+        for li, per in enumerate(layers):
+            for E in per:
+                ylo = np.minimum(E[:, 1], E[:, 3])
+                yhi = np.maximum(E[:, 1], E[:, 3])
+                span = (ylo <= y0 + eps) & (yhi >= y1 - eps)
+                if not span.any():
+                    continue
+                Es = E[span]
+                t_mid = (midy - Es[:, 1]) / (Es[:, 3] - Es[:, 1])
+                x_mid = Es[:, 0] + t_mid * (Es[:, 2] - Es[:, 0])
+                order = np.argsort(x_mid, kind="stable")
+                for p in range(0, order.size - 1, 2):
+                    events.append((x_mid[order[p]], 0, li, Es[order[p]]))
+                    events.append((x_mid[order[p + 1]], 1, li, Es[order[p + 1]]))
+        if not events:
+            continue
+        events.sort(key=lambda e: (e[0], e[1]))
+        cov = [0, 0]
+        inside = False
+        left_edge = None
+        for x, kind, li, edge in events:
+            cov[li] += 1 if kind == 0 else -1
+            now = pred(cov[0] > 0, cov[1] > 0)
+            if now and not inside:
+                left_edge = edge
+            elif inside and not now:
+                el, er = left_edge, edge
+                t0l = (y0 - el[1]) / (el[3] - el[1])
+                t1l = (y1 - el[1]) / (el[3] - el[1])
+                t0r = (y0 - er[1]) / (er[3] - er[1])
+                t1r = (y1 - er[1]) / (er[3] - er[1])
+                traps.append(
+                    (
+                        si,
+                        el[0] + t0l * (el[2] - el[0]),
+                        er[0] + t0r * (er[2] - er[0]),
+                        el[0] + t1l * (el[2] - el[0]),
+                        er[0] + t1r * (er[2] - er[0]),
+                        y0,
+                        y1,
+                    )
+                )
+            inside = now
+    return _components_from_traps(traps, eps)
+
+
+def boolean_area(a_polys, b_polys, op: str) -> float:
+    """Exact area of the boolean combination (no component assembly)."""
+    return float(sum(c[0] for c in boolean_components(a_polys, b_polys, op)))
+
+
 def region_components(rings, eps: float = 1e-12):
     """Even-odd region (list of rings) → list of connected components
     ``(area, cx, cy, trapezoids)`` with trapezoids as (4, 2) CCW rings.
@@ -71,10 +266,14 @@ def region_components(rings, eps: float = 1e-12):
         for p in range(0, Es.shape[0] - 1, 2):
             traps.append((si, x_at0[p], x_at0[p + 1], x_at1[p], x_at1[p + 1], y0, y1))
 
+    return _components_from_traps(traps, eps)
+
+
+def _components_from_traps(traps, eps: float):
+    """Union-find over slab trapezoids → components with exact
+    area/centroid and the trapezoid rings."""
     if not traps:
         return []
-
-    # union-find over trapezoids: same shared boundary y, overlapping x
     n = len(traps)
     parent = list(range(n))
 

@@ -103,6 +103,7 @@ def generate_patches(
     split_parts: bool = False,
     with_geometry: bool = False,
     simplify_keep: float | None = None,
+    subtract_impassable: bool = False,
 ) -> Dataset:
     """Hex patch table: (r, q, x, y, area, lu_sum, LU_<cat>...).
 
@@ -117,6 +118,13 @@ def generate_patches(
     ``ms_simplify(keep=simplify_keep, keep_shapes=TRUE, method="dp")``
     on the per-category unions (:241); applied driver-side because the
     land-cover table is the broadcast small side.
+
+    ``subtract_impassable`` (requires ``split_parts=True`` and a
+    landcover table with an ``Impassable`` category): subtracts the
+    impassable polygons from every clipped hex piece and re-splits —
+    the reference's ``st_difference(patches, impassable)`` +
+    ``st_cast(POLYGON)`` (:148-166), via the exact boolean-op scanline
+    (geom/trapezoid.py).
     """
     from hexscape_ray.geom.poly import rings_bbox
     from hexscape_ray.geom.wkb import wkb_to_rings
@@ -141,10 +149,33 @@ def generate_patches(
 
     land_ref2 = _ray.put({"polygons": _ray.get(land_ref)["polygons"]})
 
+    imp_ref = None
+    if subtract_impassable and landcover is not None:
+        if not split_parts:
+            raise ValueError("subtract_impassable requires split_parts=True")
+        import pyarrow.compute as _pc
+
+        imp = landcover.filter(_pc.equal(landcover.column("category"), "Impassable"))
+        if imp.num_rows:
+            flat = []
+            for buf in imp.column("wkb").to_pylist():
+                for rr in wkb_to_rings(buf):
+                    flat.append([np.asarray(x) for x in rr])
+            import ray as _ray2
+
+            imp_ref = _ray2.put({"polygons": flat})
+
     cells = candidate_cells(spec, bbox, res)
     patches = cells.map_batches(
         LandscapeClipper,
-        fn_constructor_args=(land_ref2, spec, res, split_parts, with_geometry),
+        fn_constructor_args=(
+            land_ref2,
+            spec,
+            res,
+            split_parts,
+            with_geometry,
+            imp_ref,
+        ),
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=concurrency,

@@ -1306,6 +1306,27 @@ def q_events_sessions_stream(sf_dir: str):
     return streaming_sessions(_read(sf_dir, "events", ["user_id", "ts"]))
 
 
+def q_pca_embeddings(sf_dir: str) -> Dataset:
+    """Distributed PCA (one moment pass + broadcast projection,
+    stages/pca.py) over the embeddings table; rows-only (float
+    eigendecomposition is not SQL-expressible) — orthonormality /
+    variance-ordering / parity-with-numpy invariants live in pytest."""
+    from hexscape_ray.stages.pca import fit_pca, transform_pca
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    mean, comps, _ = fit_pca(emb, k=4)
+    out = transform_pca(emb, mean, comps)
+
+    def widen(batch: pa.Table) -> pa.Table:
+        P = np.asarray(batch["pc"].to_numpy(zero_copy_only=False).tolist())
+        t = pa.table({"vec_id": batch["vec_id"]})
+        for j in range(P.shape[1]):
+            t = t.append_column(f"pc{j}", pa.array(np.round(P[:, j], 6)))
+        return t
+
+    return out.map_batches(widen, batch_format="pyarrow")
+
+
 def q_priority_price_quantiles(sf_dir: str) -> Dataset:
     """Exact per-priority order-price quantiles (quantile_disc
     semantics): values compressed to (key, value, count) partials
@@ -1744,6 +1765,7 @@ RAY_QUERIES = {
     "events_sessions_stream": q_events_sessions_stream,
     "hex_kring": q_hex_kring,
     "priority_price_quantiles": q_priority_price_quantiles,
+    "pca_embeddings": q_pca_embeddings,
 }
 
 ORACLES = {

@@ -184,6 +184,7 @@ class LandscapeClipper:
         res: int = 0,
         split_parts: bool = False,
         with_geometry: bool = False,
+        impassable_ref=None,
     ):
         b = ray.get(landscape_ref)
         self.index = GeomIndex(b["polygons"])
@@ -191,6 +192,14 @@ class LandscapeClipper:
         self.res = res
         self.split_parts = split_parts
         self.with_geometry = with_geometry
+        # M5 impassable subtraction (st_difference parity,
+        # /root/reference/R/generate_patches.R:148-166): polygons to
+        # subtract from every clipped piece, own bbox index
+        self.imp_index = (
+            GeomIndex(ray.get(impassable_ref)["polygons"])
+            if impassable_ref is not None
+            else None
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from hexscape_ray.geom.clip import (
@@ -221,9 +230,24 @@ class LandscapeClipper:
                     # component-exact clip: a concave landscape part OR a
                     # boundary-touching hole can cut the hex into several
                     # pieces → one entry each (exact area/centroid)
-                    for a, pcx, pcy, polys in clip_polygon_components(
-                        self.index.polygons[g], ring
-                    ):
+                    comps = clip_polygon_components(self.index.polygons[g], ring)
+                    if self.imp_index is not None and comps:
+                        # subtract impassable (st_difference :161) then
+                        # re-split — the subtraction itself can cut a
+                        # piece in two (a river through the hex)
+                        from hexscape_ray.geom.trapezoid import boolean_components
+
+                        icand = self.imp_index.candidates_bbox(bx0, by0, bx1, by1)
+                        if len(icand):
+                            ipolys = [self.imp_index.polygons[ic] for ic in icand]
+                            comps = [
+                                (na, ncx, ncy, [[qd] for qd in quads])
+                                for _, _, _, polys in comps
+                                for na, ncx, ncy, quads in boolean_components(
+                                    polys, ipolys, "difference"
+                                )
+                            ]
+                    for a, pcx, pcy, polys in comps:
                         if a > 0.0:
                             pieces.append((a, pcx, pcy, polys))
                     continue
@@ -286,11 +310,11 @@ class PolygonToPolygonAssigner:
     1. parent containing the child's centroid (``st_contains``);
     2. else parents whose bbox+geometry intersect the child
        (``st_intersects``); a single hit wins;
-    3. else/tie: the parent with MAX intersection area, computed by
-       clipping each candidate parent by the child's shell
-       (assumption, documented: child shells are convex — true for
-       grid-cell land-cover and the fixture admin tree; general
-       concave children would need full boolean ops).
+    3. else/tie: the parent with MAX intersection area, computed with
+       the general boolean-op scanline
+       (``geom.trapezoid.boolean_area``) — exact for concave and
+       holed children too (the round-1 convex-child assumption is
+       gone).
 
     Emits exactly one parent per child (invariant,
     /root/reference/R/download_maps.R:94,114-120) or "" when disjoint
@@ -319,16 +343,14 @@ class PolygonToPolygonAssigner:
                 out.append(self.ids[self.owner[gid]])
                 continue
             # stage 2/3: intersecting candidates, max-area tie-break
+            from hexscape_ray.geom.trapezoid import boolean_area
+
             best_area, best_id = 0.0, ""
             for rings in parts:
                 bx0, by0, bx1, by1 = rings_bbox(rings)
                 for cand in self.index.candidates_bbox(bx0, by0, bx1, by1):
-                    from hexscape_ray.geom.clip import (
-                        polygon_intersection_area_convex,
-                    )
-
-                    a = polygon_intersection_area_convex(
-                        self.index.polygons[cand], rings[0]
+                    a = boolean_area(
+                        [self.index.polygons[cand]], [rings], "intersection"
                     )
                     pid = self.ids[self.owner[cand]]
                     if a > best_area or (a == best_area and a > 0 and pid < best_id):
@@ -367,30 +389,31 @@ def group_union_by_class(
     """A2 (/root/reference/R/extract_corine.R:153-159; load_corine
     :274-284): geometric union of polygons per land-cover class.
 
-    Distributed as groupby(class).map_groups with a part-collecting
-    union: land-cover cells are non-overlapping by construction, so
-    the union is the MultiPolygon of the parts and the union area is
-    the exact part-area sum (documented assumption; overlapping
-    inputs would need full boolean ops).  Output: one row per class
-    with the merged MultiPolygon WKB, part count and union area.
+    Distributed as groupby(class).map_groups.  ``union_area`` and
+    ``n_components`` are EXACT for overlapping inputs too (coverage
+    scanline union, ``geom.trapezoid.union_components`` — overlap
+    counted once); ``n_parts``/``wkb`` keep the input parts as a
+    MultiPolygon (the reference's geometry list-column shape).
+    Output: one row per class with merged MultiPolygon WKB, part
+    count, connected-component count and exact union area.
     """
     import pandas as pd
 
-    from hexscape_ray.geom.poly import polygon_area
+    from hexscape_ray.geom.trapezoid import union_components
     from hexscape_ray.geom.wkb import multipolygon_to_wkb
 
     def union(g: pd.DataFrame) -> pd.DataFrame:
         polys = []
-        area = 0.0
         for buf in g[wkb_col]:
             for rings in wkb_to_rings(buf):
                 polys.append(rings)
-                area += polygon_area(rings)
+        comps = union_components(polys)
         return pd.DataFrame(
             {
                 class_col: [g[class_col].iloc[0]],
                 "n_parts": [len(polys)],
-                "union_area": [area],
+                "n_components": [len(comps)],
+                "union_area": [float(sum(c[0] for c in comps))],
                 "wkb": [multipolygon_to_wkb(polys)],
             }
         )

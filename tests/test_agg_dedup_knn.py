@@ -345,3 +345,36 @@ def test_grouped_quantiles_disc_matches_bruteforce(ray_session):
         for name, q in qs.items():
             want = sv[max(math.ceil(q * sv.size), 1) - 1]
             assert got.loc[got["k"] == kk, name].iloc[0] == want, (kk, name)
+
+
+def test_distributed_pca_matches_numpy(emb_ds):
+    """One-pass moment PCA == driver-side numpy PCA on the same data:
+    orthonormal components, descending explained variance, projections
+    equal (up to float reduction order)."""
+    from hexscape_ray.stages.pca import fit_pca, transform_pca
+
+    mean, comps, ev = fit_pca(emb_ds, k=5)
+    assert comps.shape == (5, 32)
+    # orthonormal
+    assert np.allclose(comps @ comps.T, np.eye(5), atol=1e-9)
+    # descending variance
+    assert (np.diff(ev) <= 1e-12).all()
+    # parity with exact numpy PCA
+    X = np.asarray(emb_ds.to_pandas()["embedding"].tolist())
+    assert np.allclose(mean, X.mean(axis=0), atol=1e-9)
+    C = np.cov(X, rowvar=False, bias=True)
+    w, V = np.linalg.eigh(C)
+    top = V[:, np.argsort(w)[::-1][:5]].T
+    for i in range(5):
+        j = int(np.argmax(np.abs(top[i])))
+        if top[i, j] < 0:
+            top[i] = -top[i]
+    assert np.allclose(np.abs(comps), np.abs(top), atol=1e-6)
+    # projection round-trip: variance of pc0 equals the top eigenvalue
+    P = np.asarray(
+        transform_pca(emb_ds, mean, comps).to_pandas()["pc"].tolist()
+    )
+    assert np.allclose(P.var(axis=0, ddof=0), ev, rtol=1e-6)
+    # partitioning-invariant
+    mean2, comps2, ev2 = fit_pca(emb_ds.repartition(7), k=5)
+    assert np.allclose(mean, mean2) and np.allclose(ev, ev2, rtol=1e-9)

@@ -385,3 +385,71 @@ def test_clip_components_fast_path_matches_parts():
         for p in parts
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# general boolean ops (coverage scanline, geom/trapezoid.py)
+# ---------------------------------------------------------------------------
+
+
+def test_boolean_ops_basic():
+    from hexscape_ray.geom.trapezoid import boolean_area, boolean_components
+
+    def sq(x0, y0, x1, y1):
+        return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], float)
+
+    A, B = [[sq(0, 0, 10, 10)]], [[sq(5, 5, 15, 15)]]
+    assert np.isclose(boolean_area(A, B, "union"), 175.0)
+    assert np.isclose(boolean_area(A, B, "intersection"), 25.0)
+    assert np.isclose(boolean_area(A, B, "difference"), 75.0)
+    assert np.isclose(boolean_area(A, B, "xor"), 150.0)
+    # difference that disconnects: channel through the square
+    comps = boolean_components(A, [[sq(4, -1, 6, 11)]], "difference")
+    assert len(comps) == 2
+    assert sorted(round(c[0], 9) for c in comps) == [40.0, 40.0]
+    # holed A: hole respected in the difference
+    holed = [[sq(0, 0, 10, 10), sq(4, 4, 6, 6)]]
+    assert np.isclose(boolean_area(holed, [[sq(0, 0, 5, 10)]], "difference"), 48.0)
+
+
+def test_boolean_intersection_matches_convex_clip():
+    """General scanline intersection == the SH convex clip on random
+    concave subjects × hex windows (cross-validation of both kernels)."""
+    from hexscape_ray.geom.clip import polygon_intersection_area_convex
+    from hexscape_ray.geom.trapezoid import boolean_area
+
+    def _is_simple(poly):
+        n = len(poly)
+        for i in range(n):
+            p1, p2 = poly[i], poly[(i + 1) % n]
+            for j in range(i + 2, n):
+                if i == 0 and j == n - 1:
+                    continue
+                p3, p4 = poly[j], poly[(j + 1) % n]
+                d1 = np.cross(p4 - p3, p1 - p3)
+                d2 = np.cross(p4 - p3, p2 - p3)
+                d3 = np.cross(p2 - p1, p3 - p1)
+                d4 = np.cross(p2 - p1, p4 - p1)
+                if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)):
+                    return False
+        return True
+
+    rng = np.random.default_rng(17)
+    checked = 0
+    while checked < 100:
+        n = int(rng.integers(5, 14))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        if np.min(np.diff(ang)) < 1e-3:
+            continue
+        rad = rng.uniform(0.3, 3.0, n)
+        subj = np.c_[rad * np.cos(ang), rad * np.sin(ang)]
+        if not _is_simple(subj):  # contract: simple rings only
+            continue
+        cx, cy = rng.uniform(-2, 2, 2)
+        s = float(rng.uniform(0.3, 2.0))
+        a6 = np.arange(6) * np.pi / 3 + rng.uniform(0, np.pi / 3)
+        win = np.c_[cx + s * np.cos(a6), cy + s * np.sin(a6)]
+        want = polygon_intersection_area_convex([subj], win)
+        got = boolean_area([[subj]], [[win]], "intersection")
+        assert np.isclose(got, want, rtol=1e-8, atol=1e-10), (checked, got, want)
+        checked += 1

@@ -60,3 +60,41 @@ def test_affine_transform():
     out = affine_transform_batch(t, scale=1000.0, dx=5.0, dy=-5.0)
     assert out["x"].to_pylist() == [1005.0, 2005.0]
     assert out["y"].to_pylist() == [2995.0, 3995.0]
+
+
+def test_group_union_overlapping_inputs(ray_session):
+    """The round-1 disjoint-inputs assumption is gone: overlapping
+    polygons in one class contribute their overlap ONCE to
+    union_area, and touching parts merge into one component."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hexscape_ray.geom.wkb import polygon_to_wkb
+
+    def sq(x0, y0, x1, y1):
+        return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], float)
+
+    lc = pa.table(
+        {
+            "clc": pa.array(["a", "a", "b", "b"]),
+            "wkb": pa.array(
+                [
+                    polygon_to_wkb([sq(0, 0, 10, 10)]),
+                    polygon_to_wkb([sq(5, 5, 15, 15)]),  # overlaps the first
+                    polygon_to_wkb([sq(0, 0, 10, 10)]),
+                    polygon_to_wkb([sq(20, 0, 30, 10)]),  # disjoint
+                ],
+                type=pa.binary(),
+            ),
+        }
+    )
+    out = (
+        group_union_by_class(ray.data.from_arrow(lc))
+        .to_pandas()
+        .set_index("clc")
+    )
+    assert abs(out.loc["a", "union_area"] - 175.0) < 1e-9  # 100+100−25
+    assert out.loc["a", "n_components"] == 1
+    assert abs(out.loc["b", "union_area"] - 200.0) < 1e-9
+    assert out.loc["b", "n_components"] == 2
+    assert out.loc["a", "n_parts"] == 2

@@ -294,3 +294,54 @@ def test_split_parts_on_channel_hole(ray_session, spec):
     # area accounting: hole area is excluded
     merged = generate_patches(land, None, spec, split_parts=False).to_pandas()
     assert abs(split["area"].sum() - merged["area"].sum()) < merged["area"].sum() * 0.01
+
+
+def test_subtract_impassable_splits_and_excludes(ray_session, spec):
+    """st_difference parity: an Impassable river (land-use category)
+    is subtracted from every clipped hex piece; crossing hexes split
+    and the channel's area vanishes from the patch table
+    (/root/reference/R/generate_patches.R:148-166)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hexscape_ray.geom.wkb import polygon_to_wkb
+
+    def rect(x0, y0, x1, y1):
+        return np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=np.float64
+        )
+
+    land = pa.table(
+        {
+            "code": pa.array(["L"]),
+            "wkb": pa.array([polygon_to_wkb([rect(0, 0, 100_000, 100_000)])], type=pa.binary()),
+        }
+    )
+    landcover = pa.table(
+        {
+            "category": pa.array(["Impassable"]),
+            "wkb": pa.array(
+                [polygon_to_wkb([rect(48_500, 0, 51_500, 100_000)])], type=pa.binary()
+            ),
+        }
+    )
+    split = generate_patches(
+        land, None, spec, split_parts=True
+    ).to_pandas()
+    sub = generate_patches(
+        land,
+        landcover,
+        spec,
+        split_parts=True,
+        subtract_impassable=True,
+    ).to_pandas()
+    # crossing hexes split into two rows
+    per_hex = sub.groupby(["r", "q"]).size()
+    assert per_hex.max() == 2
+    assert (per_hex == 2).sum() >= 3
+    # channel area excluded: total drops by ~3 km × 100 km
+    lost = split["area"].sum() - sub["area"].sum()
+    assert abs(lost - 3_000.0 * 100_000.0) < 3_000.0 * 100_000.0 * 0.05
+    # no piece centroid inside the channel
+    two = sub[sub.duplicated(["r", "q"], keep=False)]
+    assert ((two["x"] < 48_500) | (two["x"] > 51_500)).all()
