@@ -704,6 +704,50 @@ SQL_TOKEN_COUNTS = """
 """
 
 
+def q_doc_repetition(sf_dir: str) -> Dataset:
+    """CCNet-style repetition score per document: 1 − distinct/total
+    tokens (high = boilerplate / keyword stuffing — a standard
+    training-data quality gate).  rep_pml = floor(ratio·1e6 + 0.5) as
+    BIGINT parts-per-million so the hash compare is float-safe."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def rep(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n_tok = np.empty(len(texts), dtype=np.int64)
+        n_dis = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = t.split(" ")
+            n_tok[i] = len(toks)
+            n_dis[i] = len(set(toks))
+        ratio = 1.0 - n_dis / np.maximum(n_tok, 1)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tok),
+                "n_distinct": pa.array(n_dis),
+                "rep_pml": pa.array(
+                    np.floor(ratio * 1e6 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    return ds.map_batches(rep, batch_format="pyarrow")
+
+
+SQL_DOC_REPETITION = """
+  WITH t AS (
+    SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+    FROM documents
+  )
+  SELECT doc_id, n_tokens, n_distinct,
+    CAST(floor((1.0 - n_distinct / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 1e6
+         + 0.5) AS BIGINT) AS rep_pml
+  FROM t
+"""
+
+
 def q_doc_quality(sf_dir: str) -> Dataset:
     """Quality scoring + language id (heuristic; rows-only check)."""
     from hexscape_ray.stages.textops import QualityScorer
@@ -1766,6 +1810,7 @@ RAY_QUERIES = {
     "hex_kring": q_hex_kring,
     "priority_price_quantiles": q_priority_price_quantiles,
     "pca_embeddings": q_pca_embeddings,
+    "doc_repetition": q_doc_repetition,
 }
 
 ORACLES = {
@@ -1803,6 +1848,7 @@ ORACLES = {
     "events_sessions_stream": SQL_EVENTS_SESSIONS,
     "hex_kring": SQL_HEX_KRING,
     "priority_price_quantiles": SQL_PRIORITY_PRICE_QUANTILES,
+    "doc_repetition": SQL_DOC_REPETITION,
     # non-SQL (geometry / sketch / ANN) ops → rows-only checks:
     # doc_quality, minhash_bands, knn_cosine, generate_patches,
     # generate_neighbours, point_in_polygon, voronoi, habitat,
