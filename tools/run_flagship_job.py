@@ -59,11 +59,20 @@ def main() -> int:
 
     from hexscape_ray.pipelines.hexagg import enriched_hex_stats, etl_enrich_resumable
 
-    files = sorted(glob.glob(os.path.join(args.pages, "*.parquet"))) or [args.pages]
+    # --pages accepts a directory, a glob pattern, or a single file
+    if os.path.isdir(args.pages):
+        files = sorted(glob.glob(os.path.join(args.pages, "*.parquet")))
+    else:
+        files = sorted(glob.glob(args.pages)) or [args.pages]
     t0 = time.perf_counter()
     stats = etl_enrich_resumable(
         files, args.out, files_per_partition=args.files_per_partition
     )
+    if stats.get("done", 0) + stats.get("skipped", 0) == 0:
+        print(json.dumps({"job": "flagship-etl", "partitions": stats,
+                          "error": "no partition finished — see manifest.jsonl"}))
+        ray.shutdown()
+        return 1
     agg = enriched_hex_stats(args.out)
     os.makedirs(args.agg_out, exist_ok=True)
     agg.write_parquet(args.agg_out)
