@@ -354,11 +354,11 @@ def clip_polygon_components(rings, clip_ring: np.ndarray, eps: float = 1e-9):
         return [
             (polygon_area(c), *polygon_centroid(c), [c]) for c in comps
         ]
-    from hexscape_ray.geom.trapezoid import region_components
+    from hexscape_ray.geom.trapezoid import component_polygon, region_components
 
     flat = [r for comp in comps for r in comp]
     return [
-        (a, cx, cy, [[q] for q in quads])
+        (a, cx, cy, component_polygon(a, quads)[0])
         for a, cx, cy, quads in region_components(flat)
     ]
 

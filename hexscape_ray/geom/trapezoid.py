@@ -344,3 +344,115 @@ def _components_from_traps(traps, eps: float):
         if area > 0 and quads:
             out.append((area, mx / area, my / area, quads))
     return out
+
+
+def stitch_trapezoids(quads, eps: float = 1e-9):
+    """Merge a connected component's slab trapezoids into boundary
+    rings: [shell (CCW), holes (CW)…] — the simple-polygon shape the
+    reference's st_cast(POLYGON) emits, instead of the raw partition.
+
+    Interior horizontal edges cancel as the symmetric difference of
+    the up-facing / down-facing interval sets at each slab boundary;
+    non-horizontal edges are never shared between trapezoids (same
+    slab ⇒ disjoint, different slab ⇒ different y-extent), so they
+    all survive.  Remaining directed edges chain head-to-tail into
+    closed rings (interior always on the left).
+    """
+    if not quads:
+        return []
+    scale = max(
+        max(abs(float(q[:, 0].max())), abs(float(q[:, 1].max()))) for q in quads
+    )
+    grid = max(scale, 1.0) * eps
+
+    def key(p):
+        return (round(float(p[0]) / grid), round(float(p[1]) / grid))
+
+    edges = []  # directed (start, end) tuples of float pairs
+    by_y: dict = {}  # slab-boundary y → list of (x0, x1, facing)
+    for q in quads:
+        xL0, y0 = q[0]
+        xR0, _ = q[1]
+        xR1, y1 = q[2]
+        xL1, _ = q[3]
+        if xR0 - xL0 > 0:  # bottom edge: region above → down-facing
+            by_y.setdefault(round(y0 / grid), []).append((xL0, xR0, "down", y0))
+        if xR1 - xL1 > 0:  # top edge: region below → up-facing
+            by_y.setdefault(round(y1 / grid), []).append((xL1, xR1, "up", y1))
+        edges.append(((xR0, y0), (xR1, y1)))  # right edge (up)
+        edges.append(((xL1, y1), (xL0, y0)))  # left edge (down)
+
+    for _, ivs in by_y.items():
+        y = ivs[0][3]
+        xs = np.unique(
+            np.concatenate([[a, b] for a, b, _, _ in ivs]).astype(np.float64)
+        )
+        for i in range(xs.size - 1):
+            xa, xb = float(xs[i]), float(xs[i + 1])
+            if xb - xa <= 0:
+                continue
+            xm = 0.5 * (xa + xb)
+            below = any(
+                f == "up" and a - grid <= xm <= b + grid for a, b, f, _ in ivs
+            )
+            above = any(
+                f == "down" and a - grid <= xm <= b + grid for a, b, f, _ in ivs
+            )
+            if below and not above:  # top boundary: interior below → leftward
+                edges.append(((xb, y), (xa, y)))
+            elif above and not below:  # bottom boundary: interior above → rightward
+                edges.append(((xa, y), (xb, y)))
+
+    # chain directed edges into rings
+    out_map: dict = {}
+    for s, e in edges:
+        ks, ke = key(s), key(e)
+        if ks == ke:
+            continue
+        out_map.setdefault(ks, []).append((s, e))
+    rings = []
+    while any(out_map.values()):
+        ks = next(k for k, v in out_map.items() if v)
+        s, e = out_map[ks].pop()
+        ring = [s]
+        guard = 0
+        while key(e) != key(ring[0]) and guard < 100_000:
+            ring.append(e)
+            nxt = out_map.get(key(e))
+            if not nxt:
+                break  # open chain (numerical gap) — drop
+            s, e = nxt.pop()
+            guard += 1
+        else:
+            arr = np.asarray(ring, dtype=np.float64)
+            # drop collinear midpoints introduced by slab fragmentation
+            if arr.shape[0] >= 3:
+                a = arr
+                prev_ = np.roll(a, 1, axis=0)
+                next_ = np.roll(a, -1, axis=0)
+                cross = (a[:, 0] - prev_[:, 0]) * (next_[:, 1] - a[:, 1]) - (
+                    a[:, 1] - prev_[:, 1]
+                ) * (next_[:, 0] - a[:, 0])
+                keep = np.abs(cross) > grid * grid
+                if keep.sum() >= 3:
+                    arr = a[keep]
+            rings.append(arr)
+    # shell first (largest |area|); holes after
+    from hexscape_ray.geom.poly import ring_area
+
+    rings.sort(key=lambda r: -abs(ring_area(r)))
+    return rings
+
+
+def component_polygon(area: float, quads, rel_tol: float = 1e-9):
+    """Component geometry as ONE even-odd ring list: the stitched
+    outline when it closes and reproduces the exact area, else the
+    raw trapezoid partition flattened (safety net for numerical
+    chaining gaps).  Returns (polygons, stitched_ok) where polygons is
+    a list of ring lists for multipolygon WKB."""
+    from hexscape_ray.geom.poly import polygon_area
+
+    rings = stitch_trapezoids(quads)
+    if rings and abs(polygon_area(rings) - area) <= rel_tol * max(area, 1e-300):
+        return [rings], True
+    return [[q] for q in quads], False

@@ -748,6 +748,30 @@ SQL_DOC_REPETITION = """
 """
 
 
+def q_event_value_quantiles(sf_dir: str) -> Dataset:
+    """Approximate per-event-type quantiles of the continuous value
+    column via the deterministic two-pass histogram sketch
+    (stages/agg.py::approx_quantiles_histogram) — the
+    unbounded-cardinality complement of priority_price_quantiles;
+    rows-only (error ≤ bin width; bounds proven in pytest)."""
+    from hexscape_ray.stages.agg import approx_quantiles_histogram
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return approx_quantiles_histogram(
+        ds, ["event_type"], "value", {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    )
+
+
+def q_winnow_pairs(sf_dir: str) -> Dataset:
+    """Winnowing-fingerprint near-dup candidates (MOSS algorithm,
+    stages/dedup.py::Winnower) — the position-aware 4th near-dup
+    family; rows-only (crc32 token hashing is not SQL-expressible)."""
+    from hexscape_ray.stages.dedup import winnow_candidate_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return winnow_candidate_pairs(ds, min_shared=2)
+
+
 def q_doc_quality(sf_dir: str) -> Dataset:
     """Quality scoring + language id (heuristic; rows-only check)."""
     from hexscape_ray.stages.textops import QualityScorer
@@ -1811,6 +1835,8 @@ RAY_QUERIES = {
     "priority_price_quantiles": q_priority_price_quantiles,
     "pca_embeddings": q_pca_embeddings,
     "doc_repetition": q_doc_repetition,
+    "winnow_pairs": q_winnow_pairs,
+    "event_value_quantiles": q_event_value_quantiles,
 }
 
 ORACLES = {

@@ -182,3 +182,78 @@ def grouped_quantiles_disc(
         return pd.DataFrame([row])
 
     return compressed.groupby(keys).map_groups(quant, batch_format="pandas")
+
+
+def approx_quantiles_histogram(
+    ds: Dataset,
+    keys: list[str],
+    value_col: str,
+    qs: dict[str, float],
+    n_bins: int = 4096,
+) -> Dataset:
+    """Deterministic two-pass approximate quantiles per key for
+    UNBOUNDED value cardinality (the complement of
+    :func:`grouped_quantiles_disc`, whose compression needs per-key
+    distinct values to fit a worker).
+
+    Pass 1: per-key min/max (tiny groupby, broadcast via ``ray.put``).
+    Pass 2: fixed-bin counts (two-phase partials; the shuffle carries
+    ≤ n_bins rows per key regardless of input size).  The reported
+    value is the inclusive RIGHT EDGE of the bin holding the target
+    rank, so ``approx − exact ∈ [0, bin_width]`` — error bounded by
+    (max − min)/n_bins, deterministic under any partitioning (no
+    sampling, no merge-order sensitivity).
+    """
+    import ray as _ray
+
+    from ray.data.aggregate import Max, Min
+
+    mm = (
+        ds.groupby(keys)
+        .aggregate(Min(value_col, alias_name="__lo"), Max(value_col, alias_name="__hi"))
+        .to_pandas()
+    )
+    lookup = {
+        tuple(row[k] for k in keys): (float(row["__lo"]), float(row["__hi"]))
+        for _, row in mm.iterrows()
+    }
+    ref = _ray.put(lookup)
+
+    def binned(batch: pa.Table) -> pa.Table:
+        lk = _ray.get(ref)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        kcols = [batch[k].to_numpy(zero_copy_only=False) for k in keys]
+        lo = np.empty(v.shape[0])
+        hi = np.empty(v.shape[0])
+        for i in range(v.shape[0]):
+            lo[i], hi[i] = lk[tuple(c[i] for c in kcols)]
+        width = np.maximum(hi - lo, 1e-300)
+        b = np.clip(
+            np.floor((v - lo) / width * n_bins).astype(np.int64), 0, n_bins - 1
+        )
+        out = {k: batch[k] for k in keys}
+        out["__bin"] = pa.array(b)
+        return pa.table(out)
+
+    counts = two_phase_sum(
+        ds.map_batches(binned, batch_format="pyarrow"), keys + ["__bin"], [], count_as="__n"
+    )
+
+    def quant(g: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        g = g.sort_values("__bin", ignore_index=True)
+        cum = np.cumsum(g["__n"].to_numpy())
+        total = int(cum[-1])
+        key = tuple(g[k].iloc[0] for k in keys)
+        lo, hi = lookup[key]
+        width = max(hi - lo, 1e-300) / n_bins
+        row = {k: g[k].iloc[0] for k in keys}
+        bins = g["__bin"].to_numpy()
+        for name, q in qs.items():
+            rank = max(math.ceil(q * total), 1)
+            b = int(bins[int(np.searchsorted(cum, rank))])
+            row[name] = lo + (b + 1) * width  # inclusive right edge
+        return pd.DataFrame([row])
+
+    return counts.groupby(keys).map_groups(quant, batch_format="pandas")

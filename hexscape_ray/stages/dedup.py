@@ -483,6 +483,127 @@ class SimHasher:
         return t
 
 
+class Winnower:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm; public): k-gram hashes, and from
+    every window of ``w`` consecutive k-gram hashes keep the MINIMUM
+    (rightmost on ties).  Guarantees: any shared substring of length
+    ≥ w + k − 1 contributes at least one shared fingerprint, and
+    sketch density is ~2/(w+1) — a position-aware near-dup family
+    complementary to MinHash (order-sensitive, catches partial
+    overlap/containment, not just set resemblance).
+
+    Vectorised: shingle hashes via the MinHash rolling kernel, window
+    minima via ``sliding_window_view`` + argmin (rightmost-min via
+    reversed argmin), dedup of consecutive identical picks.  Emits one
+    row per (doc_id, fingerprint, pos).
+    """
+
+    def __init__(self, k: int = 5, w: int = 4):
+        self.k = k
+        self.w = w
+
+    def fingerprints(self, text: str) -> tuple[np.ndarray, np.ndarray]:
+        """→ (fingerprint uint64, position int64) arrays for one doc."""
+        th = _token_hashes(text)
+        sh = _shingle_hashes(th, self.k)
+        w = self.w
+        if sh.size <= w:
+            i = int(np.argmin(sh))
+            return sh[i : i + 1], np.array([i], dtype=np.int64)
+        win = np.lib.stride_tricks.sliding_window_view(sh, w)
+        # rightmost minimum per window: argmin on the reversed window
+        rev = win[:, ::-1]
+        pick = (w - 1) - np.argmin(rev, axis=1)
+        pos = pick + np.arange(win.shape[0])
+        # keep each selected position once (consecutive windows often
+        # re-pick the same minimum)
+        keep = np.empty(pos.shape[0], dtype=bool)
+        keep[0] = True
+        keep[1:] = pos[1:] != pos[:-1]
+        pos = pos[keep]
+        return sh[pos], pos.astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_id, out_fp, out_pos = [], [], []
+        for i, t in enumerate(batch["text"].to_pylist()):
+            fp, pos = self.fingerprints(t)
+            out_id.append(np.repeat(ids[i], fp.size))
+            out_fp.append(fp.astype(np.int64))
+            out_pos.append(pos)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id)),
+                "fingerprint": pa.array(np.concatenate(out_fp)),
+                "pos": pa.array(np.concatenate(out_pos)),
+            }
+        )
+
+
+def winnow_candidate_pairs(
+    ds: Dataset, k: int = 5, w: int = 4, min_shared: int = 2, bucket_cap: int = 64
+) -> Dataset:
+    """documents(text) → winnowing near-dup candidates (a < b,
+    n_shared ≥ min_shared).  Same scale shape as MinHash-LSH: explode
+    to (fingerprint, doc) rows, coarse-group pair generation with the
+    star-edge cap, then count shared fingerprints per pair."""
+    fps = ds.map_batches(
+        Winnower,
+        fn_constructor_args=(k, w),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).select_columns(["doc_id", "fingerprint"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        fp = batch["fingerprint"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__coarse", pa.array(np.bitwise_and(fp, np.int64(63)))
+        )
+
+    def pairs_block(g: pd.DataFrame) -> pd.DataFrame:
+        fp = g["fingerprint"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        order = np.lexsort((ids, fp))
+        fp, ids = fp[order], ids[order]
+        new = np.empty(fp.shape[0], dtype=bool)
+        new[0] = True
+        new[1:] = fp[1:] != fp[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, fp.shape[0]))
+        out_a, out_b = [], []
+        for s, m in zip(starts[lens >= 2], lens[lens >= 2]):
+            run = np.unique(ids[s : s + m])  # same fp can repeat per doc
+            m2 = run.size
+            if m2 < 2:
+                continue
+            if m2 <= bucket_cap:
+                i, j = np.triu_indices(int(m2), 1)
+                out_a.append(run[i])
+                out_b.append(run[j])
+            else:
+                out_a.append(np.repeat(run[0], m2 - 1))
+                out_b.append(run[1:])
+        if not out_a:
+            return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
+        return pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
+
+    cand = (
+        fps.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__coarse")
+        .map_groups(pairs_block, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="n_shared"))
+    )
+
+    def thresh(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater_equal(batch["n_shared"], min_shared))
+
+    return cand.map_batches(thresh, batch_format="pyarrow")
+
+
 EMB_TARGET_BUCKET = 128  # expected docs per hyperplane bucket
 
 

@@ -235,13 +235,16 @@ class LandscapeClipper:
                         # subtract impassable (st_difference :161) then
                         # re-split — the subtraction itself can cut a
                         # piece in two (a river through the hex)
-                        from hexscape_ray.geom.trapezoid import boolean_components
+                        from hexscape_ray.geom.trapezoid import (
+                            boolean_components,
+                            component_polygon,
+                        )
 
                         icand = self.imp_index.candidates_bbox(bx0, by0, bx1, by1)
                         if len(icand):
                             ipolys = [self.imp_index.polygons[ic] for ic in icand]
                             comps = [
-                                (na, ncx, ncy, [[qd] for qd in quads])
+                                (na, ncx, ncy, component_polygon(na, quads)[0])
                                 for _, _, _, polys in comps
                                 for na, ncx, ncy, quads in boolean_components(
                                     polys, ipolys, "difference"

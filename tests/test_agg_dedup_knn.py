@@ -378,3 +378,68 @@ def test_distributed_pca_matches_numpy(emb_ds):
     # partitioning-invariant
     mean2, comps2, ev2 = fit_pca(emb_ds.repartition(7), k=5)
     assert np.allclose(mean, mean2) and np.allclose(ev, ev2, rtol=1e-9)
+
+
+def test_winnowing_guarantee_and_pairs(dup_docs, ray_session):
+    """Winnowing invariants (Schleimer et al.): identical docs share
+    ALL fingerprints; a doc sharing a long substring shares ≥ 1; a
+    fingerprint set is position-deduplicated and sparse (density ≈
+    2/(w+1)); candidate pairs surface the planted duplicates."""
+    from hexscape_ray.stages.dedup import Winnower, winnow_candidate_pairs
+
+    wn = Winnower(k=5, w=4)
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    fp_a, pos_a = wn.fingerprints(a)
+    fp_a2, pos_a2 = wn.fingerprints(a)
+    assert np.array_equal(fp_a, fp_a2) and np.array_equal(pos_a, pos_a2)
+    # shared long substring → shared fingerprint (w + k − 1 guarantee)
+    b = "PREFIX words here " + a + " SUFFIX tail"
+    fp_b, _ = wn.fingerprints(b)
+    assert len(set(fp_a.tolist()) & set(fp_b.tolist())) >= 1
+    # sparse sketch
+    n_shingles = len(a.split()) - 5 + 1
+    assert fp_a.size <= n_shingles
+    # pipeline: planted dups found
+    pairs = winnow_candidate_pairs(dup_docs, min_shared=2).to_pandas()
+    got = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+    assert (0, 50) in got
+    assert (1, 51) in got and (1, 52) in got
+
+
+def test_histogram_quantiles_bounded_error(ray_session):
+    """Two-pass histogram quantiles: within one bin width of exact,
+    deterministic under repartitioning."""
+    import math
+
+    from hexscape_ray.stages.agg import approx_quantiles_histogram
+
+    rng = np.random.default_rng(23)
+    n = 50_000
+    keys = rng.integers(0, 3, n)
+    vals = np.where(keys == 0, rng.normal(100, 15, n), rng.exponential(40, n))
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys.astype(np.int64)), "v": pa.array(vals)})
+    ).repartition(6)
+    qs = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    n_bins = 2048
+    got = (
+        approx_quantiles_histogram(ds, ["k"], "v", qs, n_bins=n_bins)
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    for kk in range(3):
+        sv = np.sort(vals[keys == kk])
+        width = (sv[-1] - sv[0]) / n_bins
+        for name, q in qs.items():
+            exact = sv[max(math.ceil(q * sv.size), 1) - 1]
+            err = got.loc[kk, name] - exact
+            assert -1e-9 <= err <= width + 1e-9, (kk, name, err, width)
+    got2 = (
+        approx_quantiles_histogram(ds.repartition(13), ["k"], "v", qs, n_bins=n_bins)
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    for name in qs:
+        assert np.allclose(got[name], got2[name])

@@ -453,3 +453,34 @@ def test_boolean_intersection_matches_convex_clip():
         got = boolean_area([[subj]], [[win]], "intersection")
         assert np.isclose(got, want, rtol=1e-8, atol=1e-10), (checked, got, want)
         checked += 1
+
+
+def test_stitch_trapezoids_outline():
+    """Trapezoid partitions stitch back to simple outlines: exact
+    area, holes preserved, collinear slab joints removed."""
+    from hexscape_ray.geom.poly import polygon_area, ring_area
+    from hexscape_ray.geom.trapezoid import (
+        component_polygon,
+        region_components,
+        stitch_trapezoids,
+    )
+
+    def sq(x0, y0, x1, y1):
+        return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], float)
+
+    # holed square: shell + hole survive the round-trip
+    comps = region_components([sq(0, 0, 10, 10), sq(4, 4, 6, 6)])
+    rings = stitch_trapezoids(comps[0][3])
+    assert len(rings) == 2
+    assert np.isclose(polygon_area(rings), 96.0)
+    # concave U: stitched back to its 8 vertices
+    u = np.array(
+        [[0, 0], [1, 0], [1, 3], [2, 3], [2, 0], [3, 0], [3, 4], [0, 4]], float
+    )
+    comps = region_components([u])
+    rings = stitch_trapezoids(comps[0][3])
+    assert len(rings) == 1 and len(rings[0]) == 8
+    assert np.isclose(abs(ring_area(rings[0])), 9.0)
+    # component_polygon prefers the stitched outline
+    polys, ok = component_polygon(comps[0][0], comps[0][3])
+    assert ok and len(polys) == 1
