@@ -762,6 +762,19 @@ def q_event_value_quantiles(sf_dir: str) -> Dataset:
     )
 
 
+def q_dedup_clusters(sf_dir: str) -> Dataset:
+    """End of the near-dup flow: MinHash-LSH candidate pairs →
+    distributed connected components (min-label propagation,
+    stages/graph.py) → one row per cluster with canonical doc id and
+    size (rows-only: iterative graph algorithms are not SQL-
+    expressible; union-find parity lives in pytest)."""
+    from hexscape_ray.stages.dedup import minhash_candidate_pairs
+    from hexscape_ray.stages.graph import dedup_clusters
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup_clusters(minhash_candidate_pairs(ds).materialize())
+
+
 def q_winnow_pairs(sf_dir: str) -> Dataset:
     """Winnowing-fingerprint near-dup candidates (MOSS algorithm,
     stages/dedup.py::Winnower) — the position-aware 4th near-dup
@@ -1837,6 +1850,7 @@ RAY_QUERIES = {
     "doc_repetition": q_doc_repetition,
     "winnow_pairs": q_winnow_pairs,
     "event_value_quantiles": q_event_value_quantiles,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 ORACLES = {

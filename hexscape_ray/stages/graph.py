@@ -1,0 +1,137 @@
+"""Distributed connected components over an edge Dataset — the
+consumer that turns near-dup candidate PAIRS into dedup CLUSTERS
+(keep-min-per-cluster is then a trivial groupby).
+
+Algorithm: iterative min-label propagation (the Pregel/"hash-to-min"
+family — public: Rastogi et al., "Finding Connected Components in
+Map-Reduce", ICDE 2013).  Each superstep joins current labels across
+edges in both directions and takes the per-node minimum; iteration
+stops when no label changed.  Each superstep is two Ray Data
+shuffles (a bucketed label join + a groupby-min); the driver only
+orchestrates supersteps and reads one change-counter per round —
+no node or edge data ever lands on the driver.
+
+Convergence: ≤ graph diameter supersteps.  Dedup graphs built with
+the star-edge bucket cap (stages/dedup.py) have diameter ≤ 4 by
+construction, so the loop is short even on boilerplate clusters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+from ray.data.aggregate import Min
+
+
+def connected_components(
+    edges: Dataset,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 50,
+) -> Dataset:
+    """(src, dst) edge rows → (node, component) with component = the
+    MINIMUM node id reachable from each node (canonical labels)."""
+    from hexscape_ray.stages.joins import bucketed_join
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = batch[src].to_numpy(zero_copy_only=False)
+        b = batch[dst].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([a, b])),
+                "v": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+
+    # initial labels: L(u) = min(u, min direct neighbour)
+    labels = (
+        sym.groupby("u")
+        .aggregate(Min("v", alias_name="label"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "u": t["u"],
+                    "label": pa.array(
+                        np.minimum(
+                            t["u"].to_numpy(zero_copy_only=False),
+                            t["label"].to_numpy(zero_copy_only=False),
+                        )
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    old_sum = labels.sum("label")
+    for _ in range(max_iter):
+        # (1) edge propagation: candidate label for v = label of its
+        # neighbour u; (2) pointer jumping: candidate for u =
+        # label(label(u)) — doubles the propagation distance per
+        # superstep, so convergence is O(log diameter) supersteps
+        prop = bucketed_join(sym, labels, on="u", n_buckets=8).map_batches(
+            lambda t: pa.table({"u": t["v"], "cand": t["label"]}),
+            batch_format="pyarrow",
+        )
+        as_node = labels.map_batches(
+            lambda t: pa.table({"u": t["label"], "orig": t["u"]}),
+            batch_format="pyarrow",
+        )
+        jump = bucketed_join(as_node, labels, on="u", n_buckets=8).map_batches(
+            lambda t: pa.table({"u": t["orig"], "cand": t["label"]}),
+            batch_format="pyarrow",
+        )
+        self_lab = labels.map_batches(
+            lambda t: pa.table({"u": t["u"], "cand": t["label"]}),
+            batch_format="pyarrow",
+        )
+        # repartition to a FIXED block count before materialising:
+        # union concatenates block lists, so without this the label
+        # table's block count doubles per superstep and task counts
+        # grow exponentially (measured: supersteps of 2 s → 3 s →
+        # 19 s → 260 s; flat ~2 s once bounded)
+        labels = (
+            prop.union(jump)
+            .union(self_lab)
+            .groupby("u")
+            .aggregate(Min("cand", alias_name="label"))
+            .repartition(8)
+            .materialize()
+        )
+        # converged? labels only ever decrease, so the label sum
+        # strictly decreases until fixpoint — one tiny scalar
+        # aggregate per superstep, no row-wise comparison shuffle
+        new_sum = labels.sum("label")
+        if new_sum == old_sum:
+            break
+        old_sum = new_sum
+
+    return labels.map_batches(
+        lambda t: pa.table({"node": t["u"], "component": t["label"]}),
+        batch_format="pyarrow",
+    )
+
+
+def dedup_clusters(
+    pairs: Dataset, src: str = "a", dst: str = "b"
+) -> Dataset:
+    """Candidate pairs → one row per near-dup CLUSTER: canonical
+    (minimum) doc id, cluster size — the final dedup artifact (keep
+    the canonical doc, drop the rest)."""
+    comps = connected_components(pairs, src, dst)
+
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cluster_id": [int(g["component"].iloc[0])],
+                "n_members": [len(g)],
+            }
+        )
+
+    return comps.groupby("component").map_groups(count, batch_format="pandas")

@@ -443,3 +443,67 @@ def test_histogram_quantiles_bounded_error(ray_session):
     )
     for name in qs:
         assert np.allclose(got[name], got2[name])
+
+
+def test_connected_components_random_graphs(ray_session):
+    """Min-label propagation == a driver-side union-find reference on
+    random graphs (chains, stars, isolated pairs)."""
+    from hexscape_ray.stages.graph import connected_components
+
+    rng = np.random.default_rng(29)
+    n_nodes = 120
+    edges = []
+    # random chains + random extra edges
+    perm = rng.permutation(n_nodes)
+    for i in range(0, n_nodes - 8, 8):
+        chain = perm[i : i + 8]
+        edges += list(zip(chain[:-1], chain[1:]))
+    extra = rng.integers(0, n_nodes, (25, 2))
+    edges += [tuple(e) for e in extra if e[0] != e[1]]
+    a = np.array([e[0] for e in edges], dtype=np.int64)
+    b = np.array([e[1] for e in edges], dtype=np.int64)
+
+    # union-find reference
+    parent = list(range(n_nodes))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for x, y in edges:
+        parent[find(int(x))] = find(int(y))
+    want = {}
+    for node in set(a.tolist()) | set(b.tolist()):
+        root = find(node)
+        want.setdefault(root, []).append(node)
+    want_label = {}
+    for members in want.values():
+        m = min(members)
+        for node in members:
+            want_label[node] = m
+
+    ds = ray.data.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(b)})).repartition(5)
+    got = connected_components(ds).to_pandas()
+    assert len(got) == len(want_label)
+    for node, comp in zip(got["node"], got["component"]):
+        assert want_label[int(node)] == int(comp), node
+
+
+def test_dedup_clusters_from_pairs(dup_docs):
+    """Full near-dup flow: MinHash pairs → connected components →
+    cluster table; the planted dup groups land in single clusters
+    keyed by their min doc id."""
+    from hexscape_ray.stages.graph import connected_components, dedup_clusters
+
+    pairs = minhash_candidate_pairs(dup_docs).materialize()
+    comps = connected_components(pairs).to_pandas()
+    label = dict(zip(comps["node"].astype(int), comps["component"].astype(int)))
+    # exact duplicates land in the same component
+    assert label[0] == label[50]
+    assert label[1] == label[51] == label[52]
+    # component labels are canonical minima
+    assert all(lbl <= node for node, lbl in label.items())
+    # cluster table partitions the nodes
+    out = dedup_clusters(pairs).to_pandas()
+    assert out["n_members"].sum() == len(label)
+    assert set(out["cluster_id"]) == set(comps["component"].unique())
