@@ -704,6 +704,38 @@ SQL_TOKEN_COUNTS = """
 """
 
 
+def q_token_df(sf_dir: str) -> Dataset:
+    """Document frequency of the corpus's 20 most frequent tokens (the
+    TF-IDF / stopword-discovery building block): per-doc token dedup
+    inside map_batches → two-phase count per token → top-k with a
+    deterministic (df DESC, token ASC) tie-break."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def doc_tokens(batch: pa.Table) -> pa.Table:
+        toks, out = [], []
+        for t in batch["text"].to_pylist():
+            u = sorted(set(t.split(" ")))
+            toks.extend(u)
+        return pa.table({"token": pa.array(toks, type=pa.string())})
+
+    df = two_phase_sum(
+        ds.map_batches(doc_tokens, batch_format="pyarrow"), ["token"], [], count_as="df"
+    )
+    return (
+        df.sort(["df", "token"], descending=[True, False]).limit(20)
+    )
+
+
+SQL_TOKEN_DF = """
+  WITH t AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+    FROM documents
+  )
+  SELECT token, count(*) AS df FROM t
+  GROUP BY token ORDER BY df DESC, token ASC LIMIT 20
+"""
+
+
 def q_doc_repetition(sf_dir: str) -> Dataset:
     """CCNet-style repetition score per document: 1 − distinct/total
     tokens (high = boilerplate / keyword stuffing — a standard
@@ -1851,6 +1883,7 @@ RAY_QUERIES = {
     "winnow_pairs": q_winnow_pairs,
     "event_value_quantiles": q_event_value_quantiles,
     "dedup_clusters": q_dedup_clusters,
+    "token_df": q_token_df,
 }
 
 ORACLES = {
@@ -1889,6 +1922,7 @@ ORACLES = {
     "hex_kring": SQL_HEX_KRING,
     "priority_price_quantiles": SQL_PRIORITY_PRICE_QUANTILES,
     "doc_repetition": SQL_DOC_REPETITION,
+    "token_df": SQL_TOKEN_DF,
     # non-SQL (geometry / sketch / ANN) ops → rows-only checks:
     # doc_quality, minhash_bands, knn_cosine, generate_patches,
     # generate_neighbours, point_in_polygon, voronoi, habitat,
