@@ -122,8 +122,20 @@ def main():
         # so the gate is wall-clock-bound by the slowest queries, not
         # the sum (measured: 112 s sequential → 72 s at 4 threads /
         # 16 cpus on sf0.01; contention-bound beyond that).
-        # Warm lazy code paths first (one tiny read) — concurrent FIRST
-        # imports of Ray's optional fs backends race otherwise.
+        # Ray's OPTIONAL http filesystem import fails (no aiohttp in
+        # env) and failed imports are NOT cached, so concurrent reads
+        # re-race the import machinery ("cannot import name
+        # HTTPFileSystem").  Stub aiohttp so the import SUCCEEDS once
+        # and lands in sys.modules — the http fs is never used (all
+        # paths here are local).
+        import types
+
+        sys.modules.setdefault("aiohttp", types.ModuleType("aiohttp"))
+        try:
+            import fsspec.implementations.http  # noqa: F401
+        except Exception:
+            pass
+        # warm lazy code paths with one tiny read
         import ray.data
 
         ray.data.read_parquet(f"{sf_dir}/region.parquet").count()
