@@ -27,6 +27,23 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 if _HERE not in sys.path:
     sys.path.insert(0, _HERE)
 
+# Ray's OPTIONAL http-filesystem import fails in this env (no aiohttp)
+# and failed imports are not cached, so CONCURRENT first reads can race
+# Python's import machinery ("cannot import name HTTPFileSystem").
+# Stub aiohttp so the optional import succeeds once and is cached; the
+# http filesystem is never used (every path here is local parquet).
+if "aiohttp" not in sys.modules:
+    import types as _types
+
+    try:
+        import aiohttp  # noqa: F401
+    except ImportError:
+        sys.modules["aiohttp"] = _types.ModuleType("aiohttp")
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except Exception:
+        pass
+
 SF_SMOKE = "/root/testdata/sf0.001"
 
 

@@ -137,6 +137,8 @@ def run_queries() -> dict:
         "dedup_exact",
         "knn_cosine",
         "minhash_bands",
+        "dedup_clusters",
+        "crs_transform",
     ]
     out = {}
     for name in names:

@@ -36,17 +36,50 @@ def connected_components(
     MINIMUM node id reachable from each node (canonical labels)."""
     from hexscape_ray.stages.joins import bucketed_join
 
-    def symmetrize(batch: pa.Table) -> pa.Table:
+    def contract_block(batch: pa.Table) -> pa.Table:
+        """Local-first contraction: run union-find INSIDE each edge
+        block and emit only its star edges (member → local root).
+        Connectivity is preserved exactly (within-block paths collapse
+        to depth-1 stars; cross-block links survive via shared nodes),
+        the edge set shrinks to ≤ nodes-per-block rows, and local
+        diameter drops to 1 — fewer, cheaper supersteps."""
         a = batch[src].to_numpy(zero_copy_only=False)
         b = batch[dst].to_numpy(zero_copy_only=False)
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in zip(a.tolist(), b.tolist()):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                # union by value: smaller id becomes the root
+                if rx < ry:
+                    parent[ry] = rx
+                else:
+                    parent[rx] = ry
+        us, vs = [], []
+        for node in parent:
+            root = find(node)
+            if root != node:
+                us.append(node)
+                vs.append(root)
+            else:  # keep isolated self-roots visible as nodes
+                us.append(node)
+                vs.append(node)
+        arr_u = np.asarray(us, dtype=np.int64)
+        arr_v = np.asarray(vs, dtype=np.int64)
         return pa.table(
             {
-                "u": pa.array(np.concatenate([a, b])),
-                "v": pa.array(np.concatenate([b, a])),
+                "u": pa.array(np.concatenate([arr_u, arr_v])),
+                "v": pa.array(np.concatenate([arr_v, arr_u])),
             }
         )
 
-    sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    sym = edges.map_batches(contract_block, batch_format="pyarrow").materialize()
 
     # initial labels: L(u) = min(u, min direct neighbour)
     labels = (
