@@ -704,6 +704,78 @@ SQL_TOKEN_COUNTS = """
 """
 
 
+def q_asof_order_events(sf_dir: str) -> Dataset:
+    """AS-OF join (stages/joins.py::asof_join): every event aligned
+    with the user's most recent order at-or-before the event time —
+    the time-series alignment operator Ray Data's join API lacks,
+    checked against DuckDB's NATIVE ASOF JOIN.  The right side is
+    deduplicated per (user, order-ts) with max(cents) first so the
+    match is deterministic under ties."""
+    from hexscape_ray.stages.joins import asof_join
+    from ray.data.aggregate import Max
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def ev_prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "us": batch["ts"].cast(pa.int64()),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def ord_prep(batch: pa.Table) -> pa.Table:
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch["o_custkey"],
+                "ot": batch["o_orderdate"].cast(pa.int64()),
+                "cents": pa.array(np.floor(p * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    rd = (
+        orders.map_batches(ord_prep, batch_format="pyarrow")
+        .groupby(["user_id", "ot"])
+        .aggregate(Max("cents", alias_name="last_order_cents"))
+    )
+    out = asof_join(
+        ev.map_batches(ev_prep, batch_format="pyarrow"),
+        rd,
+        on="user_id",
+        left_time="us",
+        right_time="ot",
+    )
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "last_order_cents": batch["last_order_cents"],
+                "order_ts_us": batch["ot"],
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_ASOF_ORDER_EVENTS = """
+  WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+  r AS (
+    SELECT o_custkey AS user_id,
+           epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS ot,
+           max(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+             AS last_order_cents
+    FROM orders GROUP BY 1, 2
+  )
+  SELECT e.event_id, e.user_id, r.last_order_cents, r.ot AS order_ts_us
+  FROM e ASOF JOIN r ON e.user_id = r.user_id AND e.us >= r.ot
+"""
+
+
 def q_token_df(sf_dir: str) -> Dataset:
     """Document frequency of the corpus's 20 most frequent tokens (the
     TF-IDF / stopword-discovery building block): per-doc token dedup
@@ -1884,6 +1956,7 @@ RAY_QUERIES = {
     "event_value_quantiles": q_event_value_quantiles,
     "dedup_clusters": q_dedup_clusters,
     "token_df": q_token_df,
+    "asof_order_events": q_asof_order_events,
 }
 
 ORACLES = {
@@ -1923,6 +1996,7 @@ ORACLES = {
     "priority_price_quantiles": SQL_PRIORITY_PRICE_QUANTILES,
     "doc_repetition": SQL_DOC_REPETITION,
     "token_df": SQL_TOKEN_DF,
+    "asof_order_events": SQL_ASOF_ORDER_EVENTS,
     # non-SQL (geometry / sketch / ANN) ops → rows-only checks:
     # doc_quality, minhash_bands, knn_cosine, generate_patches,
     # generate_neighbours, point_in_polygon, voronoi, habitat,

@@ -142,3 +142,120 @@ def bucketed_join(
         return out.select(ordered)
 
     return tagged.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    left_time: str,
+    right_time: str,
+    how: str = "inner",
+    n_buckets: int = 64,
+) -> Dataset:
+    """AS-OF join — for every left row, the matching right row with the
+    LARGEST ``right_time`` ≤ ``left_time`` within the same ``on`` key
+    (the time-series alignment operator Ray Data's join API lacks;
+    DuckDB's native ASOF JOIN is the oracle).
+
+    Composition: both sides are co-partitioned on ``hash(key) % B``
+    (same one-shuffle tag-union as :func:`bucketed_join`); inside each
+    key group the right times are sorted once and every left row is
+    matched with one vectorised ``searchsorted`` — no row loops, no
+    cross-key data movement.
+
+    Determinism note: if several right rows share (key, right_time),
+    which one matches is ambiguous — deduplicate the right side first
+    (e.g. keep the max value per (key, time)) for reproducible output.
+    ``how='left'`` keeps unmatched left rows with nulls; 'inner' drops
+    them.
+    """
+    lschema, rschema = left.schema(), right.schema()
+    lcols = list(lschema.names)
+    rcols = list(rschema.names)
+    r_payload = [c for c in rcols if c not in (on, right_time)]
+
+    def tag(side: str, cols: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = batch[on].to_numpy(zero_copy_only=False)
+            if not np.issubdtype(np.asarray(k).dtype, np.integer):
+                from hexscape_ray.functions.hashing import fnv1a_64_str_array
+
+                k = fnv1a_64_str_array(batch[on].to_pylist()).astype(np.int64)
+            out = {c: batch[c] for c in cols}
+            out["__bucket"] = pa.array(np.abs(np.asarray(k, dtype=np.int64)) % n_buckets)
+            out["__side"] = pa.array(np.repeat(side, len(batch)))
+            return pa.table(out)
+
+        return fn
+
+    # pad to the union schema with typed nulls so the sides can union
+    def pad(batch: pa.Table, want: list[tuple[str, pa.DataType]]) -> pa.Table:
+        cols = {}
+        for name, typ in want:
+            cols[name] = (
+                batch[name] if name in batch.column_names else pa.nulls(len(batch), typ)
+            )
+        for extra in ("__bucket", "__side"):
+            cols[extra] = batch[extra]
+        return pa.table(cols)
+
+    def _arrow_type(t):
+        if isinstance(t, pa.DataType):
+            return t
+        if t is str:
+            return pa.string()
+        if np.dtype(t) == np.dtype("O"):
+            return pa.string()
+        return pa.from_numpy_dtype(np.dtype(t))
+
+    fields = [(n, _arrow_type(t)) for n, t in zip(lschema.names, lschema.types)]
+    fields += [
+        (n, _arrow_type(t))
+        for n, t in zip(rschema.names, rschema.types)
+        if n not in lcols
+    ]
+
+    tagged = (
+        left.map_batches(tag("L", lcols), batch_format="pyarrow")
+        .map_batches(lambda b: pad(b, fields), batch_format="pyarrow")
+        .union(
+            right.map_batches(tag("R", rcols), batch_format="pyarrow").map_batches(
+                lambda b: pad(b, fields), batch_format="pyarrow"
+            )
+        )
+    )
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "L"]
+        rg = g[g["__side"] == "R"]
+        out_frames = []
+        for key, lk in lg.groupby(on, sort=False):
+            rk = rg[rg[on] == key]
+            lt = lk[left_time].to_numpy()
+            if len(rk) == 0:
+                if how == "left":
+                    f = lk[lcols].copy()
+                    for c in r_payload + [right_time]:
+                        f[c] = pd.NA
+                    out_frames.append(f)
+                continue
+            rk = rk.sort_values(right_time)
+            rt = rk[right_time].to_numpy()
+            idx = np.searchsorted(rt, lt, side="right") - 1
+            ok = idx >= 0
+            f = lk[lcols].iloc[np.flatnonzero(ok) if how != "left" else slice(None)].copy()
+            if how == "left":
+                take = np.where(ok, idx, 0)
+                for c in r_payload + [right_time]:
+                    vals = rk[c].to_numpy()[take]
+                    f[c] = np.where(ok, vals, None)
+            else:
+                for c in r_payload + [right_time]:
+                    f[c] = rk[c].to_numpy()[idx[ok]]
+            out_frames.append(f)
+        if not out_frames:
+            return pd.DataFrame(columns=lcols + r_payload + [right_time])
+        return pd.concat(out_frames, ignore_index=True)
+
+    return tagged.groupby("__bucket").map_groups(match, batch_format="pandas")

@@ -507,3 +507,64 @@ def test_dedup_clusters_from_pairs(dup_docs):
     out = dedup_clusters(pairs).to_pandas()
     assert out["n_members"].sum() == len(label)
     assert set(out["cluster_id"]) == set(comps["component"].unique())
+
+
+def test_asof_join_matches_pandas_merge_asof(ray_session):
+    """asof_join == pandas merge_asof(by=key, direction='backward') on
+    random keyed time series, inner and left forms."""
+    from hexscape_ray.stages.joins import asof_join
+
+    rng = np.random.default_rng(31)
+    nl, nr = 2000, 600
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 40, nl).astype(np.int64),
+            "t": rng.integers(0, 10_000, nl).astype(np.int64),
+            "lid": np.arange(nl, dtype=np.int64),
+        }
+    )
+    right = (
+        pd.DataFrame(
+            {
+                "k": rng.integers(0, 40, nr).astype(np.int64),
+                "rt": rng.integers(0, 10_000, nr).astype(np.int64),
+                "val": rng.integers(0, 1_000_000, nr).astype(np.int64),
+            }
+        )
+        .groupby(["k", "rt"], as_index=False)["val"]
+        .max()  # dedupe ties for determinism
+    )
+    want = pd.merge_asof(
+        left.sort_values("t", kind="stable"),
+        right.sort_values("rt"),
+        left_on="t",
+        right_on="rt",
+        by="k",
+        direction="backward",
+    )
+    want_inner = want.dropna(subset=["val"]).sort_values("lid", ignore_index=True)
+    got = (
+        asof_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            on="k",
+            left_time="t",
+            right_time="rt",
+        )
+        .to_pandas()
+        .sort_values("lid", ignore_index=True)
+    )
+    assert len(got) == len(want_inner)
+    assert np.array_equal(got["val"].to_numpy(np.int64), want_inner["val"].to_numpy(np.int64))
+    assert np.array_equal(got["rt"].to_numpy(np.int64), want_inner["rt"].to_numpy(np.int64))
+    # left form keeps unmatched rows with nulls
+    got_left = asof_join(
+        ray.data.from_pandas(left),
+        ray.data.from_pandas(right),
+        on="k",
+        left_time="t",
+        right_time="rt",
+        how="left",
+    ).to_pandas()
+    assert len(got_left) == nl
+    assert got_left["val"].isna().sum() == want["val"].isna().sum()
