@@ -776,6 +776,56 @@ SQL_ASOF_ORDER_EVENTS = """
 """
 
 
+def q_quantity_band_revenue(sf_dir: str) -> Dataset:
+    """Range join (stages/joins.py::range_join_broadcast): lineitems
+    banded by quantity interval (broadcast non-overlapping bands, one
+    vectorised searchsorted per batch — zero shuffle), then exact
+    revenue census per band; oracle = an interval-predicate SQL join."""
+    import pandas as pd_
+
+    from hexscape_ray.stages.joins import range_join_broadcast
+
+    bands = pd_.DataFrame(
+        {
+            "band": ["q00_10", "q10_20", "q20_30", "q30_40", "q40_99"],
+            "lo": [0.0, 10.0, 20.0, 30.0, 40.0],
+            "hi": [10.0, 20.0, 30.0, 40.0, 99.0],
+        }
+    )
+    li = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_quantity": batch["l_quantity"],
+                "cents": pa.array(np.floor(p * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    banded = range_join_broadcast(
+        li.map_batches(cents, batch_format="pyarrow"), bands, "l_quantity"
+    )
+    return two_phase_sum(
+        banded.select_columns(["band", "cents"]), ["band"], ["cents"], count_as="n_items"
+    ).rename_columns({"cents": "revenue_cents"})
+
+
+SQL_QUANTITY_BAND_REVENUE = """
+  WITH bands(band, lo, hi) AS (
+    VALUES ('q00_10', 0.0, 10.0), ('q10_20', 10.0, 20.0),
+           ('q20_30', 20.0, 30.0), ('q30_40', 30.0, 40.0),
+           ('q40_99', 40.0, 99.0)
+  )
+  SELECT band,
+    CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+      AS revenue_cents,
+    count(*) AS n_items
+  FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+  GROUP BY band
+"""
+
+
 def q_token_df(sf_dir: str) -> Dataset:
     """Document frequency of the corpus's 20 most frequent tokens (the
     TF-IDF / stopword-discovery building block): per-doc token dedup
@@ -1957,6 +2007,7 @@ RAY_QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "token_df": q_token_df,
     "asof_order_events": q_asof_order_events,
+    "quantity_band_revenue": q_quantity_band_revenue,
 }
 
 ORACLES = {
@@ -1997,6 +2048,7 @@ ORACLES = {
     "doc_repetition": SQL_DOC_REPETITION,
     "token_df": SQL_TOKEN_DF,
     "asof_order_events": SQL_ASOF_ORDER_EVENTS,
+    "quantity_band_revenue": SQL_QUANTITY_BAND_REVENUE,
     # non-SQL (geometry / sketch / ANN) ops → rows-only checks:
     # doc_quality, minhash_bands, knn_cosine, generate_patches,
     # generate_neighbours, point_in_polygon, voronoi, habitat,

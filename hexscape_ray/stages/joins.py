@@ -259,3 +259,47 @@ def asof_join(
         return pd.concat(out_frames, ignore_index=True)
 
     return tagged.groupby("__bucket").map_groups(match, batch_format="pandas")
+
+
+def range_join_broadcast(
+    big: Dataset,
+    intervals: pd.DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> Dataset:
+    """Range join — attach to every row the interval containing its
+    value (``lo ≤ value < hi``), for a SMALL side of NON-OVERLAPPING
+    intervals (bands, buckets, tariffs — the common case).
+
+    Scale shape: the interval table broadcasts once via ``ray.put``
+    and each batch resolves membership with one vectorised
+    ``searchsorted`` against the sorted interval starts — no shuffle
+    at all, O(log m) per row.  Rows outside every interval are
+    dropped (inner semantics).  Overlapping intervals would need an
+    interval tree; assert-guarded.
+    """
+    iv = intervals.sort_values(lo_col, ignore_index=True)
+    los = iv[lo_col].to_numpy()
+    his = iv[hi_col].to_numpy()
+    if not (his[:-1] <= los[1:]).all():
+        raise ValueError("range_join_broadcast requires non-overlapping intervals")
+    ref = ray.put((los, his, iv))
+
+    class Binner:
+        def __init__(self):
+            self.los, self.his, self.iv = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            v = batch[value_col].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.los, v, side="right") - 1
+            ok = (idx >= 0) & (v < self.his[np.clip(idx, 0, None)])
+            sel = np.flatnonzero(ok)
+            out = {c: batch[c].take(pa.array(sel)) for c in batch.column_names}
+            for c in self.iv.columns:
+                out[c] = pa.array(self.iv[c].to_numpy()[idx[sel]])
+            return pa.table(out)
+
+    return big.map_batches(
+        Binner, batch_format="pyarrow", batch_size=65536, concurrency=(1, 8)
+    )

@@ -568,3 +568,36 @@ def test_asof_join_matches_pandas_merge_asof(ray_session):
     ).to_pandas()
     assert len(got_left) == nl
     assert got_left["val"].isna().sum() == want["val"].isna().sum()
+
+
+def test_range_join_broadcast(ray_session):
+    """Broadcast range join bins values into non-overlapping intervals
+    (inner semantics; out-of-range rows dropped; overlap rejected)."""
+    from hexscape_ray.stages.joins import range_join_broadcast
+
+    rng = np.random.default_rng(37)
+    v = rng.uniform(-5, 110, 3000)
+    ds = ray.data.from_arrow(
+        pa.table({"v": pa.array(v), "rid": pa.array(np.arange(3000, dtype=np.int64))})
+    ).repartition(4)
+    bands = pd.DataFrame(
+        {"band": ["a", "b", "c"], "lo": [0.0, 25.0, 60.0], "hi": [25.0, 50.0, 100.0]}
+    )
+    got = (
+        range_join_broadcast(ds, bands, "v")
+        .to_pandas()
+        .sort_values("rid", ignore_index=True)
+    )
+    # reference: pandas interval matching
+    want_band = np.full(3000, None, dtype=object)
+    for _, r in bands.iterrows():
+        m = (v >= r["lo"]) & (v < r["hi"])
+        want_band[m] = r["band"]
+    keep = want_band != None  # noqa: E711
+    assert len(got) == int(keep.sum())
+    assert (got["band"].to_numpy() == want_band[keep][np.argsort(np.flatnonzero(keep), kind="stable")]).all() or (
+        got["band"].to_numpy() == want_band[keep]
+    ).all()
+    with pytest.raises(ValueError, match="non-overlapping"):
+        bad = pd.DataFrame({"band": ["x", "y"], "lo": [0.0, 5.0], "hi": [10.0, 15.0]})
+        range_join_broadcast(ds, bad, "v")
