@@ -32,17 +32,18 @@ if _HERE not in sys.path:
 # Python's import machinery ("cannot import name HTTPFileSystem").
 # Stub aiohttp so the optional import succeeds once and is cached; the
 # http filesystem is never used (every path here is local parquet).
-if "aiohttp" not in sys.modules:
-    import types as _types
+import types as _types
 
-    try:
-        import aiohttp  # noqa: F401
-    except ImportError:
-        sys.modules["aiohttp"] = _types.ModuleType("aiohttp")
-    try:
-        import fsspec.implementations.http  # noqa: F401
-    except Exception:
-        pass
+for _m in ("aiohttp", "yarl"):  # both imported at http.py module top
+    if _m not in sys.modules:
+        try:
+            __import__(_m)
+        except ImportError:
+            sys.modules[_m] = _types.ModuleType(_m)
+try:
+    import fsspec.implementations.http  # noqa: F401  (now cached OK)
+except Exception:
+    pass
 
 SF_SMOKE = "/root/testdata/sf0.001"
 

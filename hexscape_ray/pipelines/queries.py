@@ -776,6 +776,48 @@ SQL_ASOF_ORDER_EVENTS = """
 """
 
 
+def q_train_val_test_split(sf_dir: str) -> Dataset:
+    """Deterministic dataset splitting (the standard training-data op):
+    each doc assigned to train/val/test by Knuth multiplicative hash of
+    its id (stable under any partitioning/re-run — no RNG state), with
+    a per-split census proving the 80/10/10 shape; the same hash is
+    reproduced in SQL (same constant as the geocode oracle)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def split(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (did * np.uint64(2654435761)) % np.uint64(4294967296)
+        frac = h.astype(np.float64) / 4294967296.0
+        lab = np.where(frac < 0.8, "train", np.where(frac < 0.9, "val", "test"))
+        return pa.table(
+            {
+                "split": pa.array(lab.astype(object), type=pa.string()),
+                "n_chars": batch["n_chars"],
+            }
+        )
+
+    return two_phase_sum(
+        ds.map_batches(split, batch_format="pyarrow"),
+        ["split"],
+        ["n_chars"],
+        count_as="n_docs",
+    ).rename_columns({"n_chars": "len_sum"})
+
+
+SQL_TRAIN_VAL_TEST_SPLIT = """
+  WITH s AS (
+    SELECT n_chars,
+      ((doc_id * 2654435761) % 4294967296) / 4294967296.0 AS frac
+    FROM documents
+  )
+  SELECT CASE WHEN frac < 0.8 THEN 'train'
+              WHEN frac < 0.9 THEN 'val' ELSE 'test' END AS split,
+    CAST(sum(n_chars) AS BIGINT) AS len_sum,
+    count(*) AS n_docs
+  FROM s GROUP BY 1
+"""
+
+
 def q_quantity_band_revenue(sf_dir: str) -> Dataset:
     """Range join (stages/joins.py::range_join_broadcast): lineitems
     banded by quantity interval (broadcast non-overlapping bands, one
@@ -2008,6 +2050,7 @@ RAY_QUERIES = {
     "token_df": q_token_df,
     "asof_order_events": q_asof_order_events,
     "quantity_band_revenue": q_quantity_band_revenue,
+    "train_val_test_split": q_train_val_test_split,
 }
 
 ORACLES = {
@@ -2049,6 +2092,7 @@ ORACLES = {
     "token_df": SQL_TOKEN_DF,
     "asof_order_events": SQL_ASOF_ORDER_EVENTS,
     "quantity_band_revenue": SQL_QUANTITY_BAND_REVENUE,
+    "train_val_test_split": SQL_TRAIN_VAL_TEST_SPLIT,
     # non-SQL (geometry / sketch / ANN) ops → rows-only checks:
     # doc_quality, minhash_bands, knn_cosine, generate_patches,
     # generate_neighbours, point_in_polygon, voronoi, habitat,

@@ -130,7 +130,8 @@ def main():
         # paths here are local).
         import types
 
-        sys.modules.setdefault("aiohttp", types.ModuleType("aiohttp"))
+        for m in ("aiohttp", "yarl"):  # both imported at http.py top
+            sys.modules.setdefault(m, types.ModuleType(m))
         try:
             import fsspec.implementations.http  # noqa: F401
         except Exception:
