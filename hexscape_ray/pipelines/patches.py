@@ -88,7 +88,9 @@ def _simplify_landcover(landcover: pa.Table, keep: float) -> pa.Table:
     by_row: dict[int, list] = {}
     for rid, rings in zip(row_of, simp):
         by_row.setdefault(rid, []).append(rings)
-    wkbs = [multipolygon_to_wkb(by_row[i]) for i in range(len(landcover))]
+    # .get: a row whose WKB yields no rings (empty/degenerate
+    # multipolygon) must round-trip as an empty multipolygon, not KeyError
+    wkbs = [multipolygon_to_wkb(by_row.get(i, [])) for i in range(len(landcover))]
     return landcover.set_column(
         landcover.column_names.index("wkb"), "wkb", pa.array(wkbs, type=pa.binary())
     )

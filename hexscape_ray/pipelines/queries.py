@@ -807,7 +807,9 @@ def q_train_val_test_split(sf_dir: str) -> Dataset:
 SQL_TRAIN_VAL_TEST_SPLIT = """
   WITH s AS (
     SELECT n_chars,
-      ((doc_id * 2654435761) % 4294967296) / 4294967296.0 AS frac
+      -- HUGEINT: BIGINT would overflow for doc_id ≳ 3.47e9 while the
+      -- Ray side wraps in uint64 — cast keeps oracle == engine at scale
+      ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296) / 4294967296.0 AS frac
     FROM documents
   )
   SELECT CASE WHEN frac < 0.8 THEN 'train'
@@ -858,6 +860,57 @@ SQL_QUANTITY_BAND_REVENUE = """
     VALUES ('q00_10', 0.0, 10.0), ('q10_20', 10.0, 20.0),
            ('q20_30', 20.0, 30.0), ('q30_40', 30.0, 40.0),
            ('q40_99', 40.0, 99.0)
+  )
+  SELECT band,
+    CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+      AS revenue_cents,
+    count(*) AS n_items
+  FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+  GROUP BY band
+"""
+
+
+def q_quantity_band_overlap(sf_dir: str) -> Dataset:
+    """GENERAL range join (stages/joins.py::range_join_intervals):
+    OVERLAPPING + NESTED quantity bands — every lineitem fans out to
+    every band containing it (broadcast CSR stab query over elementary
+    segments, zero shuffle), then exact revenue census per band.
+    Closes the non-overlap restriction of ``range_join_broadcast``
+    (round-2 verdict #5); oracle = the interval-predicate SQL join."""
+    import pandas as pd_
+
+    from hexscape_ray.stages.joins import range_join_intervals
+
+    bands = pd_.DataFrame(
+        {
+            "band": ["all", "low", "mid", "high", "core"],
+            "lo": [0.0, 0.0, 15.0, 40.0, 20.0],
+            "hi": [99.0, 25.0, 45.0, 99.0, 30.0],
+        }
+    )
+    li = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_quantity": batch["l_quantity"],
+                "cents": pa.array(np.floor(p * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    banded = range_join_intervals(
+        li.map_batches(cents, batch_format="pyarrow"), bands, "l_quantity"
+    )
+    return two_phase_sum(
+        banded.select_columns(["band", "cents"]), ["band"], ["cents"], count_as="n_items"
+    ).rename_columns({"cents": "revenue_cents"})
+
+
+SQL_QUANTITY_BAND_OVERLAP = """
+  WITH bands(band, lo, hi) AS (
+    VALUES ('all', 0.0, 99.0), ('low', 0.0, 25.0), ('mid', 15.0, 45.0),
+           ('high', 40.0, 99.0), ('core', 20.0, 30.0)
   )
   SELECT band,
     CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
@@ -2050,6 +2103,7 @@ RAY_QUERIES = {
     "token_df": q_token_df,
     "asof_order_events": q_asof_order_events,
     "quantity_band_revenue": q_quantity_band_revenue,
+    "quantity_band_overlap": q_quantity_band_overlap,
     "train_val_test_split": q_train_val_test_split,
 }
 
@@ -2092,6 +2146,7 @@ ORACLES = {
     "token_df": SQL_TOKEN_DF,
     "asof_order_events": SQL_ASOF_ORDER_EVENTS,
     "quantity_band_revenue": SQL_QUANTITY_BAND_REVENUE,
+    "quantity_band_overlap": SQL_QUANTITY_BAND_OVERLAP,
     "train_val_test_split": SQL_TRAIN_VAL_TEST_SPLIT,
     # non-SQL (geometry / sketch / ANN) ops → rows-only checks:
     # doc_quality, minhash_bands, knn_cosine, generate_patches,

@@ -217,16 +217,20 @@ def approx_quantiles_histogram(
         tuple(row[k] for k in keys): (float(row["__lo"]), float(row["__hi"]))
         for _, row in mm.iterrows()
     }
-    ref = _ray.put(lookup)
+    ref = _ray.put(mm)
 
     def binned(batch: pa.Table) -> pa.Table:
-        lk = _ray.get(ref)
+        mm_ = _ray.get(ref)  # plasma-cached per node, not re-shipped
         v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        kcols = [batch[k].to_numpy(zero_copy_only=False) for k in keys]
-        lo = np.empty(v.shape[0])
-        hi = np.empty(v.shape[0])
-        for i in range(v.shape[0]):
-            lo[i], hi[i] = lk[tuple(c[i] for c in kcols)]
+        # vectorised key→(lo,hi) resolution: a left merge against the
+        # broadcast min/max frame (C hash join, preserves row order) —
+        # replaces the round-2 per-row dict-lookup Python loop
+        kdf = pd.DataFrame(
+            {k: batch[k].to_numpy(zero_copy_only=False) for k in keys}
+        )
+        j = kdf.merge(mm_, on=keys, how="left", sort=False)
+        lo = j["__lo"].to_numpy(dtype=np.float64)
+        hi = j["__hi"].to_numpy(dtype=np.float64)
         width = np.maximum(hi - lo, 1e-300)
         b = np.clip(
             np.floor((v - lo) / width * n_bins).astype(np.int64), 0, n_bins - 1

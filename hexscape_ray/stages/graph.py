@@ -19,7 +19,6 @@ construction, so the loop is short even on boilerplate clusters.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ray.data import Dataset
@@ -31,9 +30,17 @@ def connected_components(
     src: str = "a",
     dst: str = "b",
     max_iter: int = 50,
+    target_rows_per_bucket: int = 131072,
 ) -> Dataset:
     """(src, dst) edge rows → (node, component) with component = the
-    MINIMUM node id reachable from each node (canonical labels)."""
+    MINIMUM node id reachable from each node (canonical labels).
+
+    Superstep width SCALES WITH THE EDGE SET: the bucketed-join bucket
+    count and the label repartition width derive from
+    ``count(sym) / target_rows_per_bucket`` (clamped [8, 256]) instead
+    of a fixed 8 — at 100× the edges the supersteps get 100× the
+    parallel tasks rather than serialising on 8 (round-2 verdict #2).
+    """
     from hexscape_ray.stages.joins import bucketed_join
 
     def contract_block(batch: pa.Table) -> pa.Table:
@@ -80,6 +87,10 @@ def connected_components(
         )
 
     sym = edges.map_batches(contract_block, batch_format="pyarrow").materialize()
+    # one metadata count on the materialised edge set sizes every
+    # superstep's shuffle: ~target_rows_per_bucket rows per bucket task
+    n_sym = sym.count()
+    width = int(min(256, max(8, -(-n_sym // max(target_rows_per_bucket, 1)))))
 
     # initial labels: L(u) = min(u, min direct neighbour)
     labels = (
@@ -105,23 +116,23 @@ def connected_components(
     old_sum = labels.sum("label")
     for _ in range(max_iter):
         # (1) edge propagation: candidate label for v = label of its
-        # neighbour u; (2) pointer jumping: candidate for u =
-        # label(label(u)) — doubles the propagation distance per
-        # superstep, so convergence is O(log diameter) supersteps
-        prop = bucketed_join(sym, labels, on="u", n_buckets=8).map_batches(
-            lambda t: pa.table({"u": t["v"], "cand": t["label"]}),
-            batch_format="pyarrow",
-        )
+        # neighbour u; (2) pointer jumping: candidate for x =
+        # label(label(x)) — doubles the propagation distance per
+        # superstep, so convergence is O(log diameter) supersteps.
+        # Both are "join labels on u, emit (v, label)" over different
+        # (u, v) row sets — sym for prop, (label(x), x) for jump — so
+        # they share ONE bucketed join over the union (one shuffle per
+        # superstep instead of two; round-3 rewrite).  Jump candidates
+        # label(label(x)) ≤ label(x) cover every node, so no explicit
+        # self-label stream is needed to keep the min monotone.
         as_node = labels.map_batches(
-            lambda t: pa.table({"u": t["label"], "orig": t["u"]}),
+            lambda t: pa.table({"u": t["label"], "v": t["u"]}),
             batch_format="pyarrow",
         )
-        jump = bucketed_join(as_node, labels, on="u", n_buckets=8).map_batches(
-            lambda t: pa.table({"u": t["orig"], "cand": t["label"]}),
-            batch_format="pyarrow",
-        )
-        self_lab = labels.map_batches(
-            lambda t: pa.table({"u": t["u"], "cand": t["label"]}),
+        cand = bucketed_join(
+            sym.union(as_node), labels, on="u", n_buckets=width
+        ).map_batches(
+            lambda t: pa.table({"u": t["v"], "cand": t["label"]}),
             batch_format="pyarrow",
         )
         # repartition to a FIXED block count before materialising:
@@ -130,11 +141,9 @@ def connected_components(
         # grow exponentially (measured: supersteps of 2 s → 3 s →
         # 19 s → 260 s; flat ~2 s once bounded)
         labels = (
-            prop.union(jump)
-            .union(self_lab)
-            .groupby("u")
+            cand.groupby("u")
             .aggregate(Min("cand", alias_name="label"))
-            .repartition(8)
+            .repartition(width)
             .materialize()
         )
         # converged? labels only ever decrease, so the label sum
@@ -157,14 +166,19 @@ def dedup_clusters(
     """Candidate pairs → one row per near-dup CLUSTER: canonical
     (minimum) doc id, cluster size — the final dedup artifact (keep
     the canonical doc, drop the rest)."""
+    from ray.data.aggregate import Count
+
     comps = connected_components(pairs, src, dst)
-
-    def count(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "cluster_id": [int(g["component"].iloc[0])],
-                "n_members": [len(g)],
-            }
+    # native Count aggregate (vectorised per block) instead of a
+    # one-row-pandas-DataFrame-per-group map_groups — same shuffle,
+    # no per-group Python object churn
+    return (
+        comps.groupby("component")
+        .aggregate(Count("node", alias_name="n_members"))
+        .map_batches(
+            lambda t: pa.table(
+                {"cluster_id": t["component"], "n_members": t["n_members"]}
+            ),
+            batch_format="pyarrow",
         )
-
-    return comps.groupby("component").map_groups(count, batch_format="pandas")
+    )

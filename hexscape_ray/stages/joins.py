@@ -160,9 +160,17 @@ def asof_join(
 
     Composition: both sides are co-partitioned on ``hash(key) % B``
     (same one-shuffle tag-union as :func:`bucketed_join`); inside each
-    key group the right times are sorted once and every left row is
-    matched with one vectorised ``searchsorted`` — no row loops, no
-    cross-key data movement.
+    bucket BOTH sides are matched with ONE vectorised ``searchsorted``
+    over a (key-code, time-rank) composite — no per-key Python scan
+    (the round-2 O(K·R) inner loop), O((L+R)·log) per bucket.
+
+    The per-bucket match runs Arrow-natively (filter → cast to the
+    declared side schema → numpy kernel → rebuild ``pa.Table``), so
+    the typed nulls from the union padding never pass through pandas —
+    int64 columns (ids, epoch-us) keep their dtype instead of
+    degrading to float64+NaN (the same nulls→NaN class the
+    ``bucketed_join`` Arrow rewrite fixed; values >2^53 would lose
+    precision silently).
 
     Determinism note: if several right rows share (key, right_time),
     which one matches is ambiguous — deduplicate the right side first
@@ -226,39 +234,64 @@ def asof_join(
         )
     )
 
-    def match(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == "L"]
-        rg = g[g["__side"] == "R"]
-        out_frames = []
-        for key, lk in lg.groupby(on, sort=False):
-            rk = rg[rg[on] == key]
-            lt = lk[left_time].to_numpy()
-            if len(rk) == 0:
-                if how == "left":
-                    f = lk[lcols].copy()
-                    for c in r_payload + [right_time]:
-                        f[c] = pd.NA
-                    out_frames.append(f)
-                continue
-            rk = rk.sort_values(right_time)
-            rt = rk[right_time].to_numpy()
-            idx = np.searchsorted(rt, lt, side="right") - 1
-            ok = idx >= 0
-            f = lk[lcols].iloc[np.flatnonzero(ok) if how != "left" else slice(None)].copy()
-            if how == "left":
-                take = np.where(ok, idx, 0)
-                for c in r_payload + [right_time]:
-                    vals = rk[c].to_numpy()[take]
-                    f[c] = np.where(ok, vals, None)
-            else:
-                for c in r_payload + [right_time]:
-                    f[c] = rk[c].to_numpy()[idx[ok]]
-            out_frames.append(f)
-        if not out_frames:
-            return pd.DataFrame(columns=lcols + r_payload + [right_time])
-        return pd.concat(out_frames, ignore_index=True)
+    typed = dict(fields)
+    l_target = pa.schema([(n, typed[n]) for n in lcols])
+    r_target = pa.schema([(n, typed[n]) for n in rcols])
+    out_rcols = r_payload + [right_time]
 
-    return tagged.groupby("__bucket").map_groups(match, batch_format="pandas")
+    def _empty() -> pa.Table:
+        return pa.table(
+            {
+                **{c: pa.nulls(0, typed[c]) for c in lcols},
+                **{c: pa.nulls(0, typed[c]) for c in out_rcols},
+            }
+        )
+
+    def match(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_left = pc.equal(g["__side"], "L")
+        # cast restores declared dtypes on blocks whose padded columns
+        # degraded to null type (same guard as bucketed_join)
+        lg = g.filter(is_left).select(lcols).cast(l_target)
+        rg = g.filter(pc.invert(is_left)).select(rcols).cast(r_target)
+        nl, nr = len(lg), len(rg)
+        if nl == 0:
+            return _empty()
+
+        # joint key factorisation (works for int AND string keys), then
+        # one composite code*M + time-rank per row: right sorted by the
+        # composite IS right sorted by (key, time), so a single
+        # searchsorted(side="right")−1 lands every left row on the
+        # latest right row with the same key and right_time ≤ left_time.
+        lk = lg[on].to_numpy(zero_copy_only=False)
+        rk = rg[on].to_numpy(zero_copy_only=False)
+        _, codes = np.unique(np.concatenate([lk, rk]), return_inverse=True)
+        lcode, rcode = codes[:nl].astype(np.int64), codes[nl:].astype(np.int64)
+        lt = lg[left_time].to_numpy(zero_copy_only=False)
+        rt = rg[right_time].to_numpy(zero_copy_only=False)
+        tsorted = np.unique(np.concatenate([lt, rt]))
+        M = np.int64(tsorted.size + 1)
+        lcomp = lcode * M + np.searchsorted(tsorted, lt)
+        rcomp = rcode * M + np.searchsorted(tsorted, rt)
+        order = np.argsort(rcomp, kind="stable") if nr else np.empty(0, np.int64)
+        idx = np.searchsorted(rcomp[order] if nr else rcomp, lcomp, side="right") - 1
+        cand = order[np.clip(idx, 0, None)] if nr else np.zeros(nl, np.int64)
+        ok = (idx >= 0) & (rcode[cand] == lcode) if nr else np.zeros(nl, bool)
+
+        if how == "left":
+            sel_l = np.arange(nl)
+            # null index → null output value: typed nulls, never NaN
+            ridx = pa.array(np.where(ok, cand, 0), mask=~ok)
+        else:
+            sel_l = np.flatnonzero(ok)
+            ridx = pa.array(cand[ok])
+        cols = {c: lg[c].take(pa.array(sel_l)) for c in lcols}
+        for c in out_rcols:
+            cols[c] = rg[c].take(ridx) if nr else pa.nulls(len(sel_l), typed[c])
+        return pa.table(cols)
+
+    return tagged.groupby("__bucket").map_groups(match, batch_format="pyarrow")
 
 
 def range_join_broadcast(
@@ -283,7 +316,10 @@ def range_join_broadcast(
     los = iv[lo_col].to_numpy()
     his = iv[hi_col].to_numpy()
     if not (his[:-1] <= los[1:]).all():
-        raise ValueError("range_join_broadcast requires non-overlapping intervals")
+        raise ValueError(
+            "range_join_broadcast requires non-overlapping intervals; "
+            "use range_join_intervals for the general overlapping case"
+        )
     ref = ray.put((los, his, iv))
 
     class Binner:
@@ -302,4 +338,82 @@ def range_join_broadcast(
 
     return big.map_batches(
         Binner, batch_format="pyarrow", batch_size=65536, concurrency=(1, 8)
+    )
+
+
+def range_join_intervals(
+    big: Dataset,
+    intervals: pd.DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> Dataset:
+    """General range join — attach to every row EVERY interval
+    containing its value (``lo ≤ value < hi``), intervals may OVERLAP
+    and nest arbitrarily (the case :func:`range_join_broadcast`'s
+    non-overlap assert excludes).  One input row → k output rows when
+    k intervals contain it; rows inside no interval are dropped
+    (inner semantics, matching ``JOIN ... ON v >= lo AND v < hi``).
+
+    Scale shape: the m broadcast intervals are decomposed ONCE
+    driver-side into ≤ 2m−1 ELEMENTARY segments between sorted
+    endpoint boundaries; each segment stores its covering interval
+    ids in one flat CSR array (offsets + ids, built in O(m²) worst
+    case — fine for a broadcast-small side).  Per batch the lookup is
+    one vectorised ``searchsorted`` into the boundaries plus a CSR
+    gather (``np.repeat`` + cumsum arithmetic) — no shuffle, no
+    per-row Python, O(log m + output) per row.  This is the classic
+    stab-query flattening of an interval tree; for a LARGE interval
+    side the same decomposition would be range-partitioned by
+    boundary instead of broadcast.
+    """
+    m = len(intervals)
+    iv = intervals.reset_index(drop=True)
+    los = np.asarray(iv[lo_col].to_numpy(), dtype=np.float64)
+    his = np.asarray(iv[hi_col].to_numpy(), dtype=np.float64)
+    bounds = np.unique(np.concatenate([los, his]))  # sorted endpoints
+    n_seg = bounds.size - 1  # elementary segments [bounds[j], bounds[j+1])
+    # (segment, interval) covering pairs: interval i covers exactly the
+    # contiguous segment run [idx(lo_i), idx(hi_i))
+    seg_lo = np.searchsorted(bounds, los)
+    seg_hi = np.searchsorted(bounds, his)
+    counts_i = seg_hi - seg_lo
+    iv_of_pair = np.repeat(np.arange(m, dtype=np.int64), counts_i)
+    seg_of_pair = (
+        np.arange(counts_i.sum(), dtype=np.int64)
+        - np.repeat(np.cumsum(counts_i) - counts_i, counts_i)
+        + np.repeat(seg_lo, counts_i)
+    )
+    order = np.argsort(seg_of_pair, kind="stable")  # CSR by segment
+    ids = iv_of_pair[order]
+    offsets = np.zeros(n_seg + 1, dtype=np.int64)
+    np.add.at(offsets, seg_of_pair + 1, 1)
+    offsets = np.cumsum(offsets)
+    ref = ray.put((bounds, offsets, ids, iv))
+
+    class Stab:
+        def __init__(self):
+            self.bounds, self.offsets, self.ids, self.iv = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            seg = np.searchsorted(self.bounds, v, side="right") - 1
+            inside = (seg >= 0) & (seg < self.bounds.size - 1)
+            seg = np.clip(seg, 0, self.bounds.size - 2)
+            cnt = np.where(inside, self.offsets[seg + 1] - self.offsets[seg], 0)
+            rows = np.repeat(np.arange(len(v), dtype=np.int64), cnt)
+            # CSR gather: position within each row's run + run start
+            pos = (
+                np.arange(int(cnt.sum()), dtype=np.int64)
+                - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                + np.repeat(self.offsets[seg], cnt)
+            )
+            matches = self.ids[pos]
+            out = {c: batch[c].take(pa.array(rows)) for c in batch.column_names}
+            for c in self.iv.columns:
+                out[c] = pa.array(self.iv[c].to_numpy()[matches])
+            return pa.table(out)
+
+    return big.map_batches(
+        Stab, batch_format="pyarrow", batch_size=65536, concurrency=(1, 8)
     )

@@ -112,12 +112,22 @@ def ivf_topk(
     n = corpus.count()  # parquet-metadata count, no scan
     if n_centroids is None:
         n_centroids = int(min(65536, max(16, np.sqrt(max(n, 1)))))
-    frac = min(1.0, (4.0 * train_sample) / max(n, 1))
+    # Unbiased training sample: random_sample keeps each row i.i.d.
+    # with prob `frac` — materialise ALL sampled rows (±√ variation in
+    # size) and, only if oversized, take a seeded uniform subsample.
+    # (A limit() on the sampled STREAM would truncate to the first
+    # blocks in storage order — write-order bias; round-2 advice.)
+    frac = min(1.0, (2.0 * train_sample) / max(n, 1))
     sampled = (
-        corpus.random_sample(frac, seed=13).limit(train_sample).to_pandas()
+        corpus.random_sample(frac, seed=13).to_pandas()
         if frac < 1.0
         else corpus.to_pandas()
     )
+    if len(sampled) > train_sample:
+        keep = np.random.RandomState(13).choice(
+            len(sampled), size=train_sample, replace=False
+        )
+        sampled = sampled.iloc[np.sort(keep)]
     sample = np.asarray(sampled["embedding"].tolist(), dtype=np.float64)
     C = train_centroids(sample, n_centroids)
     c_ref = ray.put(C)

@@ -131,7 +131,10 @@ def main():
         import types
 
         for m in ("aiohttp", "yarl"):  # both imported at http.py top
-            sys.modules.setdefault(m, types.ModuleType(m))
+            try:  # only stub when the real package is absent, so an
+                __import__(m)  # installed aiohttp is never masked
+            except ImportError:
+                sys.modules.setdefault(m, types.ModuleType(m))
         try:
             import fsspec.implementations.http  # noqa: F401
         except Exception:
