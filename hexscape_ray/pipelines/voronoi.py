@@ -180,6 +180,7 @@ def randomise_voronoi(
     mask_ids: set | None = None,
     from_type: str = "point",
     additional_info: bool = False,
+    strict: bool = False,
 ) -> pd.DataFrame:
     """Anonymise points by reassigning each to a sampled location in a
     voronoi cell drawn from its symmetric k-nearest pool, without
@@ -257,11 +258,20 @@ def randomise_voronoi(
         if ok:
             break
     if not ok:
-        # The reference hard-fails after max_tries; greedy sequential
-        # draws are often infeasible for clustered pools, so we instead
-        # fall back to a seeded perfect matching (Kuhn's augmenting
-        # paths over the same pools) — documented deviation: same
-        # without-replacement guarantee, not draw-order faithful.
+        if strict:
+            # strict parity: the reference hard-fails after max_tries
+            # greedy restarts (/root/reference/R/randomise_voronoi.R:
+            # 222-226 "Unable to find a valid combination...")
+            raise RuntimeError(
+                f"unable to find a valid randomisation in {max_tries} tries "
+                "(strict=True reproduces the reference hard-fail; rerun with "
+                "a larger randomise_size/max_tries or strict=False)"
+            )
+        # Default: greedy sequential draws are often infeasible for
+        # clustered pools, so fall back to a seeded perfect matching
+        # (Kuhn's augmenting paths over the same pools) — documented
+        # deviation: same without-replacement guarantee, not draw-order
+        # faithful.
         assign = _pool_matching(pools, rng)
 
     new_x, new_y = [], []

@@ -55,12 +55,28 @@ def bucketed_join(
     on: str,
     n_buckets: int = 64,
     how: str = "inner",
+    left_schema=None,
+    right_schema=None,
 ) -> Dataset:
     """Partitioned hash join: tag both sides with bucket = key % B (a
     cheap integer hash is enough for int keys), union with a side tag,
-    then join inside each bucket group.  One shuffle total."""
+    then join inside each bucket group.  One shuffle total.
 
-    lschema, rschema = left.schema(), right.schema()  # ray.data.Schema
+    EXECUTION CONTRACT (round-2 verdict #8): building the union schema
+    needs each side's schema up front, and ``Dataset.schema()``
+    PARTIALLY EXECUTES a lazy pipeline — whose work is then REDONE when
+    ``tag()`` consumes the side (Ray Data recomputes a lazy Dataset per
+    consumer; the builder's measured round-2 perf trap, 96 s → 12 s on
+    the minhash path).  Callers with a non-trivial upstream pipeline
+    should either (a) pass ``left_schema`` / ``right_schema``
+    (``ray.data.Schema`` or anything with ``.names`` / ``.types``) so
+    no schema probe runs, or (b) ``materialize()`` the side first —
+    a materialised side is both probed and consumed for free.  Sides
+    that are direct parquet reads are fine as-is (schema comes from
+    file metadata)."""
+
+    lschema = left_schema if left_schema is not None else left.schema()
+    rschema = right_schema if right_schema is not None else right.schema()
     lcols, rcols = list(lschema.names), list(rschema.names)
 
     def _arrow_type(t) -> pa.DataType:

@@ -4,18 +4,30 @@ state (SURVEY §2.9 — the true streaming analogue of the batch
 
 Shape: the event stream (globally ts-ordered) is routed to N shard
 actors by ``hash(user_id) % N``; each actor owns its users' OPEN
-sessions across feed() calls, advances a watermark, closes sessions
-whose inactivity gap has provably passed (``last_seen + gap <
-watermark``), and can ``drain()`` closed sessions mid-stream — the
-engine's Kafka-consumer shape.  Raw ``@ray.remote`` actors are used
+sessions across feeds, advances a watermark, closes sessions whose
+inactivity gap has provably passed (``last_seen + gap < watermark``),
+and can ``drain()`` closed sessions mid-stream — the engine's
+Kafka-consumer shape.  Raw ``@ray.remote`` actors are used
 deliberately: the Dataset API cannot express cross-batch mutable
 keyed state with ordered delivery (the brief's sanctioned exception).
 
-Partitioning assumption (documented): rows arrive at each actor in
-global ts order per feed() call, which the driver guarantees by
-feeding from a ts-sorted Dataset; Ray actor tasks from one caller are
-FIFO, so no reordering happens in flight.  The driver loop routes rows
-only (zero-copy slices); all session computation runs in the actors.
+Ingest is DISTRIBUTED (round-3; the round-2 form looped
+``iter_batches`` on the driver — an ingest bottleneck at scale):
+the ts-sorted stream's blocks are routed by parallel ``@ray.remote``
+ROUTER tasks, one per block, each splitting its block by user hash
+and feeding every shard actor a slice tagged with the block's
+SEQUENCE NUMBER (empty slices included, so sequence gaps are
+impossible).  Router tasks run concurrently in any order; each shard
+actor holds a reorder buffer and applies feeds strictly in sequence —
+exactly how a partitioned log consumer restores order behind a
+parallel fetch layer.  The driver never touches a row: it only
+launches routers over block REFS in bounded waves (wave size bounds
+both scheduler backlog and the actors' reorder-buffer memory).
+
+Ordering guarantee: rows are globally ts-sorted across blocks (Ray
+sort emits range-partitioned blocks in key order) and within each
+block, so applying block slices in block order per shard replays each
+user's events in ts order regardless of router completion order.
 
 At the end of the stream ``flush()`` closes remaining sessions; total
 output is bit-identical to the batch operator (oracle-checked:
@@ -45,6 +57,9 @@ class SessionShard:
         self.n_started: dict[int, int] = {}
         self.closed: list[tuple[int, int, int, int]] = []
         self.watermark = -(1 << 62)
+        # reorder buffer: seq -> (user, us) awaiting their turn
+        self.pending: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self.next_seq = 0
 
     def _close(self, u: int, st: list[int]) -> None:
         self.closed.append((u, st[3], st[2], (st[1] - st[0]) // 1_000_000))
@@ -79,6 +94,17 @@ class SessionShard:
                 self._close(u, self.open.pop(u))
         return len(self.closed)
 
+    def feed_seq(self, seq: int, user: np.ndarray, us: np.ndarray) -> int:
+        """Sequence-tagged ingest from parallel routers: buffer
+        out-of-order arrivals, apply the contiguous prefix in order.
+        Buffer occupancy is bounded by the driver's router wave size."""
+        self.pending[seq] = (user, us)
+        while self.next_seq in self.pending:
+            u, t = self.pending.pop(self.next_seq)
+            self.feed(u, t)
+            self.next_seq += 1
+        return len(self.closed)
+
     def drain(self) -> pa.Table:
         """Emit closed sessions incrementally (mid-stream checkpoint)."""
         rows = self.closed
@@ -105,35 +131,56 @@ def _sessions_table(rows) -> pa.Table:
     )
 
 
+@ray.remote
+def _route_block(block: pa.Table, seq: int, shards: list) -> int:
+    """Router task: split one ts-sorted block by user hash and deliver
+    a seq-tagged slice to EVERY shard (empty slices keep the sequence
+    dense).  Blocks until the shards have accepted the feeds so a
+    completed wave == data handed off (backpressure unit)."""
+    user = block["user_id"].to_numpy(zero_copy_only=False)
+    us = block["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    n_shards = len(shards)
+    shard = (user % np.int64(n_shards)).astype(np.int64)
+    refs = []
+    for s in range(n_shards):
+        m = shard == s
+        refs.append(shards[s].feed_seq.remote(seq, user[m], us[m]))
+    ray.get(refs)
+    return len(user)
+
+
 def streaming_sessions(
     events: Dataset,
     n_shards: int = 8,
     gap_us: int = GAP_US,
-    feed_batch: int = 16384,
+    feed_batch: int = 16384,  # kept for API compat; routing is per block
     max_inflight: int = 32,
 ) -> pd.DataFrame:
     """Run the event stream through shard actors; returns the complete
     closed-session table (== batch sessionization output).
 
-    The driver is the stream SOURCE (stand-in for a Kafka consumer):
-    it only routes ts-ordered row slices to shards with bounded
-    in-flight refs (backpressure); no aggregation happens driver-side.
+    The driver only ORCHESTRATES: it enumerates the sorted stream's
+    block refs and launches router tasks in waves of ``max_inflight``
+    (bounding scheduler backlog and shard reorder buffers); rows flow
+    object-store → router task → shard actor, never through the
+    driver process.
     """
+    del feed_batch
     shards = [SessionShard.remote(gap_us) for _ in range(n_shards)]
-    inflight: list = []
-    stream = events.sort("ts")
+    stream = events.sort("ts").materialize()
+    block_refs: list = []
+    for bundle in stream.iter_internal_ref_bundles():
+        block_refs.extend(bundle.block_refs)
 
-    for batch in stream.iter_batches(batch_size=feed_batch, batch_format="pyarrow"):
-        user = batch["user_id"].to_numpy(zero_copy_only=False)
-        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        shard = (user % np.int64(n_shards)).astype(np.int64)
-        for s in range(n_shards):
-            m = shard == s
-            if m.any():
-                inflight.append(shards[s].feed.remote(user[m], us[m]))
+    inflight: list = []
+    for seq, bref in enumerate(block_refs):
+        inflight.append(_route_block.remote(bref, seq, shards))
         if len(inflight) > max_inflight:  # backpressure
-            done, inflight = ray.wait(inflight, num_returns=len(inflight) - max_inflight)
+            done, inflight = ray.wait(
+                inflight, num_returns=len(inflight) - max_inflight
+            )
             ray.get(done)
+    ray.get(inflight)
 
     tables = ray.get([s.flush.remote() for s in shards])
     out = pa.concat_tables([t for t in tables if len(t)])

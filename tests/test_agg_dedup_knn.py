@@ -601,3 +601,182 @@ def test_range_join_broadcast(ray_session):
     with pytest.raises(ValueError, match="non-overlapping"):
         bad = pd.DataFrame({"band": ["x", "y"], "lo": [0.0, 5.0], "hi": [10.0, 15.0]})
         range_join_broadcast(ds, bad, "v")
+
+
+def test_range_join_intervals_overlapping(ray_session):
+    """General range join handles OVERLAPPING + NESTED intervals: every
+    row fans out to every containing interval (== the O(n·m) predicate
+    reference); out-of-range rows dropped."""
+    from hexscape_ray.stages.joins import range_join_intervals
+
+    rng = np.random.default_rng(41)
+    v = rng.uniform(-5, 110, 2500)
+    ds = ray.data.from_arrow(
+        pa.table({"v": pa.array(v), "rid": pa.array(np.arange(2500, dtype=np.int64))})
+    ).repartition(4)
+    bands = pd.DataFrame(
+        {
+            "band": ["all", "low", "mid", "nest"],
+            "lo": [0.0, 0.0, 20.0, 30.0],
+            "hi": [100.0, 50.0, 80.0, 40.0],
+        }
+    )
+    got = (
+        range_join_intervals(ds, bands, "v")
+        .to_pandas()
+        .sort_values(["rid", "band"], ignore_index=True)
+    )
+    want_rows = []
+    for _, r in bands.iterrows():
+        m = (v >= r["lo"]) & (v < r["hi"])
+        for rid in np.flatnonzero(m):
+            want_rows.append((rid, r["band"]))
+    want = pd.DataFrame(want_rows, columns=["rid", "band"]).sort_values(
+        ["rid", "band"], ignore_index=True
+    )
+    assert len(got) == len(want)
+    assert (got["rid"].to_numpy() == want["rid"].to_numpy()).all()
+    assert (got["band"].to_numpy() == want["band"].to_numpy()).all()
+    # attached interval bounds are the matching band's
+    assert ((got["v"].to_numpy() >= got["lo"].to_numpy()) & (got["v"].to_numpy() < got["hi"].to_numpy())).all()
+
+
+def test_connected_components_wide_supersteps(ray_session):
+    """Superstep width derives from the edge count: a tiny
+    target_rows_per_bucket forces >8 buckets and the labels still match
+    union-find (the round-2 fixed-width cap is gone)."""
+    from hexscape_ray.stages.graph import connected_components
+
+    rng = np.random.default_rng(43)
+    n_nodes = 400
+    perm = rng.permutation(n_nodes)
+    edges = []
+    for i in range(0, n_nodes - 10, 10):
+        chain = perm[i : i + 10]
+        edges += list(zip(chain[:-1], chain[1:]))
+    a = np.array([e[0] for e in edges], dtype=np.int64)
+    b = np.array([e[1] for e in edges], dtype=np.int64)
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in edges:
+        parent[find(int(x))] = find(int(y))
+    want_label = {}
+    members: dict[int, list[int]] = {}
+    for node in set(a.tolist()) | set(b.tolist()):
+        members.setdefault(find(node), []).append(node)
+    for group in members.values():
+        m = min(group)
+        for node in group:
+            want_label[node] = m
+
+    ds = ray.data.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(b)})).repartition(6)
+    got = connected_components(ds, target_rows_per_bucket=16).to_pandas()
+    assert len(got) == len(want_label)
+    for node, comp in zip(got["node"], got["component"]):
+        assert want_label[int(node)] == int(comp)
+
+
+def test_streaming_shard_reorder_buffer(ray_session):
+    """feed_seq applies out-of-order router deliveries in sequence: the
+    session table equals in-order feeding no matter the arrival order."""
+    from hexscape_ray.stages.streaming import GAP_US, SessionShard
+
+    rng = np.random.default_rng(47)
+    n = 600
+    user = rng.integers(0, 12, n).astype(np.int64)
+    ts = np.sort(rng.integers(0, 10**13, n).astype(np.int64))
+    slices = [(s, user[s * 100 : (s + 1) * 100], ts[s * 100 : (s + 1) * 100]) for s in range(6)]
+
+    ordered = SessionShard.remote(GAP_US)
+    for _, u, t in slices:
+        ray.get(ordered.feed.remote(u, t))
+    want = ray.get(ordered.flush.remote()).to_pandas()
+
+    shuffled = SessionShard.remote(GAP_US)
+    for seq, u, t in [slices[i] for i in [3, 0, 5, 1, 4, 2]]:
+        ray.get(shuffled.feed_seq.remote(seq, u, t))
+    got = ray.get(shuffled.flush.remote()).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values(["user_id", "session_id"], ignore_index=True),
+        want.sort_values(["user_id", "session_id"], ignore_index=True),
+    )
+
+
+def test_bucketed_join_no_upstream_reexecution(ray_session):
+    """bucketed_join execution contract: a materialised side is never
+    re-executed, and a LAZY side with explicit left/right_schema runs
+    its upstream exactly once (no schema()-probe partial execution) —
+    counted via a side-effect actor in the upstream stage."""
+    from types import SimpleNamespace
+
+    from hexscape_ray.stages.joins import bucketed_join
+
+    @ray.remote
+    class Counter:
+        def __init__(self):
+            self.n = 0
+
+        def inc(self):
+            self.n += 1
+
+        def get(self):
+            return self.n
+
+    c = Counter.remote()
+
+    def counted(batch: pa.Table) -> pa.Table:
+        ray.get(c.inc.remote())
+        return batch
+
+    n_blocks = 4
+    lt = pa.table(
+        {
+            "k": pa.array((np.arange(400) % 7).astype(np.int64)),
+            "lv": pa.array(np.arange(400, dtype=np.int64)),
+        }
+    )
+    rt = pa.table(
+        {
+            "k": pa.array(np.arange(7, dtype=np.int64)),
+            "rv": pa.array(np.arange(7, dtype=np.int64) * 10),
+        }
+    )
+    # (a) materialised side: counted ran once per block at materialize,
+    # the join consume adds zero re-executions
+    left_mat = (
+        ray.data.from_arrow(lt)
+        .repartition(n_blocks)
+        .map_batches(counted, batch_format="pyarrow")
+        .materialize()
+    )
+    right = ray.data.from_arrow(rt)
+    assert ray.get(c.get.remote()) == n_blocks
+    out = bucketed_join(left_mat, right, on="k", n_buckets=4).to_pandas()
+    assert len(out) == 400
+    assert ray.get(c.get.remote()) == n_blocks
+
+    # (b) lazy side + explicit schemas: exactly one execution per block
+    c2 = Counter.remote()
+
+    def counted2(batch: pa.Table) -> pa.Table:
+        ray.get(c2.inc.remote())
+        return batch
+
+    lazy_left = (
+        ray.data.from_arrow(lt)
+        .repartition(n_blocks)
+        .map_batches(counted2, batch_format="pyarrow")
+    )
+    lsch = SimpleNamespace(names=["k", "lv"], types=[pa.int64(), pa.int64()])
+    rsch = SimpleNamespace(names=["k", "rv"], types=[pa.int64(), pa.int64()])
+    out2 = bucketed_join(
+        lazy_left, right, on="k", n_buckets=4, left_schema=lsch, right_schema=rsch
+    ).to_pandas()
+    assert len(out2) == 400
+    assert ray.get(c2.get.remote()) == n_blocks

@@ -227,3 +227,33 @@ def test_randomise_voronoi_additional_info(points_ds):
     # to_wkb decodes back to the new location
     x0, y0 = wkb_to_point(out["to_wkb"].iloc[0])
     assert x0 == out["new_x"].iloc[0] and y0 == out["new_y"].iloc[0]
+
+
+def test_randomise_voronoi_strict_hard_fail(ray_session):
+    """strict=True reproduces the reference hard-fail after max_tries
+    greedy restarts (/root/reference/R/randomise_voronoi.R:222-226);
+    the default falls back to a perfect matching on the same layout.
+    Layout+seed found by exhaustive search: greedy exhausts on try 1."""
+    px = [26.97867137638703, 4.0973523936194685, 1.6527635528529094,
+          81.32702392002724, 91.27555772777217, 60.663577576717984,
+          72.94965609839984, 54.362499146542284]
+    py = [93.50724237877682, 81.58535541215322, 0.2738500170148095,
+          85.74042765875693, 3.3585575305464355, 72.9655446429944,
+          17.5655620602559, 86.31789223498866]
+    import pandas as pd
+
+    pts = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "idx": np.arange(8, dtype=np.int64),
+                "x": np.array(px) * 1000.0,
+                "y": np.array(py) * 1000.0,
+            }
+        )
+    )
+    with pytest.raises(RuntimeError, match="valid randomisation"):
+        randomise_voronoi(pts, randomise_size=2, max_tries=1, seed=2, strict=True)
+    # fallback path still succeeds on the identical layout
+    out = randomise_voronoi(pts, randomise_size=2, max_tries=1, seed=2)
+    assert len(out) == 8
+    assert out["assigned_cell"].is_unique
