@@ -870,6 +870,58 @@ SQL_QUANTITY_BAND_REVENUE = """
 """
 
 
+def q_stratified_sample(sf_dir: str) -> Dataset:
+    """Deterministic STRATIFIED downsampling — the language-rebalancing
+    move of a real curation pipeline (downsample dominant languages,
+    keep the tail): each doc is kept iff
+    ``knuth_hash(doc_id) / 2^32 < rate[lang]``, with rates broadcast as
+    a tiny map.  Pure stateless filter (no RNG state, no shuffle),
+    identical keep-set under ANY partitioning or re-run, so resuming a
+    partial 100-TB pass never double-samples.  The census output
+    (per-lang kept count + exact length sum) is the auditable artifact;
+    the SQL oracle reproduces the same hash expression bit-for-bit."""
+    rates = {"en": 0.25, "zh": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0}
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        frac = (
+            ((did * np.uint64(2654435761)) % np.uint64(4294967296)).astype(np.float64)
+            / 4294967296.0
+        )
+        lang = batch["lang"].to_pylist()
+        thr = np.fromiter((rates.get(l, 1.0) for l in lang), dtype=np.float64)
+        sel = np.flatnonzero(frac < thr)
+        return pa.table(
+            {
+                "lang": batch["lang"].take(pa.array(sel)),
+                "n_chars": batch["n_chars"].take(pa.array(sel)),
+            }
+        )
+
+    return two_phase_sum(
+        ds.map_batches(keep, batch_format="pyarrow"),
+        ["lang"],
+        ["n_chars"],
+        count_as="n_kept",
+    ).rename_columns({"n_chars": "len_sum"})
+
+
+SQL_STRATIFIED_SAMPLE = """
+  WITH rates(lang, rate) AS (
+    VALUES ('en', 0.25), ('zh', 0.5), ('de', 1.0), ('es', 1.0), ('fr', 1.0)
+  ), kept AS (
+    SELECT d.lang, d.n_chars
+    FROM documents d LEFT JOIN rates r ON d.lang = r.lang
+    WHERE ((CAST(d.doc_id AS HUGEINT) * 2654435761) % 4294967296)
+          / 4294967296.0 < COALESCE(r.rate, 1.0)
+  )
+  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS len_sum,
+         count(*) AS n_kept
+  FROM kept GROUP BY lang
+"""
+
+
 def q_quantity_band_overlap(sf_dir: str) -> Dataset:
     """GENERAL range join (stages/joins.py::range_join_intervals):
     OVERLAPPING + NESTED quantity bands — every lineitem fans out to
@@ -1053,13 +1105,38 @@ def q_minhash_bands(sf_dir: str) -> Dataset:
 
 
 def q_knn_cosine(sf_dir: str) -> Dataset:
-    """Brute-force cosine top-k against a broadcast query matrix
-    (rows-only; ANN variants in stages.knn)."""
+    """Brute-force cosine top-k against a broadcast query matrix —
+    ORACLE-CHECKED (round 3): DuckDB ``list_cosine_similarity`` over
+    DOUBLE-cast embeddings reproduces the ranking and the half-up
+    1e-6-rounded cosine; queries are the deterministic ``vec_id < 8``
+    set (a ``limit(8)`` would depend on storage order)."""
     from hexscape_ray.stages.knn import brute_force_topk
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    queries = _read(sf_dir, "embeddings").limit(8).to_pandas()
+    queries = (
+        emb.filter(expr="vec_id < 8").to_pandas().sort_values("vec_id", ignore_index=True)
+    )
     return brute_force_topk(emb, queries, k=5)
+
+
+SQL_KNN_COSINE = """
+  WITH q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+    FROM embeddings WHERE vec_id < 8
+  ), s AS (
+    SELECT q.query_id, e.vec_id,
+           list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS c
+    FROM q CROSS JOIN embeddings e
+  ), r AS (
+    SELECT query_id, vec_id, c,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY c DESC, vec_id ASC) AS rank
+    FROM s
+  )
+  SELECT query_id, vec_id,
+         floor(c * 1000000 + 0.5) / 1000000.0 AS cosine, rank
+  FROM r WHERE rank <= 5
+"""
 
 
 def q_hex_doc_counts_r1(sf_dir: str) -> Dataset:
@@ -1966,7 +2043,9 @@ def q_ivf_knn(sf_dir: str) -> Dataset:
     from hexscape_ray.stages.knn import ivf_topk
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    queries = _read(sf_dir, "embeddings").limit(8).to_pandas()
+    queries = (
+        emb.filter(expr="vec_id < 8").to_pandas().sort_values("vec_id", ignore_index=True)
+    )
     return ivf_topk(emb, queries, k=5)
 
 
@@ -2104,6 +2183,7 @@ RAY_QUERIES = {
     "asof_order_events": q_asof_order_events,
     "quantity_band_revenue": q_quantity_band_revenue,
     "quantity_band_overlap": q_quantity_band_overlap,
+    "stratified_sample": q_stratified_sample,
     "train_val_test_split": q_train_val_test_split,
 }
 
@@ -2137,6 +2217,7 @@ ORACLES = {
     "total_revenue": SQL_TOTAL_REVENUE,
     "source_prefix_filter": SQL_SOURCE_PREFIX_FILTER,
     "hex_lineitem_salted": SQL_HEX_LINEITEM_AGG,
+    "knn_cosine": SQL_KNN_COSINE,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "crs_transform": SQL_CRS_TRANSFORM,
     "events_sessions_stream": SQL_EVENTS_SESSIONS,
@@ -2147,9 +2228,10 @@ ORACLES = {
     "asof_order_events": SQL_ASOF_ORDER_EVENTS,
     "quantity_band_revenue": SQL_QUANTITY_BAND_REVENUE,
     "quantity_band_overlap": SQL_QUANTITY_BAND_OVERLAP,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "train_val_test_split": SQL_TRAIN_VAL_TEST_SPLIT,
     # non-SQL (geometry / sketch / ANN) ops → rows-only checks:
-    # doc_quality, minhash_bands, knn_cosine, generate_patches,
+    # doc_quality, minhash_bands, generate_patches,
     # generate_neighbours, point_in_polygon, voronoi, habitat,
     # connectedness, simhash, embedding_near_dup, ivf_knn
 }

@@ -118,14 +118,19 @@ class MinHasher:
         batch: all token hashes flattened, shingles per doc via
         offsets, segmented min via ``np.minimum.reduceat`` — per-doc
         Python/numpy call overhead eliminated (the enrich hot path)."""
-        from zlib import crc32
-
         n = len(toks_all)
         if n == 0:
             return np.empty((0, self.n_perm), dtype=np.uint32)
         flat = [t for toks in toks_all for t in toks]
         lens = np.fromiter((len(t) for t in toks_all), dtype=np.int64, count=n)
-        th = self._hash_tokens(flat)
+        return self.signatures_from_hashes(self._hash_tokens(flat), lens)
+
+    def signatures_from_hashes(self, th: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        """Same kernel fed pre-flattened token hashes + per-doc lengths
+        (the Arrow-native enrich path hands tokens over flat, so no
+        nested Python lists are ever built).  Bit-identical to
+        ``signatures_batch``."""
+        n = lens.size
 
         starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
         sigs = np.empty((n, self.n_perm), dtype=np.uint32)

@@ -71,7 +71,7 @@ def brute_force_topk(corpus: Dataset, queries: pd.DataFrame, k: int = 10) -> Dat
         g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
         g = g.copy()
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        g["cosine"] = np.round(g["cosine"], 6)
+        g["cosine"] = np.floor(g["cosine"] * 1e6 + 0.5) / 1e6  # half-up: SQL-oracle parity rule
         return g
 
     return local.groupby("query_id").map_groups(merge, batch_format="pandas")
@@ -177,7 +177,7 @@ def ivf_topk(
         g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
         g = g.copy()
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        g["cosine"] = np.round(g["cosine"], 6)
+        g["cosine"] = np.floor(g["cosine"] * 1e6 + 0.5) / 1e6  # half-up: SQL-oracle parity rule
         return g
 
     return local.groupby("query_id").map_groups(merge, batch_format="pandas")

@@ -676,7 +676,10 @@ def test_connected_components_wide_supersteps(ray_session):
             want_label[node] = m
 
     ds = ray.data.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(b)})).repartition(6)
-    got = connected_components(ds, target_rows_per_bucket=16).to_pandas()
+    # local_solve_threshold=0 forces the iterative superstep path
+    got = connected_components(
+        ds, target_rows_per_bucket=16, local_solve_threshold=0
+    ).to_pandas()
     assert len(got) == len(want_label)
     for node, comp in zip(got["node"], got["component"]):
         assert want_label[int(node)] == int(comp)

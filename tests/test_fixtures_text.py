@@ -81,3 +81,42 @@ def test_landcover_coverage_gap():
     lc = fx.gen_landcover()
     # 40x40 cells at 2500m minus 8 gap cells
     assert lc.num_rows == 1600 - 8
+
+
+def test_enrich_batch_vectorised_matches_scalar():
+    """The Arrow-native enrich path (dictionary-encoded tokens) is
+    bit-identical to the scalar per-doc reference on fixture pages AND
+    on whitespace edge cases Python str.split() and Arrow
+    split_whitespace disagree about (empty tokens)."""
+    import pyarrow as pa
+
+    from hexscape_ray.stages.textops import (
+        enrich_batch,
+        enrich_batch_scalar,
+        extract_batch,
+    )
+
+    batch = extract_batch(fx.gen_pages(n=2000, seed=11))
+    a, b = enrich_batch_scalar(batch), enrich_batch(batch)
+    assert a.schema == b.schema
+    for col in a.column_names:
+        assert a[col].equals(b[col]), col
+
+    edge = pa.table(
+        {
+            "url": pa.array(["u0", "u1", "u2", "u3", "u4"]),
+            "text": pa.array(
+                [
+                    "",
+                    "   ",
+                    "  one  two three\tfour ",
+                    "the and is to of in with",  # nbsp split + stopwords
+                    "short",
+                ]
+            ),
+            "lang": pa.array(["en"] * 5),
+        }
+    )
+    aa, bb = enrich_batch_scalar(edge), enrich_batch(edge)
+    for col in aa.column_names:
+        assert aa[col].equals(bb[col]), col
