@@ -1113,10 +1113,25 @@ def q_knn_cosine(sf_dir: str) -> Dataset:
     from hexscape_ray.stages.knn import brute_force_topk
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    queries = (
-        emb.filter(expr="vec_id < 8").to_pandas().sort_values("vec_id", ignore_index=True)
-    )
+    queries = _query_vectors(sf_dir)
     return brute_force_topk(emb, queries, k=5)
+
+
+def _query_vectors(sf_dir: str) -> pd.DataFrame:
+    """The deterministic vec_id<8 query set, read driver-side with
+    parquet predicate pushdown (8 rows — a Dataset.filter would scan
+    the whole table for the broadcast side)."""
+    import pyarrow.parquet as pq
+
+    return (
+        pq.read_table(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "<", 8)],
+        )
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
 
 
 SQL_KNN_COSINE = """
@@ -2043,10 +2058,7 @@ def q_ivf_knn(sf_dir: str) -> Dataset:
     from hexscape_ray.stages.knn import ivf_topk
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    queries = (
-        emb.filter(expr="vec_id < 8").to_pandas().sort_values("vec_id", ignore_index=True)
-    )
-    return ivf_topk(emb, queries, k=5)
+    return ivf_topk(emb, _query_vectors(sf_dir), k=5)
 
 
 def q_curation_pipeline(sf_dir: str) -> Dataset:

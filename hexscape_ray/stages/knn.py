@@ -145,33 +145,65 @@ def ivf_topk(
             b = np.argmax(V @ self.C.T, axis=1)
             return batch.append_column("ivf_bucket", pa.array(b.astype(np.int64)))
 
-    bucketed = corpus.map_batches(Bucketize, batch_format="pyarrow", concurrency=(1, 8))
-
     Q = _normalize(np.asarray(queries["embedding"].tolist(), dtype=np.float64))
     qids = queries["vec_id"].to_numpy()
     probe = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]  # (nq, n_probe)
-    q_ref = ray.put((qids, Q, probe))
+    # per-query probed-bucket membership as one dense bool LUT
+    # (n_centroids × nq) — a batch row is a candidate for query q iff
+    # lut[bucket(row), q]
+    lut = np.zeros((C.shape[0], qids.size), dtype=bool)
+    lut[probe.ravel(), np.repeat(np.arange(qids.size), probe.shape[1])] = True
+    q_ref = ray.put((qids, Q, lut))
 
-    def search(g: pd.DataFrame) -> pd.DataFrame:
-        qids_, Q_, probe_ = ray.get(q_ref)
-        bucket = int(g["ivf_bucket"].iloc[0])
-        active = np.where((probe_ == bucket).any(axis=1))[0]
-        if active.size == 0:
-            return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []})
-        V = _normalize(np.asarray(g["embedding"].tolist(), dtype=np.float64))
-        ids = g["vec_id"].to_numpy()
-        sim = Q_[active] @ V.T
-        kk = min(k, sim.shape[1])
-        top = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
-        return pd.DataFrame(
-            {
-                "query_id": np.repeat(qids_[active], kk),
-                "vec_id": ids[top.ravel()],
-                "cosine": np.take_along_axis(sim, top, axis=1).ravel(),
-            }
-        )
+    class SearchProbed:
+        """Bucketize + probe-filter + batch-local top-k fused in ONE
+        stateless pass — NO corpus shuffle (the round-2 form shuffled
+        every row through groupby(ivf_bucket); the candidate set, and
+        therefore the result, is identical: a row only ever matters to
+        queries probing its bucket, which is decidable per batch)."""
 
-    local = bucketed.groupby("ivf_bucket").map_groups(search, batch_format="pandas")
+        def __init__(self):
+            self.C = ray.get(c_ref)
+            self.qids, self.Q, self.lut = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            V = _normalize(
+                np.asarray(
+                    batch["embedding"].to_numpy(zero_copy_only=False).tolist(),
+                    dtype=np.float64,
+                )
+            )
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            b = np.argmax(V @ self.C.T, axis=1)
+            cand = self.lut[b]  # (nb, nq): candidate mask
+            out_q, out_v, out_s = [], [], []
+            for qi in np.flatnonzero(cand.any(axis=0)):
+                rows = np.flatnonzero(cand[:, qi])
+                sim = V[rows] @ self.Q[qi]
+                kk = min(k, rows.size)
+                top = np.argpartition(-sim, kk - 1)[:kk]
+                out_q.append(np.full(kk, self.qids[qi], dtype=np.int64))
+                out_v.append(ids[rows[top]].astype(np.int64))
+                out_s.append(sim[top])
+            if not out_q:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], type=pa.int64()),
+                        "vec_id": pa.array([], type=pa.int64()),
+                        "cosine": pa.array([], type=pa.float64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q)),
+                    "vec_id": pa.array(np.concatenate(out_v)),
+                    "cosine": pa.array(np.concatenate(out_s)),
+                }
+            )
+
+    local = corpus.map_batches(
+        SearchProbed, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
+    )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)

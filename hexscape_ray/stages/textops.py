@@ -135,7 +135,11 @@ def enrich_batch_scalar(batch: pa.Table) -> pa.Table:
     )
     tws = np.fromiter((len(tk) for tk in toks_all), dtype=np.int64, count=n)
     nch = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
-    sigs = _MINHASHER.signatures_batch(toks_all) if n else np.empty((0, 64))
+    sigs = (
+        _MINHASHER.signatures_batch(toks_all)
+        if n
+        else np.empty((0, 64), dtype=np.uint32)
+    )
     batch = batch.drop_columns(["text"])
     return _enrich_columns(batch, lang_pred, q, tws, nch, sigs)
 
@@ -252,8 +256,11 @@ def _enrich_columns(batch, lang_pred, q, tws, nch, sigs):
         .append_column("n_chars", pa.array(nch))
         .append_column(
             "minhash_sig",
+            # uint32 on purpose: signatures ARE 32-bit mins — int64
+            # elements doubled the enriched sink to ~1 GB at sf0.1
+            # (512 B/row of sig alone); same values, half the bytes
             pa.FixedSizeListArray.from_arrays(
-                pa.array(sigs.astype(np.int64).ravel()), 64
+                pa.array(sigs.astype(np.uint32, copy=False).ravel()), 64
             ),
         )
     )

@@ -135,7 +135,9 @@ def run_partitioned(
         t0 = time.perf_counter()
         try:
             ds = pipeline_fn(partitions[pid])
-            ds.write_parquet(tmp_dir)
+            # big files: per-file open/footer overhead costs 2-4× on
+            # write AND read-back when every block becomes a tiny file
+            ds.write_parquet(tmp_dir, min_rows_per_file=65536)
             # row count from parquet footers — no data-page re-read
             import pyarrow.parquet as pq
 
