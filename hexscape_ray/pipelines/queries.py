@@ -50,6 +50,44 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> Dataset:
 # SQL building blocks
 # ---------------------------------------------------------------------------
 
+def _splitmix64_sql(x_expr: str, carry: str = "__k", src: str = "__kmv_in") -> str:
+    """splitmix64 over HUGEINT in [0, 2^64) — verified element-exact
+    against hexscape_ray.functions.hashing.splitmix64.  Multiplies via
+    lo/hi 32-bit limbs: (a·b) mod 2^64 = (a_lo·b_lo + ((a_lo·b_hi +
+    a_hi·b_lo) mod 2^32)·2^32) mod 2^64, every partial < 2^96 (a
+    straight HUGEINT product of two 64-bit values would overflow
+    int128).  ``carry`` columns pass through untouched."""
+    m64, m32 = "18446744073709551616", "4294967296"
+    c1_lo, c1_hi = 13787848793156543929 % 2**32, 13787848793156543929 >> 32
+    c2_lo, c2_hi = 10723548738846746397 % 2**32, 10723548738846746397 >> 32
+
+    def mul(z: str, lo: int, hi: int) -> str:
+        return (
+            f"((({z}) % {m32}) * {lo}"
+            f" + (((({z}) % {m32}) * {hi} + (({z}) // {m32}) * {lo}) % {m32}) * {m32}"
+            f") % {m64}"
+        )
+
+    def xsh(z: str, sh: int) -> str:
+        return f"CAST(xor(CAST({z} AS UBIGINT), CAST(({z}) // {2**sh} AS UBIGINT)) AS HUGEINT)"
+
+    z1 = f"((({x_expr}) % {m64} + {m64}) % {m64} + 11400714819323198485) % {m64}"
+    return (
+        f"SELECT {carry}, {xsh('__z3', 31)} AS h FROM ("
+        f"  SELECT {carry}, {mul('__z2x', c2_lo, c2_hi)} AS __z3 FROM ("
+        f"    SELECT {carry}, {xsh('__z2', 27)} AS __z2x FROM ("
+        f"      SELECT {carry}, {mul('__z1x', c1_lo, c1_hi)} AS __z2 FROM ("
+        f"        SELECT {carry}, {xsh('__z1', 30)} AS __z1x FROM ("
+        f"          SELECT {carry}, {z1} AS __z1 FROM {src}"
+        f"        )"
+        f"      )"
+        f"    )"
+        f"  )"
+        f")"
+    )
+
+
+
 # geocode: key -> (x, y) in the 100 km landscape (functions/geocode.py)
 _GEO_SQL = """
     ((({key}) * 2654435761) % 4294967296) / 4294967296.0 * 100000.0 AS x,
@@ -922,6 +960,32 @@ SQL_STRATIFIED_SAMPLE = """
 """
 
 
+def q_lang_doc_sample(sf_dir: str) -> Dataset:
+    """Deterministic per-language uniform sample (balanced eval-set
+    extraction): rank = splitmix64(doc_id) — a uint64 bijection, so no
+    ties and the identical sample under any partitioning or resume.
+    Per-block partial top-m per key → merge of ≤ m rows per key per
+    block (the corpus never shuffles); the SQL oracle reproduces
+    splitmix64 bit-exactly via 32-bit limb multiplication."""
+    from hexscape_ray.stages.agg import grouped_hash_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return grouped_hash_sample(ds, "lang", "doc_id", m=50)
+
+
+SQL_LANG_DOC_SAMPLE = f"""
+  WITH src AS (
+    SELECT lang, doc_id, CAST(doc_id AS HUGEINT) AS x FROM documents
+  ), hashed AS ({_splitmix64_sql("x", carry="lang, doc_id", src="src")}),
+  r AS (
+    SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY lang ORDER BY h) AS rank
+    FROM hashed
+  )
+  SELECT lang, doc_id, rank FROM r WHERE rank <= 50
+"""
+
+
 def q_quantity_band_overlap(sf_dir: str) -> Dataset:
     """GENERAL range join (stages/joins.py::range_join_intervals):
     OVERLAPPING + NESTED quantity bands — every lineitem fans out to
@@ -1428,12 +1492,37 @@ SQL_DISTINCT_USERS = """
 def q_distinct_users_sketch(sf_dir: str) -> Dataset:
     """Approximate COUNT(DISTINCT) via mergeable KMV sketches — the
     shuffle moves one fixed-size sketch per key per block instead of
-    every (key, member) pair (rows-only; accuracy vs exact asserted in
-    pytest at ~1/√k)."""
+    every (key, member) pair.  ORACLE-CHECKED (round 3): the KMV
+    estimate is DETERMINISTIC given the member hash — splitmix64 is a
+    uint64 bijection reproduced bit-exactly in SQL via 32-bit limb
+    multiplication mod 2^64 (HUGEINT products of two 64-bit values
+    would overflow int128), so DuckDB computes the identical bottom-k,
+    kth value, and (k−1)/kth float estimate.  Accuracy vs exact is
+    separately asserted in pytest at ~1/√k."""
     from hexscape_ray.stages.sketch import approx_distinct
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
     return approx_distinct(ds, "event_type", "user_id", k=256)
+
+
+SQL_DISTINCT_USERS_SKETCH = f"""
+  WITH __kmv_in AS (
+    SELECT DISTINCT event_type AS __k, CAST(user_id AS HUGEINT) AS x
+    FROM events
+  ), hashed AS ({_splitmix64_sql("x")}),
+  r AS (
+    SELECT __k, h,
+           row_number() OVER (PARTITION BY __k ORDER BY h) AS rn,
+           count(*) OVER (PARTITION BY __k) AS nd
+    FROM hashed
+  )
+  SELECT __k AS event_type,
+         CASE WHEN max(nd) < 256 THEN CAST(max(nd) AS DOUBLE)
+              ELSE 255.0 / (CAST(max(CASE WHEN rn = 256 THEN h END) AS DOUBLE)
+                            / 18446744073709551616.0)
+         END AS distinct_est
+  FROM r WHERE rn <= 256 GROUP BY __k
+"""
 
 
 def q_part_brand_stats(sf_dir: str) -> Dataset:
@@ -2196,6 +2285,7 @@ RAY_QUERIES = {
     "quantity_band_revenue": q_quantity_band_revenue,
     "quantity_band_overlap": q_quantity_band_overlap,
     "stratified_sample": q_stratified_sample,
+    "lang_doc_sample": q_lang_doc_sample,
     "train_val_test_split": q_train_val_test_split,
 }
 
@@ -2223,6 +2313,7 @@ ORACLES = {
     "segment_order_stats": SQL_SEGMENT_ORDER_STATS,
     "order_lineitem_join": SQL_ORDER_LINEITEM_JOIN,
     "distinct_users": SQL_DISTINCT_USERS,
+    "distinct_users_sketch": SQL_DISTINCT_USERS_SKETCH,
     "part_brand_stats": SQL_PART_BRAND_STATS,
     "hex_top_sources": SQL_HEX_TOP_SOURCES,
     "lang_family_census": SQL_LANG_FAMILY_CENSUS,
@@ -2241,6 +2332,7 @@ ORACLES = {
     "quantity_band_revenue": SQL_QUANTITY_BAND_REVENUE,
     "quantity_band_overlap": SQL_QUANTITY_BAND_OVERLAP,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "lang_doc_sample": SQL_LANG_DOC_SAMPLE,
     "train_val_test_split": SQL_TRAIN_VAL_TEST_SPLIT,
     # non-SQL (geometry / sketch / ANN) ops → rows-only checks:
     # doc_quality, minhash_bands, generate_patches,

@@ -261,3 +261,64 @@ def approx_quantiles_histogram(
         return pd.DataFrame([row])
 
     return counts.groupby(keys).map_groups(quant, batch_format="pandas")
+
+
+def grouped_hash_sample(
+    ds: Dataset,
+    key: str,
+    id_col: str,
+    m: int = 50,
+) -> Dataset:
+    """Deterministic per-key uniform sample of ``m`` rows — the
+    balanced-subset extractor (e.g. m docs per language for eval sets).
+
+    Rank = ``splitmix64(id)``: a uint64 BIJECTION, so distinct ids
+    never tie, the sample is a true uniform draw under the hash's
+    mixing, and the result is IDENTICAL under any partitioning, block
+    order, or resume (no RNG state — same property as the stratified
+    sampler and the train/val/test split).
+
+    Scale shape: per-block partial top-m per key inside ``map_batches``
+    (top-m of a union == top-m of per-part top-ms — associative), then
+    one small groupby merges ≤ m rows per key per block.  The corpus
+    itself never shuffles.
+    """
+    from hexscape_ray.functions.hashing import splitmix64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        h = splitmix64(ids.astype(np.uint64))
+        keys = batch[key].to_numpy(zero_copy_only=False)
+        # sort by (key, h) then keep the first m of each key run
+        order = np.lexsort((h, keys))
+        sk = keys[order]
+        run_start = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+        pos_in_run = np.arange(sk.size) - np.repeat(run_start, np.diff(np.r_[run_start, sk.size]))
+        sel = order[pos_in_run < m]
+        return pa.table(
+            {
+                key: batch[key].take(pa.array(sel)),
+                id_col: batch[id_col].take(pa.array(sel)),
+                # rank key as int64 view for transport; order-preserving
+                # comparisons need uint64 semantics, restored in merge
+                "__h": pa.array(h[sel].view(np.int64)),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["__h"].to_numpy().view(np.uint64)
+        top = np.argsort(h, kind="stable")[:m]
+        out = pd.DataFrame(
+            {
+                key: g[key].to_numpy()[top],
+                id_col: g[id_col].to_numpy()[top],
+                "rank": np.arange(1, top.size + 1, dtype=np.int64),
+            }
+        )
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(merge, batch_format="pandas")
+    )

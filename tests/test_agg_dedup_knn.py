@@ -783,3 +783,39 @@ def test_bucketed_join_no_upstream_reexecution(ray_session):
     ).to_pandas()
     assert len(out2) == 400
     assert ray.get(c2.get.remote()) == n_blocks
+
+
+def test_grouped_hash_sample_deterministic(ray_session):
+    """grouped_hash_sample == driver-side 'm smallest splitmix64(id)
+    per key' reference, and is IDENTICAL under different partitioning
+    (the no-RNG-state resume guarantee)."""
+    from hexscape_ray.functions.hashing import splitmix64
+    from hexscape_ray.stages.agg import grouped_hash_sample
+
+    rng = np.random.default_rng(53)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c", "d"], n),
+            "id": rng.permutation(n).astype(np.int64),
+        }
+    )
+    want_rows = []
+    for kv, g in df.groupby("k"):
+        ids = g["id"].to_numpy()
+        h = splitmix64(ids.astype(np.uint64))
+        top = np.argsort(h)[:7]
+        for r, i in enumerate(top, 1):
+            want_rows.append((kv, int(ids[i]), r))
+    want = pd.DataFrame(want_rows, columns=["k", "id", "rank"]).sort_values(
+        ["k", "rank"], ignore_index=True
+    )
+    for parts in (2, 9):
+        got = (
+            grouped_hash_sample(
+                ray.data.from_pandas(df).repartition(parts), "k", "id", m=7
+            )
+            .to_pandas()
+            .sort_values(["k", "rank"], ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
