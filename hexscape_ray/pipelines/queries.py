@@ -1117,14 +1117,85 @@ def q_event_value_quantiles(sf_dir: str) -> Dataset:
     """Approximate per-event-type quantiles of the continuous value
     column via the deterministic two-pass histogram sketch
     (stages/agg.py::approx_quantiles_histogram) — the
-    unbounded-cardinality complement of priority_price_quantiles;
-    rows-only (error ≤ bin width; bounds proven in pytest)."""
+    unbounded-cardinality complement of priority_price_quantiles.
+    ORACLE-CHECKED (round 3): the sketch is DETERMINISTIC — fixed-bin
+    assignment, cumulative counts, and the right-edge read-out are all
+    exact IEEE arithmetic reproduced in SQL with the identical
+    expression order, so DuckDB computes the bit-same approximation
+    (error ≤ bin width vs the true quantile; bounds proven in
+    pytest)."""
     from hexscape_ray.stages.agg import approx_quantiles_histogram
 
     ds = _read(sf_dir, "events", ["event_type", "value"])
     return approx_quantiles_histogram(
         ds, ["event_type"], "value", {"p50": 0.5, "p90": 0.9, "p99": 0.99}
     )
+
+
+SQL_EVENT_VALUE_QUANTILES = """
+  WITH mm AS (
+    SELECT event_type, min(value) AS lo, max(value) AS hi
+    FROM events GROUP BY 1
+  ), b AS (
+    SELECT e.event_type,
+      CAST(LEAST(GREATEST(floor(
+        ((e.value - mm.lo) / GREATEST(mm.hi - mm.lo, 1e-300)) * 4096
+      ), 0), 4095) AS BIGINT) AS bin
+    FROM events e JOIN mm USING (event_type)
+  ), c AS (
+    SELECT event_type, bin, count(*) AS n FROM b GROUP BY 1, 2
+  ), cum AS (
+    SELECT event_type, bin,
+           sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+           sum(n) OVER (PARTITION BY event_type) AS total
+    FROM c
+  ), pick AS (
+    SELECT event_type,
+      min(CASE WHEN cum >= GREATEST(CAST(ceil(0.5 * total) AS BIGINT), 1)
+               THEN bin END) AS b50,
+      min(CASE WHEN cum >= GREATEST(CAST(ceil(0.9 * total) AS BIGINT), 1)
+               THEN bin END) AS b90,
+      min(CASE WHEN cum >= GREATEST(CAST(ceil(0.99 * total) AS BIGINT), 1)
+               THEN bin END) AS b99
+    FROM cum GROUP BY 1
+  )
+  SELECT mm.event_type,
+    mm.lo + (pick.b50 + 1) * (GREATEST(mm.hi - mm.lo, 1e-300) / 4096) AS p50,
+    mm.lo + (pick.b90 + 1) * (GREATEST(mm.hi - mm.lo, 1e-300) / 4096) AS p90,
+    mm.lo + (pick.b99 + 1) * (GREATEST(mm.hi - mm.lo, 1e-300) / 4096) AS p99
+  FROM mm JOIN pick USING (event_type)
+"""
+
+
+def q_event_pairs_window(sf_dir: str) -> Dataset:
+    """Stream-stream WINDOW JOIN census
+    (stages/joins.py::interval_self_join_census): for every event, its
+    same-user predecessors within a 5-minute lookback, counted per
+    (later-type, earlier-type) — the attribution / co-occurrence
+    primitive.  One user-hash co-partition shuffle; per-bucket
+    vectorised double-searchsorted window match; only the tiny
+    label×label census leaves the buckets.  Oracle = the equivalent
+    interval-predicate SQL self-join."""
+    from hexscape_ray.stages.joins import interval_self_join_census
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    return interval_self_join_census(
+        ds, key="user_id", time_col="ts", label_col="event_type",
+        window=300_000_000,  # 5 min in epoch-µs
+    )
+
+
+SQL_EVENT_PAIRS_WINDOW = """
+  WITH e AS (
+    SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+  )
+  SELECT a.event_type AS label_a, b.event_type AS label_b,
+         count(*) AS n_pairs
+  FROM e a JOIN e b
+    ON a.user_id = b.user_id
+   AND b.us >= a.us - 300000000 AND b.us < a.us
+  GROUP BY 1, 2
+"""
 
 
 def q_dedup_clusters(sf_dir: str) -> Dataset:
@@ -2286,6 +2357,7 @@ RAY_QUERIES = {
     "quantity_band_overlap": q_quantity_band_overlap,
     "stratified_sample": q_stratified_sample,
     "lang_doc_sample": q_lang_doc_sample,
+    "event_pairs_window": q_event_pairs_window,
     "train_val_test_split": q_train_val_test_split,
 }
 
@@ -2326,6 +2398,7 @@ ORACLES = {
     "events_sessions_stream": SQL_EVENTS_SESSIONS,
     "hex_kring": SQL_HEX_KRING,
     "priority_price_quantiles": SQL_PRIORITY_PRICE_QUANTILES,
+    "event_value_quantiles": SQL_EVENT_VALUE_QUANTILES,
     "doc_repetition": SQL_DOC_REPETITION,
     "token_df": SQL_TOKEN_DF,
     "asof_order_events": SQL_ASOF_ORDER_EVENTS,
@@ -2333,6 +2406,7 @@ ORACLES = {
     "quantity_band_overlap": SQL_QUANTITY_BAND_OVERLAP,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "lang_doc_sample": SQL_LANG_DOC_SAMPLE,
+    "event_pairs_window": SQL_EVENT_PAIRS_WINDOW,
     "train_val_test_split": SQL_TRAIN_VAL_TEST_SPLIT,
     # non-SQL (geometry / sketch / ANN) ops → rows-only checks:
     # doc_quality, minhash_bands, generate_patches,
