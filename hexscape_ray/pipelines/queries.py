@@ -747,10 +747,12 @@ def q_asof_order_events(sf_dir: str) -> Dataset:
     with the user's most recent order at-or-before the event time —
     the time-series alignment operator Ray Data's join API lacks,
     checked against DuckDB's NATIVE ASOF JOIN.  The right side is
-    deduplicated per (user, order-ts) with max(cents) first so the
-    match is deterministic under ties."""
+    deduplicated per (user, order-ts) with max(cents) INSIDE the join's
+    bucket kernel (``right_dedup``): the co-partition already puts all
+    duplicates in one bucket, so a separate
+    ``groupby(user, ts).aggregate(Max)`` all-to-all — measured at ~8 s
+    of this query's 13 s at sf0.1 — is skipped entirely."""
     from hexscape_ray.stages.joins import asof_join
-    from ray.data.aggregate import Max
 
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
@@ -771,21 +773,27 @@ def q_asof_order_events(sf_dir: str) -> Dataset:
             {
                 "user_id": batch["o_custkey"],
                 "ot": batch["o_orderdate"].cast(pa.int64()),
-                "cents": pa.array(np.floor(p * 100.0 + 0.5).astype(np.int64)),
+                "last_order_cents": pa.array(np.floor(p * 100.0 + 0.5).astype(np.int64)),
             }
         )
 
-    rd = (
-        orders.map_batches(ord_prep, batch_format="pyarrow")
-        .groupby(["user_id", "ot"])
-        .aggregate(Max("cents", alias_name="last_order_cents"))
-    )
+    rd = orders.map_batches(ord_prep, batch_format="pyarrow")
     out = asof_join(
         ev.map_batches(ev_prep, batch_format="pyarrow"),
         rd,
         on="user_id",
         left_time="us",
         right_time="ot",
+        right_dedup=("last_order_cents", "max"),
+        # explicit schemas: .schema() on the lazy sides would PARTIALLY
+        # EXECUTE them (the orders groupby-aggregate ran twice — a
+        # measured ~2× constant on this query), see asof_join contract
+        left_schema=pa.schema(
+            [("event_id", pa.int64()), ("user_id", pa.int64()), ("us", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("user_id", pa.int64()), ("ot", pa.int64()), ("last_order_cents", pa.int64())]
+        ),
     )
     def finalize(batch: pa.Table) -> pa.Table:
         return pa.table(

@@ -168,11 +168,24 @@ def asof_join(
     right_time: str,
     how: str = "inner",
     n_buckets: int = 64,
+    left_schema=None,
+    right_schema=None,
+    right_dedup: tuple[str, str] | None = None,
 ) -> Dataset:
     """AS-OF join — for every left row, the matching right row with the
     LARGEST ``right_time`` ≤ ``left_time`` within the same ``on`` key
     (the time-series alignment operator Ray Data's join API lacks;
     DuckDB's native ASOF JOIN is the oracle).
+
+    EXECUTION CONTRACT (same as :func:`bucketed_join`): the union
+    padding needs each side's schema up front, and ``Dataset.schema()``
+    PARTIALLY EXECUTES a lazy upstream pipeline which ``tag`` then
+    consumes again.  Callers with expensive lazy inputs (a
+    ``groupby().aggregate()`` right side, a multi-stage transform)
+    should either (a) pass ``left_schema`` / ``right_schema``
+    (``pa.schema`` or anything with ``.names``/``.types``) so nothing
+    executes before the single real pass, or (b) ``materialize()``
+    the input first.
 
     Composition: both sides are co-partitioned on ``hash(key) % B``
     (same one-shuffle tag-union as :func:`bucketed_join`); inside each
@@ -189,12 +202,21 @@ def asof_join(
     precision silently).
 
     Determinism note: if several right rows share (key, right_time),
-    which one matches is ambiguous — deduplicate the right side first
-    (e.g. keep the max value per (key, time)) for reproducible output.
+    which one matches is ambiguous — deduplicate the right side for
+    reproducible output.  ``right_dedup=(col, "max"|"min")`` does this
+    INSIDE the bucket kernel (keep the max/min ``col`` per
+    (key, right_time)): because the right side is already
+    co-partitioned by ``hash(key)``, every duplicate lands in the same
+    bucket, so the in-bucket dedup is globally exact and costs one
+    ``lexsort`` instead of a SECOND all-to-all
+    ``groupby(key, time).aggregate(Max)`` over the full right side —
+    at scale that halves the shuffles this operator needs (measured
+    here: the standalone Aggregate was ~8 s of a 13 s query at sf0.1).
     ``how='left'`` keeps unmatched left rows with nulls; 'inner' drops
     them.
     """
-    lschema, rschema = left.schema(), right.schema()
+    lschema = left_schema if left_schema is not None else left.schema()
+    rschema = right_schema if right_schema is not None else right.schema()
     lcols = list(lschema.names)
     rcols = list(rschema.names)
     r_payload = [c for c in rcols if c not in (on, right_time)]
@@ -290,6 +312,18 @@ def asof_join(
         M = np.int64(tsorted.size + 1)
         lcomp = lcode * M + np.searchsorted(tsorted, lt)
         rcomp = rcode * M + np.searchsorted(tsorted, rt)
+        if right_dedup is not None and nr:
+            dcol, dmode = right_dedup
+            v = rg[dcol].to_numpy(zero_copy_only=False)
+            # sort by (composite, value); keeping the LAST row per
+            # composite keeps the max value (min: negate the order)
+            o2 = np.lexsort((v if dmode == "max" else -v, rcomp))
+            keep = np.ones(nr, dtype=bool)
+            keep[:-1] = rcomp[o2][1:] != rcomp[o2][:-1]
+            sel = np.sort(o2[keep])
+            rg = rg.take(pa.array(sel))
+            rcode, rcomp = rcode[sel], rcomp[sel]
+            nr = len(sel)
         order = np.argsort(rcomp, kind="stable") if nr else np.empty(0, np.int64)
         idx = np.searchsorted(rcomp[order] if nr else rcomp, lcomp, side="right") - 1
         cand = order[np.clip(idx, 0, None)] if nr else np.zeros(nl, np.int64)
