@@ -2295,6 +2295,174 @@ def q_curation_pipeline(sf_dir: str) -> Dataset:
     )
 
 
+def q_customers_without_orders(sf_dir: str) -> Dataset:
+    """Distributed ANTI join — customers with no URGENT-priority order,
+    counted per market segment (the NOT EXISTS operator; TPC-H Q22
+    flavour).  Both sides co-partition on the key in one shuffle
+    (``bucketed_join(how='anti')`` → Acero ``left anti`` per bucket);
+    the right side is filtered BEFORE the shuffle and ships ONLY the
+    key column, so the shuffle volume is 8 bytes/qualifying-row
+    regardless of order width."""
+    from hexscape_ray.stages.joins import bucketed_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .filter(expr="o_orderpriority == '1-URGENT'")
+        .map_batches(
+            lambda b: pa.table({"c_custkey": b["o_custkey"]}),
+            batch_format="pyarrow",
+        )
+    )
+    no_orders = bucketed_join(
+        cust,
+        orders,
+        on="c_custkey",
+        how="anti",
+        right_schema=pa.schema([("c_custkey", pa.int64())]),
+    )
+    return (
+        two_phase_sum(
+            no_orders.select_columns(["c_mktsegment"]),
+            ["c_mktsegment"],
+            [],
+            count_as="n_customers",
+        )
+        .sort("c_mktsegment")
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+  FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+  GROUP BY c_mktsegment
+  ORDER BY c_mktsegment
+"""
+
+
+def q_orders_with_large_item(sf_dir: str) -> Dataset:
+    """Distributed SEMI join — orders having ≥1 lineitem with
+    quantity ≥ 48, aggregated per order priority (the EXISTS operator:
+    each qualifying order counts ONCE no matter how many large items
+    it has — an inner join would double-count).  The filter runs
+    BEFORE the shuffle so only qualifying keys move."""
+    from hexscape_ray.stages.joins import bucketed_join
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_orderpriority": batch["o_orderpriority"],
+                "price_cents": pa.array(
+                    np.floor(p * 100.0 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    big = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .filter(expr="l_quantity >= 48")
+        .map_batches(
+            lambda b: pa.table({"o_orderkey": b["l_orderkey"]}),
+            batch_format="pyarrow",
+        )
+    )
+    qualifying = bucketed_join(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        big,
+        on="o_orderkey",
+        how="semi",
+        left_schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_orderpriority", pa.string()),
+                ("price_cents", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema([("o_orderkey", pa.int64())]),
+    )
+    return (
+        two_phase_sum(
+            qualifying.select_columns(["o_orderpriority", "price_cents"]),
+            ["o_orderpriority"],
+            ["price_cents"],
+            count_as="n_orders",
+        )
+        .sort("o_orderpriority")
+    )
+
+
+SQL_ORDERS_WITH_LARGE_ITEM = """
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS price_cents
+  FROM orders o
+  WHERE EXISTS (SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
+  GROUP BY o_orderpriority
+  ORDER BY o_orderpriority
+"""
+
+
+def q_user_rolling_value(sf_dir: str) -> Dataset:
+    """Per-key ordered WINDOW functions — for every event, the rolling
+    sum of value cents over the current + 3 preceding events of the
+    same user (ordered by ts then event_id), and the microsecond gap
+    to the user's previous event (−1 for each user's first).  One hash
+    co-partition + vectorised per-bucket cumsum
+    (``stages.window.rolling_window``); the oracle is the literal SQL
+    window frame ``ROWS BETWEEN 3 PRECEDING AND CURRENT ROW``."""
+    from hexscape_ray.stages.window import rolling_window
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "us": batch["ts"].cast(pa.int64()),
+                "value_cents": pa.array(
+                    np.floor(v * 100.0 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    return rolling_window(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key="user_id",
+        order=["us", "event_id"],
+        value="value_cents",
+        preceding=3,
+        out_sum="rolling_cents",
+        delta_of="us",
+        out_delta="gap_us",
+    )
+
+
+SQL_USER_ROLLING_VALUE = """
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_cents,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS rolling_cents,
+         CAST(coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id), -1) AS BIGINT)
+           AS gap_us
+  FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2367,6 +2535,9 @@ RAY_QUERIES = {
     "lang_doc_sample": q_lang_doc_sample,
     "event_pairs_window": q_event_pairs_window,
     "train_val_test_split": q_train_val_test_split,
+    "customers_without_orders": q_customers_without_orders,
+    "orders_with_large_item": q_orders_with_large_item,
+    "user_rolling_value": q_user_rolling_value,
 }
 
 ORACLES = {
@@ -2416,6 +2587,9 @@ ORACLES = {
     "lang_doc_sample": SQL_LANG_DOC_SAMPLE,
     "event_pairs_window": SQL_EVENT_PAIRS_WINDOW,
     "train_val_test_split": SQL_TRAIN_VAL_TEST_SPLIT,
+    "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+    "orders_with_large_item": SQL_ORDERS_WITH_LARGE_ITEM,
+    "user_rolling_value": SQL_USER_ROLLING_VALUE,
     # non-SQL (geometry / sketch / ANN) ops → rows-only checks:
     # doc_quality, minhash_bands, generate_patches,
     # generate_neighbours, point_in_polygon, voronoi, habitat,

@@ -137,6 +137,13 @@ def bucketed_join(
         "left": "left outer",
         "right": "right outer",
         "outer": "full outer",
+        # EXISTS / NOT EXISTS semantics: keep (semi) or drop (anti)
+        # left rows that have ≥1 key match on the right; output is the
+        # LEFT columns only, never duplicated by multiple right matches.
+        # Correct under co-partitioning because hash(key) % B puts every
+        # right row with a given key in the same bucket as its probes.
+        "semi": "left semi",
+        "anti": "left anti",
     }[how]
 
     typed = dict(all_fields)
@@ -153,7 +160,10 @@ def bucketed_join(
         lg = g.filter(is_left).select(lcols).cast(l_target)
         rg = g.filter(pc.invert(is_left)).select(rcols).cast(r_target)
         out = lg.join(rg, keys=on, join_type=join_type)
-        # Acero's output column order can vary; fix it to lcols + new rcols.
+        # Acero's output column order can vary; fix it to lcols + new rcols
+        # (semi/anti emit the left side only).
+        if join_type in ("left semi", "left anti"):
+            return out.select(lcols)
         ordered = lcols + [c for c in rcols if c != on]
         return out.select(ordered)
 

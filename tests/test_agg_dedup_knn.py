@@ -819,3 +819,71 @@ def test_grouped_hash_sample_deterministic(ray_session):
             .sort_values(["k", "rank"], ignore_index=True)
         )
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_bucketed_join_semi_anti(ray_session):
+    """semi == EXISTS (left rows with >=1 match, never duplicated);
+    anti == NOT EXISTS; semi + anti partition the left side."""
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({"id": np.arange(200), "a": rng.integers(0, 9, 200)})
+    # right: ids 0..99, each present 1-3 times (dup matches must not
+    # duplicate semi output rows)
+    rid = np.repeat(np.arange(100), rng.integers(1, 4, 100))
+    right = pd.DataFrame({"id": rid, "b": np.arange(len(rid))})
+    semi = (
+        bucketed_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            on="id", how="semi", n_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    anti = (
+        bucketed_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            on="id", how="anti", n_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    assert list(semi.columns) == ["id", "a"] and list(anti.columns) == ["id", "a"]
+    assert semi["id"].tolist() == list(range(100))
+    assert anti["id"].tolist() == list(range(100, 200))
+    both = pd.concat([semi, anti]).sort_values("id", ignore_index=True)
+    assert np.array_equal(both["a"].to_numpy(), left["a"].to_numpy())
+
+
+def test_rolling_window_matches_pandas(ray_session):
+    """rolling_window == pandas groupby().rolling(k+1).sum() + lag
+    delta, across bucket boundaries and single-row keys."""
+    from hexscape_ray.stages.window import rolling_window
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "eid": np.arange(n, dtype=np.int64),
+            "key": rng.integers(0, 37, n).astype(np.int64),
+            "t": rng.integers(0, 10_000, n).astype(np.int64),
+            "v": rng.integers(-50, 50, n).astype(np.int64),
+        }
+    )
+    df.loc[n - 1, "key"] = 9999  # a single-row key
+    got = (
+        rolling_window(
+            ray.data.from_pandas(df), key="key", order=["t", "eid"],
+            value="v", preceding=3, out_sum="rs", delta_of="t",
+            out_delta="gap", n_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["key", "t", "eid"], ignore_index=True)
+    )
+    want = df.sort_values(["key", "t", "eid"], ignore_index=True)
+    g = want.groupby("key", sort=False)
+    want["rs"] = (
+        g["v"].rolling(4, min_periods=1).sum().reset_index(level=0, drop=True)
+    ).astype(np.int64)
+    want["gap"] = g["t"].diff().fillna(-1).astype(np.int64)
+    assert len(got) == len(want)
+    assert np.array_equal(got["rs"].to_numpy(), want["rs"].to_numpy())
+    assert np.array_equal(got["gap"].to_numpy(), want["gap"].to_numpy())
