@@ -2449,6 +2449,103 @@ def q_user_rolling_value(sf_dir: str) -> Dataset:
     )
 
 
+def q_doc_quality_exact(sf_dir: str) -> Dataset:
+    """Quality scoring with an EXACT integer score — the oracle-checkable
+    form of ``doc_quality``.  ``q_micro`` is ``quality_score`` × 1e6
+    evaluated in pure int64 rational arithmetic (half-up on the exact
+    rational), so no float-rounding convention (numpy half-even vs SQL
+    half-away) can diverge:
+
+        d     = max(n_tok, 1)
+        A     = 800·min(n_chars,500) + (200000 if 2d ≤ Σlen ≤ 12d else 100000)
+        R     = 300000·(d − min(n_punct,d)) + 100000·min(5·n_stop, d)
+        q_micro = A + (2R + d) // (2d)
+
+    Every count is one vectorised RE2 pass (``count_substring_regex``):
+    ``\\w+`` runs = word tokens, ``\\w`` chars = their total length,
+    ``\\S+`` runs = whitespace tokens, ``\\b``-bounded stopword runs =
+    standalone stopword occurrences (a run like ``theta`` has no inner
+    word boundary, so it never false-hits ``the``).  Only the BPE-regex
+    count stays scalar (its lookahead has no RE2 form).  RE2's ``\\w``
+    is ASCII where Python's is Unicode — identical on this corpus; the
+    SQL oracle additionally assumes single-space-separated
+    ``[a-z0-9 ]`` text (verified), under which ``string_split`` word
+    tokens coincide with ``\\w+`` runs and BPE count = word count."""
+    import pyarrow.compute as pc
+
+    from hexscape_ray.functions import text as T
+
+    stop_re = r"\b(" + "|".join(sorted(T._STOP_EN)) + r")\b"
+
+    def score(batch: pa.Table) -> pa.Table:
+        def creg(arr, pattern):
+            return (
+                pc.count_substring_regex(arr, pattern)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+
+        txt = batch["text"]
+        n = len(batch)
+        c = pc.utf8_length(txt).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_ws = creg(txt, r"\S+")
+        n_tok = creg(txt, r"\w+")
+        sum_len = creg(txt, r"\w")
+        n_stop = creg(pc.utf8_lower(txt), stop_re)
+        n_punct = creg(txt, r"[^\w\s]")
+        n_bpe = np.fromiter(
+            (T.count_tokens_bpe(t) for t in txt.to_pylist()),
+            dtype=np.int64,
+            count=n,
+        )
+        d = np.maximum(n_tok, 1)
+        w = np.where(
+            (n_tok > 0) & (2 * d <= sum_len) & (sum_len <= 12 * d),
+            200000,
+            100000,
+        )
+        A = 800 * np.minimum(c, 500) + w
+        R = 300000 * (d - np.minimum(n_punct, d)) + 100000 * np.minimum(
+            5 * n_stop, d
+        )
+        q_micro = A + (2 * R + d) // (2 * d)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": pa.array(c),
+                "n_tokens_ws": pa.array(n_ws),
+                "n_tokens_bpe": pa.array(n_bpe),
+                "q_micro": pa.array(q_micro),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+SQL_DOC_QUALITY_EXACT = """
+  WITH t AS (
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           CAST(length(text) - (len(string_split(text, ' ')) - 1) AS BIGINT)
+             AS sum_len,
+           CAST(len(list_filter(string_split(text, ' '),
+                x -> x IN ('the','and','of','to','in','is','that','with',
+                           'for','was'))) AS BIGINT) AS n_stop
+    FROM documents
+  )
+  SELECT doc_id, n_chars, n_tok AS n_tokens_ws, n_tok AS n_tokens_bpe,
+         CAST(800 * least(n_chars, 500)
+              + CASE WHEN 2 * n_tok <= sum_len AND sum_len <= 12 * n_tok
+                     THEN 200000 ELSE 100000 END
+              + (2 * (300000 * n_tok + 100000 * least(5 * n_stop, n_tok))
+                 + n_tok) // (2 * n_tok) AS BIGINT) AS q_micro
+  FROM t
+"""
+
+
 SQL_USER_ROLLING_VALUE = """
   SELECT event_id, user_id, epoch_us(ts) AS us,
          CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_cents,
@@ -2538,6 +2635,7 @@ RAY_QUERIES = {
     "customers_without_orders": q_customers_without_orders,
     "orders_with_large_item": q_orders_with_large_item,
     "user_rolling_value": q_user_rolling_value,
+    "doc_quality_exact": q_doc_quality_exact,
 }
 
 ORACLES = {
@@ -2590,6 +2688,7 @@ ORACLES = {
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
     "orders_with_large_item": SQL_ORDERS_WITH_LARGE_ITEM,
     "user_rolling_value": SQL_USER_ROLLING_VALUE,
+    "doc_quality_exact": SQL_DOC_QUALITY_EXACT,
     # non-SQL (geometry / sketch / ANN) ops → rows-only checks:
     # doc_quality, minhash_bands, generate_patches,
     # generate_neighbours, point_in_polygon, voronoi, habitat,

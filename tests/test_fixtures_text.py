@@ -120,3 +120,45 @@ def test_enrich_batch_vectorised_matches_scalar():
     aa, bb = enrich_batch_scalar(edge), enrich_batch(edge)
     for col in aa.column_names:
         assert aa[col].equals(bb[col]), col
+
+
+def test_doc_quality_exact_matches_scalar(ray_session):
+    """q_micro (exact int64 rational, half-up) agrees with the float
+    quality_score to 1e-6 on messy text — multi-space, tabs,
+    punctuation soup, stopword-free, short and empty-ish docs — and
+    the vectorised token/char counts match the scalar features."""
+    import ray.data
+
+    from hexscape_ray.functions.text import quality_score, count_tokens_ws
+    from hexscape_ray.pipelines.queries import q_doc_quality_exact
+    import tempfile, os
+    import pyarrow as pa, pyarrow.parquet as pq
+
+    texts = [
+        "the cat and the dog sat with a mat for tea",
+        "short",
+        "x",
+        "a  b\tc\nd",          # messy whitespace
+        "!!! ??? ... ;;; :::",  # punctuation soup
+        "supercalifragilisticexpialidocious " * 20,  # long tokens
+        "to in of is that with for was and the " * 30,  # all stopwords
+        "no stopwords here just plain nouns verbs maybe",
+        "word " * 200,          # >500 chars
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts),
+                }
+            ),
+            os.path.join(td, "documents.parquet"),
+        )
+        got = q_doc_quality_exact(td).to_pandas().sort_values(
+            "doc_id", ignore_index=True
+        )
+    for i, t in enumerate(texts):
+        assert abs(got["q_micro"][i] / 1e6 - quality_score(t)) <= 1e-6, (i, t)
+        assert got["n_tokens_ws"][i] == count_tokens_ws(t)
+        assert got["n_chars"][i] == len(t)
