@@ -2524,6 +2524,33 @@ def q_doc_quality_exact(sf_dir: str) -> Dataset:
     )
 
 
+def q_cosine_dup_pairs(sf_dir: str) -> Dataset:
+    """EXACT embedding-cosine near-dup pairs (cos ≥ 0.45) via blocked
+    all-pairs matmul (``stages.knn.cosine_pairs_exact``) — the exact
+    baseline for the LSH near-dup path, oracle-checked against a
+    DuckDB self-join on ``list_cosine_similarity``.  The 0.45
+    threshold sits ≥ 5.5e-4 from every pair's cosine on this corpus,
+    far beyond float64 summation-order error."""
+    from hexscape_ray.stages.knn import cosine_pairs_exact
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cosine_pairs_exact(emb, threshold=0.45, block_rows=256).sort(
+        ["a", "b"]
+    )
+
+
+SQL_COSINE_DUP_PAIRS = """
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[]))
+                    * 1000000 + 0.5) AS BIGINT) AS cos_micro
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.45
+  ORDER BY a, b
+"""
+
+
 SQL_DOC_QUALITY_EXACT = """
   WITH t AS (
     SELECT doc_id,
@@ -2636,6 +2663,7 @@ RAY_QUERIES = {
     "orders_with_large_item": q_orders_with_large_item,
     "user_rolling_value": q_user_rolling_value,
     "doc_quality_exact": q_doc_quality_exact,
+    "cosine_dup_pairs": q_cosine_dup_pairs,
 }
 
 ORACLES = {
@@ -2689,6 +2717,7 @@ ORACLES = {
     "orders_with_large_item": SQL_ORDERS_WITH_LARGE_ITEM,
     "user_rolling_value": SQL_USER_ROLLING_VALUE,
     "doc_quality_exact": SQL_DOC_QUALITY_EXACT,
+    "cosine_dup_pairs": SQL_COSINE_DUP_PAIRS,
     # non-SQL (geometry / sketch / ANN) ops → rows-only checks:
     # doc_quality, minhash_bands, generate_patches,
     # generate_neighbours, point_in_polygon, voronoi, habitat,

@@ -213,3 +213,113 @@ def ivf_topk(
         return g
 
     return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def cosine_pairs_exact(
+    corpus: Dataset,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    block_rows: int = 4096,
+) -> Dataset:
+    """EXACT embedding-cosine near-dup pairs: every unordered pair
+    (a < b) with cosine ≥ ``threshold`` — the exact baseline the LSH
+    path (``stages.dedup.embedding_near_dup``) approximates with
+    bounded recall.
+
+    Scale shape: the corpus is normalised into row blocks held ONCE in
+    the object store (``materialize`` + ``to_arrow_refs``); the
+    B(B+1)/2 block pairs fan out as a task-pool ``map_batches`` over a
+    tiny pair-index Dataset, each task ONE ``(bi×d)·(bj×d)ᵀ`` numpy
+    matmul with zero-copy fetches of exactly its two blocks — no
+    all-to-all, no corpus reshuffle, work parallelism B².  O(n²/B²)
+    per task is intrinsic to EXACT all-pairs: use this as the
+    ≤10M-row baseline or as the in-bucket verifier inside LSH buckets;
+    beyond that the LSH path is the answer (SURVEY: dedup family).
+
+    Cosines are computed in float64 and emitted as half-up micro units
+    (``floor(c·1e6 + 0.5)``, the repo's SQL-parity rounding rule);
+    thresholding happens on the raw float64 value, matching
+    ``WHERE list_cosine_similarity(...) >= t``.
+    """
+
+    def prep(batch: pa.Table) -> pa.Table:
+        V = np.asarray(
+            batch[emb_col].to_numpy(zero_copy_only=False).tolist(),
+            dtype=np.float64,
+        )
+        V = _normalize(V)
+        return pa.table(
+            {
+                "id": batch[id_col].cast(pa.int64()),
+                "v": pa.array(list(V)),
+            }
+        )
+
+    mat = corpus.map_batches(
+        prep, batch_format="pyarrow", batch_size=block_rows
+    ).materialize()
+    refs = mat.to_arrow_refs()
+    nb = len(refs)
+    pairs = [{"i": i, "j": j} for i in range(nb) for j in range(i, nb)]
+
+    class PairTask:
+        def __init__(self, refs):
+            self.refs = refs
+            self.cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+        def _block(self, i: int):
+            if i not in self.cache:
+                t = ray.get(self.refs[i])
+                ids = t["id"].to_numpy(zero_copy_only=False)
+                V = np.asarray(t["v"].to_numpy(zero_copy_only=False).tolist())
+                self.cache[i] = (ids, V)
+            return self.cache[i]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out_a, out_b, out_m = [], [], []
+            for i, j in zip(
+                batch["i"].to_numpy(zero_copy_only=False),
+                batch["j"].to_numpy(zero_copy_only=False),
+            ):
+                aid, A = self._block(int(i))
+                bid, B = self._block(int(j))
+                sim = A @ B.T
+                ii, jj = np.nonzero(sim >= threshold)
+                if i == j:  # one triangle within a block (any threshold sign)
+                    keep = ii < jj
+                    ii, jj = ii[keep], jj[keep]
+                if ii.size == 0:
+                    continue
+                a, b = aid[ii], bid[jj]
+                swap = a > b  # cross-block order is by id, not block index
+                a2 = np.where(swap, b, a)
+                b2 = np.where(swap, a, b)
+                out_a.append(a2)
+                out_b.append(b2)
+                out_m.append(
+                    np.floor(sim[ii, jj] * 1e6 + 0.5).astype(np.int64)
+                )
+            if not out_a:
+                return pa.table(
+                    {
+                        "a": pa.array([], type=pa.int64()),
+                        "b": pa.array([], type=pa.int64()),
+                        "cos_micro": pa.array([], type=pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "a": pa.array(np.concatenate(out_a).astype(np.int64)),
+                    "b": pa.array(np.concatenate(out_b).astype(np.int64)),
+                    "cos_micro": pa.array(np.concatenate(out_m)),
+                }
+            )
+
+    return ray.data.from_items(pairs).map_batches(
+        PairTask,
+        fn_constructor_args=(refs,),
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=(1, 8),
+    )

@@ -887,3 +887,43 @@ def test_rolling_window_matches_pandas(ray_session):
     assert len(got) == len(want)
     assert np.array_equal(got["rs"].to_numpy(), want["rs"].to_numpy())
     assert np.array_equal(got["gap"].to_numpy(), want["gap"].to_numpy())
+
+
+def test_cosine_pairs_exact_matches_numpy(ray_session):
+    """Blocked all-pairs == single-process numpy all-pairs, with
+    shuffled ids across many blocks (exercises cross-block id swap)
+    and a negative threshold (full n(n-1)/2 coverage, no triangle
+    shortcut bugs)."""
+    from hexscape_ray.stages.knn import cosine_pairs_exact, _normalize
+
+    rng = np.random.default_rng(3)
+    n, d = 120, 8
+    V = rng.normal(size=(n, d))
+    V[17] = V[3] + rng.normal(scale=0.01, size=d)  # planted near-dup
+    V[88] = V[40]
+    ids = rng.permutation(n).astype(np.int64)  # ids unordered vs rows
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": pa.array(ids), "embedding": pa.array(list(V))})
+    ).repartition(5)
+
+    N = _normalize(V)
+    S = N @ N.T
+    for thr in (0.9, -1.1):
+        got = (
+            cosine_pairs_exact(ds, threshold=thr, block_rows=16)
+            .to_pandas()
+            .sort_values(["a", "b"], ignore_index=True)
+        )
+        ii, jj = np.nonzero(S >= thr)
+        keep = ii < jj
+        a = np.minimum(ids[ii[keep]], ids[jj[keep]])
+        b = np.maximum(ids[ii[keep]], ids[jj[keep]])
+        m = np.floor(S[ii[keep], jj[keep]] * 1e6 + 0.5).astype(np.int64)
+        want = (
+            pd.DataFrame({"a": a, "b": b, "cos_micro": m})
+            .sort_values(["a", "b"], ignore_index=True)
+        )
+        assert len(got) == len(want), thr
+        assert np.array_equal(got["a"].to_numpy(), want["a"].to_numpy())
+        assert np.array_equal(got["b"].to_numpy(), want["b"].to_numpy())
+        assert np.array_equal(got["cos_micro"].to_numpy(), want["cos_micro"].to_numpy())
