@@ -2524,6 +2524,56 @@ def q_doc_quality_exact(sf_dir: str) -> Dataset:
     )
 
 
+def q_user_value_24h(sf_dir: str) -> Dataset:
+    """TIME-RANGE window aggregate — for every event, the sum of value
+    cents over the user's events in the PRECEDING 24 HOURS (a
+    value-based ``RANGE`` frame: covers peers with equal timestamps,
+    unlike the row-offset ``ROWS`` frame of ``user_rolling_value``)
+    plus the per-user row number.  One hash co-partition + one
+    vectorised composite searchsorted per bucket
+    (``stages.window.range_window``)."""
+    from hexscape_ray.stages.window import range_window
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "us": batch["ts"].cast(pa.int64()),
+                "value_cents": pa.array(
+                    np.floor(v * 100.0 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    return range_window(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key="user_id",
+        time_col="us",
+        value="value_cents",
+        window=86_400_000_000,
+        order_tail=["event_id"],
+        out_sum="range_sum",
+        out_rownum="rn",
+    )
+
+
+SQL_USER_VALUE_24H = """
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_cents,
+         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS range_sum,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS rn
+  FROM events
+"""
+
+
 def q_cosine_dup_pairs(sf_dir: str) -> Dataset:
     """EXACT embedding-cosine near-dup pairs (cos ≥ 0.45) via blocked
     all-pairs matmul (``stages.knn.cosine_pairs_exact``) — the exact
@@ -2664,6 +2714,7 @@ RAY_QUERIES = {
     "user_rolling_value": q_user_rolling_value,
     "doc_quality_exact": q_doc_quality_exact,
     "cosine_dup_pairs": q_cosine_dup_pairs,
+    "user_value_24h": q_user_value_24h,
 }
 
 ORACLES = {
@@ -2718,6 +2769,7 @@ ORACLES = {
     "user_rolling_value": SQL_USER_ROLLING_VALUE,
     "doc_quality_exact": SQL_DOC_QUALITY_EXACT,
     "cosine_dup_pairs": SQL_COSINE_DUP_PAIRS,
+    "user_value_24h": SQL_USER_VALUE_24H,
     # non-SQL (geometry / sketch / ANN) ops → rows-only checks:
     # doc_quality, minhash_bands, generate_patches,
     # generate_neighbours, point_in_polygon, voronoi, habitat,

@@ -105,3 +105,84 @@ def rolling_window(
         .groupby("__bucket")
         .map_groups(win, batch_format="pyarrow")
     )
+
+
+def range_window(
+    ds: Dataset,
+    key: str,
+    time_col: str,
+    value: str,
+    window: int,
+    order_tail: list[str] | None = None,
+    out_sum: str = "range_sum",
+    out_rownum: str = "rn",
+    n_buckets: int = 64,
+) -> Dataset:
+    """Per-key TIME-RANGE window sum + row number — the value-based
+    frame ``SUM(v) OVER (PARTITION BY key ORDER BY t RANGE BETWEEN
+    window PRECEDING AND CURRENT ROW)`` plus ``ROW_NUMBER() OVER
+    (PARTITION BY key ORDER BY t, tail...)``.
+
+    RANGE-frame semantics (SQL): the frame covers every row of the key
+    whose time lies in ``[t_i − window, t_i]`` — INCLUDING peers of
+    the current row (equal ``t``), regardless of row position.  Both
+    frame edges are therefore value-searches, not row offsets:
+    ``lo = searchsorted(t, t_i − window, left)``,
+    ``hi = searchsorted(t, t_i, right)`` per key segment, evaluated in
+    ONE vectorised searchsorted over a per-bucket composite
+    ``code·SPAN + (t − t_min)`` (same factorise-and-compose device as
+    ``stages.joins.asof_join``).  Overflow guard: needs
+    ``n_keys_in_bucket × (span + window) < 2^62`` — raise ``n_buckets``
+    for corpora with both huge key cardinality and huge time spans.
+
+    One hash co-partition total; same bucket-memory contract as
+    :func:`rolling_window`.
+    """
+    order_tail = order_tail or []
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch[key].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return batch.append_column("__bucket", pa.array(np.abs(k) % n_buckets))
+
+    def win(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__bucket"])
+        n = len(g)
+        if n == 0:
+            return g
+        k = np.asarray(g[key].to_numpy(zero_copy_only=False), dtype=np.int64)
+        t = np.asarray(g[time_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        tails = [
+            np.asarray(g[c].to_numpy(zero_copy_only=False)) for c in order_tail
+        ]
+        idx = np.lexsort(tuple(reversed(tails)) + (t, k))
+        g = g.take(pa.array(idx))
+        k, t = k[idx], t[idx]
+        v = np.asarray(g[value].to_numpy(zero_copy_only=False), dtype=np.int64)
+
+        _, code = np.unique(k, return_inverse=True)
+        t0 = t - t.min()
+        span = np.int64(int(t0.max()) + int(window) + 2)
+        if (int(code.max()) + 1) * int(span) >= 2**62:
+            raise OverflowError(
+                "range_window composite overflow: raise n_buckets "
+                f"(keys={code.max()+1}, span={span})"
+            )
+        comp = code.astype(np.int64) * span + t0
+        lo = np.searchsorted(comp, comp - window, side="left")
+        hi = np.searchsorted(comp, comp, side="right")
+        csum = np.concatenate([[0], np.cumsum(v)])
+        cols = {c: g[c] for c in g.column_names}
+        cols[out_sum] = pa.array(csum[hi] - csum[lo])
+
+        new_seg = np.empty(n, dtype=bool)
+        new_seg[0] = True
+        np.not_equal(k[1:], k[:-1], out=new_seg[1:])
+        seg_first = np.maximum.accumulate(np.where(new_seg, np.arange(n), 0))
+        cols[out_rownum] = pa.array(np.arange(n) - seg_first + 1)
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(win, batch_format="pyarrow")
+    )

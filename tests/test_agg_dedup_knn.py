@@ -927,3 +927,40 @@ def test_cosine_pairs_exact_matches_numpy(ray_session):
         assert np.array_equal(got["a"].to_numpy(), want["a"].to_numpy())
         assert np.array_equal(got["b"].to_numpy(), want["b"].to_numpy())
         assert np.array_equal(got["cos_micro"].to_numpy(), want["cos_micro"].to_numpy())
+
+
+def test_range_window_peer_semantics(ray_session):
+    """RANGE frame covers ALL rows with t in [t_i - W, t_i] including
+    equal-t peers AFTER the current row — checked against a brute
+    reference on data with planted timestamp ties."""
+    from hexscape_ray.stages.window import range_window
+
+    rng = np.random.default_rng(5)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "eid": np.arange(n, dtype=np.int64),
+            "key": rng.integers(0, 9, n).astype(np.int64),
+            "t": rng.integers(0, 500, n).astype(np.int64),  # many ties
+            "v": rng.integers(1, 100, n).astype(np.int64),
+        }
+    )
+    W = 50
+    got = (
+        range_window(
+            ray.data.from_pandas(df), key="key", time_col="t", value="v",
+            window=W, order_tail=["eid"], n_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["key", "t", "eid"], ignore_index=True)
+    )
+    want = df.sort_values(["key", "t", "eid"], ignore_index=True)
+    rs = np.empty(len(want), dtype=np.int64)
+    rn = np.empty(len(want), dtype=np.int64)
+    for i in range(len(want)):
+        k, t = want["key"][i], want["t"][i]
+        m = (want["key"] == k) & (want["t"] >= t - W) & (want["t"] <= t)
+        rs[i] = want.loc[m, "v"].sum()
+        rn[i] = ((want["key"][:i] == k).sum()) + 1
+    assert np.array_equal(got["range_sum"].to_numpy(), rs)
+    assert np.array_equal(got["rn"].to_numpy(), rn)
