@@ -2574,6 +2574,48 @@ SQL_USER_VALUE_24H = """
 """
 
 
+def q_events_from_top_users(sf_dir: str) -> Dataset:
+    """Zero-shuffle broadcast SEMI filter — event-type census over the
+    events of the 50 most active users (the allowlist/blocklist filter
+    shape: the small key set comes from a distributed aggregate, is
+    broadcast once via ``ray.put``, and the 100-TB event stream is
+    filtered in place with one Arrow ``is_in`` per batch — the big
+    side never shuffles).  Top-50 tie-break: (count DESC, user_id ASC)
+    on both sides."""
+    from hexscape_ray.stages.joins import broadcast_semi_anti
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    counts = (
+        two_phase_sum(ev.select_columns(["user_id"]), ["user_id"], [], count_as="n")
+        .to_pandas()
+        .sort_values(["n", "user_id"], ascending=[False, True])
+        .head(50)
+    )
+    return (
+        two_phase_sum(
+            broadcast_semi_anti(
+                ev, counts["user_id"].to_numpy(), on="user_id", how="semi"
+            ).select_columns(["event_type"]),
+            ["event_type"],
+            [],
+            count_as="n_events",
+        )
+        .sort("event_type")
+    )
+
+
+SQL_EVENTS_FROM_TOP_USERS = """
+  WITH c AS (
+    SELECT user_id, count(*) AS n FROM events
+    GROUP BY user_id ORDER BY n DESC, user_id LIMIT 50
+  )
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+  FROM events WHERE user_id IN (SELECT user_id FROM c)
+  GROUP BY event_type
+  ORDER BY event_type
+"""
+
+
 def q_cosine_dup_pairs(sf_dir: str) -> Dataset:
     """EXACT embedding-cosine near-dup pairs (cos ≥ 0.45) via blocked
     all-pairs matmul (``stages.knn.cosine_pairs_exact``) — the exact
@@ -2715,6 +2757,7 @@ RAY_QUERIES = {
     "doc_quality_exact": q_doc_quality_exact,
     "cosine_dup_pairs": q_cosine_dup_pairs,
     "user_value_24h": q_user_value_24h,
+    "events_from_top_users": q_events_from_top_users,
 }
 
 ORACLES = {
@@ -2770,6 +2813,7 @@ ORACLES = {
     "doc_quality_exact": SQL_DOC_QUALITY_EXACT,
     "cosine_dup_pairs": SQL_COSINE_DUP_PAIRS,
     "user_value_24h": SQL_USER_VALUE_24H,
+    "events_from_top_users": SQL_EVENTS_FROM_TOP_USERS,
     # non-SQL (geometry / sketch / ANN) ops → rows-only checks:
     # doc_quality, minhash_bands, generate_patches,
     # generate_neighbours, point_in_polygon, voronoi, habitat,

@@ -49,6 +49,49 @@ def broadcast_join(
     )
 
 
+def broadcast_semi_anti(
+    big: Dataset,
+    keys,
+    on: str,
+    how: str = "semi",
+    batch_size: int = 65536,
+    concurrency: int | tuple = (1, 8),
+) -> Dataset:
+    """Zero-shuffle EXISTS / NOT EXISTS against a SMALL key set — the
+    blocklist/allowlist filter of a training-data pipeline (drop every
+    page whose host is on a spam list; keep only docs whose id is in a
+    curated sample).  ``keys`` (numpy array / pandas Series / list) is
+    broadcast once via ``ray.put``; each batch keeps (``semi``) or
+    drops (``anti``) rows by one vectorised Arrow ``is_in`` — the big
+    side never moves, so this is the right shape whenever the key set
+    fits in worker memory (millions of keys); for two genuinely large
+    sides use ``bucketed_join(how='semi'|'anti')``."""
+    assert how in ("semi", "anti")
+    arr = pa.array(pd.unique(pd.Series(keys)))
+    ref = ray.put(arr)
+
+    class Filter:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            # null keys match nothing: EXISTS drops them, NOT EXISTS
+            # keeps them — fill null BEFORE the anti inversion
+            m = pc.fill_null(pc.is_in(batch[on], value_set=self.keys), False)
+            if how == "anti":
+                m = pc.invert(m)
+            return batch.filter(m)
+
+    return big.map_batches(
+        Filter,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def bucketed_join(
     left: Dataset,
     right: Dataset,

@@ -964,3 +964,21 @@ def test_range_window_peer_semantics(ray_session):
         rn[i] = ((want["key"][:i] == k).sum()) + 1
     assert np.array_equal(got["range_sum"].to_numpy(), rs)
     assert np.array_equal(got["rn"].to_numpy(), rn)
+
+
+def test_broadcast_semi_anti_null_keys(ray_session):
+    """EXISTS drops null-key rows, NOT EXISTS keeps them; semi+anti
+    partition the input."""
+    from hexscape_ray.stages.joins import broadcast_semi_anti
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 2, None, 4, 5], type=pa.int64()),
+            "x": pa.array([10, 20, 30, 40, 50], type=pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    semi = broadcast_semi_anti(ds, [2, 4, 99], on="k", how="semi").to_pandas()
+    anti = broadcast_semi_anti(ds, [2, 4, 99], on="k", how="anti").to_pandas()
+    assert sorted(semi["x"]) == [20, 40]
+    assert sorted(anti["x"]) == [10, 30, 50]  # null-key row kept by anti
