@@ -2679,6 +2679,191 @@ SQL_USER_ROLLING_VALUE = """
 """
 
 
+def q_copurchase_components(sf_dir: str) -> Dataset:
+    """Oracle-checked distributed CONNECTED COMPONENTS: build a sparse
+    bipartite customer↔supplier graph from orders⋈lineitem (one edge
+    per distinct (custkey, suppkey) trade over a sparsifying item
+    filter) and label every node with its component = minimum reachable
+    node id via ``stages.graph.connected_components`` (local contraction
+    + min-label supersteps, Rastogi et al. ICDE'13).
+
+    This upgrades the CC machinery itself — previously pytest-only
+    (union-find parity) — to a full DuckDB hash-parity check: the
+    oracle computes the same labels with a recursive CTE (min-label
+    transitive closure).  Supplier node ids are offset by 1e6 so the
+    two key spaces cannot collide.  At sf0.01 the filter yields 58
+    components of size 2–5 — non-trivial multi-hop topology, not
+    cliques."""
+    from hexscape_ray.stages.graph import connected_components
+    from hexscape_ray.stages.joins import bucketed_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_quantity", "l_partkey"])
+
+    def sparsify(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        p = t["l_partkey"].to_numpy(zero_copy_only=False)
+        keep = (q == 1) & (p % 11 == 0)
+        kept = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "o_orderkey": kept["l_orderkey"],
+                "suppnode": pc.add(kept["l_suppkey"], 1_000_000),
+            }
+        )
+
+    edges = bucketed_join(
+        orders, li.map_batches(sparsify, batch_format="pyarrow"),
+        on="o_orderkey", n_buckets=16,
+    ).map_batches(
+        lambda t: pa.table({"u": t["o_custkey"], "v": t["suppnode"]}),
+        batch_format="pyarrow",
+    )
+    return connected_components(edges, src="u", dst="v").sort("node")
+
+
+SQL_COPURCHASE_COMPONENTS = """
+  WITH RECURSIVE edges AS (
+    SELECT DISTINCT o.o_custkey AS u, 1000000 + l.l_suppkey AS v
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_quantity = 1 AND l.l_partkey % 11 = 0
+  ), sym AS (
+    SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges
+  ), reach(node, label) AS (
+    SELECT u AS node, u AS label FROM (SELECT DISTINCT u FROM sym)
+    UNION
+    SELECT s.v AS node, r.label FROM reach r JOIN sym s ON r.node = s.u
+  )
+  SELECT node, CAST(MIN(label) AS BIGINT) AS component
+  FROM reach GROUP BY node ORDER BY node
+"""
+
+
+def q_lang_source_rollup(sf_dir: str) -> Dataset:
+    """Hierarchical GROUP BY ROLLUP(lang, source) census in ONE shuffle
+    (``stages.agg.rollup_sum``): finest-level partials are expanded to
+    all rollup prefixes inside ``map_batches`` before the single
+    groupby, so the subtotal hierarchy costs the same exchange as the
+    flat census.  ``ALL`` sentinel stands in for rollup NULLs (NULL
+    hash-compares poorly across engines); ``lvl`` = keys kept."""
+    from hexscape_ray.stages.agg import rollup_sum
+
+    docs = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    out = rollup_sum(docs, ["lang", "source"], ["n_chars"], count_as="n")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "lang": t["lang"],
+                "source": t["source"],
+                "lvl": t["lvl"],
+                "chars": t["n_chars"],
+                "n": t["n"],
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort(["lvl", "lang", "source"])
+
+
+SQL_LANG_SOURCE_ROLLUP = """
+  SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+         CAST(2 - GROUPING(lang) - GROUPING(source) AS BIGINT) AS lvl,
+         CAST(sum(n_chars) AS BIGINT) AS chars,
+         CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY ROLLUP(lang, source)
+  ORDER BY lvl, lang, source
+"""
+
+
+def q_returnflag_quantity_var(sf_dir: str) -> Dataset:
+    """Exact grouped VARIANCE via the integer-moment identity
+    var_pop = (n·Σq² − (Σq)²) / n²: both moments are exact int64 sums
+    (quantities are small integers, so n·Σq² stays < 2^53 well past
+    sf1), and the float appears only as the final division of two
+    exact integers — bit-identical in numpy and DuckDB.  One
+    ``two_phase_sum`` shuffle carries three ints per (flag, block)."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def sq(t: pa.Table) -> pa.Table:
+        q = np.floor(
+            t["l_quantity"].to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "q": pa.array(q),
+                "qsq": pa.array(q * q),
+            }
+        )
+
+    agg = two_phase_sum(
+        li.map_batches(sq, batch_format="pyarrow"),
+        ["l_returnflag"], ["q", "qsq"], count_as="n",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["q"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ss = t["qsq"].to_numpy(zero_copy_only=False).astype(np.int64)
+        var = (n * ss - s * s).astype(np.float64) / (n * n).astype(np.float64)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "n": pa.array(n),
+                "sum_q": pa.array(s),
+                "sum_qsq": pa.array(ss),
+                "var_pop": pa.array(var),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("l_returnflag")
+
+
+SQL_RETURNFLAG_QUANTITY_VAR = """
+  WITH t AS (
+    SELECT l_returnflag, CAST(floor(l_quantity + 0.5) AS BIGINT) AS q
+    FROM lineitem
+  )
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(q) AS BIGINT) AS sum_q,
+         CAST(sum(q*q) AS BIGINT) AS sum_qsq,
+         CAST(count(*)*sum(q*q) - sum(q)*sum(q) AS DOUBLE)
+           / (count(*)*count(*)) AS var_pop
+  FROM t GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_user_top_event_type(sf_dir: str) -> Dataset:
+    """Per-key MODE / arg-max: each user's most frequent event type
+    (ties → lexicographically smallest) via
+    ``stages.agg.argmax_per_key`` — one native Max over an
+    integer-encoded (count, category-rank) composite, no per-group
+    Python.  The counts table is materialised once because it feeds
+    two consumers (the distinct-category probe and the encode pass) —
+    Ray recomputes lazy Datasets per consumer."""
+    from hexscape_ray.stages.agg import argmax_per_key
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    counts = two_phase_sum(
+        ev, ["user_id", "event_type"], [], count_as="n"
+    ).materialize()
+    cats = counts.unique("event_type")
+    return argmax_per_key(
+        counts, "user_id", "event_type", "n", cats, top_as="top_type"
+    ).sort("user_id")
+
+
+SQL_USER_TOP_EVENT_TYPE = """
+  WITH c AS (
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+  )
+  SELECT user_id, event_type AS top_type, n FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY n DESC, event_type) AS rn FROM c)
+  WHERE rn = 1 ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2758,6 +2943,10 @@ RAY_QUERIES = {
     "cosine_dup_pairs": q_cosine_dup_pairs,
     "user_value_24h": q_user_value_24h,
     "events_from_top_users": q_events_from_top_users,
+    "copurchase_components": q_copurchase_components,
+    "lang_source_rollup": q_lang_source_rollup,
+    "returnflag_quantity_var": q_returnflag_quantity_var,
+    "user_top_event_type": q_user_top_event_type,
 }
 
 ORACLES = {
@@ -2814,6 +3003,10 @@ ORACLES = {
     "cosine_dup_pairs": SQL_COSINE_DUP_PAIRS,
     "user_value_24h": SQL_USER_VALUE_24H,
     "events_from_top_users": SQL_EVENTS_FROM_TOP_USERS,
+    "copurchase_components": SQL_COPURCHASE_COMPONENTS,
+    "lang_source_rollup": SQL_LANG_SOURCE_ROLLUP,
+    "returnflag_quantity_var": SQL_RETURNFLAG_QUANTITY_VAR,
+    "user_top_event_type": SQL_USER_TOP_EVENT_TYPE,
     # non-SQL (geometry / sketch / ANN) ops → rows-only checks:
     # doc_quality, minhash_bands, generate_patches,
     # generate_neighbours, point_in_polygon, voronoi, habitat,

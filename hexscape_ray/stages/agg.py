@@ -78,6 +78,104 @@ def two_phase_sum(
     return out
 
 
+def rollup_sum(
+    ds: Dataset,
+    keys: list[str],
+    sums: list[str],
+    count_as: str | None = "n",
+    all_token: str = "ALL",
+    lvl_as: str = "lvl",
+) -> Dataset:
+    """``GROUP BY ROLLUP(keys...)`` in ONE shuffle: each block is
+    partially aggregated at the FINEST level, then every finest partial
+    row is expanded into its ``len(keys)+1`` rollup prefixes (rolled-up
+    key columns replaced by ``all_token``, plus a ``lvl`` column = how
+    many leading keys are kept) before the single groupby-sum.
+
+    Shuffle volume is (levels × distinct finest key-tuples per block) —
+    independent of input row count, so the hierarchy costs the same
+    exchange as the flat census.  String key columns only (the
+    ``all_token`` sentinel stands in for SQL's rollup NULLs, which
+    hash-compare poorly across engines)."""
+    agg_cols = list(sums) + ([count_as] if count_as else [])
+    partials = ds.map_batches(
+        partial_sum_batch(keys, sums, count_as), batch_format="pyarrow"
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        outs = []
+        n = t.num_rows
+        for lvl in range(len(keys), -1, -1):
+            cols: dict[str, pa.Array | pa.ChunkedArray] = {}
+            for i, k in enumerate(keys):
+                cols[k] = t[k] if i < lvl else pa.array([all_token] * n)
+            cols[lvl_as] = pa.array(np.full(n, lvl, dtype=np.int64))
+            for c in agg_cols:
+                cols[c] = t[c]
+            outs.append(pa.table(cols))
+        return pa.concat_tables(outs)
+
+    return (
+        partials.map_batches(expand, batch_format="pyarrow")
+        .groupby(list(keys) + [lvl_as])
+        .aggregate(*[Sum(c, alias_name=c) for c in agg_cols])
+    )
+
+
+def argmax_per_key(
+    counts: Dataset,
+    key: str,
+    cat: str,
+    n: str,
+    cats: list[str],
+    top_as: str = "top",
+) -> Dataset:
+    """(key, cat, n) count rows → one row per key: the category with
+    the MAX count (ties → lexicographically smallest category) — the
+    mode / arg-max aggregate.
+
+    One native ``Max`` aggregate over an integer-encoded composite
+    ``score = n·K + (K-1-rank(cat))`` (K = len(cats), rank = position
+    in sorted ``cats``) — fully vectorised (``pc.index_in`` for the
+    rank gather), no ``map_groups`` per-group Python churn, and the
+    shuffle moves one int64 per (key, cat) pair.  Requires
+    ``n·K < 2^63`` — fine for any count that fits an int64 / K."""
+    import pyarrow.compute as pc
+
+    order = sorted(cats)
+    k = len(order)
+    cat_set = pa.array(order)
+
+    def encode(t: pa.Table) -> pa.Table:
+        rank = pc.index_in(t[cat], value_set=cat_set).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        nn = t[n].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {key: t[key], "score": pa.array(nn * k + (k - 1 - rank))}
+        )
+
+    def decode(t: pa.Table) -> pa.Table:
+        sc = t["score"].to_numpy(zero_copy_only=False)
+        rank = (k - 1 - (sc % k)).astype(np.int64)
+        return pa.table(
+            {
+                key: t[key],
+                top_as: pc.take(cat_set, pa.array(rank)),
+                n: pa.array((sc // k).astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    return (
+        counts.map_batches(encode, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Max("score", alias_name="score"))
+        .map_batches(decode, batch_format="pyarrow")
+    )
+
+
 def salted_sum(
     ds: Dataset,
     keys: list[str],

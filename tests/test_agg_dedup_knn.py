@@ -982,3 +982,93 @@ def test_broadcast_semi_anti_null_keys(ray_session):
     anti = broadcast_semi_anti(ds, [2, 4, 99], on="k", how="anti").to_pandas()
     assert sorted(semi["x"]) == [20, 40]
     assert sorted(anti["x"]) == [10, 30, 50]  # null-key row kept by anti
+
+
+def test_rollup_sum_matches_pandas(ray_session):
+    """rollup_sum == the three pandas groupby levels, sentinel-marked."""
+    from hexscape_ray.stages.agg import rollup_sum
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y", "z"], n),
+            "b": rng.choice(["p", "q"], n),
+            "v": rng.integers(0, 100, n).astype(np.int64),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(6)
+    got = (
+        rollup_sum(ds, ["a", "b"], ["v"], count_as="n")
+        .to_pandas()
+        .sort_values(["lvl", "a", "b"], ignore_index=True)
+    )
+    fine = df.groupby(["a", "b"], as_index=False).agg(v=("v", "sum"), n=("v", "size"))
+    fine["lvl"] = 2
+    mid = df.groupby(["a"], as_index=False).agg(v=("v", "sum"), n=("v", "size"))
+    mid["b"], mid["lvl"] = "ALL", 1
+    top = pd.DataFrame({"a": ["ALL"], "b": ["ALL"], "v": [df.v.sum()], "n": [n], "lvl": [0]})
+    want = (
+        pd.concat([fine, mid, top], ignore_index=True)[["a", "b", "lvl", "v", "n"]]
+        .sort_values(["lvl", "a", "b"], ignore_index=True)
+    )
+    got = got[["a", "b", "lvl", "v", "n"]].astype({"n": np.int64, "v": np.int64})
+    pd.testing.assert_frame_equal(got, want.astype({"n": np.int64, "v": np.int64}))
+
+
+def test_argmax_per_key_tiebreak(ray_session):
+    """argmax_per_key picks max count, lexicographically-smallest tie."""
+    from hexscape_ray.stages.agg import argmax_per_key
+
+    counts = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, 2, 3], type=pa.int64()),
+            "c": pa.array(["b", "a", "c", "z", "a", "m"]),
+            "n": pa.array([5, 5, 2, 1, 1, 9], type=pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(counts).repartition(3)
+    got = (
+        argmax_per_key(ds, "k", "c", "n", ["a", "b", "c", "m", "z"], top_as="top")
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    assert got["top"].tolist() == ["a", "a", "m"]  # ties 1,2 -> smallest cat
+    assert got["n"].tolist() == [5, 1, 9]
+
+
+def test_connected_components_superstep_path_random_graph(ray_session):
+    """Force the SUPERSTEP path (local_solve_threshold=0) on a random
+    graph and compare against a driver union-find ground truth."""
+    from hexscape_ray.stages.graph import connected_components
+
+    rng = np.random.default_rng(11)
+    n_nodes, n_edges = 400, 300
+    a = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    b = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(b)})).repartition(5)
+    got = (
+        connected_components(ds, "a", "b", local_solve_threshold=0, target_rows_per_bucket=64)
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    want = {x: find(x) for x in parent}
+    # canonicalise: component label = min member
+    mins = {}
+    for x, r in want.items():
+        mins[r] = min(mins.get(r, x), x)
+    want = {x: mins[find(x)] for x in parent}
+    got_map = dict(zip(got["node"], got["component"]))
+    assert got_map == want
