@@ -2864,6 +2864,63 @@ SQL_USER_TOP_EVENT_TYPE = """
 """
 
 
+def q_event_value_quantiles_cont(sf_dir: str) -> Dataset:
+    """Grouped INTERPOLATED quantiles (``percentile_cont`` semantics,
+    index = q·(n−1)) over event value cents via
+    ``stages.agg.grouped_quantiles_cont``: quantiles given as rationals
+    (k/4) so interpolation is exact integer arithmetic and the float is
+    only the final ``/4`` of an exact int — the oracle reproduces the
+    same explicit order-statistic formula instead of trusting
+    ``quantile_cont``'s internal float order (verified equal to DuckDB
+    quantile_cont in pytest)."""
+    from hexscape_ray.stages.agg import grouped_quantiles_cont
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table({"event_type": t["event_type"], "cents": pa.array(v)})
+
+    return grouped_quantiles_cont(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        ["event_type"], "cents",
+        {"p25": (1, 4), "p50": (2, 4), "p75": (3, 4)},
+    ).sort("event_type")
+
+
+def _cont_term(num: int) -> str:
+    lo = f"({num}*(n-1))//4"
+    # n is constant per group; inside CASE (within max()) it may be used
+    # directly, but the interpolation weights sit OUTSIDE the aggregate
+    # so they need any_value(n).
+    r = f"({num}*(any_value(n)-1))%4"
+    return (
+        f"CAST(max(CASE WHEN rn-1 = {lo} THEN cents END) * (4 - {r})\n"
+        f"       + coalesce(max(CASE WHEN rn-1 = {lo} + 1 THEN cents END), 0)"
+        f" * ({r}) AS DOUBLE) / 4"
+    )
+
+
+SQL_EVENT_VALUE_QUANTILES_CONT = f"""
+  WITH b AS (
+    SELECT event_type, CAST(floor(value*100.0 + 0.5) AS BIGINT) AS cents
+    FROM events
+  ), v AS (
+    SELECT event_type, cents,
+           row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM b
+  )
+  SELECT event_type,
+         {_cont_term(1)} AS p25,
+         {_cont_term(2)} AS p50,
+         {_cont_term(3)} AS p75
+  FROM v GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2947,6 +3004,7 @@ RAY_QUERIES = {
     "lang_source_rollup": q_lang_source_rollup,
     "returnflag_quantity_var": q_returnflag_quantity_var,
     "user_top_event_type": q_user_top_event_type,
+    "event_value_quantiles_cont": q_event_value_quantiles_cont,
 }
 
 ORACLES = {
@@ -3007,6 +3065,7 @@ ORACLES = {
     "lang_source_rollup": SQL_LANG_SOURCE_ROLLUP,
     "returnflag_quantity_var": SQL_RETURNFLAG_QUANTITY_VAR,
     "user_top_event_type": SQL_USER_TOP_EVENT_TYPE,
+    "event_value_quantiles_cont": SQL_EVENT_VALUE_QUANTILES_CONT,
     # non-SQL (geometry / sketch / ANN) ops → rows-only checks:
     # doc_quality, minhash_bands, generate_patches,
     # generate_neighbours, point_in_polygon, voronoi, habitat,

@@ -282,6 +282,48 @@ def grouped_quantiles_disc(
     return compressed.groupby(keys).map_groups(quant, batch_format="pandas")
 
 
+def grouped_quantiles_cont(
+    ds: Dataset,
+    keys: list[str],
+    value_col: str,
+    qs: dict[str, tuple[int, int]],
+) -> Dataset:
+    """Exact INTERPOLATED quantiles per key (``percentile_cont``
+    semantics: index = q·(n−1), linear interpolation between the two
+    bracketing order statistics).  ``qs`` maps output name → the
+    quantile as a RATIONAL (num, den) so the interpolation weight is
+    exact integer arithmetic and the only float is the final division
+    ``(lo·(den−r) + hi·r) / den`` of exact integers — reproducible
+    bit-for-bit in SQL without trusting any engine's internal
+    ``quantile_cont`` float order.
+
+    Same scale shape as :func:`grouped_quantiles_disc`: values compress
+    to (key, value, count) partials first; the shuffle moves one row
+    per distinct value per key."""
+    compressed = two_phase_sum(ds, keys + [value_col], [], count_as="__cnt")
+
+    def quant(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(value_col, ignore_index=True)
+        counts = g["__cnt"].to_numpy()
+        cum = np.cumsum(counts)
+        total = int(cum[-1])
+        row = {k: g[k].iloc[0] for k in keys}
+        vals = g[value_col].to_numpy()
+
+        def order_stat(rank0: int) -> int:  # 0-based rank over the expanded multiset
+            return int(vals[int(np.searchsorted(cum, rank0 + 1))])
+
+        for name, (num, den) in qs.items():
+            idx_scaled = num * (total - 1)  # = q·(n−1)·den, exact
+            lo, r = divmod(idx_scaled, den)
+            lo_v = order_stat(lo)
+            hi_v = order_stat(lo + 1) if r else lo_v
+            row[name] = float(lo_v * (den - r) + hi_v * r) / float(den)
+        return pd.DataFrame([row])
+
+    return compressed.groupby(keys).map_groups(quant, batch_format="pandas")
+
+
 def approx_quantiles_histogram(
     ds: Dataset,
     keys: list[str],

@@ -347,6 +347,46 @@ def test_grouped_quantiles_disc_matches_bruteforce(ray_session):
             assert got.loc[got["k"] == kk, name].iloc[0] == want, (kk, name)
 
 
+def test_grouped_quantiles_cont_matches_duckdb(ray_session):
+    """percentile_cont rule (index = q·(n−1), linear interpolation) on
+    compressed (value, count) pairs == both numpy's 'linear' quantile
+    and DuckDB's native quantile_cont over the raw rows."""
+    import duckdb
+
+    from hexscape_ray.stages.agg import grouped_quantiles_cont
+
+    rng = np.random.default_rng(23)
+    n = 30_000
+    keys = rng.integers(0, 6, n)
+    vals = rng.integers(0, 500, n).astype(np.int64)  # heavy value ties
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys.astype(np.int64)), "v": pa.array(vals)})
+    ).repartition(7)
+    qs = {"p25": (1, 4), "p50": (2, 4), "p75": (3, 4)}
+    got = (
+        grouped_quantiles_cont(ds, ["k"], "v", qs)
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    # numpy 'linear' interpolation == percentile_cont
+    for kk in range(6):
+        sv = np.sort(vals[keys == kk]).astype(np.float64)
+        for name, (num, den) in qs.items():
+            want = float(np.quantile(sv, num / den, method="linear"))
+            have = float(got.loc[got["k"] == kk, name].iloc[0])
+            assert abs(have - want) < 1e-9, (kk, name, have, want)
+    # DuckDB native quantile_cont
+    df = pd.DataFrame({"k": keys.astype(np.int64), "v": vals})
+    dk = duckdb.connect()
+    dk.register("t", df)
+    want_df = dk.execute(
+        "SELECT k, quantile_cont(v, 0.25) p25, quantile_cont(v, 0.5) p50,"
+        " quantile_cont(v, 0.75) p75 FROM t GROUP BY k ORDER BY k"
+    ).df()
+    for c in ("p25", "p50", "p75"):
+        assert np.allclose(got[c].to_numpy(), want_df[c].to_numpy()), c
+
+
 def test_distributed_pca_matches_numpy(emb_ds):
     """One-pass moment PCA == driver-side numpy PCA on the same data:
     orthonormal components, descending explained variance, projections
