@@ -2921,6 +2921,44 @@ SQL_EVENT_VALUE_QUANTILES_CONT = f"""
 """
 
 
+def q_ngram_jaccard_pairs(sf_dir: str) -> Dataset:
+    """Exact word-3-gram Jaccard near-dup pairs (jaccard ≥ 1/2) over
+    the documents table via
+    ``stages.dedup.ngram_jaccard_pairs_exact`` — the ground-truth
+    dedup tier the MinHash+LSH path approximates, fully distributed
+    (shingle-partitioned intersection counts; sizes ride with the pair
+    rows so no post-join).  Threshold compared in integers; the only
+    float is the reported ``jac_pml = floor(1e6·inter/uni + 0.5)``."""
+    from hexscape_ray.stages.dedup import ngram_jaccard_pairs_exact
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs_exact(docs, n=3, threshold=(1, 2)).sort(["i", "j"])
+
+
+SQL_NGRAM_JACCARD_PAIRS = """
+  WITH sh AS (
+    SELECT doc_id,
+           unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                 for i in generate_series(1, len(ts)-2)])) AS g
+    FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+  ), sz AS (
+    SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id
+  ), inter AS (
+    SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+    FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  )
+  SELECT i, j, inter, sa.s + sb.s - inter AS uni,
+         CAST(floor(1e6 * inter / (sa.s + sb.s - inter) + 0.5) AS BIGINT)
+           AS jac_pml
+  FROM inter
+  JOIN sz sa ON sa.doc_id = i
+  JOIN sz sb ON sb.doc_id = j
+  WHERE inter * 2 >= 1 * (sa.s + sb.s - inter)
+  ORDER BY i, j
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3005,6 +3043,7 @@ RAY_QUERIES = {
     "returnflag_quantity_var": q_returnflag_quantity_var,
     "user_top_event_type": q_user_top_event_type,
     "event_value_quantiles_cont": q_event_value_quantiles_cont,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
 }
 
 ORACLES = {
@@ -3066,6 +3105,7 @@ ORACLES = {
     "returnflag_quantity_var": SQL_RETURNFLAG_QUANTITY_VAR,
     "user_top_event_type": SQL_USER_TOP_EVENT_TYPE,
     "event_value_quantiles_cont": SQL_EVENT_VALUE_QUANTILES_CONT,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     # non-SQL (geometry / sketch / ANN) ops → rows-only checks:
     # doc_quality, minhash_bands, generate_patches,
     # generate_neighbours, point_in_polygon, voronoi, habitat,

@@ -407,6 +407,123 @@ def verify_jaccard_distributed(
     return joined.map_batches(jac, batch_format="pyarrow")
 
 
+def ngram_jaccard_pairs_exact(
+    ds: Dataset,
+    n: int = 3,
+    threshold: tuple[int, int] = (1, 2),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_coarse: int = 64,
+) -> Dataset:
+    """EXACT word-n-gram Jaccard similarity for every document pair
+    sharing at least one shingle, thresholded — the verification-tier
+    dedup op (MinHash+LSH is the 100-TB candidate-generation path; this
+    is the ground truth it approximates, run on a corpus slice or as a
+    quality audit).
+
+    Distributed shape: docs → distinct (shingle, id, set-size) rows →
+    shuffle by a coarse shingle-hash bucket (≤``n_coarse`` groups — one
+    pandas DataFrame per SHINGLE would be ~100 µs of group overhead
+    each, the measured LSH-bucket lesson) → fine runs per exact shingle
+    string via factorize+lexsort inside each coarse group → pair
+    emission (i<j, sizes carried along) → ``two_phase_sum`` pair-count
+    combiner → |A∩B|; |A∪B| = sz_i + sz_j − |A∩B| needs no second join
+    because sizes ride with every pair row.  The all-to-all only ever
+    moves shingle rows and combined pair partials.
+
+    Exactness: fine runs group by the shingle STRING (pandas factorize
+    — hash-bucketed but collision-checked), not a 64-bit hash, so the
+    intersection counts match SQL's ``JOIN ON a.g = b.g`` bit-for-bit.
+    The threshold is a rational (num, den) compared in integers
+    (``inter·den ≥ num·uni``) — no float enters until the final
+    ``jac_pml = floor(1e6·inter/uni + 0.5)`` report column.
+
+    Worst case is inherently quadratic (a shingle shared by m docs
+    contributes m·(m−1)/2 pair rows — same cost the SQL oracle pays);
+    unlike the LSH stage there is NO star-edge cap here because the
+    contract is exactness.
+    """
+    from hexscape_ray.stages.agg import two_phase_sum
+
+    num, den = threshold
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_g: list[str] = []
+        out_i: list[int] = []
+        out_s: list[int] = []
+        for i, t in zip(ids, texts):
+            toks = t.split(" ")
+            gs = {" ".join(toks[k : k + n]) for k in range(len(toks) - n + 1)}
+            out_g.extend(gs)
+            out_i.extend([i] * len(gs))
+            out_s.extend([len(gs)] * len(gs))
+        gh = fnv1a_64_str_array(out_g)
+        return pa.table(
+            {
+                "g": pa.array(out_g, type=pa.string()),
+                "i": pa.array(np.asarray(out_i, dtype=np.int64)),
+                "sz": pa.array(np.asarray(out_s, dtype=np.int64)),
+                "__coarse": pa.array(
+                    (gh % np.uint64(n_coarse)).astype(np.int64)
+                ),
+            }
+        )
+
+    def pairs_block(g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g["g"], sort=False)
+        ids = g["i"].to_numpy()
+        szs = g["sz"].to_numpy()
+        order = np.lexsort((ids, codes))
+        codes, ids, szs = codes[order], ids[order], szs[order]
+        new = np.empty(codes.shape[0], dtype=bool)
+        new[0] = True
+        new[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, codes.shape[0]))
+        cols = {"i": [], "j": [], "si": [], "sj": []}
+        for s, m in zip(starts[lens >= 2], lens[lens >= 2]):
+            ii, jj = np.triu_indices(int(m), 1)
+            cols["i"].append(ids[s : s + m][ii])
+            cols["j"].append(ids[s : s + m][jj])
+            cols["si"].append(szs[s : s + m][ii])
+            cols["sj"].append(szs[s : s + m][jj])
+        if not cols["i"]:
+            return pd.DataFrame(
+                {c: np.empty(0, np.int64) for c in ("i", "j", "si", "sj")}
+            )
+        return pd.DataFrame({c: np.concatenate(v) for c, v in cols.items()})
+
+    pair_rows = (
+        ds.map_batches(shingle_rows, batch_format="pyarrow")
+        .groupby("__coarse")
+        .map_groups(pairs_block, batch_format="pandas")
+    )
+    inter = two_phase_sum(pair_rows, ["i", "j", "si", "sj"], [], count_as="inter")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        it = batch["inter"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uni = (
+            batch["si"].to_numpy(zero_copy_only=False)
+            + batch["sj"].to_numpy(zero_copy_only=False)
+            - it
+        ).astype(np.int64)
+        keep = it * den >= num * uni
+        jac_pml = np.floor(1e6 * it / uni + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "i": batch["i"],
+                "j": batch["j"],
+                "inter": pa.array(it),
+                "uni": pa.array(uni),
+                "jac_pml": pa.array(jac_pml),
+            }
+        ).filter(pa.array(keep))
+
+    return inter.map_batches(finish, batch_format="pyarrow")
+
+
 class SimHasher:
     """64-bit SimHash over token hashes; near-dups = small Hamming
     distance.  Emits the signature plus its 4 16-bit sub-bands as

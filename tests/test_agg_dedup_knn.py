@@ -347,6 +347,56 @@ def test_grouped_quantiles_disc_matches_bruteforce(ray_session):
             assert got.loc[got["k"] == kk, name].iloc[0] == want, (kk, name)
 
 
+def test_ngram_jaccard_exact_matches_bruteforce(ray_session):
+    """Distributed exact n-gram Jaccard == driver brute force over all
+    pairs, on a corpus with seeded near-dups + background noise."""
+    from hexscape_ray.stages.dedup import ngram_jaccard_pairs_exact
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{k}" for k in range(40)]
+    docs = []
+    for d in range(60):
+        toks = [vocab[k] for k in rng.integers(0, 40, 30)]
+        docs.append(" ".join(toks))
+    # seeded near-dups: copy with one token changed
+    for src in (3, 17, 42):
+        toks = docs[src].split(" ")
+        toks[5] = "CHANGED"
+        docs.append(" ".join(toks))
+    ids = np.arange(len(docs), dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids), "text": pa.array(docs)})
+    ).repartition(5)
+    got = (
+        ngram_jaccard_pairs_exact(ds, n=3, threshold=(3, 10))
+        .to_pandas()
+        .sort_values(["i", "j"], ignore_index=True)
+    )
+
+    def sh(t):
+        toks = t.split(" ")
+        return {" ".join(toks[k : k + 3]) for k in range(len(toks) - 2)}
+
+    want = []
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            sa, sb = sh(docs[a]), sh(docs[b])
+            inter = len(sa & sb)
+            uni = len(sa | sb)
+            if inter and inter * 10 >= 3 * uni:
+                want.append((a, b, inter, uni))
+    want_df = pd.DataFrame(want, columns=["i", "j", "inter", "uni"])
+    assert len(got) == len(want_df) >= 3
+    for c in ("i", "j", "inter", "uni"):
+        assert (got[c].to_numpy() == want_df[c].to_numpy()).all(), c
+    assert (
+        got["jac_pml"].to_numpy()
+        == np.floor(
+            1e6 * want_df["inter"] / want_df["uni"] + 0.5
+        ).astype(np.int64)
+    ).all()
+
+
 def test_grouped_quantiles_cont_matches_duckdb(ray_session):
     """percentile_cont rule (index = q·(n−1), linear interpolation) on
     compressed (value, count) pairs == both numpy's 'linear' quantile
