@@ -2935,6 +2935,57 @@ def q_ngram_jaccard_pairs(sf_dir: str) -> Dataset:
     return ngram_jaccard_pairs_exact(docs, n=3, threshold=(1, 2)).sort(["i", "j"])
 
 
+def q_events_customer_salted(sf_dir: str) -> Dataset:
+    """Skew-proof salted equi-join (stages/joins.py::salted_join):
+    events (big, Zipf-hot user ids) ⋈ customer (dimension) with the hot
+    keys sharded across 8 salts and the dimension replicated per salt —
+    row-identical to the plain join, which is exactly what the oracle
+    checks (plain SQL JOIN, no salt visible in the result)."""
+    from hexscape_ray.stages.joins import salted_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def ev_prep(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "cents": pa.array(cents),
+            }
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def cust_prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["c_custkey"],
+                "c_mktsegment": batch["c_mktsegment"],
+            }
+        )
+
+    joined = salted_join(
+        ev.map_batches(ev_prep, batch_format="pyarrow"),
+        cust.map_batches(cust_prep, batch_format="pyarrow"),
+        on="user_id",
+        n_salt=8,
+    )
+    return joined.select_columns(
+        ["event_id", "user_id", "c_mktsegment", "cents"]
+    ).sort("event_id")
+
+
+SQL_EVENTS_CUSTOMER_SALTED = """
+  SELECT e.event_id, e.user_id, c.c_mktsegment,
+         CAST(floor(e.value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+  ORDER BY e.event_id
+"""
+
+
 SQL_NGRAM_JACCARD_PAIRS = """
   WITH sh AS (
     SELECT doc_id,
@@ -3044,6 +3095,7 @@ RAY_QUERIES = {
     "user_top_event_type": q_user_top_event_type,
     "event_value_quantiles_cont": q_event_value_quantiles_cont,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "events_customer_salted": q_events_customer_salted,
 }
 
 ORACLES = {
@@ -3106,6 +3158,7 @@ ORACLES = {
     "user_top_event_type": SQL_USER_TOP_EVENT_TYPE,
     "event_value_quantiles_cont": SQL_EVENT_VALUE_QUANTILES_CONT,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "events_customer_salted": SQL_EVENTS_CUSTOMER_SALTED,
     # non-SQL (geometry / sketch / ANN) ops → rows-only checks:
     # doc_quality, minhash_bands, generate_patches,
     # generate_neighbours, point_in_polygon, voronoi, habitat,

@@ -608,3 +608,79 @@ def interval_self_join_census(
     return two_phase_sum(
         partial, ["label_a", "label_b"], ["n_pairs"], count_as=None
     )
+
+
+def salted_join(
+    big: Dataset,
+    small: Dataset,
+    on: str,
+    n_salt: int = 16,
+    n_buckets: int = 64,
+    big_schema=None,
+    small_schema=None,
+) -> Dataset:
+    """Skew-proof equi-join: the BIG side's hot keys are sharded across
+    ``n_salt`` sub-keys, the SMALL side is replicated once per salt, and
+    the join runs on the packed composite ``key·n_salt + salt`` — so a
+    key owning 30 % of the big side (one viral host, one null-ish
+    default user) lands in ``n_salt`` parallel bucket tasks instead of
+    one straggler.  Result rows are bit-identical to the unsalted join
+    (each big row meets exactly one replica of its small-side match).
+
+    Trade-off, stated: small-side shuffle volume ×``n_salt`` buys big-
+    side balance — the right trade whenever ``|small|·n_salt ≪ |big|``.
+    Keys must be non-negative ints with ``key·n_salt`` inside int64
+    (checked).  For a small side that fits in memory use
+    ``broadcast_join`` (zero shuffle); this is for the middle regime
+    where BOTH sides are too big to broadcast AND the big side is
+    skewed.
+    """
+    assert n_salt >= 2
+
+    def salt_big(batch: pa.Table) -> pa.Table:
+        k = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        if k.size:
+            assert k.min() >= 0 and k.max() <= (2**62) // n_salt, "key out of range"
+        # cheap deterministic row-spread: row position within the batch
+        salt = np.arange(k.size, dtype=np.int64) % n_salt
+        return batch.append_column("__ks", pa.array(k * n_salt + salt))
+
+    def replicate_small(batch: pa.Table) -> pa.Table:
+        k = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        if k.size:
+            assert k.min() >= 0 and k.max() <= (2**62) // n_salt, "key out of range"
+        n = len(batch)
+        idx = np.repeat(np.arange(n, dtype=np.int64), n_salt)
+        rep = batch.take(pa.array(idx))
+        salt = np.tile(np.arange(n_salt, dtype=np.int64), n)
+        return rep.append_column("__ks", pa.array(k.repeat(n_salt) * n_salt + salt))
+
+    big_s = big.map_batches(salt_big, batch_format="pyarrow")
+    small_s = small.map_batches(
+        replicate_small, batch_format="pyarrow"
+    ).drop_columns([on])
+
+    def _with_ks(schema, drop=None):
+        if schema is None:
+            return None
+        names = [c for c in schema.names if c != drop] + ["__ks"]
+        types = [
+            t for c, t in zip(schema.names, schema.types) if c != drop
+        ] + [pa.int64()]
+
+        class _S:
+            pass
+
+        s = _S()
+        s.names, s.types = names, types
+        return s
+
+    joined = bucketed_join(
+        big_s,
+        small_s,
+        on="__ks",
+        n_buckets=n_buckets,
+        left_schema=_with_ks(big_schema),
+        right_schema=_with_ks(small_schema, drop=on),
+    )
+    return joined.drop_columns(["__ks"])

@@ -347,6 +347,36 @@ def test_grouped_quantiles_disc_matches_bruteforce(ray_session):
             assert got.loc[got["k"] == kk, name].iloc[0] == want, (kk, name)
 
 
+def test_salted_join_matches_pandas_on_extreme_skew(ray_session):
+    """salted_join == plain pandas inner merge when one key owns 80 %
+    of the big side (the exact case salting exists for)."""
+    from hexscape_ray.stages.joins import salted_join
+
+    rng = np.random.default_rng(41)
+    n = 20_000
+    keys = np.where(rng.random(n) < 0.8, 7, rng.integers(0, 50, n)).astype(np.int64)
+    big = pd.DataFrame({"k": keys, "rid": np.arange(n, dtype=np.int64)})
+    small = pd.DataFrame(
+        {"k": np.arange(0, 40, dtype=np.int64), "label": [f"L{i}" for i in range(40)]}
+    )
+    got = (
+        salted_join(
+            ray.data.from_pandas(big).repartition(6),
+            ray.data.from_pandas(small).repartition(2),
+            on="k",
+            n_salt=8,
+        )
+        .to_pandas()
+        .sort_values("rid", ignore_index=True)
+    )
+    want = big.merge(small, on="k").sort_values("rid", ignore_index=True)
+    assert len(got) == len(want)
+    assert (got["rid"].to_numpy() == want["rid"].to_numpy()).all()
+    assert (got["k"].to_numpy() == want["k"].to_numpy()).all()
+    assert (got["label"].to_numpy() == want["label"].to_numpy()).all()
+    assert got["k"].dtype == np.int64  # no float degradation through the join
+
+
 def test_ngram_jaccard_exact_matches_bruteforce(ray_session):
     """Distributed exact n-gram Jaccard == driver brute force over all
     pairs, on a corpus with seeded near-dups + background noise."""
