@@ -2935,6 +2935,39 @@ def q_ngram_jaccard_pairs(sf_dir: str) -> Dataset:
     return ngram_jaccard_pairs_exact(docs, n=3, threshold=(1, 2)).sort(["i", "j"])
 
 
+def q_props_field_extract(sf_dir: str) -> Dataset:
+    """Semi-structured field extraction — the log/JSON-parsing stage of
+    a web pipeline: pull the integer ``k`` out of the ``props`` JSON
+    string with ONE vectorised Arrow ``extract_regex`` kernel (RE2, no
+    Python loop), derive a decade bucket, and keep the row level so the
+    oracle checks per-row alignment, not just aggregates.  Oracle =
+    DuckDB ``json_extract`` (a different parser arriving at the same
+    values — stronger than regex-vs-regex)."""
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "k_val": k,
+                "k_bucket": pc.multiply(pc.divide(k, 10), 10),
+            }
+        )
+
+    return ev.map_batches(extract, batch_format="pyarrow").sort("event_id")
+
+
+SQL_PROPS_FIELD_EXTRACT = """
+  SELECT event_id, event_type,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+         (CAST(json_extract(props, '$.k') AS BIGINT) // 10) * 10 AS k_bucket
+  FROM events ORDER BY event_id
+"""
+
+
 def q_events_customer_salted(sf_dir: str) -> Dataset:
     """Skew-proof salted equi-join (stages/joins.py::salted_join):
     events (big, Zipf-hot user ids) ⋈ customer (dimension) with the hot
@@ -3096,6 +3129,7 @@ RAY_QUERIES = {
     "event_value_quantiles_cont": q_event_value_quantiles_cont,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "events_customer_salted": q_events_customer_salted,
+    "props_field_extract": q_props_field_extract,
 }
 
 ORACLES = {
@@ -3159,6 +3193,7 @@ ORACLES = {
     "event_value_quantiles_cont": SQL_EVENT_VALUE_QUANTILES_CONT,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "events_customer_salted": SQL_EVENTS_CUSTOMER_SALTED,
+    "props_field_extract": SQL_PROPS_FIELD_EXTRACT,
     # non-SQL (geometry / sketch / ANN) ops → rows-only checks:
     # doc_quality, minhash_bands, generate_patches,
     # generate_neighbours, point_in_polygon, voronoi, habitat,
