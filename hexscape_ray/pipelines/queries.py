@@ -2935,6 +2935,29 @@ def q_ngram_jaccard_pairs(sf_dir: str) -> Dataset:
     return ngram_jaccard_pairs_exact(docs, n=3, threshold=(1, 2)).sort(["i", "j"])
 
 
+def q_kmeans_embeddings(sf_dir: str) -> Dataset:
+    """Distributed spherical k-means over the embeddings table
+    (stages/knn.py::kmeans_distributed — per-iteration streaming moment
+    partials, hash-min seeded init), then a (cluster × true-label)
+    contingency census via one bucketed join of the assignment stream
+    back to the labels — the clustering-quality audit a curation
+    pipeline runs.  Iterative float → rows-only check; Lloyd's parity
+    and deterministic-init pytests in tests/test_agg_dedup_knn.py."""
+    from hexscape_ray.stages.agg import two_phase_sum
+    from hexscape_ray.stages.joins import bucketed_join
+    from hexscape_ray.stages.knn import kmeans_distributed
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    _, assign = kmeans_distributed(emb, k=4, n_iter=8)
+    labels = _read(sf_dir, "embeddings", ["vec_id", "label"])
+    joined = bucketed_join(
+        assign.drop_columns(["cos"]).materialize(), labels, on="vec_id", n_buckets=8
+    )
+    return two_phase_sum(joined, ["cluster", "label"], [], count_as="n").sort(
+        ["cluster", "label"]
+    )
+
+
 def q_props_field_extract(sf_dir: str) -> Dataset:
     """Semi-structured field extraction — the log/JSON-parsing stage of
     a web pipeline: pull the integer ``k`` out of the ``props`` JSON
@@ -3130,6 +3153,7 @@ RAY_QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "events_customer_salted": q_events_customer_salted,
     "props_field_extract": q_props_field_extract,
+    "kmeans_embeddings": q_kmeans_embeddings,
 }
 
 ORACLES = {
@@ -3194,7 +3218,8 @@ ORACLES = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "events_customer_salted": SQL_EVENTS_CUSTOMER_SALTED,
     "props_field_extract": SQL_PROPS_FIELD_EXTRACT,
-    # non-SQL (geometry / sketch / ANN) ops → rows-only checks:
+    # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
+    # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,
     # generate_neighbours, point_in_polygon, voronoi, habitat,
     # connectedness, simhash, embedding_near_dup, ivf_knn

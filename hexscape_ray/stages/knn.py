@@ -323,3 +323,111 @@ def cosine_pairs_exact(
         batch_size=4,
         concurrency=(1, 8),
     )
+
+
+def kmeans_distributed(
+    ds: Dataset,
+    k: int = 8,
+    n_iter: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 11,
+) -> tuple[np.ndarray, Dataset]:
+    """Full-corpus distributed spherical Lloyd's k-means (the clustering
+    tier behind IVF's sample-trained ``train_centroids``): every
+    iteration is ONE streaming ``map_batches`` pass that emits k partial
+    moment rows per block — (cluster, count, Σvec) — so the driver only
+    ever touches k·n_blocks tiny rows per iteration; the corpus itself
+    never moves and is read via a materialized normalised projection.
+
+    Init is a seeded HASH-MIN sample: the k corpus rows with the
+    smallest ``splitmix64(id ^ seed)`` — deterministic under any
+    partitioning/storage order (the round-2 IVF lesson: ``limit()`` on
+    a sampled stream is storage-order biased).
+
+    Returns ``(centroids, assignments)`` where assignments is a Dataset
+    of (id, cluster, cos) from a final streaming pass.  Cosine/spherical
+    variant: rows and centroids are L2-normalised, assignment is argmax
+    dot (ties → lowest cluster id, numpy argmax semantics).
+    """
+    from hexscape_ray.functions.hashing import splitmix64
+
+    def project(batch: pa.Table) -> pa.Table:
+        X = np.asarray(
+            batch[vec_col].to_numpy(zero_copy_only=False).tolist(), dtype=np.float64
+        )
+        Xn = _normalize(X)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "__v": pa.array(list(Xn)),
+            }
+        )
+
+    # one materialized normalised copy: every iteration re-reads THIS,
+    # not the raw parquet + normalise chain (lazy Datasets recompute per
+    # consumer — the measured round-2 two-consumer trap)
+    vecs = ds.map_batches(project, batch_format="pyarrow").materialize()
+
+    def hashmin_init(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = splitmix64(ids ^ np.uint64(seed))
+        take = np.argsort(h)[:k]  # batch-local candidates
+        return pa.table(
+            {
+                "__h": pa.array(h[take].astype(np.int64)),
+                "__v": batch["__v"].take(pa.array(take)),
+            }
+        )
+
+    cand = vecs.map_batches(hashmin_init, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values("__h", kind="stable").head(k)
+    C = _normalize(np.asarray(cand["__v"].tolist(), dtype=np.float64))
+
+    def partials_fn(cref):
+        def fn(batch: pa.Table) -> pa.Table:
+            Cm = ray.get(cref)
+            X = np.asarray(batch["__v"].to_numpy(zero_copy_only=False).tolist())
+            assign = np.argmax(X @ Cm.T, axis=1)
+            sums = np.zeros((Cm.shape[0], X.shape[1]), dtype=np.float64)
+            np.add.at(sums, assign, X)
+            cnt = np.bincount(assign, minlength=Cm.shape[0]).astype(np.int64)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(Cm.shape[0], dtype=np.int64)),
+                    "n": pa.array(cnt),
+                    "sum": pa.array(list(sums)),
+                }
+            )
+
+        return fn
+
+    for _ in range(n_iter):
+        cref = ray.put(C)
+        parts = vecs.map_batches(
+            partials_fn(cref), batch_format="pyarrow"
+        ).to_pandas()  # k rows per block — tiny
+        agg_n = np.zeros(k, dtype=np.int64)
+        agg_s = np.zeros_like(C)
+        for cl, n_, s_ in zip(parts["cluster"], parts["n"], parts["sum"]):
+            agg_n[cl] += n_
+            agg_s[cl] += np.asarray(s_)
+        nonempty = agg_n > 0
+        C[nonempty] = _normalize(agg_s[nonempty] / agg_n[nonempty, None])
+
+    cref = ray.put(C)
+
+    def assign_fn(batch: pa.Table) -> pa.Table:
+        Cm = ray.get(cref)
+        X = np.asarray(batch["__v"].to_numpy(zero_copy_only=False).tolist())
+        dots = X @ Cm.T
+        a = np.argmax(dots, axis=1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster": pa.array(a.astype(np.int64)),
+                "cos": pa.array(dots[np.arange(a.size), a]),
+            }
+        )
+
+    return C, vecs.map_batches(assign_fn, batch_format="pyarrow")

@@ -347,6 +347,51 @@ def test_grouped_quantiles_disc_matches_bruteforce(ray_session):
             assert got.loc[got["k"] == kk, name].iloc[0] == want, (kk, name)
 
 
+def test_kmeans_distributed_matches_driver_lloyd(ray_session):
+    """Distributed spherical k-means == a driver-side numpy Lloyd loop
+    with the same hash-min init, on well-separated clusters; recovers
+    the ground truth partition regardless of block layout."""
+    from hexscape_ray.functions.hashing import splitmix64
+    from hexscape_ray.stages.knn import _normalize, kmeans_distributed
+
+    rng = np.random.default_rng(57)
+    k, per, d = 4, 200, 16
+    centers = _normalize(rng.normal(size=(k, d)))
+    X = np.repeat(centers, per, axis=0) + 0.05 * rng.normal(size=(k * per, d))
+    truth = np.repeat(np.arange(k), per)
+    ids = np.arange(k * per, dtype=np.int64)
+    perm = rng.permutation(k * per)  # shuffle storage order
+    X, truth, ids = X[perm], truth[perm], ids[perm]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"vec_id": pa.array(ids), "embedding": pa.array(list(X.astype(np.float32)))}
+        )
+    ).repartition(7)
+
+    seed, n_iter = 11, 6
+    C, assign_ds = kmeans_distributed(ds, k=k, n_iter=n_iter, seed=seed)
+    got = assign_ds.to_pandas().sort_values("vec_id", ignore_index=True)
+
+    # driver reference: same init rule, same spherical Lloyd updates
+    Xn = _normalize(np.asarray(X, dtype=np.float32).astype(np.float64))
+    h = splitmix64(ids.astype(np.uint64) ^ np.uint64(seed))
+    Cr = Xn[np.argsort(h)[:k]].copy()
+    for _ in range(n_iter):
+        a = np.argmax(Xn @ Cr.T, axis=1)
+        for j in range(k):
+            if (a == j).any():
+                Cr[j] = Xn[a == j].mean(axis=0)
+        Cr = _normalize(Cr)
+    a_ref = np.argmax(Xn @ Cr.T, axis=1)
+    order = np.argsort(ids)
+    assert (got["cluster"].to_numpy() == a_ref[order]).all()
+    assert np.allclose(C, Cr, atol=1e-8)
+    # ground truth recovered: each k-means cluster is one true cluster
+    df = pd.DataFrame({"km": a_ref, "truth": truth})
+    assert (df.groupby("km")["truth"].nunique() == 1).all()
+    assert df["km"].nunique() == k
+
+
 def test_salted_join_matches_pandas_on_extreme_skew(ray_session):
     """salted_join == plain pandas inner merge when one key owns 80 %
     of the big side (the exact case salting exists for)."""
