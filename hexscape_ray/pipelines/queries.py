@@ -2935,6 +2935,30 @@ def q_ngram_jaccard_pairs(sf_dir: str) -> Dataset:
     return ngram_jaccard_pairs_exact(docs, n=3, threshold=(1, 2)).sort(["i", "j"])
 
 
+def q_frequent_users_mg(sf_dir: str) -> Dataset:
+    """Frequent-item mining with Misra–Gries-bounded memory
+    (stages/sketch.py::misra_gries_heavy_hitters): users owning > 0.5 %
+    of all events, found via per-block MG counters (≤ k rows shuffle
+    per block no matter the distinct count) + an exact recount of the
+    guaranteed-superset candidates — output is bit-exact vs plain SQL
+    ``HAVING``, which is exactly what the oracle runs."""
+    from hexscape_ray.stages.sketch import misra_gries_heavy_hitters
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    return misra_gries_heavy_hitters(
+        ev, "user_id", support_num=1, support_den=200, k=256
+    ).sort("user_id")
+
+
+SQL_FREQUENT_USERS_MG = """
+  SELECT user_id, count(*) AS n_rows
+  FROM events
+  GROUP BY user_id
+  HAVING count(*) * 200 > 1 * (SELECT count(*) FROM events)
+  ORDER BY user_id
+"""
+
+
 def q_kmeans_embeddings(sf_dir: str) -> Dataset:
     """Distributed spherical k-means over the embeddings table
     (stages/knn.py::kmeans_distributed — per-iteration streaming moment
@@ -3154,6 +3178,7 @@ RAY_QUERIES = {
     "events_customer_salted": q_events_customer_salted,
     "props_field_extract": q_props_field_extract,
     "kmeans_embeddings": q_kmeans_embeddings,
+    "frequent_users_mg": q_frequent_users_mg,
 }
 
 ORACLES = {
@@ -3218,6 +3243,7 @@ ORACLES = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "events_customer_salted": SQL_EVENTS_CUSTOMER_SALTED,
     "props_field_extract": SQL_PROPS_FIELD_EXTRACT,
+    "frequent_users_mg": SQL_FREQUENT_USERS_MG,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

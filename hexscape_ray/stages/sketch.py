@@ -84,3 +84,91 @@ def kmv_merge_estimate(sketches: Dataset, key: str, k: int = 256) -> Dataset:
 def approx_distinct(ds: Dataset, key: str, member: str, k: int = 256) -> Dataset:
     """keyed approximate COUNT(DISTINCT member): sketch → merge."""
     return kmv_merge_estimate(kmv_sketch_batches(ds, key, member, k), key, k)
+
+
+def misra_gries_heavy_hitters(
+    ds: Dataset,
+    col: str,
+    support_num: int = 1,
+    support_den: int = 200,
+    k: int = 1024,
+) -> Dataset:
+    """EXACT frequent-items above a support threshold (count·den > num·n)
+    with Misra–Gries-bounded memory — the two-pass heavy-hitter shape
+    for columns whose distinct count dwarfs worker memory (hosts of a
+    web crawl):
+
+    pass 1 — each block compresses its exact value counts to ≤ ``k``
+    MG counters (subtract the (k+1)-th largest count, drop ≤ 0; the
+    undercount per surviving value is ≤ that pivot t_b ≤ n_b/(k+1)).
+    Counters + per-block error bounds + per-block row counts travel as
+    one small partial table through ``two_phase_sum`` — the shuffle
+    never sees more than k+2 rows per block however many distinct
+    values the block held.
+
+    pass 2 — candidates = values whose summed counter + Σ t_b reaches
+    the threshold (a GUARANTEED superset of the true heavy hitters,
+    the MG invariant) are recounted exactly with a broadcast semi
+    filter, and the exact threshold is applied.  Output is therefore
+    bit-exact vs SQL ``HAVING count(*)·den > num·total`` whenever
+    k > den/num (checked) — the sketch only bounds MEMORY, never
+    changes the answer.
+    """
+    assert k > support_den // max(support_num, 1), "k must exceed 1/support"
+    from hexscape_ray.stages.agg import two_phase_sum
+    from hexscape_ray.stages.joins import broadcast_semi_anti
+
+    def mg_block(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(v, return_counts=True)
+        if vals.size > k:
+            t = np.partition(cnts, -(k + 1))[-(k + 1)]
+            keep = cnts > t
+            vals, cnts, err = vals[keep], cnts[keep] - t, int(t)
+        else:
+            err = 0
+        return pa.table(
+            {
+                col: pa.array(
+                    np.concatenate([vals, [0, 0]]).astype(vals.dtype)
+                ),
+                "cnt": pa.array(
+                    np.concatenate(
+                        [cnts, [err, len(batch)]]
+                    ).astype(np.int64)
+                ),
+                # 0 = counter row, 1 = per-block error bound, 2 = row count
+                "kind": pa.array(
+                    np.concatenate(
+                        [np.zeros(vals.size, np.int64), [1, 2]]
+                    )
+                ),
+            }
+        )
+
+    partials = two_phase_sum(
+        ds.map_batches(mg_block, batch_format="pyarrow"),
+        [col, "kind"],
+        ["cnt"],
+        count_as=None,
+    ).to_pandas()  # ≤ k·n_blocks rows: the sketch summary, driver-safe
+    total = int(partials.loc[partials["kind"] == 2, "cnt"].sum())
+    err = int(partials.loc[partials["kind"] == 1, "cnt"].sum())
+    counters = partials[partials["kind"] == 0]
+    thr_reached = (
+        (counters["cnt"] + err) * support_den >= support_num * total
+    )
+    cand = counters.loc[thr_reached, col].to_numpy()
+
+    exact = two_phase_sum(
+        broadcast_semi_anti(ds.select_columns([col]), cand, on=col, how="semi"),
+        [col],
+        [],
+        count_as="n_rows",
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        n = batch["n_rows"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(n * support_den > support_num * total))
+
+    return exact.map_batches(final, batch_format="pyarrow")

@@ -347,6 +347,32 @@ def test_grouped_quantiles_disc_matches_bruteforce(ray_session):
             assert got.loc[got["k"] == kk, name].iloc[0] == want, (kk, name)
 
 
+def test_misra_gries_exact_under_forced_compression(ray_session):
+    """MG heavy hitters == exact pandas HAVING when every block's
+    distinct count far exceeds k (real counter compression + real
+    candidate pruning), on a Zipf-ish distribution."""
+    from hexscape_ray.stages.sketch import misra_gries_heavy_hitters
+
+    rng = np.random.default_rng(61)
+    n = 200_000
+    # zipf over 50k distinct values → a handful above 0.2% support
+    v = (rng.zipf(1.3, n) % 50_000).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"host": pa.array(v)})).repartition(9)
+    got = (
+        misra_gries_heavy_hitters(ds, "host", support_num=1, support_den=500, k=1024)
+        .to_pandas()
+        .sort_values("host", ignore_index=True)
+    )
+    vc = pd.Series(v).value_counts()
+    want = vc[vc * 500 > n].sort_index()
+    assert len(want) >= 3, "test distribution must contain heavy hitters"
+    assert len(got) == len(want)
+    assert (got["host"].to_numpy() == want.index.to_numpy()).all()
+    assert (got["n_rows"].to_numpy() == want.to_numpy()).all()
+    # compression really happened: blocks had ≫ k distinct values
+    assert pd.Series(v).nunique() > 8 * 1024
+
+
 def test_kmeans_distributed_matches_driver_lloyd(ray_session):
     """Distributed spherical k-means == a driver-side numpy Lloyd loop
     with the same hash-min init, on well-separated clusters; recovers
