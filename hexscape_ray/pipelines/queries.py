@@ -3094,6 +3094,224 @@ SQL_NGRAM_JACCARD_PAIRS = """
 # registry
 # ---------------------------------------------------------------------------
 
+def q_funnel_view_purchase(sf_dir: str) -> Dataset:
+    """Two-step funnel — per user: purchases, and purchases CONVERTED
+    from a view within the preceding hour (inclusive edges).  One hash
+    co-partition + one vectorised composite double-searchsorted per
+    bucket (``stages.window.funnel_conversion``); oracle = the literal
+    correlated EXISTS over a BETWEEN window."""
+    from hexscape_ray.stages.window import funnel_conversion
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "us": batch["ts"].cast(pa.int64()),
+                "event_type": batch["event_type"],
+            }
+        )
+
+    return funnel_conversion(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key="user_id",
+        time_col="us",
+        type_col="event_type",
+        step_a="view",
+        step_b="purchase",
+        window=3_600_000_000,
+    ).sort("user_id")
+
+
+SQL_FUNNEL_VIEW_PURCHASE = """
+  WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+  p AS (
+    SELECT user_id, us,
+           EXISTS (SELECT 1 FROM e a
+                   WHERE a.user_id = p0.user_id AND a.event_type = 'view'
+                     AND a.us BETWEEN p0.us - 3600000000 AND p0.us) AS conv
+    FROM e p0 WHERE event_type = 'purchase')
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_target,
+         CAST(count(*) FILTER (conv) AS BIGINT) AS n_converted
+  FROM p GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_user_event_gaps(sf_dir: str) -> Dataset:
+    """LAG-delta aggregate — per user the count / sum / max of
+    microsecond gaps between consecutive events (ordered by ts then
+    event_id).  One hash co-partition, vectorised diff + bincount per
+    bucket (``stages.window.grouped_gap_stats``); single-event users
+    report typed zeros, mirrored by COALESCE in the oracle."""
+    from hexscape_ray.stages.window import grouped_gap_stats
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "us": batch["ts"].cast(pa.int64()),
+            }
+        )
+
+    return grouped_gap_stats(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key="user_id",
+        time_col="us",
+        order_tail=["event_id"],
+    ).sort("user_id")
+
+
+SQL_USER_EVENT_GAPS = """
+  WITH g AS (
+    SELECT user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap
+    FROM events)
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(gap) AS BIGINT) AS n_gaps,
+         CAST(coalesce(sum(gap), 0) AS BIGINT) AS sum_gap,
+         CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap
+  FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_lang_length_quartiles(sf_dir: str) -> Dataset:
+    """Per-group NTILE(4) census — documents ranked by (n_chars,
+    doc_id) within each language, quartile-assigned with SQL NTILE's
+    fill rule (``stages.agg.grouped_ntile``), then an exact census per
+    (lang, tile).  The rank-based partitioner of a curation pipeline
+    (drop the shortest quartile per language)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from hexscape_ray.stages.agg import grouped_ntile
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    tiled = grouped_ntile(docs, "lang", ["n_chars", "doc_id"], 4, out="tile")
+    return (
+        tiled.groupby(["lang", "tile"])
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Min("n_chars", alias_name="min_chars"),
+            Max("n_chars", alias_name="max_chars"),
+            Sum("n_chars", alias_name="sum_chars"),
+        )
+        .sort(["lang", "tile"])
+    )
+
+
+SQL_LANG_LENGTH_QUARTILES = """
+  WITH t AS (
+    SELECT lang, n_chars,
+           ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS tile
+    FROM documents)
+  SELECT lang, CAST(tile AS BIGINT) AS tile, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(min(n_chars) AS BIGINT) AS min_chars,
+         CAST(max(n_chars) AS BIGINT) AS max_chars,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+  FROM t GROUP BY lang, tile ORDER BY lang, tile
+"""
+
+
+def q_bloom_brand_revenue(sf_dir: str) -> Dataset:
+    """Bloom-prefiltered selective join — revenue per brand over
+    lineitems of LARGE parts (p_size ≥ 48, ~6 % of parts).  The build
+    side's keys go into a 12-bit/key Bloom bitset (``ray.put`` once);
+    the fact stream is pre-filtered by k vectorised probes per batch
+    BEFORE any exchange, so only ~selectivity + 0.3 % FP of the rows
+    reach the exact broadcast join that removes impostors.  At 100 TB
+    this is the shape when the filtered dimension is too big for an
+    exact ``is_in`` array but its bitset fits anywhere.  Oracle = the
+    plain join (the bloom is a transparent optimisation)."""
+    from hexscape_ray.stages.joins import (
+        bloom_build,
+        bloom_prefilter,
+        broadcast_join,
+    )
+
+    part = (
+        _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+        .filter(expr="p_size >= 48")
+        .select_columns(["p_partkey", "p_brand"])
+        .to_pandas()
+    )  # small by selectivity; at scale keep distributed + bucketed_join
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "p_partkey": batch["l_partkey"],
+                "cents": pa.array(np.floor(p * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    survivors = bloom_prefilter(
+        li.map_batches(cents, batch_format="pyarrow"),
+        bloom_build(part["p_partkey"].to_numpy()),
+        on="p_partkey",
+    )
+    joined = broadcast_join(survivors, part, on="p_partkey", how="inner")
+    return (
+        two_phase_sum(
+            joined.select_columns(["p_brand", "cents"]),
+            ["p_brand"],
+            ["cents"],
+            count_as="n_items",
+        )
+        .rename_columns({"cents": "revenue_cents"})
+        .sort("p_brand")
+    )
+
+
+SQL_BLOOM_BRAND_REVENUE = """
+  SELECT p_brand,
+         CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS revenue_cents,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size >= 48
+  GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def q_source_lang_pivot(sf_dir: str) -> Dataset:
+    """Long→wide PIVOT — doc counts per source spread into one column
+    per language (fixed DOC_LANGS column set, zero-filled), the
+    conditional-aggregation pivot.  Scale shape: the full long census
+    is ONE two-phase sum (shuffle volume = |source×lang| partials, not
+    rows); the widening touches only the tiny census table."""
+    docs = _read(sf_dir, "documents", ["source", "lang"])
+    census = two_phase_sum(docs, ["source", "lang"], [], count_as="n")
+
+    def widen(g: pd.DataFrame) -> pd.DataFrame:
+        row = {"source": g["source"].iloc[0]}
+        by = g.set_index("lang")["n"]
+        for lang in DOC_LANGS:
+            row[f"n_{lang}"] = int(by.get(lang, 0))
+        row["n_total"] = int(g["n"].sum())
+        return pd.DataFrame([row])
+
+    return census.groupby("source").map_groups(
+        widen, batch_format="pandas"
+    ).sort("source")
+
+
+SQL_SOURCE_LANG_PIVOT = """
+  SELECT source,
+         CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS n_de,
+         CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS n_en,
+         CAST(count(*) FILTER (lang = 'es') AS BIGINT) AS n_es,
+         CAST(count(*) FILTER (lang = 'fr') AS BIGINT) AS n_fr,
+         CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS n_zh,
+         CAST(count(*) AS BIGINT) AS n_total
+  FROM documents GROUP BY source ORDER BY source
+"""
+
+
 RAY_QUERIES = {
     "hex_doc_counts": q_hex_doc_counts,
     "hex_lang_mix": q_hex_lang_mix,
@@ -3179,6 +3397,11 @@ RAY_QUERIES = {
     "props_field_extract": q_props_field_extract,
     "kmeans_embeddings": q_kmeans_embeddings,
     "frequent_users_mg": q_frequent_users_mg,
+    "funnel_view_purchase": q_funnel_view_purchase,
+    "user_event_gaps": q_user_event_gaps,
+    "lang_length_quartiles": q_lang_length_quartiles,
+    "bloom_brand_revenue": q_bloom_brand_revenue,
+    "source_lang_pivot": q_source_lang_pivot,
 }
 
 ORACLES = {
@@ -3244,6 +3467,11 @@ ORACLES = {
     "events_customer_salted": SQL_EVENTS_CUSTOMER_SALTED,
     "props_field_extract": SQL_PROPS_FIELD_EXTRACT,
     "frequent_users_mg": SQL_FREQUENT_USERS_MG,
+    "funnel_view_purchase": SQL_FUNNEL_VIEW_PURCHASE,
+    "user_event_gaps": SQL_USER_EVENT_GAPS,
+    "lang_length_quartiles": SQL_LANG_LENGTH_QUARTILES,
+    "bloom_brand_revenue": SQL_BLOOM_BRAND_REVENUE,
+    "source_lang_pivot": SQL_SOURCE_LANG_PIVOT,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

@@ -245,6 +245,52 @@ def pivot_proportions(
     return ds.groupby(group_key).map_groups(widen, batch_format="pandas")
 
 
+def grouped_ntile(
+    ds: Dataset,
+    key: str,
+    order: list[str],
+    n_tiles: int,
+    out: str = "tile",
+) -> Dataset:
+    """Per-group ``NTILE(n)`` — every row of a group is assigned a
+    tile 1..n by rank under ``order`` (which must be a TOTAL order
+    within the group — end it with a unique id, exactly as the SQL
+    oracle's ``ORDER BY`` must), with SQL NTILE's fill rule: for
+    ``n_rows = q·n + r`` the first ``r`` tiles hold ``q+1`` rows, the
+    rest ``q``; when ``n_rows < n`` the first ``n_rows`` tiles hold
+    one row each.
+
+    NTILE is a global-rank operator — each group must be ranked as a
+    whole, so the shape is one ``groupby(key).map_groups`` shuffle
+    with a vectorised in-group rank (no per-row Python).  The bucket
+    contract is therefore PER-GROUP, not per-hash-bucket: a single
+    group must fit one worker's heap.  Fine for bounded-cardinality
+    partitions (language, source, shard); an unbounded-size group
+    would need a range-partitioned two-pass rank (sort + cumulative
+    block offsets), documented out of scope.
+    """
+
+    def tile(g: pa.Table) -> pa.Table:
+        n = len(g)
+        if n == 0:
+            return g.append_column(out, pa.array([], pa.int64()))
+        cols = [
+            np.asarray(g[c].to_numpy(zero_copy_only=False)) for c in order
+        ]
+        idx = np.lexsort(tuple(reversed(cols)))
+        g = g.take(pa.array(idx))
+        q, r = divmod(n, n_tiles)
+        p = np.arange(n, dtype=np.int64)
+        if q == 0:
+            t = p + 1
+        else:
+            cut = r * (q + 1)
+            t = np.where(p < cut, p // (q + 1), r + (p - cut) // q) + 1
+        return g.append_column(out, pa.array(t.astype(np.int64)))
+
+    return ds.groupby(key).map_groups(tile, batch_format="pyarrow")
+
+
 def grouped_quantiles_disc(
     ds: Dataset,
     keys: list[str],

@@ -107,6 +107,174 @@ def rolling_window(
     )
 
 
+def funnel_conversion(
+    ds: Dataset,
+    key: str,
+    time_col: str,
+    type_col: str,
+    step_a: str,
+    step_b: str,
+    window: int,
+    n_buckets: int = 64,
+) -> Dataset:
+    """Two-step funnel / sequence detection — per key, how many
+    ``step_b`` events were CONVERTED, i.e. preceded by a ``step_a``
+    event of the same key within ``window`` time units (inclusive on
+    both edges: a step_a at exactly ``t_b − window`` or ``t_b``
+    counts).  The product-analytics "view → purchase within 1 h"
+    question, and the general SQL shape
+
+        EXISTS (SELECT 1 FROM e a WHERE a.key = b.key
+                AND a.type = 'A' AND a.t BETWEEN b.t - W AND b.t)
+
+    Emits one row per key that has ≥1 step_b event:
+    ``(key, n_target, n_converted)``.
+
+    Scale shape: ONE hash co-partition on the key (same contract as
+    :func:`rolling_window` — a key's rows land whole in one bucket),
+    then per bucket a single lexsort + ONE vectorised double
+    searchsorted of the step_b rows against the step_a rows over a
+    per-key composite ``code·span + t`` (the same
+    factorise-and-compose device as :func:`range_window` /
+    ``stages.joins.asof_join``) — no per-key loop, no per-row Python.
+    Same composite-overflow guard: raise ``n_buckets`` if
+    ``keys_in_bucket × (span + window)`` nears 2^62.
+    """
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch[key].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return batch.append_column("__bucket", pa.array(np.abs(k) % n_buckets))
+
+    def conv(g: pa.Table) -> pa.Table:
+        n = len(g)
+        if n == 0:
+            return pa.table(
+                {
+                    key: pa.array([], pa.int64()),
+                    "n_target": pa.array([], pa.int64()),
+                    "n_converted": pa.array([], pa.int64()),
+                }
+            )
+        k = np.asarray(g[key].to_numpy(zero_copy_only=False), dtype=np.int64)
+        t = np.asarray(g[time_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        ty = np.asarray(g[type_col].to_numpy(zero_copy_only=False))
+        idx = np.lexsort((t, k))
+        k, t, ty = k[idx], t[idx], ty[idx]
+
+        uniq, code = np.unique(k, return_inverse=True)
+        t0 = t - t.min()
+        span = np.int64(int(t0.max()) + int(window) + 2)
+        if len(uniq) * int(span) >= 2**62:
+            raise OverflowError(
+                "funnel_conversion composite overflow: raise n_buckets "
+                f"(keys={len(uniq)}, span={span})"
+            )
+        comp = code.astype(np.int64) * span + t0
+        is_a = ty == step_a
+        is_b = ty == step_b
+        a_comp = comp[is_a]
+        b_comp = comp[is_b]
+        # step_a present in [t_b - window, t_b] of the same key?
+        lo = np.searchsorted(a_comp, b_comp - window, side="left")
+        hi = np.searchsorted(a_comp, b_comp, side="right")
+        converted = hi > lo
+
+        b_code = code[is_b]
+        n_target = np.bincount(b_code, minlength=len(uniq))
+        n_conv = np.bincount(b_code[converted], minlength=len(uniq))
+        has_b = n_target > 0
+        return pa.table(
+            {
+                key: pa.array(uniq[has_b]),
+                "n_target": pa.array(n_target[has_b].astype(np.int64)),
+                "n_converted": pa.array(n_conv[has_b].astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(conv, batch_format="pyarrow")
+    )
+
+
+def grouped_gap_stats(
+    ds: Dataset,
+    key: str,
+    time_col: str,
+    order_tail: list[str] | None = None,
+    n_buckets: int = 64,
+) -> Dataset:
+    """Per-key inter-event-gap statistics — the LAG-delta aggregate:
+
+        gap_i = t_i − LAG(t_i) OVER (PARTITION BY key
+                                     ORDER BY t, tail...)
+        → per key: n_events, n_gaps, sum_gap, max_gap
+
+    (``n_gaps = n_events − 1``; keys with a single event report
+    ``sum_gap = 0, max_gap = 0`` — a typed zero instead of NULL so the
+    oracle hash is null-convention-free; the SQL mirror is
+    ``COALESCE(sum(gap), 0)``.)  Mean gap is left to the caller as the
+    final division of two exact integers.
+
+    One hash co-partition; per bucket one lexsort, one vectorised
+    diff, and three ``bincount``/``maximum.at`` passes — no per-key
+    loop.  Session cut-offs are deliberately NOT applied here; compose
+    with the sessionizer for within-session gaps.
+    """
+    order_tail = order_tail or []
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch[key].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return batch.append_column("__bucket", pa.array(np.abs(k) % n_buckets))
+
+    def stats(g: pa.Table) -> pa.Table:
+        n = len(g)
+        empty = {
+            key: pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "n_gaps": pa.array([], pa.int64()),
+            "sum_gap": pa.array([], pa.int64()),
+            "max_gap": pa.array([], pa.int64()),
+        }
+        if n == 0:
+            return pa.table(empty)
+        k = np.asarray(g[key].to_numpy(zero_copy_only=False), dtype=np.int64)
+        t = np.asarray(g[time_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        tails = [
+            np.asarray(g[c].to_numpy(zero_copy_only=False)) for c in order_tail
+        ]
+        idx = np.lexsort(tuple(reversed(tails)) + (t, k))
+        k, t = k[idx], t[idx]
+
+        uniq, code = np.unique(k, return_inverse=True)
+        d = t[1:] - t[:-1]
+        same = k[1:] == k[:-1]  # gap only within a key segment
+        gcode = code[1:][same]
+        gaps = d[same]
+        n_events = np.bincount(code, minlength=len(uniq))
+        n_gaps = np.bincount(gcode, minlength=len(uniq))
+        sum_gap = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sum_gap, gcode, gaps)
+        max_gap = np.zeros(len(uniq), dtype=np.int64)
+        np.maximum.at(max_gap, gcode, gaps)
+        return pa.table(
+            {
+                key: pa.array(uniq),
+                "n_events": pa.array(n_events.astype(np.int64)),
+                "n_gaps": pa.array(n_gaps.astype(np.int64)),
+                "sum_gap": pa.array(sum_gap),
+                "max_gap": pa.array(max_gap),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(stats, batch_format="pyarrow")
+    )
+
+
 def range_window(
     ds: Dataset,
     key: str,

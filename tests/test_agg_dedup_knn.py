@@ -1263,3 +1263,147 @@ def test_connected_components_superstep_path_random_graph(ray_session):
     want = {x: mins[find(x)] for x in parent}
     got_map = dict(zip(got["node"], got["component"]))
     assert got_map == want
+
+
+def test_funnel_conversion_matches_bruteforce(ray_session):
+    """funnel_conversion == per-user brute force EXISTS over the
+    [t_b - W, t_b] window, including equal-timestamp A/B pairs and
+    users with no step_b (absent from output)."""
+    from hexscape_ray.stages.window import funnel_conversion
+
+    rng = np.random.default_rng(11)
+    n, W = 3000, 500
+    df = pd.DataFrame(
+        {
+            "key": rng.integers(0, 41, n).astype(np.int64),
+            "t": rng.integers(0, 5_000, n).astype(np.int64),
+            "ty": rng.choice(["A", "B", "C"], n),
+        }
+    )
+    # force an equal-timestamp A/B pair on one key
+    df.loc[0, ["key", "t", "ty"]] = [777, 100, "A"]
+    df.loc[1, ["key", "t", "ty"]] = [777, 100, "B"]
+    got = (
+        funnel_conversion(
+            ray.data.from_pandas(df), key="key", time_col="t",
+            type_col="ty", step_a="A", step_b="B", window=W, n_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("key", ignore_index=True)
+    )
+    rows = []
+    for k, g in df.groupby("key"):
+        ta = np.sort(g.loc[g["ty"] == "A", "t"].to_numpy())
+        tb = g.loc[g["ty"] == "B", "t"].to_numpy()
+        if len(tb) == 0:
+            continue
+        conv = sum(bool(np.any((ta >= t - W) & (ta <= t))) for t in tb)
+        rows.append({"key": k, "n_target": len(tb), "n_converted": conv})
+    want = pd.DataFrame(rows).sort_values("key", ignore_index=True)
+    assert got["key"].tolist() == want["key"].tolist()
+    assert got["n_target"].tolist() == want["n_target"].tolist()
+    assert got["n_converted"].tolist() == want["n_converted"].tolist()
+    assert (
+        got.loc[got["key"] == 777, "n_converted"].iloc[0] >= 1
+    )  # the equal-ts pair counted
+
+
+def test_grouped_gap_stats_matches_pandas(ray_session):
+    """grouped_gap_stats == pandas diff() per key, typed zeros for
+    single-event keys."""
+    from hexscape_ray.stages.window import grouped_gap_stats
+
+    rng = np.random.default_rng(13)
+    n = 2500
+    df = pd.DataFrame(
+        {
+            "eid": np.arange(n, dtype=np.int64),
+            "key": rng.integers(0, 53, n).astype(np.int64),
+            "t": rng.integers(0, 100_000, n).astype(np.int64),
+        }
+    )
+    df.loc[n - 1, "key"] = 8888  # single-event key
+    got = (
+        grouped_gap_stats(
+            ray.data.from_pandas(df), key="key", time_col="t",
+            order_tail=["eid"], n_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("key", ignore_index=True)
+    )
+    want = df.sort_values(["key", "t", "eid"])
+    g = want.groupby("key", sort=True)
+    gaps = g["t"].diff().dropna()
+    by = gaps.groupby(want.loc[gaps.index, "key"])
+    exp = pd.DataFrame(
+        {
+            "n_events": g.size(),
+            "n_gaps": by.size().reindex(g.size().index, fill_value=0),
+            "sum_gap": by.sum().reindex(g.size().index, fill_value=0),
+            "max_gap": by.max().reindex(g.size().index, fill_value=0),
+        }
+    ).reset_index()
+    for c in ["n_events", "n_gaps", "sum_gap", "max_gap"]:
+        assert got[c].astype(np.int64).tolist() == exp[c].astype(np.int64).tolist(), c
+
+
+def test_grouped_ntile_matches_duckdb(ray_session):
+    """grouped_ntile reproduces SQL NTILE's fill rule exactly,
+    including groups smaller than the tile count."""
+    import duckdb
+
+    from hexscape_ray.stages.agg import grouped_ntile
+
+    rng = np.random.default_rng(17)
+    # group sizes straddling n_tiles: 1, 2, 3, 4, 5, 11, 40
+    sizes = {10: 1, 20: 2, 30: 3, 40: 4, 50: 5, 60: 11, 70: 40}
+    rows = []
+    i = 0
+    for k, sz in sizes.items():
+        for _ in range(sz):
+            rows.append({"key": k, "v": int(rng.integers(0, 30)), "id": i})
+            i += 1
+    df = pd.DataFrame(rows)
+    got = (
+        grouped_ntile(
+            ray.data.from_pandas(df), "key", ["v", "id"], 4, out="tile"
+        )
+        .to_pandas()
+        .sort_values(["key", "v", "id"], ignore_index=True)
+    )
+    want = duckdb.sql(
+        "SELECT key, v, id, ntile(4) OVER (PARTITION BY key ORDER BY v, id)"
+        " AS tile FROM df ORDER BY key, v, id"
+    ).df()
+    assert got["tile"].astype(np.int64).tolist() == want["tile"].astype(np.int64).tolist()
+
+
+def test_bloom_prefilter_superset_and_exact_join(ray_session):
+    """Bloom probes admit every true member (zero false negatives),
+    and bloom_prefilter -> exact join == plain join."""
+    from hexscape_ray.stages.joins import bloom_build, bloom_prefilter, broadcast_join
+
+    rng = np.random.default_rng(19)
+    keys = rng.choice(10_000_000, size=500, replace=False).astype(np.int64)
+    small = pd.DataFrame({"k": keys, "label": [f"L{x}" for x in keys]})
+    big = pd.DataFrame(
+        {
+            "k": rng.integers(0, 10_000_000, 20_000).astype(np.int64),
+            "v": np.arange(20_000, dtype=np.int64),
+        }
+    )
+    big.loc[:499, "k"] = keys  # guarantee matches
+    bloom = bloom_build(keys)
+    surv = bloom_prefilter(ray.data.from_pandas(big), bloom, on="k").to_pandas()
+    member = big["k"].isin(set(keys.tolist()))
+    assert set(big.loc[member, "v"]) <= set(surv["v"])  # no false negatives
+    fp = len(surv) - int(member.sum())
+    assert fp <= max(40, int(0.01 * len(big)))  # ~0.3% design rate, slack
+
+    joined = (
+        broadcast_join(ray.data.from_pandas(surv), small, on="k")
+        .to_pandas()
+        .sort_values("v", ignore_index=True)
+    )
+    want = big.merge(small, on="k").sort_values("v", ignore_index=True)
+    assert joined[["k", "v", "label"]].equals(want[["k", "v", "label"]])
