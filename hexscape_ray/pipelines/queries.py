@@ -3312,6 +3312,117 @@ SQL_SOURCE_LANG_PIVOT = """
 """
 
 
+def q_edit_distance_pairs(sf_dir: str) -> Dataset:
+    """Blocked Levenshtein near-dup pairs — same-language documents
+    whose lengths differ ≤16 and whose 40-char prefixes are within 18
+    unit-cost edits (``stages.dedup.edit_distance_pairs``: banded
+    length routing, two-pointer candidates, pair-axis-vectorised DP).
+    Oracle = the literal ``levenshtein(substr(...))`` predicate join."""
+    from hexscape_ray.stages.dedup import edit_distance_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    return edit_distance_pairs(docs).sort(["doc_a", "doc_b"])
+
+
+SQL_EDIT_DISTANCE_PAIRS = """
+  WITH d AS (
+    SELECT doc_id, lang, n_chars, substr(text, 1, 40) AS p FROM documents)
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+  FROM d a JOIN d b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id
+   AND abs(a.n_chars - b.n_chars) <= 16
+  WHERE levenshtein(a.p, b.p) <= 18
+  ORDER BY doc_a, doc_b
+"""
+
+
+def q_doc_top_term(sf_dir: str) -> Dataset:
+    """TF·DF term salience — for every document, its most distinctive
+    token: max term frequency, ties to the RARER token (min document
+    frequency), then lexicographic.  The rank-exact skeleton of TF-IDF
+    scoring with no floats on the parity path.
+
+    Composition: pass 1 — per-row tokenise → per-doc distinct tokens →
+    token DF by one two-phase sum (the only shuffle, volume =
+    vocabulary); DF map broadcast once via ``ray.put`` (bounded vocab —
+    for an open vocab swap in ``bucketed_join`` on token); pass 2 —
+    per-row tokenise + argmax against the broadcast DF.  A document is
+    ONE row, so the per-doc argmax never crosses a batch boundary and
+    needs no shuffle."""
+    import ray as _ray
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def distinct_tokens(batch: pa.Table) -> pa.Table:
+        toks = []
+        for txt in batch["text"].to_pylist():
+            toks.extend(set(t for t in txt.split(" ") if t))
+        return pa.table({"token": pa.array(toks, pa.string())})
+
+    df_tbl = two_phase_sum(
+        docs.map_batches(distinct_tokens, batch_format="pyarrow"),
+        ["token"],
+        [],
+        count_as="df",
+    ).to_pandas()  # vocab table — small by assumption, broadcast side
+    df_ref = _ray.put(
+        dict(zip(df_tbl["token"].tolist(), df_tbl["df"].astype(np.int64)))
+    )
+
+    class TopTerm:
+        def __init__(self):
+            self.df = _ray.get(df_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, toks, tfs, dfs = [], [], [], []
+            for did, txt in zip(
+                batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+            ):
+                c: dict = {}
+                for t in txt.split(" "):
+                    if t:
+                        c[t] = c.get(t, 0) + 1
+                # max tf, ties -> min df, then lexicographic token
+                best = min(
+                    c.items(), key=lambda kv: (-kv[1], self.df[kv[0]], kv[0])
+                )
+                ids.append(did)
+                toks.append(best[0])
+                tfs.append(best[1])
+                dfs.append(int(self.df[best[0]]))
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "top_token": pa.array(toks, pa.string()),
+                    "tf": pa.array(tfs, pa.int64()),
+                    "df": pa.array(dfs, pa.int64()),
+                }
+            )
+
+    return docs.map_batches(
+        TopTerm, batch_format="pyarrow", concurrency=(1, 8)
+    ).sort("doc_id")
+
+
+SQL_DOC_TOP_TERM = """
+  WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+  tf AS (
+    SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+    FROM tok WHERE token <> '' GROUP BY doc_id, token),
+  df AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS df
+    FROM (SELECT DISTINCT doc_id, token FROM tok WHERE token <> '')
+    GROUP BY token)
+  SELECT doc_id, token AS top_token, tf, df
+  FROM tf JOIN df USING (token)
+  QUALIFY row_number() OVER (
+    PARTITION BY doc_id ORDER BY tf DESC, df ASC, token ASC) = 1
+  ORDER BY doc_id
+"""
+
+
 RAY_QUERIES = {
     "hex_doc_counts": q_hex_doc_counts,
     "hex_lang_mix": q_hex_lang_mix,
@@ -3402,6 +3513,8 @@ RAY_QUERIES = {
     "lang_length_quartiles": q_lang_length_quartiles,
     "bloom_brand_revenue": q_bloom_brand_revenue,
     "source_lang_pivot": q_source_lang_pivot,
+    "edit_distance_pairs": q_edit_distance_pairs,
+    "doc_top_term": q_doc_top_term,
 }
 
 ORACLES = {
@@ -3472,6 +3585,8 @@ ORACLES = {
     "lang_length_quartiles": SQL_LANG_LENGTH_QUARTILES,
     "bloom_brand_revenue": SQL_BLOOM_BRAND_REVENUE,
     "source_lang_pivot": SQL_SOURCE_LANG_PIVOT,
+    "edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,
+    "doc_top_term": SQL_DOC_TOP_TERM,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

@@ -1407,3 +1407,86 @@ def test_bloom_prefilter_superset_and_exact_join(ray_session):
     )
     want = big.merge(small, on="k").sort_values("v", ignore_index=True)
     assert joined[["k", "v", "label"]].equals(want[["k", "v", "label"]])
+
+
+def test_lev_prefix_chunk_matches_duckdb():
+    """Pair-axis DP kernel == DuckDB levenshtein on random padded
+    strings, including empty and equal strings."""
+    import duckdb
+
+    from hexscape_ray.stages.dedup import _lev_prefix_chunk
+
+    rng = np.random.default_rng(23)
+    L, P = 12, 300
+    alpha = np.frombuffer(b"abcx", dtype=np.uint8)
+    sa, sb, la, lb = [], [], [], []
+    for _ in range(P):
+        na, nb = int(rng.integers(0, L + 1)), int(rng.integers(0, L + 1))
+        sa.append(bytes(rng.choice(alpha, na)))
+        sb.append(bytes(rng.choice(alpha, nb)))
+        la.append(na)
+        lb.append(nb)
+    sa[0], sb[0] = b"", b""          # both empty
+    sa[1], sb[1] = b"abc", b"abc"    # equal
+    la[0] = lb[0] = 0
+    la[1] = lb[1] = 3
+    A = np.zeros((P, L), dtype=np.uint8)
+    B = np.zeros((P, L), dtype=np.uint8)
+    for i in range(P):
+        A[i, : la[i]] = np.frombuffer(sa[i], dtype=np.uint8)
+        B[i, : lb[i]] = np.frombuffer(sb[i], dtype=np.uint8)
+    got = _lev_prefix_chunk(
+        A, np.array(la, dtype=np.int64), B, np.array(lb, dtype=np.int64)
+    )
+    df = pd.DataFrame(
+        {"a": [s.decode() for s in sa], "b": [s.decode() for s in sb]}
+    )
+    want = duckdb.sql("SELECT levenshtein(a, b) AS d FROM df").df()["d"]
+    assert got.tolist() == want.astype(np.int64).tolist()
+
+
+def test_edit_distance_pairs_matches_bruteforce(ray_session):
+    """Banded routing + two-pointer candidates find EXACTLY the pairs
+    the all-pairs predicate defines (each once), across band
+    boundaries and multiple blocks."""
+    import duckdb
+
+    from hexscape_ray.stages.dedup import edit_distance_pairs
+
+    rng = np.random.default_rng(29)
+    words = ["data", "ray", "spark", "hash", "scan", "sort", "join"]
+    rows = []
+    for i in range(240):
+        txt = " ".join(rng.choice(words, int(rng.integers(3, 30))))
+        rows.append(
+            {
+                "doc_id": i,
+                "text": txt,
+                "lang": ["aa", "bb"][int(rng.integers(0, 2))],
+                "n_chars": len(txt),
+            }
+        )
+    # planted near-dup straddling a length band edge
+    rows[0].update(text="x" * 31, n_chars=31, lang="aa")
+    rows[1].update(text="x" * 30 + "yz", n_chars=32, lang="aa")
+    df = pd.DataFrame(rows)
+    got = (
+        edit_distance_pairs(
+            ray.data.from_pandas(df), prefix_len=24, max_dist=10, len_band=8
+        )
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"], ignore_index=True)
+    )
+    want = duckdb.sql(
+        """
+        WITH d AS (SELECT doc_id, lang, n_chars, substr(text,1,24) p FROM df)
+        SELECT a.doc_id doc_a, b.doc_id doc_b, levenshtein(a.p,b.p) dist
+        FROM d a JOIN d b ON a.lang=b.lang AND a.doc_id < b.doc_id
+          AND abs(a.n_chars-b.n_chars) <= 8
+        WHERE levenshtein(a.p,b.p) <= 10 ORDER BY doc_a, doc_b
+        """
+    ).df()
+    assert got["doc_a"].tolist() == want["doc_a"].astype(np.int64).tolist()
+    assert got["doc_b"].tolist() == want["doc_b"].astype(np.int64).tolist()
+    assert got["dist"].tolist() == want["dist"].astype(np.int64).tolist()
+    assert ((got["doc_a"] == 0) & (got["doc_b"] == 1)).any()  # planted pair found
