@@ -3423,6 +3423,172 @@ SQL_DOC_TOP_TERM = """
 """
 
 
+def q_lang_source_cube(sf_dir: str) -> Dataset:
+    """GROUP BY CUBE(lang, source) — all four grouping sets ('*' =
+    ALL sentinel).  Scale shape: ONE two-phase sum over the corpus
+    builds the finest (lang, source) census; every coarser grouping is
+    re-aggregated FROM that census (|lang×source| rows), so the cube
+    costs one corpus pass + three census-sized reductions, not four
+    corpus passes."""
+    docs = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    fine = two_phase_sum(
+        docs, ["lang", "source"], ["n_chars"], count_as="n_docs"
+    ).materialize()  # tiny; consumed by 4 groupings below
+
+    def tag_all(col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            star = pa.array(["*"] * len(t), pa.string())
+            return t.set_column(t.column_names.index(col), col, star)
+
+        return fn
+
+    by_lang = two_phase_sum(
+        fine.map_batches(tag_all("source"), batch_format="pyarrow"),
+        ["lang", "source"],
+        ["n_chars", "n_docs"],
+        count_as=None,
+    )
+    by_source = two_phase_sum(
+        fine.map_batches(tag_all("lang"), batch_format="pyarrow"),
+        ["lang", "source"],
+        ["n_chars", "n_docs"],
+        count_as=None,
+    )
+    total = two_phase_sum(
+        fine.map_batches(
+            lambda t: tag_all("lang")(tag_all("source")(t)),
+            batch_format="pyarrow",
+        ),
+        ["lang", "source"],
+        ["n_chars", "n_docs"],
+        count_as=None,
+    )
+    return (
+        fine.union(by_lang, by_source, total)
+        .rename_columns({"n_chars": "sum_chars"})
+        .sort(["lang", "source"])
+    )
+
+
+SQL_LANG_SOURCE_CUBE = """
+  SELECT coalesce(lang, '*') AS lang, coalesce(source, '*') AS source,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY CUBE (lang, source)
+  ORDER BY lang, source
+"""
+
+
+def q_weighted_sample(sf_dir: str) -> Dataset:
+    """Deterministic WEIGHTED Bernoulli sample — each doc kept with
+    probability min(1, n_chars/512), decided by
+    ``splitmix64(doc_id) < n_chars · 2^55`` (512 = 2^9, so the
+    threshold is exact in uint64 for n_chars < 512 and saturates
+    above).  The length-proportional downsampler of a training-data
+    mix; zero shuffle, zero RNG state, reproducible across any
+    partitioning.  Oracle = the same comparison in HUGEINT."""
+    from hexscape_ray.functions.hashing import splitmix64
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        did = np.asarray(
+            batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64
+        ).view(np.uint64)
+        n = np.asarray(
+            batch["n_chars"].to_numpy(zero_copy_only=False), dtype=np.uint64
+        )
+        h = splitmix64(did)
+        sat = n >= np.uint64(512)
+        thr = np.where(sat, np.uint64(0), n << np.uint64(55))
+        return batch.filter(pa.array(sat | (h < thr)))
+
+    return docs.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+  WITH src AS (SELECT doc_id AS x, doc_id, lang, n_chars FROM documents),
+  h AS ({_splitmix64_sql("x", carry="doc_id, lang, n_chars", src="src")})
+  SELECT doc_id, lang, n_chars FROM h
+  WHERE n_chars >= 512
+     OR h < CAST(n_chars AS HUGEINT) * 36028797018963968
+  ORDER BY doc_id
+"""
+
+
+def q_region_order_rank_dense(sf_dir: str) -> Dataset:
+    """DENSE_RANK top-k with ties — per nation, the customers at the
+    top-3 DISTINCT order-count levels, censused per (nation, level).
+    Order counts tie heavily, so this exercises dense-rank semantics
+    row_number can't fake.  Scale shape: one per-customer aggregate
+    (the only corpus-sized shuffle) → broadcast-join nation keys →
+    (nation, n_orders) census → dense ranks derived INSIDE the tiny
+    census by sorting distinct levels per nation."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    per_cust = two_phase_sum(
+        orders.rename_columns({"o_custkey": "c_custkey"}),
+        ["c_custkey"],
+        [],
+        count_as="n_orders",
+    )
+    from hexscape_ray.stages.joins import bucketed_join
+
+    joined = bucketed_join(
+        cust,
+        per_cust,
+        on="c_custkey",
+        how="left",
+        left_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("c_nationkey", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("n_orders", pa.int64())]
+        ),
+    ).map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("n_orders"),
+            "n_orders",
+            pc.fill_null(t["n_orders"], 0),
+        ),
+        batch_format="pyarrow",
+    )
+    census = two_phase_sum(
+        joined.select_columns(["c_nationkey", "n_orders"]),
+        ["c_nationkey", "n_orders"],
+        [],
+        count_as="n_customers",
+    )
+
+    def topk(g: pa.Table) -> pa.Table:
+        n = g["n_orders"].to_numpy(zero_copy_only=False)
+        order = np.argsort(-n, kind="stable")
+        keep = order[:3]  # distinct levels by construction of the census
+        return g.take(pa.array(np.sort(keep)))
+
+    return (
+        census.groupby("c_nationkey")
+        .map_groups(topk, batch_format="pyarrow")
+        .sort(["c_nationkey", "n_orders"])
+    )
+
+
+SQL_REGION_ORDER_RANK_DENSE = """
+  WITH pc AS (
+    SELECT c_custkey, c_nationkey,
+           (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey)
+             AS n_orders
+    FROM customer c),
+  r AS (
+    SELECT c_nationkey, n_orders, CAST(count(*) AS BIGINT) AS n_customers,
+           dense_rank() OVER (PARTITION BY c_nationkey
+                              ORDER BY n_orders DESC) AS rk
+    FROM pc GROUP BY c_nationkey, n_orders)
+  SELECT c_nationkey, CAST(n_orders AS BIGINT) AS n_orders, n_customers
+  FROM r WHERE rk <= 3 ORDER BY c_nationkey, n_orders
+"""
+
+
 RAY_QUERIES = {
     "hex_doc_counts": q_hex_doc_counts,
     "hex_lang_mix": q_hex_lang_mix,
@@ -3515,6 +3681,9 @@ RAY_QUERIES = {
     "source_lang_pivot": q_source_lang_pivot,
     "edit_distance_pairs": q_edit_distance_pairs,
     "doc_top_term": q_doc_top_term,
+    "lang_source_cube": q_lang_source_cube,
+    "weighted_sample": q_weighted_sample,
+    "region_order_rank_dense": q_region_order_rank_dense,
 }
 
 ORACLES = {
@@ -3587,6 +3756,9 @@ ORACLES = {
     "source_lang_pivot": SQL_SOURCE_LANG_PIVOT,
     "edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,
     "doc_top_term": SQL_DOC_TOP_TERM,
+    "lang_source_cube": SQL_LANG_SOURCE_CUBE,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "region_order_rank_dense": SQL_REGION_ORDER_RANK_DENSE,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

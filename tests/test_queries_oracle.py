@@ -113,3 +113,46 @@ def test_every_registry_query_returns_rows(registry):
         res = fn(SF_SMOKE)
         df = res.to_pandas() if hasattr(res, "to_pandas") else res
         assert len(df) > 0, name
+
+
+def test_cube_margins_additive(ray_session):
+    """CUBE grouping sets are mutually consistent: the grand total
+    equals the sum of the per-lang margins and of the fine cells."""
+    from hexscape_ray.pipelines.queries import q_lang_source_cube
+
+    df = q_lang_source_cube("/root/testdata/sf0.001").to_pandas()
+    star = df[(df["lang"] == "*") & (df["source"] == "*")]
+    fine = df[(df["lang"] != "*") & (df["source"] != "*")]
+    lang_m = df[(df["lang"] != "*") & (df["source"] == "*")]
+    assert int(star["n_docs"].iloc[0]) == int(fine["n_docs"].sum())
+    assert int(star["sum_chars"].iloc[0]) == int(lang_m["sum_chars"].sum())
+
+
+def test_weighted_sample_partition_invariant(ray_session):
+    """The weighted Bernoulli keep-set is a pure function of
+    (doc_id, n_chars) — identical under any repartitioning."""
+    import ray.data as rd
+
+    from hexscape_ray.pipelines.queries import q_weighted_sample
+
+    base = q_weighted_sample("/root/testdata/sf0.001").to_pandas()
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    from hexscape_ray.functions.hashing import splitmix64
+
+    did = tbl["doc_id"].to_numpy().astype(np.int64).view(np.uint64)
+    n = tbl["n_chars"].to_numpy().astype(np.uint64)
+    h = splitmix64(did)
+    keep = (n >= 512) | (h < np.where(n >= 512, np.uint64(0), n << np.uint64(55)))
+    assert sorted(base["doc_id"]) == sorted(
+        tbl["doc_id"].to_numpy()[keep].tolist()
+    )
+    # and longer docs must be kept at a higher rate than shorter ones
+    med = float(np.median(tbl["n_chars"].to_numpy()))
+    kept_frac_long = keep[tbl["n_chars"].to_numpy() > med].mean()
+    kept_frac_short = keep[tbl["n_chars"].to_numpy() <= med].mean()
+    assert kept_frac_long > kept_frac_short
