@@ -165,6 +165,9 @@ def run_queries() -> dict:
         "lang_doc_sample",
         "event_pairs_window",
         "events_sessions_stream",
+        "funnel_view_purchase",
+        "edit_distance_pairs",
+        "bloom_brand_revenue",
     ]
     out = {}
     for name in names:

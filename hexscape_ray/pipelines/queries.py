@@ -1045,6 +1045,67 @@ SQL_QUANTITY_BAND_OVERLAP = """
 """
 
 
+def q_brand_size_band_revenue(sf_dir: str) -> Dataset:
+    """PARTITIONED range join (stages/joins.py::range_join_partitioned):
+    the interval side is a full Dataset — one overlapping band
+    ``[p_size, p_size + 1.25)`` per part row (2k..2M intervals, too many
+    to broadcast at scale) stabbed by returned-lineitem quantities.
+    Domain cells co-locate both sides in ONE shuffle; within a cell the
+    match is the same elementary-segment CSR kernel as the broadcast
+    form.  Oracle = the interval-predicate SQL join."""
+    from hexscape_ray.stages.joins import range_join_partitioned
+
+    part = _read(sf_dir, "part", ["p_brand", "p_size"])
+
+    def bands(batch: pa.Table) -> pa.Table:
+        s = batch["p_size"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {"p_brand": batch["p_brand"], "lo": pa.array(s), "hi": pa.array(s + 1.25)}
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice", "l_returnflag"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_quantity": batch["l_quantity"],
+                "cents": pa.array(np.floor(p * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    joined = range_join_partitioned(
+        li.map_batches(cents, batch_format="pyarrow"),
+        part.map_batches(bands, batch_format="pyarrow"),
+        "l_quantity",
+        n_ranges=64,
+        big_schema=pa.schema([("l_quantity", pa.float64()), ("cents", pa.int64())]),
+        intervals_schema=pa.schema(
+            [("p_brand", pa.string()), ("lo", pa.float64()), ("hi", pa.float64())]
+        ),
+    )
+    return two_phase_sum(
+        joined.select_columns(["p_brand", "cents"]), ["p_brand"], ["cents"], count_as="n_items"
+    ).rename_columns({"cents": "revenue_cents"})
+
+
+SQL_BRAND_SIZE_BAND_REVENUE = """
+  WITH bands AS (
+    SELECT p_brand, CAST(p_size AS DOUBLE) AS lo,
+           CAST(p_size AS DOUBLE) + 1.25 AS hi
+    FROM part
+  )
+  SELECT p_brand,
+    CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+      AS revenue_cents,
+    count(*) AS n_items
+  FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+  WHERE l_returnflag = 'R'
+  GROUP BY p_brand
+"""
+
+
 def q_token_df(sf_dir: str) -> Dataset:
     """Document frequency of the corpus's 20 most frequent tokens (the
     TF-IDF / stopword-discovery building block): per-doc token dedup
@@ -3653,6 +3714,7 @@ RAY_QUERIES = {
     "asof_order_events": q_asof_order_events,
     "quantity_band_revenue": q_quantity_band_revenue,
     "quantity_band_overlap": q_quantity_band_overlap,
+    "brand_size_band_revenue": q_brand_size_band_revenue,
     "stratified_sample": q_stratified_sample,
     "lang_doc_sample": q_lang_doc_sample,
     "event_pairs_window": q_event_pairs_window,
@@ -3729,6 +3791,7 @@ ORACLES = {
     "asof_order_events": SQL_ASOF_ORDER_EVENTS,
     "quantity_band_revenue": SQL_QUANTITY_BAND_REVENUE,
     "quantity_band_overlap": SQL_QUANTITY_BAND_OVERLAP,
+    "brand_size_band_revenue": SQL_BRAND_SIZE_BAND_REVENUE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "lang_doc_sample": SQL_LANG_DOC_SAMPLE,
     "event_pairs_window": SQL_EVENT_PAIRS_WINDOW,

@@ -603,6 +603,155 @@ def range_join_intervals(
     )
 
 
+def range_join_partitioned(
+    big: Dataset,
+    intervals: Dataset,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    n_ranges: int = 64,
+    big_schema=None,
+    intervals_schema=None,
+) -> Dataset:
+    """DISTRIBUTED general interval join — every (row, interval) pair
+    with ``lo ≤ value < hi``, intervals arbitrarily overlapping or
+    nested, and the interval side a full ``Dataset`` (the case
+    :func:`range_join_intervals` can't take: an interval table too
+    large to broadcast).
+
+    Scale shape: the value domain ``[min lo, max hi)`` (one tiny
+    aggregate pass over the interval side) is cut into ``n_ranges``
+    equal-width cells.  Every probe row lands in EXACTLY ONE cell (so
+    no output dedup is ever needed); every interval is replicated to
+    each cell it overlaps (``Σ ceil(width/cell)`` copies — bounded by
+    m + total_span/cell_width).  One union + ``groupby(cell)`` shuffle
+    co-locates both sides; within a cell the match is the same
+    elementary-segment CSR stab query as the broadcast form — one
+    searchsorted + CSR gather, no per-row Python.  Equal-width cells
+    assume a roughly uniform probe domain; for heavy value skew feed
+    ``edges`` from the histogram quantile sketch
+    (``stages.agg.approx_quantiles_histogram``) instead — the kernel
+    is edge-agnostic.
+
+    Same ``.schema()`` partial-execution contract as
+    :func:`bucketed_join`: pass ``big_schema`` / ``intervals_schema``
+    for sides with non-trivial upstream pipelines.  Column names of
+    the two sides must be disjoint.
+    """
+    from ray.data.aggregate import Max, Min
+
+    bschema = big_schema if big_schema is not None else big.schema()
+    ischema = intervals_schema if intervals_schema is not None else intervals.schema()
+    bcols, icols = list(bschema.names), list(ischema.names)
+    assert not set(bcols) & set(icols), "side column names must be disjoint"
+
+    dom = intervals.aggregate(
+        Min(lo_col, alias_name="lo_min"), Max(hi_col, alias_name="hi_max")
+    )
+    lo_min, hi_max = float(dom["lo_min"]), float(dom["hi_max"])
+    edges = np.linspace(lo_min, hi_max, n_ranges + 1)
+    edges_ref = ray.put(edges)
+
+    def _arrow_type(t) -> pa.DataType:
+        if isinstance(t, pa.DataType):
+            return t
+        if t is str:
+            return pa.string()
+        if np.dtype(t) == np.dtype("O"):
+            return pa.string()
+        return pa.from_numpy_dtype(np.dtype(t))
+
+    all_fields = [(n, _arrow_type(t)) for n, t in zip(bschema.names, bschema.types)]
+    all_fields += [(n, _arrow_type(t)) for n, t in zip(ischema.names, ischema.types)]
+    out_schema = pa.schema(all_fields)
+
+    def pad(t: pa.Table, cell: np.ndarray, side: int) -> pa.Table:
+        cols = {}
+        for name, typ in all_fields:
+            if name in t.column_names:
+                cols[name] = t[name].combine_chunks() if t[name].num_chunks > 1 else t[name]
+            else:
+                cols[name] = pa.nulls(len(t), typ)
+        tbl = pa.table(cols)
+        tbl = tbl.append_column("__cell", pa.array(cell.astype(np.int64)))
+        return tbl.append_column(
+            "__side", pa.array(np.full(len(t), side, dtype=np.int8))
+        )
+
+    def tag_probe(batch: pa.Table) -> pa.Table:
+        e = ray.get(edges_ref)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        cell = np.searchsorted(e, v, side="right") - 1
+        ok = (cell >= 0) & (cell < n_ranges)  # outside the domain → no match
+        batch = batch.filter(pa.array(ok))
+        return pad(batch, cell[ok], 0)
+
+    def tag_interval(batch: pa.Table) -> pa.Table:
+        e = ray.get(edges_ref)
+        lo = batch[lo_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        hi = batch[hi_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        c_lo = np.clip(np.searchsorted(e, lo, side="right") - 1, 0, n_ranges - 1)
+        c_hi = np.clip(np.searchsorted(e, hi, side="left") - 1, 0, n_ranges - 1)
+        cnt = np.maximum(c_hi - c_lo + 1, 0)
+        rows = np.repeat(np.arange(len(batch), dtype=np.int64), cnt)
+        cell = (
+            np.arange(int(cnt.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            + np.repeat(c_lo, cnt)
+        )
+        return pad(batch.take(pa.array(rows)), cell, 1)
+
+    def stab(g: pa.Table) -> pa.Table:
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        p = g.filter(pa.array(side == 0))
+        iv = g.filter(pa.array(side == 1))
+        empty = pa.table(
+            {n: pa.array([], t) for n, t in zip(out_schema.names, out_schema.types)}
+        )
+        if len(p) == 0 or len(iv) == 0:
+            return empty
+        los = iv[lo_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        his = iv[hi_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        m = len(iv)
+        bounds = np.unique(np.concatenate([los, his]))
+        seg_lo = np.searchsorted(bounds, los)
+        seg_hi = np.searchsorted(bounds, his)
+        counts_i = np.maximum(seg_hi - seg_lo, 0)  # lo >= hi → empty interval
+        iv_of_pair = np.repeat(np.arange(m, dtype=np.int64), counts_i)
+        seg_of_pair = (
+            np.arange(int(counts_i.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(counts_i) - counts_i, counts_i)
+            + np.repeat(seg_lo, counts_i)
+        )
+        order = np.argsort(seg_of_pair, kind="stable")
+        ids = iv_of_pair[order]
+        offsets = np.zeros(bounds.size, dtype=np.int64)
+        np.add.at(offsets, seg_of_pair + 1, 1)
+        offsets = np.cumsum(offsets)
+
+        v = p[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        seg = np.searchsorted(bounds, v, side="right") - 1
+        inside = (seg >= 0) & (seg < bounds.size - 1)
+        seg = np.clip(seg, 0, bounds.size - 2)
+        cnt = np.where(inside, offsets[seg + 1] - offsets[seg], 0)
+        rows = np.repeat(np.arange(len(v), dtype=np.int64), cnt)
+        pos = (
+            np.arange(int(cnt.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            + np.repeat(offsets[seg], cnt)
+        )
+        matches = ids[pos]
+        out = {c: p[c].take(pa.array(rows)) for c in bcols}
+        for c in icols:
+            out[c] = iv[c].take(pa.array(matches))
+        return pa.table(out)
+
+    tagged = big.map_batches(tag_probe, batch_format="pyarrow").union(
+        intervals.map_batches(tag_interval, batch_format="pyarrow")
+    )
+    return tagged.groupby("__cell").map_groups(stab, batch_format="pyarrow")
+
+
 def interval_self_join_census(
     events: Dataset,
     key: str,

@@ -832,6 +832,48 @@ def test_range_join_intervals_overlapping(ray_session):
     assert ((got["v"].to_numpy() >= got["lo"].to_numpy()) & (got["v"].to_numpy() < got["hi"].to_numpy())).all()
 
 
+def test_range_join_partitioned(ray_session):
+    """Partitioned interval join (Dataset interval side, no broadcast):
+    matches the O(n·m) predicate reference on overlapping + nested +
+    degenerate intervals; every probe row lands in exactly one domain
+    cell so the output has no duplicates."""
+    from hexscape_ray.stages.joins import range_join_partitioned
+
+    rng = np.random.default_rng(47)
+    n, m = 2500, 120
+    v = rng.uniform(-5, 110, n)
+    lo = rng.uniform(0, 100, m)
+    width = rng.uniform(0, 30, m)
+    hi = lo + width
+    hi[::17] = lo[::17]  # degenerate lo == hi → matches nothing
+    hi[::23] -= 5.0  # inverted lo > hi → matches nothing
+    ds = ray.data.from_arrow(
+        pa.table({"v": pa.array(v), "rid": pa.array(np.arange(n, dtype=np.int64))})
+    ).repartition(4)
+    ivs = ray.data.from_arrow(
+        pa.table(
+            {
+                "iid": pa.array(np.arange(m, dtype=np.int64)),
+                "lo": pa.array(lo),
+                "hi": pa.array(hi),
+            }
+        )
+    ).repartition(3)
+    got = (
+        range_join_partitioned(ds, ivs, "v", n_ranges=16)
+        .to_pandas()
+        .sort_values(["rid", "iid"], ignore_index=True)
+    )
+    hit = (v[:, None] >= lo[None, :]) & (v[:, None] < hi[None, :])
+    w_rid, w_iid = np.nonzero(hit)
+    assert len(got) == len(w_rid)
+    assert (got["rid"].to_numpy() == w_rid).all()
+    assert (got["iid"].to_numpy() == w_iid).all()
+    # int64 ids survive the shuffle (no float degradation)
+    assert got["rid"].dtype == np.int64 and got["iid"].dtype == np.int64
+    assert ((got["v"].to_numpy() >= got["lo"].to_numpy()) & (got["v"].to_numpy() < got["hi"].to_numpy())).all()
+
+
 def test_connected_components_wide_supersteps(ray_session):
     """Superstep width derives from the edge count: a tiny
     target_rows_per_bucket forces >8 buckets and the labels still match
