@@ -1859,6 +1859,41 @@ def q_hex_lineitem_salted(sf_dir: str) -> Dataset:
     return salted_sum(ds, ["r", "q"], ["qty", "revenue_c100"], salt_col="salt", count_as="n_items")
 
 
+def q_dup_spans(sf_dir: str) -> Dataset:
+    """Exact-substring duplicate spans (stages/dedup.py::duplicate_spans):
+    every maximal run of ≥8 consecutive identical tokens shared between
+    two documents — the Lee et al. ACL'22 training-data dedup op as a
+    k-gram match + gaps-and-islands merge (two keyed shuffles, no
+    global suffix sort).  Oracle = the SQL islands formulation."""
+    from hexscape_ray.stages.dedup import duplicate_spans
+
+    return duplicate_spans(_read(sf_dir, "documents", ["doc_id", "text"]), k=8)
+
+
+SQL_DUP_SPANS = """
+  WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+  grams AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS pos, array_to_string(ts[i:i+7], ' ') AS gram
+    FROM toks, LATERAL unnest(range(1, greatest(len(ts) - 7, 0) + 1)) AS g(i)
+  ),
+  occ AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS a_pos, b.pos AS b_pos
+    FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  ),
+  runs AS (
+    SELECT a_id, b_id, a_pos - b_pos AS diag, a_pos, b_pos,
+      a_pos - row_number() OVER (
+        PARTITION BY a_id, b_id, a_pos - b_pos ORDER BY a_pos) AS isl
+    FROM occ
+  )
+  SELECT a_id, b_id,
+    CAST(min(a_pos) AS BIGINT) AS a_start,
+    CAST(min(b_pos) AS BIGINT) AS b_start,
+    CAST(count(*) + 7 AS BIGINT) AS span_tokens
+  FROM runs GROUP BY a_id, b_id, diag, isl
+"""
+
+
 def q_ngram_jaccard(sf_dir: str) -> Dataset:
     """Word-set Jaccard between consecutive doc pairs — the n-gram
     Jaccard dedup kernel, distributed as a keyed self-pair: each doc
@@ -3698,6 +3733,7 @@ RAY_QUERIES = {
     "hex_lineitem_salted": q_hex_lineitem_salted,
     "curation_pipeline": q_curation_pipeline,
     "ngram_jaccard": q_ngram_jaccard,
+    "dup_spans": q_dup_spans,
     "minhash_pairs_verified": q_minhash_pairs_verified,
     "media_features": q_media_features,
     "video_frames": q_video_frames,
@@ -3781,6 +3817,7 @@ ORACLES = {
     "hex_lineitem_salted": SQL_HEX_LINEITEM_AGG,
     "knn_cosine": SQL_KNN_COSINE,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "dup_spans": SQL_DUP_SPANS,
     "crs_transform": SQL_CRS_TRANSFORM,
     "events_sessions_stream": SQL_EVENTS_SESSIONS,
     "hex_kring": SQL_HEX_KRING,

@@ -979,3 +979,133 @@ def embedding_near_dup(
     if n_tables > 1:  # same pair can surface from several tables
         out = out.groupby(["a", "b"]).aggregate(Min("cosine", alias_name="cosine"))
     return out
+
+
+def duplicate_spans(
+    ds: Dataset,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_coarse: int = 64,
+    min_span_tokens: int | None = None,
+) -> Dataset:
+    """EXACT-substring duplicate detection: every MAXIMAL run of ≥ ``k``
+    consecutive identical tokens shared between two documents, reported
+    as ``(a_id, b_id, a_start, b_start, span_tokens)`` with 1-based
+    token positions — the suffix-array dedup of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" (ACL '22), re-expressed
+    as a k-gram match + gaps-and-islands merge so it runs as two keyed
+    shuffles instead of a global suffix sort.
+
+    Distributed shape: docs → positional k-gram rows (gram string,
+    doc, pos) → coarse gram-hash buckets (≤``n_coarse`` groups, the
+    measured per-group-overhead lesson) → fine runs per exact gram via
+    factorize+lexsort → cross-doc occurrence pairs (a<b, both
+    positions) → ``groupby(a,b)`` → per-pair diagonal islands
+    (``diag = a_pos − b_pos``; consecutive ``a_pos`` on one diagonal =
+    one maximal span of ``run + k − 1`` tokens).  Only occurrence-pair
+    rows ever shuffle; no doc text moves past stage 1.
+
+    Exactness: fine grouping is by the gram STRING (collision-checked
+    factorize), so output matches the SQL islands oracle bit-for-bit.
+    At 100-TB scale swap the carried gram string for a 128-bit hash
+    (collision odds negligible) and cap per-gram occurrence lists —
+    boilerplate grams shared by m docs cost O(m²) pairs here, exactly
+    what the exactness contract (and the SQL oracle) pays.
+    """
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_g: list[str] = []
+        out_i: list[int] = []
+        pos_arrays: list[np.ndarray] = []
+        for i, t in zip(ids, texts):
+            toks = t.split(" ")
+            ng = len(toks) - k + 1
+            if ng <= 0:
+                continue
+            out_g.extend(" ".join(toks[p : p + k]) for p in range(ng))
+            out_i.extend([i] * ng)
+            pos_arrays.append(np.arange(1, ng + 1, dtype=np.int64))
+        if not out_g:
+            return pa.table(
+                {
+                    "g": pa.array([], type=pa.string()),
+                    "i": pa.array([], type=pa.int64()),
+                    "pos": pa.array([], type=pa.int64()),
+                    "__coarse": pa.array([], type=pa.int64()),
+                }
+            )
+        gh = fnv1a_64_str_array(out_g)
+        return pa.table(
+            {
+                "g": pa.array(out_g, type=pa.string()),
+                "i": pa.array(np.asarray(out_i, dtype=np.int64)),
+                "pos": pa.array(np.concatenate(pos_arrays)),
+                "__coarse": pa.array((gh % np.uint64(n_coarse)).astype(np.int64)),
+            }
+        )
+
+    def occ_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g["g"], sort=False)
+        ids = g["i"].to_numpy()
+        pos = g["pos"].to_numpy()
+        order = np.lexsort((pos, ids, codes))
+        codes, ids, pos = codes[order], ids[order], pos[order]
+        new = np.empty(codes.shape[0], dtype=bool)
+        new[0] = True
+        new[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, codes.shape[0]))
+        cols = {"a_id": [], "b_id": [], "a_pos": [], "b_pos": []}
+        for s, m in zip(starts[lens >= 2], lens[lens >= 2]):
+            ii, jj = np.triu_indices(int(m), 1)
+            gi, gj = ids[s : s + m], pos[s : s + m]
+            cross = gi[ii] != gi[jj]  # same-doc repeats don't pair
+            cols["a_id"].append(gi[ii][cross])
+            cols["b_id"].append(gi[jj][cross])
+            cols["a_pos"].append(gj[ii][cross])
+            cols["b_pos"].append(gj[jj][cross])
+        if not cols["a_id"]:
+            return pd.DataFrame(
+                {c: np.empty(0, np.int64) for c in ("a_id", "b_id", "a_pos", "b_pos")}
+            )
+        return pd.DataFrame({c: np.concatenate(v) for c, v in cols.items()})
+
+    def islands(g: pd.DataFrame) -> pd.DataFrame:
+        a = g["a_pos"].to_numpy()
+        b = g["b_pos"].to_numpy()
+        diag = a - b
+        order = np.lexsort((a, diag))
+        a, b, diag = a[order], b[order], diag[order]
+        brk = np.empty(a.shape[0], dtype=bool)
+        brk[0] = True
+        brk[1:] = (diag[1:] != diag[:-1]) | (a[1:] != a[:-1] + 1)
+        starts = np.flatnonzero(brk)
+        runs = np.diff(np.append(starts, a.shape[0]))
+        return pd.DataFrame(
+            {
+                "a_id": np.full(starts.size, g["a_id"].iloc[0], dtype=np.int64),
+                "b_id": np.full(starts.size, g["b_id"].iloc[0], dtype=np.int64),
+                "a_start": a[starts],
+                "b_start": b[starts],
+                "span_tokens": runs + (k - 1),
+            }
+        )
+
+    spans = (
+        ds.map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("__coarse")
+        .map_groups(occ_pairs, batch_format="pandas")
+        .groupby(["a_id", "b_id"])
+        .map_groups(islands, batch_format="pandas")
+    )
+    if min_span_tokens is not None:
+
+        def thresh(batch: pa.Table) -> pa.Table:
+            keep = pc.greater_equal(batch["span_tokens"], min_span_tokens)
+            return batch.filter(keep)
+
+        spans = spans.map_batches(thresh, batch_format="pyarrow")
+    return spans

@@ -874,6 +874,62 @@ def test_range_join_partitioned(ray_session):
     assert ((got["v"].to_numpy() >= got["lo"].to_numpy()) & (got["v"].to_numpy() < got["hi"].to_numpy())).all()
 
 
+def test_duplicate_spans(ray_session):
+    """Exact-substring dup spans match an O(n²·len²) brute-force
+    reference: maximal diagonal runs of shared k-grams across doc
+    pairs, including repeated grams within one doc, multiple disjoint
+    spans per pair, and spans of exactly k tokens."""
+    from hexscape_ray.stages.dedup import duplicate_spans
+
+    k = 4
+    rng = np.random.default_rng(53)
+    vocab = [f"w{i}" for i in range(30)]
+    shared_a = ["s1", "s2", "s3", "s4", "s5", "s6"]  # 6-token span
+    shared_b = ["t1", "t2", "t3", "t4"]  # exactly k
+    docs = []
+    for d in range(12):
+        toks = list(rng.choice(vocab, size=25))
+        if d % 3 == 0:
+            toks[3:3] = shared_a
+        if d % 4 == 0:
+            toks[15:15] = shared_b
+        if d == 5:
+            toks += shared_b + shared_b  # within-doc repeat
+        docs.append(" ".join(toks))
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
+    ).repartition(3)
+    got = (
+        duplicate_spans(ds, k=k)
+        .to_pandas()
+        .sort_values(["a_id", "b_id", "a_start", "b_start"], ignore_index=True)
+    )
+
+    def grams(t):
+        w = t.split(" ")
+        return [" ".join(w[p : p + k]) for p in range(len(w) - k + 1)]
+
+    want = []
+    for a in range(len(docs)):
+        ga = grams(docs[a])
+        for b in range(a + 1, len(docs)):
+            gb = grams(docs[b])
+            hits = {(i + 1, j + 1) for i, x in enumerate(ga) for j, y in enumerate(gb) if x == y}
+            while hits:
+                ai, bj = min(hits, key=lambda p: (p[0] - p[1], p[0]))
+                run = 0
+                while (ai + run, bj + run) in hits:
+                    hits.discard((ai + run, bj + run))
+                    run += 1
+                want.append((a, b, ai, bj, run + k - 1))
+    want_df = pd.DataFrame(
+        want, columns=["a_id", "b_id", "a_start", "b_start", "span_tokens"]
+    ).sort_values(["a_id", "b_id", "a_start", "b_start"], ignore_index=True)
+    assert len(got) == len(want_df)
+    for c in want_df.columns:
+        assert (got[c].to_numpy() == want_df[c].to_numpy()).all(), c
+
+
 def test_connected_components_wide_supersteps(ray_session):
     """Superstep width derives from the edge count: a tiny
     target_rows_per_bucket forces >8 buckets and the labels still match
