@@ -97,7 +97,15 @@ def run_headline() -> dict:
         os.environ.get("GRAFT_BENCH_DOCS", 0)
     ) or _PAGES_FOR_SF.get(_sf_tag(), 2_000_000)
     pages_path = ensure_pages(n)
-    out_dir = os.path.join(BENCH_TMP, f"enriched_{n}_{NUM_CPUS}")
+    # the enriched INTERMEDIATE goes to tmpfs when available: /tmp on
+    # this VM is a ~50-80 MB/s throttled disk, so a 600 MB checkpoint
+    # write is device-bound there (measured; parquet encode itself runs
+    # >120 MB/s per core).  On a real cluster this intermediate lands
+    # in the object store / distributed FS whose aggregate bandwidth
+    # scales with nodes — tmpfs is the single-node stand-in, while the
+    # INPUT corpus stays on disk like real source data.
+    fast_tmp = "/dev/shm" if os.access("/dev/shm", os.W_OK) else BENCH_TMP
+    out_dir = os.path.join(fast_tmp, "hexscape_bench", f"enriched_{n}_{NUM_CPUS}")
     shutil.rmtree(out_dir, ignore_errors=True)
 
     # warm the OS page cache so we measure compute + shuffle, not disk.

@@ -70,3 +70,7 @@ def geocode_ids(keys) -> tuple[np.ndarray, np.ndarray]:
     x = LANDSCAPE_XMIN + fx * (LANDSCAPE_XMAX - LANDSCAPE_XMIN)
     y = LANDSCAPE_YMIN + fy * (LANDSCAPE_YMAX - LANDSCAPE_YMIN)
     return x, y
+
+
+LANDSCAPE_SPAN_X = LANDSCAPE_XMAX - LANDSCAPE_XMIN
+LANDSCAPE_SPAN_Y = LANDSCAPE_YMAX - LANDSCAPE_YMIN

@@ -63,3 +63,62 @@ def knuth_frac(keys: np.ndarray, mult: int) -> np.ndarray:
     with np.errstate(over="ignore"):
         v = (k * np.uint64(mult)) % np.uint64(MOD32)
     return v.astype(np.float64) / float(MOD32)
+
+
+def fnv1a_64_ranges(data: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Vectorised FNV-1a 64 over byte RANGES of one shared uint8 buffer
+    — bit-identical to :func:`fnv1a_64` on ``bytes(data[s:e])`` per row.
+
+    One numpy pass per byte POSITION (gather + xor + multiply on the
+    still-active rows), so total work is Σ lens elementwise ops instead
+    of a Python loop per byte; uint64 multiply has no SIMD path but its
+    scalar C throughput still beats the interpreter ~100×.  This is the
+    hot-path hasher for geocoding a string column straight from its
+    Arrow buffers.
+    """
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    n = starts.size
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    if n == 0:
+        return h
+    lens = ends - starts
+    maxlen = int(lens.max()) if lens.size else 0
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            active = lens > j
+            b = data[starts[active] + j].astype(np.uint64)
+            h[active] = (h[active] ^ b) * _FNV_PRIME
+    return h
+
+
+def _first_match_per_row(pos: np.ndarray, offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Given ascending byte positions of matches and row offsets, return
+    (rows, first_pos_in_row) — one entry per row that has ≥1 match."""
+    rows = np.searchsorted(offsets, pos, side="right") - 1
+    keep_rows, first_idx = np.unique(rows, return_index=True)
+    return keep_rows, pos[first_idx]
+
+
+def host_ranges(data: np.ndarray, offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Byte ranges [start, end) of the HOST inside each utf-8 url row of
+    a shared buffer — the vectorised twin of ``geocode.host_of``
+    (first '://' then the next '/'; ASCII delimiters are unambiguous in
+    utf-8, so byte search == character search).
+    """
+    n = offsets.size - 1
+    starts = offsets[:-1].astype(np.int64).copy()
+    ends = offsets[1:].astype(np.int64).copy()
+    if data.size >= 3:
+        m = (data[:-2] == 0x3A) & (data[1:-1] == 0x2F) & (data[2:] == 0x2F)
+        pos = np.flatnonzero(m)
+        rows = np.searchsorted(offsets, pos, side="right") - 1
+        ok = pos + 3 <= ends[rows]  # '://' fully inside its row
+        keep_rows, first = _first_match_per_row(pos[ok], offsets)
+        starts[keep_rows] = first + 3
+    slash = np.flatnonzero(data == 0x2F)
+    rows = np.searchsorted(offsets, slash, side="right") - 1
+    ok = slash >= starts[rows]  # only separators at/after the host start
+    keep_rows, first = _first_match_per_row(slash[ok], offsets)
+    ends[keep_rows] = first
+    return starts, ends

@@ -2928,6 +2928,148 @@ SQL_RETURNFLAG_QUANTITY_VAR = """
 """
 
 
+def q_returnflag_covariance(sf_dir: str) -> Dataset:
+    """Exact grouped COVARIANCE via the integer cross-moment identity
+    cov_pop = (n·Σqc − Σq·Σc) / n²: quantity and price-cents moments
+    are exact int64 sums; the n·Σqc product is taken in PYTHON INTS on
+    the tiny grouped result (int64 would overflow past ~sf3), and the
+    float appears only as the final division of two exact integers —
+    mirrored in SQL with HUGEINT arithmetic."""
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        q = np.floor(t["l_quantity"].to_numpy(zero_copy_only=False) + 0.5).astype(
+            np.int64
+        )
+        c = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "q": pa.array(q),
+                "c": pa.array(c),
+                "qc": pa.array(q * c),
+            }
+        )
+
+    agg = two_phase_sum(
+        li.map_batches(moments, batch_format="pyarrow"),
+        ["l_returnflag"],
+        ["q", "c", "qc"],
+        count_as="n",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_pylist()
+        sq = t["q"].to_pylist()
+        sc = t["c"].to_pylist()
+        sqc = t["qc"].to_pylist()
+        cov = [
+            float(ni * si - qi * ci) / float(ni * ni)
+            for ni, si, qi, ci in zip(n, sqc, sq, sc)
+        ]
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "n": t["n"],
+                "sum_q": t["q"],
+                "sum_c": t["c"],
+                "sum_qc": t["qc"],
+                "cov_pop": pa.array(cov, type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("l_returnflag")
+
+
+SQL_RETURNFLAG_COVARIANCE = """
+  WITH t AS (
+    SELECT l_returnflag, CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+           CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c
+    FROM lineitem
+  )
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(q) AS BIGINT) AS sum_q,
+         CAST(sum(c) AS BIGINT) AS sum_c,
+         CAST(sum(q * c) AS BIGINT) AS sum_qc,
+         CAST(CAST(count(*) AS HUGEINT) * CAST(sum(q * c) AS HUGEINT)
+              - CAST(sum(q) AS HUGEINT) * CAST(sum(c) AS HUGEINT) AS DOUBLE)
+           / CAST(CAST(count(*) AS HUGEINT) * CAST(count(*) AS HUGEINT) AS DOUBLE)
+           AS cov_pop
+  FROM t GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_segment_percent_rank(sf_dir: str) -> Dataset:
+    """PERCENT_RANK + CUME_DIST windows per market segment: rank with
+    ties via two searchsorted passes inside each group (count-strictly-
+    less and count-≤), both outputs the SQL-defined divisions
+    (rank−1)/(n−1) and rows≤/n of exact integers."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def pr(g: pd.DataFrame) -> pd.DataFrame:
+        bal = g["c_acctbal"].to_numpy()
+        n = len(g)
+        sortedb = np.sort(bal)
+        lt = np.searchsorted(sortedb, bal, side="left")
+        le = np.searchsorted(sortedb, bal, side="right")
+        prv = lt / (n - 1) if n > 1 else np.zeros(n)
+        return pd.DataFrame(
+            {
+                "c_custkey": g["c_custkey"].to_numpy(),
+                "c_mktsegment": g["c_mktsegment"].to_numpy(),
+                "pr": prv,
+                "cd": le / n,
+            }
+        )
+
+    return cust.groupby("c_mktsegment").map_groups(pr, batch_format="pandas")
+
+
+SQL_SEGMENT_PERCENT_RANK = """
+  SELECT c_custkey, c_mktsegment,
+    percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS pr,
+    cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS cd
+  FROM customer
+"""
+
+
+def q_nation_top_names(sf_dir: str) -> Dataset:
+    """Ordered STRING_AGG: each nation's five richest customers' names
+    comma-joined in (acctbal DESC, custkey) order — broadcast the tiny
+    nation table, per-nation top-5 via one lexsort inside map_groups."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey", "c_acctbal"])
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    names = dict(zip(nat["n_nationkey"], nat["n_name"]))
+
+    def top5(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["c_custkey"].to_numpy(), -g["c_acctbal"].to_numpy()))[:5]
+        joined = ",".join(g["c_name"].to_numpy()[order])
+        return pd.DataFrame(
+            {
+                "n_name": [names[int(g["c_nationkey"].iloc[0])]],
+                "top_names": [joined],
+                "n_top": [np.int64(len(order))],
+            }
+        )
+
+    return cust.groupby("c_nationkey").map_groups(top5, batch_format="pandas")
+
+
+SQL_NATION_TOP_NAMES = """
+  WITH r AS (
+    SELECT n_name, c_name,
+      row_number() OVER (
+        PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+    FROM customer JOIN nation ON n_nationkey = c_nationkey
+  )
+  SELECT n_name, string_agg(c_name, ',' ORDER BY rn) AS top_names,
+         CAST(count(*) AS BIGINT) AS n_top
+  FROM r WHERE rn <= 5 GROUP BY n_name
+"""
+
+
 def q_user_top_event_type(sf_dir: str) -> Dataset:
     """Per-key MODE / arg-max: each user's most frequent event type
     (ties → lexicographically smallest) via
@@ -3765,6 +3907,9 @@ RAY_QUERIES = {
     "copurchase_components": q_copurchase_components,
     "lang_source_rollup": q_lang_source_rollup,
     "returnflag_quantity_var": q_returnflag_quantity_var,
+    "returnflag_covariance": q_returnflag_covariance,
+    "segment_percent_rank": q_segment_percent_rank,
+    "nation_top_names": q_nation_top_names,
     "user_top_event_type": q_user_top_event_type,
     "event_value_quantiles_cont": q_event_value_quantiles_cont,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -3843,6 +3988,9 @@ ORACLES = {
     "copurchase_components": SQL_COPURCHASE_COMPONENTS,
     "lang_source_rollup": SQL_LANG_SOURCE_ROLLUP,
     "returnflag_quantity_var": SQL_RETURNFLAG_QUANTITY_VAR,
+    "returnflag_covariance": SQL_RETURNFLAG_COVARIANCE,
+    "segment_percent_rank": SQL_SEGMENT_PERCENT_RANK,
+    "nation_top_names": SQL_NATION_TOP_NAMES,
     "user_top_event_type": SQL_USER_TOP_EVENT_TYPE,
     "event_value_quantiles_cont": SQL_EVENT_VALUE_QUANTILES_CONT,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,

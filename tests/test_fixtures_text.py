@@ -162,3 +162,40 @@ def test_doc_quality_exact_matches_scalar(ray_session):
         assert abs(got["q_micro"][i] / 1e6 - quality_score(t)) <= 1e-6, (i, t)
         assert got["n_tokens_ws"][i] == count_tokens_ws(t)
         assert got["n_chars"][i] == len(t)
+
+
+def test_geocode_batch_vectorised_matches_scalar():
+    """Arrow-buffer range-FNV geocode is bit-identical to the scalar
+    host_of + fnv1a_64 path on adversarial urls (missing scheme, empty,
+    multibyte host, nested '://', trailing scheme) and on sliced
+    (nonzero-offset) arrays."""
+    import pyarrow as pa
+
+    from hexscape_ray.functions.hashing import fnv1a_64_str_array
+    from hexscape_ray.stages.encode import geocode_batch
+
+    urls = [
+        "https://example.com/path/to/page",
+        "http://sub.domain.org/",
+        "no-scheme-at-all",
+        "no-scheme/but/path",
+        "https://hostonly.net",
+        "",
+        "://weird",
+        "a://",
+        "https://über.de/pfad",
+        "https://x.com/a://b",
+        "ftp://tail://",
+        ":/",
+        "https://",
+    ]
+    t = pa.table({"url": pa.array(urls, type=pa.string())})
+    got = geocode_batch(t)
+    x, y = geocode_urls(urls)
+    h = fnv1a_64_str_array(urls).astype(np.int64)
+    assert (got["x"].to_numpy() == x).all()
+    assert (got["y"].to_numpy() == y).all()
+    assert (got["url_hash"].to_numpy() == h).all()
+    sliced = geocode_batch(t.slice(3, 6))
+    assert (sliced["url_hash"].to_numpy() == h[3:9]).all()
+    assert (sliced["x"].to_numpy() == x[3:9]).all()
