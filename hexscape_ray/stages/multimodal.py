@@ -1,14 +1,16 @@
 """Multimodal columns: image / audio / video as opaque ``binary``
-payloads with typed metadata (SURVEY graft scope; no media libraries
-exist in this container).
+payloads with typed metadata (SURVEY graft scope).
 
 The Ray-side plumbing is REAL and tested — schemas, actor-pool stages,
-small-batch sizing for wide binary rows, n→m frame expansion — while
-the codec kernels are stubbed: each stage tries the real decoder
-import (PIL / soundfile) and otherwise produces a clearly-labelled
-DETERMINISTIC FAKE derived from the payload bytes (so outputs are
-stable across runs and parallelism levels).  Swapping in real codecs
-on a production image is ONLY replacing the ``_decode_*`` functions.
+small-batch sizing for wide binary rows, n→m frame expansion.  Codec
+kernels: PNG and WAV decode are REAL pure-stdlib implementations
+(``functions/codecs.py`` — zlib + wave are in every CPython), used for
+the fixture payloads, which are themselves genuine PNG/WAV bytes.
+Formats needing external libs (jpeg / flac / h264 — PIL / soundfile /
+av absent from this container) fall back to a clearly-labelled
+DETERMINISTIC FAKE derived from the payload hash, so outputs stay
+stable across runs and parallelism levels; the per-row
+``decode_backend`` column says which path each row took.
 
 Schema convention (media table):
 
@@ -22,9 +24,15 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from hexscape_ray.functions.codecs import (
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+)
 from hexscape_ray.functions.hashing import fnv1a_64, splitmix64
 
-DECODE_BACKEND = "fake"
+DECODE_BACKEND = "native"  # pure-stdlib png/wav codecs
 try:  # pragma: no cover - PIL absent in this container
     import PIL.Image  # noqa: F401
 
@@ -44,26 +52,48 @@ def _fake_stats(payload: bytes, n: int) -> np.ndarray:
 class ImageDecoder:
     """image payload → (mean_r, mean_g, mean_b, sharpness) features.
 
-    Actor pool with SMALL batches: payload rows are wide, so
-    batch_size × concurrency must fit the worker heap (SURVEY §4
-    memory pressure; use batch_size≈256 at 1 MB payloads).
+    PNG payloads decode for real (pure-stdlib codec); other codecs
+    (jpeg — PIL absent) fall back to the labelled fake.  Actor pool
+    with SMALL batches: payload rows are wide, so batch_size ×
+    concurrency must fit the worker heap (SURVEY §4 memory pressure;
+    use batch_size≈256 at 1 MB payloads).
     """
 
     def __init__(self):
         self.backend = DECODE_BACKEND
 
-    def _decode(self, payload: bytes) -> np.ndarray:
-        if self.backend == "pil":  # pragma: no cover
-            raise NotImplementedError("wire PIL decode here on real images")
-        return _fake_stats(payload, 4)
+    def _decode(self, payload: bytes) -> tuple[np.ndarray, str]:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            arr = decode_png(payload).astype(np.float64)
+            if arr.shape[2] >= 3:
+                means = arr[:, :, :3].mean(axis=(0, 1)) / 255.0
+                lum = arr[:, :, :3].mean(axis=2)
+            else:  # gray / gray+alpha: replicate channel 0
+                means = np.full(3, arr[:, :, 0].mean() / 255.0)
+                lum = arr[:, :, 0]
+            # sharpness = mean abs gradient of luminance (0 for 1-px dims)
+            gsum = 0.0
+            gn = 0
+            if lum.shape[0] > 1:
+                d = np.abs(np.diff(lum, axis=0))
+                gsum += d.sum()
+                gn += d.size
+            if lum.shape[1] > 1:
+                d = np.abs(np.diff(lum, axis=1))
+                gsum += d.sum()
+                gn += d.size
+            sharp = (gsum / gn / 255.0) if gn else 0.0
+            return np.array([*means, sharp]), "native-png"
+        return _fake_stats(payload, 4), "fake"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = np.stack([self._decode(p) for p in batch["payload"].to_pylist()])
+        decoded = [self._decode(p) for p in batch["payload"].to_pylist()]
+        feats = np.stack([d[0] for d in decoded]) if decoded else np.empty((0, 4))
         out = batch.drop_columns(["payload"])
         for i, name in enumerate(["mean_r", "mean_g", "mean_b", "sharpness"]):
             out = out.append_column(name, pa.array(feats[:, i]))
         return out.append_column(
-            "decode_backend", pa.array([self.backend] * len(batch))
+            "decode_backend", pa.array([d[1] for d in decoded], type=pa.string())
         )
 
 
@@ -89,18 +119,44 @@ class ImageResizer:
 
 
 class AudioFeatureExtractor:
-    """audio payload → 8 pseudo-mel band energies (stub decode)."""
+    """audio payload → 8 log-spaced spectral band energies.
+
+    WAV/PCM payloads decode for real (stdlib ``wave``): rfft magnitude
+    averaged over 8 geometrically-spaced bands, normalised by sample
+    count.  Other codecs (flac — soundfile absent) fall back to the
+    labelled fake."""
 
     N_BANDS = 8
 
+    def _features(self, payload: bytes) -> tuple[np.ndarray, str]:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            x, _rate = decode_wav(payload)
+            mag = np.abs(np.fft.rfft(x)) / max(len(x), 1)
+            edges = np.unique(
+                np.round(np.geomspace(1, max(mag.size, 2), self.N_BANDS + 1)).astype(
+                    np.int64
+                )
+            )
+            bands = np.zeros(self.N_BANDS)
+            for i in range(min(self.N_BANDS, edges.size - 1)):
+                seg = mag[edges[i] : edges[i + 1]]
+                bands[i] = seg.mean() if seg.size else 0.0
+            return bands, "native-wav"
+        return _fake_stats(payload, self.N_BANDS), "fake"
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = np.stack(
-            [_fake_stats(p, self.N_BANDS) for p in batch["payload"].to_pylist()]
+        decoded = [self._features(p) for p in batch["payload"].to_pylist()]
+        feats = (
+            np.stack([d[0] for d in decoded])
+            if decoded
+            else np.empty((0, self.N_BANDS))
         )
         out = batch.drop_columns(["payload"])
         return out.append_column(
             "mel_bands",
             pa.FixedSizeListArray.from_arrays(pa.array(feats.ravel()), self.N_BANDS),
+        ).append_column(
+            "decode_backend", pa.array([d[1] for d in decoded], type=pa.string())
         )
 
 
@@ -137,21 +193,47 @@ class VideoFrameSampler:
 
 
 def gen_media(n: int = 200, seed: int = 7) -> pa.Table:
-    """Seeded media fixture table in the schema convention."""
+    """Seeded media fixture table in the schema convention.  Image and
+    audio payloads are GENUINE bytes (PNG via the stdlib codec, 16–48
+    px RGB; WAV PCM16 mono 8 kHz sine+noise) so the decode stages run
+    real kernels; video payloads stay opaque pseudo-h264 (no
+    pure-stdlib decoder exists)."""
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
     rows_meta, payloads = [], []
     for i in range(n):
-        size = int(rng.integers(2_000, 20_000))
-        payloads.append(rng.integers(0, 256, size, dtype=np.uint8).tobytes())
-        rows_meta.append(
-            {
-                "width": int(rng.integers(64, 4096)),
-                "height": int(rng.integers(64, 4096)),
-                "duration_ms": int(rng.integers(1_000, 60_000)),
-                "codec": ["jpeg", "flac", "h264"][["image", "audio", "video"].index(kinds[i])],
-            }
-        )
+        if kinds[i] == "image":
+            w, h = int(rng.integers(16, 48)), int(rng.integers(16, 48))
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            payloads.append(encode_png(img))
+            rows_meta.append(
+                {"width": w, "height": h, "duration_ms": 0, "codec": "png"}
+            )
+        elif kinds[i] == "audio":
+            ns = int(rng.integers(400, 2400))
+            t = np.arange(ns)
+            freq = float(rng.uniform(100, 1200))
+            x = 0.6 * np.sin(2 * np.pi * freq * t / 8000.0) + rng.normal(0, 0.02, ns)
+            payloads.append(encode_wav(x, rate=8000))
+            rows_meta.append(
+                {
+                    "width": 0,
+                    "height": 0,
+                    "duration_ms": int(ns * 1000 / 8000),
+                    "codec": "wav",
+                }
+            )
+        else:
+            size = int(rng.integers(2_000, 20_000))
+            payloads.append(rng.integers(0, 256, size, dtype=np.uint8).tobytes())
+            rows_meta.append(
+                {
+                    "width": int(rng.integers(64, 4096)),
+                    "height": int(rng.integers(64, 4096)),
+                    "duration_ms": int(rng.integers(1_000, 60_000)),
+                    "codec": "h264",
+                }
+            )
     return pa.table(
         {
             "media_id": pa.array(np.arange(n, dtype=np.int64)),
