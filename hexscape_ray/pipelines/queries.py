@@ -2325,6 +2325,17 @@ def q_ivf_knn(sf_dir: str) -> Dataset:
     return ivf_topk(emb, _query_vectors(sf_dir), k=5)
 
 
+def q_pq_knn(sf_dir: str) -> Dataset:
+    """Product-quantization ANN (stages/knn.py::pq_topk): codebooks
+    trained on a seeded random sample, corpus encoded to m-byte codes,
+    asymmetric-distance top-k — the billion-vector memory path (256 B
+    float vectors → 8 B codes).  Approximate by design → rows-only."""
+    from hexscape_ray.stages.knn import pq_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return pq_topk(emb, _query_vectors(sf_dir), k=5)
+
+
 def q_curation_pipeline(sf_dir: str) -> Dataset:
     """The end-to-end training-data curation story in one flow:
     documents → enrich (quality) → exact dedup (hash-partition, keep
@@ -3868,6 +3879,7 @@ RAY_QUERIES = {
     "simhash": q_simhash,
     "embedding_near_dup": q_embedding_near_dup,
     "ivf_knn": q_ivf_knn,
+    "pq_knn": q_pq_knn,
     "hex_top_sources": q_hex_top_sources,
     "lang_family_census": q_lang_family_census,
     "total_revenue": q_total_revenue,

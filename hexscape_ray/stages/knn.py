@@ -431,3 +431,154 @@ def kmeans_distributed(
         )
 
     return C, vecs.map_batches(assign_fn, batch_format="pyarrow")
+
+
+def pq_train(
+    sample: np.ndarray, m: int = 8, k_centroids: int = 16, n_iter: int = 12, seed: int = 19
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al., TPAMI'11): split
+    the (normalised) vector into ``m`` subspaces and run seeded Lloyd
+    k-means with ``k_centroids`` centroids in EACH subspace
+    independently.  Returns (m, k_centroids, d/m) float64.  Driver-side
+    on a bounded sample — the codebook is tiny (m·k·d/m = k·d floats)
+    and broadcasts via ``ray.put``."""
+    X = _normalize(np.asarray(sample, dtype=np.float64))
+    n, d = X.shape
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    ds = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, min(k_centroids, n), ds))
+    for s in range(m):
+        Xs = X[:, s * ds : (s + 1) * ds]
+        C = Xs[rng.choice(n, size=min(k_centroids, n), replace=False)].copy()
+        for _ in range(n_iter):
+            # L2 assignment: argmin ||x - c||² = argmax (x·c - ½||c||²)
+            scores = Xs @ C.T - 0.5 * (C * C).sum(axis=1)[None, :]
+            assign = np.argmax(scores, axis=1)
+            for j in range(C.shape[0]):
+                mask = assign == j
+                if mask.any():
+                    C[j] = Xs[mask].mean(axis=0)
+        books[s] = C
+    return books
+
+
+def pq_encode(
+    corpus: Dataset, books_ref, id_col: str = "vec_id", keep_embedding: bool = False
+) -> Dataset:
+    """Encode every vector to m uint8 centroid ids (one broadcast read
+    of the codebooks per task, one matmul per subspace per batch) —
+    the 100-TB memory path: 64-dim float32 vectors (256 B) compress to
+    m bytes, so a billion-vector index fits a few workers' heaps.
+    ``keep_embedding`` carries the original vector through for the
+    in-stream exact-rerank path."""
+
+    def enc(batch: pa.Table) -> pa.Table:
+        books = ray.get(books_ref)
+        mm, kk, ds = books.shape
+        X = _normalize(
+            np.asarray(batch["embedding"].to_numpy(zero_copy_only=False).tolist(), dtype=np.float64)
+        )
+        codes = np.empty((len(batch), mm), dtype=np.uint8)
+        for s in range(mm):
+            Xs = X[:, s * ds : (s + 1) * ds]
+            scores = Xs @ books[s].T - 0.5 * (books[s] * books[s]).sum(axis=1)[None, :]
+            codes[:, s] = np.argmax(scores, axis=1)
+        cols = {
+            id_col: batch[id_col],
+            "pq_code": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1)), mm
+            ),
+        }
+        if keep_embedding:
+            cols["embedding"] = batch["embedding"]
+        return pa.table(cols)
+
+    return corpus.map_batches(enc, batch_format="pyarrow")
+
+
+def pq_topk(
+    corpus: Dataset,
+    queries: pd.DataFrame,
+    k: int = 10,
+    m: int = 8,
+    k_centroids: int = 16,
+    train_sample: int = 4096,
+    seed: int = 19,
+    rerank: int = 4,
+) -> Dataset:
+    """Approximate top-k per query via PQ asymmetric distance (ADC)
+    with in-stream exact rerank — the classic two-tier scan: train
+    codebooks on a seeded random sample, encode the corpus to m-byte
+    codes, score every row with one LUT gather (query × subspace
+    distance tables are (nq, m, k) floats computed once per task),
+    PRUNE to the batch-local ADC top ``rerank·k``, exact-cosine only
+    those pruned rows, then a tiny global merge keeps the true top-k
+    of the candidates.  ADC ranks coarsely inside tight clusters (all
+    members share codes) — the rerank restores fine order while the
+    LUT keeps the full-batch scan O(nb·m) instead of O(nb·d).
+    ``rerank=0`` gives the pure code-only scan (originals never
+    touched — the persisted-codes / repeated-query mode)."""
+    n = corpus.count()
+    frac = min(1.0, train_sample / max(n, 1))
+    samp = corpus.random_sample(frac, seed=seed).to_pandas()
+    sample = np.asarray(samp["embedding"].tolist(), dtype=np.float64)
+    books = pq_train(sample, m=m, k_centroids=k_centroids, seed=seed)
+    books_ref = ray.put(books)
+    codes = pq_encode(corpus, books_ref, keep_embedding=rerank > 0)
+
+    qids = queries["vec_id"].to_numpy()
+    Q = _normalize(np.asarray(queries["embedding"].tolist(), dtype=np.float64))
+    mm, kk, ds = books.shape
+    # ADC tables: squared L2 from each query subvector to each centroid
+    tabs = np.empty((Q.shape[0], mm, kk))
+    for s in range(mm):
+        Qs = Q[:, s * ds : (s + 1) * ds]
+        diff = Qs[:, None, :] - books[s][None, :, :]
+        tabs[:, s, :] = (diff * diff).sum(axis=2)
+    tabs_ref = ray.put(tabs)
+    qids_ref = ray.put(qids)
+    q_ref = ray.put(Q)
+
+    def score(batch: pa.Table) -> pa.Table:
+        T = ray.get(tabs_ref)
+        qi = ray.get(qids_ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        C = np.asarray(batch["pq_code"].to_numpy(zero_copy_only=False).tolist(), dtype=np.int64)
+        nb = C.shape[0]
+        # dist[q, row] = Σ_s T[q, s, C[row, s]] — one gather, no matmul
+        flat = (np.arange(T.shape[1]) * T.shape[2])[None, :] + C  # (nb, m)
+        Tq = T.reshape(T.shape[0], -1)
+        d = Tq[:, flat.reshape(-1)].reshape(T.shape[0], nb, T.shape[1]).sum(axis=2)
+        kq = min(max(rerank, 1) * k, nb)
+        top = np.argpartition(d, kq - 1, axis=1)[:, :kq]
+        out_q = np.repeat(qi, kq)
+        out_v = ids[top.ravel()]
+        if rerank > 0:  # exact cosine on the pruned rows only
+            Qm = ray.get(q_ref)
+            X = _normalize(
+                np.asarray(
+                    batch["embedding"].to_numpy(zero_copy_only=False).tolist(),
+                    dtype=np.float64,
+                )
+            )
+            cand = X[top.ravel()]  # (nq·kq, d)
+            qrep = np.repeat(np.arange(Qm.shape[0]), kq)
+            out_s = (cand * Qm[qrep]).sum(axis=1)
+        else:  # code-only: report negated ADC distance as the score
+            out_s = -np.take_along_axis(d, top, axis=1).ravel()
+        return pa.table(
+            {
+                "query_id": pa.array(out_q.astype(np.int64)),
+                "vec_id": pa.array(out_v.astype(np.int64)),
+                "score": pa.array(out_s),
+            }
+        )
+
+    local = codes.map_batches(score, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        return g.reset_index(drop=True)
+
+    return local.groupby("query_id").map_groups(merge, batch_format="pandas")

@@ -134,6 +134,45 @@ def test_ivf_recall_of_near_identical(emb_ds):
     assert set(out["vec_id"]) >= {3, 7}  # the near-identical vector found
 
 
+def test_pq_topk_recall(ray_session):
+    """PQ/ADC recall on clustered vectors: codes are m uint8 per
+    vector; top-10 by asymmetric distance recovers most of the true
+    cosine top-10, and exact-duplicate vectors rank first."""
+    import pyarrow as pa
+
+    from hexscape_ray.stages.knn import pq_topk
+
+    rng = np.random.default_rng(61)
+    n, d, n_clusters = 800, 64, 10
+    centers = rng.normal(0, 1, (n_clusters, d))
+    assign = rng.integers(0, n_clusters, n)
+    X = centers[assign] + rng.normal(0, 0.15, (n, d))
+    X[7] = X[3]  # exact duplicate
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(X.tolist()),
+            }
+        )
+    ).repartition(4)
+    queries = pd.DataFrame({"vec_id": [3, 100, 200], "embedding": list(X[[3, 100, 200]])})
+    got = pq_topk(ds, queries, k=10, m=8, k_centroids=16).to_pandas()
+    # exact dup of query 3 must appear in its top-10
+    assert 7 in set(got[got["query_id"] == 3]["vec_id"])
+    # recall vs brute-force cosine top-10
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rec = []
+    for q in [3, 100, 200]:
+        true = set(np.argsort(-(Xn @ Xn[q]))[:10])
+        mine = set(got[got["query_id"] == q]["vec_id"])
+        rec.append(len(true & mine) / 10)
+    assert np.mean(rec) >= 0.8, rec
+    # code-only mode (rerank=0, originals untouched) still finds the dup
+    coarse = pq_topk(ds, queries.iloc[[0]], k=10, m=8, k_centroids=16, rerank=0).to_pandas()
+    assert 7 in set(coarse["vec_id"])
+
+
 def test_embedding_near_dup_pair(emb_ds):
     pairs = embedding_near_dup(emb_ds, threshold=0.999).to_pandas()
     assert ((pairs["a"] == 3) & (pairs["b"] == 7)).any()
