@@ -2336,6 +2336,62 @@ def q_pq_knn(sf_dir: str) -> Dataset:
     return pq_topk(emb, _query_vectors(sf_dir), k=5)
 
 
+def q_pack_sequences(sf_dir: str) -> Dataset:
+    """Sequence packing (stages/textops.py::pack_sequences): per-lang
+    FFD bin-packing of ≤256-token doc chunks into training sequences.
+    Keyed mode → deterministic under any partitioning; rows-only (seq
+    composition is packing-algorithm-defined, not SQL); the exact
+    conservation laws are the ``packing_stats`` oracle."""
+    from hexscape_ray.stages.textops import pack_sequences
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    out = pack_sequences(ds, max_len=256, by="lang")
+    return out.select_columns(
+        ["lang", "seq_uid", "n_docs", "n_chunks", "n_tokens", "fill_pml"]
+    )
+
+
+def q_packing_stats(sf_dir: str) -> Dataset:
+    """The exact side of sequence packing: per-lang doc count, total
+    whitespace tokens and total ≤256-token chunks (= Σ ceil(n/256)) —
+    what any correct packer must conserve; SQL-expressible, so this is
+    the oracle for the rows-only ``pack_sequences``."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        toks = np.fromiter(
+            (len(t.split(" ")) for t in batch["text"].to_pylist()),
+            dtype=np.int64,
+            count=len(batch),
+        )
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "n_tok": pa.array(toks),
+                "n_chunk": pa.array(-(-toks // 256)),
+            }
+        )
+
+    return two_phase_sum(
+        ds.map_batches(stats, batch_format="pyarrow"),
+        ["lang"],
+        ["n_tok", "n_chunk"],
+        count_as="n_docs",
+    ).rename_columns({"n_tok": "total_tokens", "n_chunk": "total_chunks"})
+
+
+SQL_PACKING_STATS = """
+  WITH t AS (
+    SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+    FROM documents
+  )
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS total_tokens,
+         CAST(sum((n + 255) // 256) AS BIGINT) AS total_chunks
+  FROM t GROUP BY lang
+"""
+
+
 def q_curation_pipeline(sf_dir: str) -> Dataset:
     """The end-to-end training-data curation story in one flow:
     documents → enrich (quality) → exact dedup (hash-partition, keep
@@ -3880,6 +3936,8 @@ RAY_QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "ivf_knn": q_ivf_knn,
     "pq_knn": q_pq_knn,
+    "pack_sequences": q_pack_sequences,
+    "packing_stats": q_packing_stats,
     "hex_top_sources": q_hex_top_sources,
     "lang_family_census": q_lang_family_census,
     "total_revenue": q_total_revenue,
@@ -3958,6 +4016,7 @@ ORACLES = {
     "top_parts": SQL_TOP_PARTS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "token_counts": SQL_TOKEN_COUNTS,
+    "packing_stats": SQL_PACKING_STATS,
     "hex_doc_counts_r1": SQL_HEX_DOC_COUNTS_R1,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_late": SQL_EVENTS_LATE,

@@ -199,3 +199,54 @@ def test_geocode_batch_vectorised_matches_scalar():
     sliced = geocode_batch(t.slice(3, 6))
     assert (sliced["url_hash"].to_numpy() == h[3:9]).all()
     assert (sliced["x"].to_numpy() == x[3:9]).all()
+
+
+def test_pack_sequences_invariants(ray_session):
+    """Packing conserves every chunk exactly once (Σ seq tokens == Σ
+    doc tokens, per-doc chunk counts == ceil(len/max_len)), never
+    overfills a sequence, splits overlong docs, and the keyed mode is
+    invariant to Ray partitioning."""
+    import pyarrow as pa
+    import ray.data
+
+    from hexscape_ray.stages.textops import pack_sequences
+
+    rng = np.random.default_rng(71)
+    max_len = 64
+    rows = []
+    for i in range(300):
+        L = int(rng.integers(1, 200))  # some docs overflow max_len
+        rows.append(
+            {
+                "doc_id": i,
+                "lang": ["en", "de", "fr"][i % 3],
+                "text": " ".join(["w"] * L),
+            }
+        )
+    want_tokens = {r["doc_id"]: len(r["text"].split(" ")) for r in rows}
+    ds = ray.data.from_items(rows).repartition(5)
+    got = pack_sequences(ds, max_len=max_len, by="lang").to_pandas()
+    assert (got["n_tokens"] <= max_len).all()
+    assert got["n_tokens"].sum() == sum(want_tokens.values())
+    # per-doc chunk counts
+    from collections import Counter
+
+    chunks = Counter()
+    for dd in got["doc_ids"]:
+        chunks.update(list(dd))
+    for d, L in want_tokens.items():
+        assert chunks[d] == -(-L // max_len), d
+    assert got["seq_uid"].is_unique
+    # partition invariance of the keyed mode
+    got2 = (
+        pack_sequences(ray.data.from_items(rows).repartition(11), max_len=max_len, by="lang")
+        .to_pandas()
+        .sort_values("seq_uid", ignore_index=True)
+    )
+    g1 = got.sort_values("seq_uid", ignore_index=True)
+    assert (g1["n_tokens"].to_numpy() == got2["n_tokens"].to_numpy()).all()
+    assert (g1["n_chunks"].to_numpy() == got2["n_chunks"].to_numpy()).all()
+    # block-local streaming mode: same conservation, no shuffle
+    got3 = pack_sequences(ds, max_len=max_len).to_pandas()
+    assert got3["n_tokens"].sum() == sum(want_tokens.values())
+    assert (got3["n_tokens"] <= max_len).all()
