@@ -2392,6 +2392,40 @@ SQL_PACKING_STATS = """
 """
 
 
+def q_vocab_encode(sf_dir: str) -> Dataset:
+    """Tokenizer fit + corpus encode (stages/textops.py::build_vocab /
+    encode_docs): top-16 vocab by (freq DESC, token ASC) with ids
+    1..16, OOV → 0; every doc encoded to an id list in one flattened
+    vectorised lookup.  The oracle checks the whole contract — per-doc
+    token count, OOV count, and Σ ids (which pins every in-vocab
+    token's RANK, i.e. the vocab itself)."""
+    from hexscape_ray.stages.textops import build_vocab, encode_docs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    vocab = build_vocab(ds, vocab_size=16)
+    return encode_docs(ds, vocab).select_columns(
+        ["doc_id", "n_tokens", "n_oov", "id_sum"]
+    )
+
+
+SQL_VOCAB_ENCODE = """
+  WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  ),
+  freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+  vocab AS (
+    SELECT token, row_number() OVER (ORDER BY cnt DESC, token) AS id
+    FROM freq QUALIFY id <= 16
+  )
+  SELECT t.doc_id,
+    CAST(count(*) AS BIGINT) AS n_tokens,
+    CAST(count(*) FILTER (WHERE v.token IS NULL) AS BIGINT) AS n_oov,
+    CAST(coalesce(sum(v.id), 0) AS BIGINT) AS id_sum
+  FROM tok t LEFT JOIN vocab v ON t.token = v.token
+  GROUP BY t.doc_id
+"""
+
+
 def q_curation_pipeline(sf_dir: str) -> Dataset:
     """The end-to-end training-data curation story in one flow:
     documents → enrich (quality) → exact dedup (hash-partition, keep
@@ -3938,6 +3972,7 @@ RAY_QUERIES = {
     "pq_knn": q_pq_knn,
     "pack_sequences": q_pack_sequences,
     "packing_stats": q_packing_stats,
+    "vocab_encode": q_vocab_encode,
     "hex_top_sources": q_hex_top_sources,
     "lang_family_census": q_lang_family_census,
     "total_revenue": q_total_revenue,
@@ -4017,6 +4052,7 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "token_counts": SQL_TOKEN_COUNTS,
     "packing_stats": SQL_PACKING_STATS,
+    "vocab_encode": SQL_VOCAB_ENCODE,
     "hex_doc_counts_r1": SQL_HEX_DOC_COUNTS_R1,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_late": SQL_EVENTS_LATE,

@@ -392,3 +392,70 @@ def pack_sequences(
         return df
 
     return ds.groupby(by).map_groups(pack_group, batch_format="pandas")
+
+
+def build_vocab(ds, text_col: str = "text", vocab_size: int = 30000):
+    """Corpus vocabulary: top-``vocab_size`` whitespace tokens by
+    (frequency DESC, token ASC), ids 1..V (0 reserved for OOV/pad) —
+    the tokenizer-fitting step.  One two-phase count shuffle + a
+    distributed sort of the (distinct-token-sized) count table; only
+    the V-row vocab ever reaches the driver."""
+    from hexscape_ray.stages.agg import two_phase_sum
+
+    def toks(batch: pa.Table) -> pa.Table:
+        flat: list[str] = []
+        for t in batch[text_col].to_pylist():
+            flat.extend(t.split(" "))
+        return pa.table({"token": pa.array(flat, type=pa.string())})
+
+    counts = two_phase_sum(
+        ds.map_batches(toks, batch_format="pyarrow"), ["token"], [], count_as="cnt"
+    )
+    top = (
+        counts.sort(["cnt", "token"], descending=[True, False])
+        .limit(vocab_size)
+        .to_pandas()
+    )
+    top["id"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top  # columns: token, cnt, id
+
+
+def encode_docs(ds, vocab, id_col: str = "doc_id", text_col: str = "text"):
+    """Encode every document to token ids against a broadcast vocab
+    (OOV → 0): tokens of the whole batch are flattened once, mapped
+    through the vocab in one vectorised pandas lookup, and re-grouped
+    by offsets — no per-token Python in the hot path.  Output:
+    (doc_id, ids list<int64>, n_tokens, n_oov, id_sum)."""
+    import pandas as pd
+    import ray
+
+    vref = ray.put(dict(zip(vocab["token"], vocab["id"].astype(np.int64))))
+
+    def enc(batch: pa.Table) -> pa.Table:
+        vmap = ray.get(vref)
+        texts = batch[text_col].to_pylist()
+        flat: list[str] = []
+        offs = np.empty(len(texts) + 1, dtype=np.int64)
+        offs[0] = 0
+        for i, t in enumerate(texts):
+            parts = t.split(" ")
+            flat.extend(parts)
+            offs[i + 1] = offs[i] + len(parts)
+        ids = pd.Series(flat).map(vmap).fillna(0).to_numpy(dtype=np.int64)
+        # segmented sums/counts (reduceat unsafe on empty segments; no
+        # empty segments here — ''.split(' ') is [''] so len ≥ 1)
+        csum = np.concatenate([[0], np.cumsum(ids)])
+        coov = np.concatenate([[0], np.cumsum(ids == 0)])
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "ids": pa.array(
+                    np.split(ids, offs[1:-1]), type=pa.list_(pa.int64())
+                ),
+                "n_tokens": pa.array(offs[1:] - offs[:-1]),
+                "n_oov": pa.array(coov[offs[1:]] - coov[offs[:-1]]),
+                "id_sum": pa.array(csum[offs[1:]] - csum[offs[:-1]]),
+            }
+        )
+
+    return ds.map_batches(enc, batch_format="pyarrow")
