@@ -2392,6 +2392,150 @@ SQL_PACKING_STATS = """
 """
 
 
+def q_length_outliers(sf_dir: str) -> Dataset:
+    """IQR outlier filter per language — the data-quality gate shape:
+    exact per-lang Q1/Q3 (quantile_disc over (value,count)-compressed
+    partials), then a broadcast-bounds pass counts docs outside
+    [Q1−1.5·IQR, Q3+1.5·IQR].  The 1.5 factor is kept in INTEGERS
+    (2n < 5·q1 − 3·q3  /  2n > 5·q3 − 3·q1) so the comparison — and
+    the SQL mirror — is exact."""
+    from hexscape_ray.stages.agg import grouped_quantiles_disc
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    qs = grouped_quantiles_disc(ds, ["lang"], "n_chars", {"q1": 0.25, "q3": 0.75})
+    qdf = qs.to_pandas()
+    bounds = {
+        r["lang"]: (int(r["q1"]), int(r["q3"])) for _, r in qdf.iterrows()
+    }
+    bref = ray.put(bounds)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        langs = batch["lang"].to_pylist()
+        n = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q1 = np.fromiter((b[l][0] for l in langs), np.int64, len(langs))
+        q3 = np.fromiter((b[l][1] for l in langs), np.int64, len(langs))
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "q1": pa.array(q1),
+                "q3": pa.array(q3),
+                "n_low": pa.array((2 * n < 5 * q1 - 3 * q3).astype(np.int64)),
+                "n_high": pa.array((2 * n > 5 * q3 - 3 * q1).astype(np.int64)),
+            }
+        )
+
+    return two_phase_sum(
+        ds.map_batches(flag, batch_format="pyarrow"),
+        ["lang", "q1", "q3"],
+        ["n_low", "n_high"],
+        count_as="n_docs",
+    )
+
+
+SQL_LENGTH_OUTLIERS = """
+  WITH q AS (
+    SELECT lang, CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS q1,
+           CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS q3
+    FROM documents GROUP BY lang
+  )
+  SELECT d.lang, q1, q3,
+    CAST(count(*) FILTER (WHERE 2 * n_chars < 5 * q1 - 3 * q3) AS BIGINT) AS n_low,
+    CAST(count(*) FILTER (WHERE 2 * n_chars > 5 * q3 - 3 * q1) AS BIGINT) AS n_high,
+    CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents d JOIN q USING (lang) GROUP BY d.lang, q1, q3
+"""
+
+
+def q_small_quantity_revenue(sf_dir: str) -> Dataset:
+    """Correlated-aggregate decorrelation (TPC-H Q17 shape): lineitems
+    with quantity below 0.2× their part's average quantity, revenue per
+    brand.  The per-part average is a two-phase (Σq, n) partial table
+    joined BACK to lineitem with the partitioned hash join (at corpus
+    scale the partials outgrow a broadcast); the 0.2 factor compares in
+    integers (5·q·n < Σq) so engine and SQL agree bit-for-bit; brand
+    labels attach via a broadcast dict (part is the small side)."""
+    from hexscape_ray.stages.joins import bucketed_join
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        q = np.floor(batch["l_quantity"].to_numpy(zero_copy_only=False) + 0.5).astype(
+            np.int64
+        )
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_partkey": batch["l_partkey"],
+                "q": pa.array(q),
+                "cents": pa.array(np.floor(p * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    prepped = li.map_batches(prep, batch_format="pyarrow").materialize()
+    partials = two_phase_sum(
+        prepped.select_columns(["l_partkey", "q"]).rename_columns({"q": "s"}),
+        ["l_partkey"],
+        ["s"],
+        count_as="c",
+    )
+    joined = bucketed_join(
+        prepped,
+        partials,
+        on="l_partkey",
+        left_schema=pa.schema(
+            [("l_partkey", pa.int64()), ("q", pa.int64()), ("cents", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("l_partkey", pa.int64()), ("s", pa.int64()), ("c", pa.int64())]
+        ),
+    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    brand = dict(zip(part["p_partkey"], part["p_brand"]))
+    bref = ray.put(brand)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        q = batch["q"].to_numpy(zero_copy_only=False)
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        c = batch["c"].to_numpy(zero_copy_only=False)
+        keep = 5 * q * c < s
+        batch = batch.filter(pa.array(keep))
+        b = ray.get(bref)
+        brands = [b[int(k)] for k in batch["l_partkey"].to_pylist()]
+        return pa.table(
+            {
+                "p_brand": pa.array(brands, type=pa.string()),
+                "cents": batch["cents"],
+            }
+        )
+
+    return two_phase_sum(
+        joined.map_batches(pick, batch_format="pyarrow"),
+        ["p_brand"],
+        ["cents"],
+        count_as="n_items",
+    ).rename_columns({"cents": "revenue_cents"})
+
+
+SQL_SMALL_QUANTITY_REVENUE = """
+  WITH pq AS (
+    SELECT l_partkey,
+           CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS s,
+           CAST(count(*) AS BIGINT) AS c
+    FROM lineitem GROUP BY l_partkey
+  )
+  SELECT p_brand,
+    CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+      AS revenue_cents,
+    CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem l
+  JOIN pq USING (l_partkey)
+  JOIN part ON p_partkey = l_partkey
+  WHERE 5 * CAST(floor(l_quantity + 0.5) AS BIGINT) * c < s
+  GROUP BY p_brand
+"""
+
+
 def q_vocab_encode(sf_dir: str) -> Dataset:
     """Tokenizer fit + corpus encode (stages/textops.py::build_vocab /
     encode_docs): top-16 vocab by (freq DESC, token ASC) with ids
@@ -3973,6 +4117,8 @@ RAY_QUERIES = {
     "pack_sequences": q_pack_sequences,
     "packing_stats": q_packing_stats,
     "vocab_encode": q_vocab_encode,
+    "length_outliers": q_length_outliers,
+    "small_quantity_revenue": q_small_quantity_revenue,
     "hex_top_sources": q_hex_top_sources,
     "lang_family_census": q_lang_family_census,
     "total_revenue": q_total_revenue,
@@ -4053,6 +4199,8 @@ ORACLES = {
     "token_counts": SQL_TOKEN_COUNTS,
     "packing_stats": SQL_PACKING_STATS,
     "vocab_encode": SQL_VOCAB_ENCODE,
+    "length_outliers": SQL_LENGTH_OUTLIERS,
+    "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
     "hex_doc_counts_r1": SQL_HEX_DOC_COUNTS_R1,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_late": SQL_EVENTS_LATE,
