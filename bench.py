@@ -176,6 +176,12 @@ def run_queries() -> dict:
         "funnel_view_purchase",
         "edit_distance_pairs",
         "bloom_brand_revenue",
+        "brand_size_band_revenue",
+        "dup_spans",
+        "pq_knn",
+        "pack_sequences",
+        "vocab_encode",
+        "small_quantity_revenue",
     ]
     out = {}
     for name in names:

@@ -822,6 +822,87 @@ SQL_ASOF_ORDER_EVENTS = """
 """
 
 
+def q_asof_next_order(sf_dir: str) -> Dataset:
+    """FORWARD as-of join (asof_join(direction='forward')): every
+    'view' event aligned with the SAME user's next 'purchase' event
+    at-or-after it — the look-ahead label-generation alignment ('did a
+    purchase follow this view?').  Oracle = DuckDB native ASOF JOIN
+    over NEGATED times (forward ≡ backward on −t); right side deduped
+    per (user, ts) with max(event_id) inside the bucket kernel."""
+    from hexscape_ray.stages.joins import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def views(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["event_type"], "view"))
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "us": batch["ts"].cast(pa.int64()),
+            }
+        )
+
+    def purchases(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["event_type"], "purchase"))
+        return pa.table(
+            {
+                "p_user": batch["user_id"],
+                "pt": batch["ts"].cast(pa.int64()),
+                "purchase_event_id": batch["event_id"].cast(pa.int64()),
+            }
+        )
+
+    # disjoint key column names: rename the join key on the left too
+    def rekey(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["event_id", "p_user", "us"])
+
+    out = asof_join(
+        ev.map_batches(views, batch_format="pyarrow").map_batches(
+            rekey, batch_format="pyarrow"
+        ),
+        ev.map_batches(purchases, batch_format="pyarrow"),
+        on="p_user",
+        left_time="us",
+        right_time="pt",
+        right_dedup=("purchase_event_id", "max"),
+        direction="forward",
+        left_schema=pa.schema(
+            [("event_id", pa.int64()), ("p_user", pa.int64()), ("us", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("p_user", pa.int64()), ("pt", pa.int64()), ("purchase_event_id", pa.int64())]
+        ),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["p_user"],
+                "purchase_event_id": batch["purchase_event_id"],
+                "purchase_ts_us": batch["pt"],
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_ASOF_NEXT_ORDER = """
+  WITH e AS (
+    SELECT event_id, user_id, -epoch_us(ts) AS nus
+    FROM events WHERE event_type = 'view'
+  ),
+  r AS (
+    SELECT user_id AS p_user, epoch_us(ts) AS pt, -epoch_us(ts) AS npt,
+           max(CAST(event_id AS BIGINT)) AS purchase_event_id
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2, 3
+  )
+  SELECT e.event_id, e.user_id, r.purchase_event_id, r.pt AS purchase_ts_us
+  FROM e ASOF JOIN r ON e.user_id = r.p_user AND e.nus >= r.npt
+"""
+
+
 def q_train_val_test_split(sf_dir: str) -> Dataset:
     """Deterministic dataset splitting (the standard training-data op):
     each doc assigned to train/val/test by Knuth multiplicative hash of
@@ -4141,6 +4222,7 @@ RAY_QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "token_df": q_token_df,
     "asof_order_events": q_asof_order_events,
+    "asof_next_order": q_asof_next_order,
     "quantity_band_revenue": q_quantity_band_revenue,
     "quantity_band_overlap": q_quantity_band_overlap,
     "brand_size_band_revenue": q_brand_size_band_revenue,
@@ -4226,6 +4308,7 @@ ORACLES = {
     "doc_repetition": SQL_DOC_REPETITION,
     "token_df": SQL_TOKEN_DF,
     "asof_order_events": SQL_ASOF_ORDER_EVENTS,
+    "asof_next_order": SQL_ASOF_NEXT_ORDER,
     "quantity_band_revenue": SQL_QUANTITY_BAND_REVENUE,
     "quantity_band_overlap": SQL_QUANTITY_BAND_OVERLAP,
     "brand_size_band_revenue": SQL_BRAND_SIZE_BAND_REVENUE,

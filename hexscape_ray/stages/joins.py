@@ -305,11 +305,19 @@ def asof_join(
     left_schema=None,
     right_schema=None,
     right_dedup: tuple[str, str] | None = None,
+    direction: str = "backward",
+    tolerance=None,
 ) -> Dataset:
     """AS-OF join — for every left row, the matching right row with the
     LARGEST ``right_time`` ≤ ``left_time`` within the same ``on`` key
     (the time-series alignment operator Ray Data's join API lacks;
     DuckDB's native ASOF JOIN is the oracle).
+
+    ``direction="forward"`` flips the match to the SMALLEST
+    ``right_time`` ≥ ``left_time`` (the next-event alignment; oracle =
+    DuckDB ASOF over negated times).  ``tolerance`` (same units as the
+    time columns) drops matches with ``|right_time − left_time| >
+    tolerance`` — pandas ``merge_asof`` semantics.
 
     EXECUTION CONTRACT (same as :func:`bucketed_join`): the union
     padding needs each side's schema up front, and ``Dataset.schema()``
@@ -456,12 +464,21 @@ def asof_join(
             keep[:-1] = rcomp[o2][1:] != rcomp[o2][:-1]
             sel = np.sort(o2[keep])
             rg = rg.take(pa.array(sel))
-            rcode, rcomp = rcode[sel], rcomp[sel]
+            rcode, rcomp, rt = rcode[sel], rcomp[sel], rt[sel]
             nr = len(sel)
         order = np.argsort(rcomp, kind="stable") if nr else np.empty(0, np.int64)
-        idx = np.searchsorted(rcomp[order] if nr else rcomp, lcomp, side="right") - 1
-        cand = order[np.clip(idx, 0, None)] if nr else np.zeros(nl, np.int64)
-        ok = (idx >= 0) & (rcode[cand] == lcode) if nr else np.zeros(nl, bool)
+        if direction == "forward":
+            idx = np.searchsorted(rcomp[order] if nr else rcomp, lcomp, side="left")
+            inb = idx < nr
+            cand = order[np.clip(idx, None, max(nr - 1, 0))] if nr else np.zeros(nl, np.int64)
+        else:
+            idx = np.searchsorted(rcomp[order] if nr else rcomp, lcomp, side="right") - 1
+            inb = idx >= 0
+            cand = order[np.clip(idx, 0, None)] if nr else np.zeros(nl, np.int64)
+        ok = inb & (rcode[cand] == lcode) if nr else np.zeros(nl, bool)
+        if tolerance is not None and nr:
+            dt = np.abs(rt[cand].astype(np.float64) - lt.astype(np.float64))
+            ok &= dt <= tolerance
 
         if how == "left":
             sel_l = np.arange(nl)

@@ -142,9 +142,12 @@ def run_partitioned(
             import pyarrow.parquet as pq
 
             rows = 0
+            nbytes = 0
             for name in os.listdir(tmp_dir):
                 if name.endswith(".parquet"):
-                    rows += pq.read_metadata(os.path.join(tmp_dir, name)).num_rows
+                    fp = os.path.join(tmp_dir, name)
+                    rows += pq.read_metadata(fp).num_rows
+                    nbytes += os.path.getsize(fp)
             # audit-mode only: hashing re-reads every written byte
             content_hash = _content_hash(tmp_dir) if content_hashing else None
             os.rename(tmp_dir, part_dir)  # failure leaves only tmp (retried clean)
@@ -155,6 +158,7 @@ def run_partitioned(
                     "status": "ok",
                     "inputs": partitions[pid],
                     "rows": rows,
+                    "bytes": nbytes,
                     "content_hash": content_hash,
                     "wall_sec": round(time.perf_counter() - t0, 3),
                     "engine_version": ENGINE_VERSION,

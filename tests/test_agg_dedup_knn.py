@@ -798,6 +798,66 @@ def test_asof_join_matches_pandas_merge_asof(ray_session):
     ).to_pandas()
     assert len(got_left) == nl
     assert got_left["val"].isna().sum() == want["val"].isna().sum()
+    # forward direction == merge_asof(direction='forward')
+    want_f = (
+        pd.merge_asof(
+            left.sort_values("t", kind="stable"),
+            right.sort_values("rt"),
+            left_on="t",
+            right_on="rt",
+            by="k",
+            direction="forward",
+        )
+        .dropna(subset=["val"])
+        .sort_values("lid", ignore_index=True)
+    )
+    got_f = (
+        asof_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            on="k",
+            left_time="t",
+            right_time="rt",
+            direction="forward",
+        )
+        .to_pandas()
+        .sort_values("lid", ignore_index=True)
+    )
+    assert len(got_f) == len(want_f)
+    assert np.array_equal(got_f["val"].to_numpy(np.int64), want_f["val"].to_numpy(np.int64))
+    assert np.array_equal(got_f["rt"].to_numpy(np.int64), want_f["rt"].to_numpy(np.int64))
+    # tolerance drops distant matches (both directions)
+    for direction in ("backward", "forward"):
+        want_t = (
+            pd.merge_asof(
+                left.sort_values("t", kind="stable"),
+                right.sort_values("rt"),
+                left_on="t",
+                right_on="rt",
+                by="k",
+                direction=direction,
+                tolerance=200,
+            )
+            .dropna(subset=["val"])
+            .sort_values("lid", ignore_index=True)
+        )
+        got_t = (
+            asof_join(
+                ray.data.from_pandas(left),
+                ray.data.from_pandas(right),
+                on="k",
+                left_time="t",
+                right_time="rt",
+                direction=direction,
+                tolerance=200,
+            )
+            .to_pandas()
+            .sort_values("lid", ignore_index=True)
+        )
+        assert len(got_t) == len(want_t), direction
+        assert np.array_equal(
+            got_t["val"].to_numpy(np.int64), want_t["val"].to_numpy(np.int64)
+        ), direction
 
 
 def test_range_join_broadcast(ray_session):
