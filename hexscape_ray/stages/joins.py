@@ -629,6 +629,7 @@ def range_join_partitioned(
     n_ranges: int = 64,
     big_schema=None,
     intervals_schema=None,
+    edges=None,
 ) -> Dataset:
     """DISTRIBUTED general interval join — every (row, interval) pair
     with ``lo ≤ value < hi``, intervals arbitrarily overlapping or
@@ -662,11 +663,16 @@ def range_join_partitioned(
     bcols, icols = list(bschema.names), list(ischema.names)
     assert not set(bcols) & set(icols), "side column names must be disjoint"
 
-    dom = intervals.aggregate(
-        Min(lo_col, alias_name="lo_min"), Max(hi_col, alias_name="hi_max")
-    )
-    lo_min, hi_max = float(dom["lo_min"]), float(dom["hi_max"])
-    edges = np.linspace(lo_min, hi_max, n_ranges + 1)
+    if edges is None:
+        dom = intervals.aggregate(
+            Min(lo_col, alias_name="lo_min"), Max(hi_col, alias_name="hi_max")
+        )
+        lo_min, hi_max = float(dom["lo_min"]), float(dom["hi_max"])
+        edges = np.linspace(lo_min, hi_max, n_ranges + 1)
+    else:  # e.g. quantile-sketch edges for a skewed probe domain
+        edges = np.asarray(edges, dtype=np.float64)
+        assert edges.size >= 2 and (np.diff(edges) >= 0).all(), "edges must ascend"
+    n_ranges = edges.size - 1
     edges_ref = ray.put(edges)
 
     def _arrow_type(t) -> pa.DataType:

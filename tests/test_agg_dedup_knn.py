@@ -971,6 +971,16 @@ def test_range_join_partitioned(ray_session):
     # int64 ids survive the shuffle (no float degradation)
     assert got["rid"].dtype == np.int64 and got["iid"].dtype == np.int64
     assert ((got["v"].to_numpy() >= got["lo"].to_numpy()) & (got["v"].to_numpy() < got["hi"].to_numpy())).all()
+    # custom (skew-resistant quantile) edges give the identical join
+    qe = np.quantile(np.concatenate([lo, hi]), np.linspace(0, 1, 9))
+    got_q = (
+        range_join_partitioned(ds, ivs, "v", edges=qe)
+        .to_pandas()
+        .sort_values(["rid", "iid"], ignore_index=True)
+    )
+    assert len(got_q) == len(got)
+    assert (got_q["rid"].to_numpy() == got["rid"].to_numpy()).all()
+    assert (got_q["iid"].to_numpy() == got["iid"].to_numpy()).all()
 
 
 def test_duplicate_spans(ray_session):
