@@ -636,40 +636,33 @@ SQL_EVENTS_SLIDING = """
 
 
 def q_user_activity(sf_dir: str) -> Dataset:
-    """Per-user event profile: counts per type (wide) + value cents."""
+    """Per-user event profile: counts per type (wide) + value cents —
+    the PIVOT is pushed into the per-batch prep as 0/1 indicator
+    columns, so the whole query is ONE two-phase sum (the round-3
+    rewrite replaced a one-pandas-DataFrame-per-user widen pass, the
+    measured per-group-overhead trap)."""
     ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    types = ["click", "error", "purchase", "signup", "view"]
 
     def prep(batch: pa.Table) -> pa.Table:
         cents = np.floor(
             batch["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
         ).astype(np.int64)
-        return pa.table(
-            {
-                "user_id": batch["user_id"],
-                "event_type": batch["event_type"],
-                "value_cents": pa.array(cents),
-            }
-        )
-
-    partials = two_phase_sum(
-        ds.map_batches(prep, batch_format="pyarrow"),
-        ["user_id", "event_type"],
-        ["value_cents"],
-        count_as="n",
-    )
-
-    def widen(g: pd.DataFrame) -> pd.DataFrame:
-        row = {
-            "user_id": g["user_id"].iloc[0],
-            "n_events": int(g["n"].sum()),
-            "value_cents": int(g["value_cents"].sum()),
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        cols = {
+            "user_id": batch["user_id"],
+            "value_cents": pa.array(cents),
         }
-        by = g.groupby("event_type")["n"].sum()
-        for et in ["click", "error", "purchase", "signup", "view"]:
-            row[f"n_{et}"] = int(by.get(et, 0))
-        return pd.DataFrame([row])
+        for t in types:
+            cols[f"n_{t}"] = pa.array((et == t).astype(np.int64))
+        return pa.table(cols)
 
-    return partials.groupby("user_id").map_groups(widen, batch_format="pandas")
+    return two_phase_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"],
+        ["value_cents"] + [f"n_{t}" for t in types],
+        count_as="n_events",
+    )
 
 
 SQL_USER_ACTIVITY = """
@@ -1127,14 +1120,17 @@ SQL_QUANTITY_BAND_OVERLAP = """
 
 
 def q_brand_size_band_revenue(sf_dir: str) -> Dataset:
-    """PARTITIONED range join (stages/joins.py::range_join_partitioned):
-    the interval side is a full Dataset — one overlapping band
-    ``[p_size, p_size + 1.25)`` per part row (2k..2M intervals, too many
-    to broadcast at scale) stabbed by returned-lineitem quantities.
-    Domain cells co-locate both sides in ONE shuffle; within a cell the
-    match is the same elementary-segment CSR kernel as the broadcast
-    form.  Oracle = the interval-predicate SQL join."""
-    from hexscape_ray.stages.joins import range_join_partitioned
+    """PARTITIONED range join with AGGREGATE PUSHDOWN
+    (stages/joins.py::range_join_aggregate): the interval side is a
+    full Dataset — one overlapping band ``[p_size, p_size + 1.25)`` per
+    part row (2k..2M intervals, too many to broadcast at scale) stabbed
+    by returned-lineitem quantities.  Domain cells co-locate both sides
+    in ONE shuffle; each cell answers every band with two searchsorted
+    lookups into value-sorted prefix sums — the (row, band) pairs (158 M
+    at sf0.1 for this 25-row answer) are never materialised.  The
+    pair-producing form is ``range_join_partitioned`` (brute-force
+    pytest).  Oracle = the interval-predicate SQL join + GROUP BY."""
+    from hexscape_ray.stages.joins import range_join_aggregate
 
     part = _read(sf_dir, "part", ["p_brand", "p_size"])
 
@@ -1156,18 +1152,18 @@ def q_brand_size_band_revenue(sf_dir: str) -> Dataset:
             }
         )
 
-    joined = range_join_partitioned(
+    return range_join_aggregate(
         li.map_batches(cents, batch_format="pyarrow"),
         part.map_batches(bands, batch_format="pyarrow"),
         "l_quantity",
+        sum_cols=["cents"],
+        group_cols=["p_brand"],
+        count_as="n_items",
         n_ranges=64,
         big_schema=pa.schema([("l_quantity", pa.float64()), ("cents", pa.int64())]),
         intervals_schema=pa.schema(
             [("p_brand", pa.string()), ("lo", pa.float64()), ("hi", pa.float64())]
         ),
-    )
-    return two_phase_sum(
-        joined.select_columns(["p_brand", "cents"]), ["p_brand"], ["cents"], count_as="n_items"
     ).rename_columns({"cents": "revenue_cents"})
 
 
@@ -2559,42 +2555,68 @@ def q_small_quantity_revenue(sf_dir: str) -> Dataset:
         ["l_partkey"],
         ["s"],
         count_as="c",
-    )
-    joined = bucketed_join(
-        prepped,
-        partials,
-        on="l_partkey",
-        left_schema=pa.schema(
-            [("l_partkey", pa.int64()), ("q", pa.int64()), ("cents", pa.int64())]
-        ),
-        right_schema=pa.schema(
-            [("l_partkey", pa.int64()), ("s", pa.int64()), ("c", pa.int64())]
-        ),
-    )
+    ).materialize()  # small (one row per part); count + both joins for free
     part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
     brand = dict(zip(part["p_partkey"], part["p_brand"]))
     bref = ray.put(brand)
 
-    def pick(batch: pa.Table) -> pa.Table:
-        q = batch["q"].to_numpy(zero_copy_only=False)
-        s = batch["s"].to_numpy(zero_copy_only=False)
-        c = batch["c"].to_numpy(zero_copy_only=False)
-        keep = 5 * q * c < s
-        batch = batch.filter(pa.array(keep))
-        b = ray.get(bref)
-        brands = [b[int(k)] for k in batch["l_partkey"].to_pylist()]
-        return pa.table(
-            {
-                "p_brand": pa.array(brands, type=pa.string()),
-                "cents": batch["cents"],
-            }
+    # ADAPTIVE side placement: below the broadcast budget ship the
+    # (Σq, n) table to every task (zero shuffle); above it, co-partition
+    # with the bucketed hash join (partkey cardinality ~rows/30 keeps
+    # growing with the corpus — 10^8 parts is ~5 GB of partials).
+    if partials.count() <= 2_000_000:
+        pdf = partials.to_pandas().sort_values("l_partkey", ignore_index=True)
+        pref = ray.put(
+            (
+                pdf["l_partkey"].to_numpy(np.int64),
+                pdf["s"].to_numpy(np.int64),
+                pdf["c"].to_numpy(np.int64),
+            )
         )
 
+        def pick_bcast(batch: pa.Table) -> pa.Table:
+            keys, s_arr, c_arr = ray.get(pref)
+            k = batch["l_partkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, k)  # every key exists by construction
+            q = batch["q"].to_numpy(zero_copy_only=False)
+            keep = 5 * q * c_arr[pos] < s_arr[pos]
+            batch = batch.filter(pa.array(keep))
+            b = ray.get(bref)
+            brands = [b[int(x)] for x in batch["l_partkey"].to_pylist()]
+            return pa.table(
+                {"p_brand": pa.array(brands, type=pa.string()), "cents": batch["cents"]}
+            )
+
+        picked = prepped.map_batches(pick_bcast, batch_format="pyarrow")
+    else:
+        joined = bucketed_join(
+            prepped,
+            partials,
+            on="l_partkey",
+            left_schema=pa.schema(
+                [("l_partkey", pa.int64()), ("q", pa.int64()), ("cents", pa.int64())]
+            ),
+            right_schema=pa.schema(
+                [("l_partkey", pa.int64()), ("s", pa.int64()), ("c", pa.int64())]
+            ),
+        )
+
+        def pick(batch: pa.Table) -> pa.Table:
+            q = batch["q"].to_numpy(zero_copy_only=False)
+            s = batch["s"].to_numpy(zero_copy_only=False)
+            c = batch["c"].to_numpy(zero_copy_only=False)
+            keep = 5 * q * c < s
+            batch = batch.filter(pa.array(keep))
+            b = ray.get(bref)
+            brands = [b[int(k)] for k in batch["l_partkey"].to_pylist()]
+            return pa.table(
+                {"p_brand": pa.array(brands, type=pa.string()), "cents": batch["cents"]}
+            )
+
+        picked = joined.map_batches(pick, batch_format="pyarrow")
+
     return two_phase_sum(
-        joined.map_batches(pick, batch_format="pyarrow"),
-        ["p_brand"],
-        ["cents"],
-        count_as="n_items",
+        picked, ["p_brand"], ["cents"], count_as="n_items"
     ).rename_columns({"cents": "revenue_cents"})
 
 

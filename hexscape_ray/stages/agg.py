@@ -21,6 +21,8 @@ keys; ``salted_sum`` shows the two-stage merge explicitly.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -51,6 +53,9 @@ def partial_sum_batch(keys: list[str], sums: list[str], count_as: str | None = "
     return fn
 
 
+SMALL_AGG_ROWS = int(os.environ.get("HEXRAY_SMALL_AGG_ROWS", "2000000"))
+
+
 def two_phase_sum(
     ds: Dataset,
     keys: list[str],
@@ -58,8 +63,19 @@ def two_phase_sum(
     count_as: str | None = "n",
     batch_size: int | None = None,
 ) -> Dataset:
-    """partial-in-batch then groupby(keys).sum — the engine's default
-    aggregate; the all-to-all exchange only ever sees partials.
+    """partial-in-batch then combine — the engine's default aggregate;
+    the exchange only ever sees partials.
+
+    COMBINE PLACEMENT is adaptive (measured): Ray's sort-based
+    ``groupby().aggregate()`` costs a ~6 s shuffle CONSTANT on this box
+    regardless of partial volume, while combining the same partials on
+    the driver takes ~0.2 s — so when the materialised partials hold ≤
+    ``HEXRAY_SMALL_AGG_ROWS`` rows (default 2 M ≈ tens of MB; partials
+    are (key-tuple × block) compressed, NOT input rows) they are
+    collected and pandas-combined, exactly like a tree-reduce root.
+    Larger partial sets (high-cardinality keys at corpus scale) take
+    the distributed groupby as before.  Materialising the partials is
+    one map-only pass — the same single pass either path needs.
 
     batch_size=None = one partial per upstream BLOCK: a large explicit
     batch_size here re-bundles the fused upstream chain into few huge
@@ -70,12 +86,31 @@ def two_phase_sum(
         partial_sum_batch(keys, sums, count_as),
         batch_format="pyarrow",
         batch_size=batch_size,
-    )
+    ).materialize()
     agg_cols = list(sums) + ([count_as] if count_as else [])
-    out = partials.groupby(keys).aggregate(
+    if partials.count() <= SMALL_AGG_ROWS:
+        import ray.data as rd
+
+        pdf = partials.to_pandas()
+        if keys:
+            out_df = pdf.groupby(keys, as_index=False, dropna=False, sort=True)[
+                agg_cols
+            ].sum()
+        else:
+            out_df = pdf[agg_cols].sum().to_frame().T
+        # Arrow blocks, not pandas: Ray's Project (select/rename) operator
+        # assumes Arrow blocks and dies on a pandas one.  Slice into
+        # ~64k-row blocks so downstream stages keep their parallelism
+        # (a single giant block would serialise any further map/groupby).
+        t = pa.Table.from_pandas(out_df, preserve_index=False)
+        step = 65536
+        if t.num_rows <= step:
+            return rd.from_arrow(t)
+        slices = [t.slice(i, step) for i in range(0, t.num_rows, step)]
+        return rd.from_arrow(slices)
+    return partials.groupby(keys).aggregate(
         *[Sum(c, alias_name=c) for c in agg_cols]
     )
-    return out
 
 
 def rollup_sum(

@@ -937,3 +937,130 @@ def salted_join(
         right_schema=_with_ks(small_schema, drop=on),
     )
     return joined.drop_columns(["__ks"])
+
+
+def range_join_aggregate(
+    big: Dataset,
+    intervals: Dataset,
+    value_col: str,
+    sum_cols: list[str],
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    group_cols: list[str] | None = None,
+    count_as: str = "n",
+    n_ranges: int = 64,
+    big_schema=None,
+    intervals_schema=None,
+) -> Dataset:
+    """Aggregate-PUSHDOWN interval join: per-interval (or per
+    ``group_cols``) SUM/COUNT of every probe row with ``lo ≤ value <
+    hi`` — WITHOUT materialising the (row, interval) pairs.  A naive
+    join-then-aggregate explodes with the fanout (measured: the 1.25-
+    wide part-size bands produce 158 M pair rows at sf0.1 for a
+    25-row answer); here each domain cell sorts its probe rows by
+    value once, takes prefix sums of the measures, and answers every
+    interval with TWO searchsorted lookups — O((P+I)·log P) per cell,
+    fanout-free.  Each probe row lives in exactly one cell and each
+    interval is replicated to the cells it overlaps, so summing the
+    per-cell partials per interval counts every (row, interval) match
+    exactly once; a final small ``groupby(group_cols)`` merges cells.
+
+    Same contract as :func:`range_join_partitioned` (disjoint column
+    names; pass the ``*_schema`` params for lazy upstream sides).
+    """
+    from ray.data.aggregate import Max, Min
+
+    from hexscape_ray.stages.agg import two_phase_sum
+
+    bschema = big_schema if big_schema is not None else big.schema()
+    ischema = intervals_schema if intervals_schema is not None else intervals.schema()
+    icols = list(ischema.names)
+    group_cols = group_cols if group_cols is not None else [c for c in icols if c not in (lo_col, hi_col)]
+
+    dom = intervals.aggregate(
+        Min(lo_col, alias_name="lo_min"), Max(hi_col, alias_name="hi_max")
+    )
+    lo_min, hi_max = float(dom["lo_min"]), float(dom["hi_max"])
+    edges = np.linspace(lo_min, hi_max, n_ranges + 1)
+    edges_ref = ray.put(edges)
+
+    probe_cols = [value_col] + sum_cols
+
+    def tag_probe(batch: pa.Table) -> pa.Table:
+        e = ray.get(edges_ref)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        cell = np.searchsorted(e, v, side="right") - 1
+        ok = (cell >= 0) & (cell < n_ranges)
+        batch = batch.filter(pa.array(ok))
+        cols = {value_col: pa.array(v[ok])}  # float64, matches the pad
+        for c in sum_cols:
+            cols[c] = batch[c].cast(pa.int64())
+        for c in icols:  # typed null padding (ityped resolves at call time)
+            cols[c] = pa.nulls(len(batch), ityped[c])
+        cols["__cell"] = pa.array(cell[ok].astype(np.int64))
+        cols["__side"] = pa.array(np.zeros(len(batch), dtype=np.int8))
+        return pa.table({c: cols[c] for c in probe_cols + icols + ["__cell", "__side"]})
+
+    def _itype(t) -> pa.DataType:
+        if isinstance(t, pa.DataType):
+            return t
+        if t is str or np.dtype(t) == np.dtype("O"):
+            return pa.string()
+        return pa.from_numpy_dtype(np.dtype(t))
+
+    ityped = {n: _itype(t) for n, t in zip(ischema.names, ischema.types)}
+
+    def tag_interval(batch: pa.Table) -> pa.Table:
+        e = ray.get(edges_ref)
+        lo = batch[lo_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        hi = batch[hi_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        c_lo = np.clip(np.searchsorted(e, lo, side="right") - 1, 0, n_ranges - 1)
+        c_hi = np.clip(np.searchsorted(e, hi, side="left") - 1, 0, n_ranges - 1)
+        cnt = np.maximum(c_hi - c_lo + 1, 0)
+        rows = np.repeat(np.arange(len(batch), dtype=np.int64), cnt)
+        cell = (
+            np.arange(int(cnt.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            + np.repeat(c_lo, cnt)
+        )
+        rep = batch.take(pa.array(rows))
+        cols = {c: rep[c] for c in icols}
+        for c in probe_cols:
+            cols[c] = pa.nulls(len(rep), pa.float64() if c == value_col else pa.int64())
+        cols["__cell"] = pa.array(cell)
+        cols["__side"] = pa.array(np.ones(len(rep), dtype=np.int8))
+        return pa.table({c: cols[c] for c in probe_cols + icols + ["__cell", "__side"]})
+
+    part_fields = group_cols + sum_cols + [count_as]
+
+    def stab_agg(g: pa.Table) -> pa.Table:
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        p = g.filter(pa.array(side == 0))
+        iv = g.filter(pa.array(side == 1))
+        empty_cols = {c: pa.array([], ityped[c]) for c in group_cols}
+        empty_cols.update({c: pa.array([], pa.int64()) for c in sum_cols + [count_as]})
+        if len(p) == 0 or len(iv) == 0:
+            return pa.table(empty_cols)
+        v = p[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(v, kind="stable")
+        vs = v[order]
+        prefixes = {}
+        for c in sum_cols:
+            x = p[c].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+            prefixes[c] = np.concatenate([[0], np.cumsum(x)])
+        lo = iv[lo_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        hi = iv[hi_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        a = np.searchsorted(vs, lo, side="left")
+        b = np.searchsorted(vs, hi, side="left")
+        b = np.maximum(a, b)  # inverted/degenerate intervals → 0 rows
+        out = {c: iv[c] for c in group_cols}
+        for c in sum_cols:
+            out[c] = pa.array(prefixes[c][b] - prefixes[c][a])
+        out[count_as] = pa.array((b - a).astype(np.int64))
+        return pa.table(out)
+
+    tagged = big.map_batches(tag_probe, batch_format="pyarrow").union(
+        intervals.map_batches(tag_interval, batch_format="pyarrow")
+    )
+    partials = tagged.groupby("__cell").map_groups(stab_agg, batch_format="pyarrow")
+    return two_phase_sum(partials, group_cols, sum_cols + [count_as], count_as=None)
