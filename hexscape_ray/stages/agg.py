@@ -86,8 +86,16 @@ def two_phase_sum(
         partial_sum_batch(keys, sums, count_as),
         batch_format="pyarrow",
         batch_size=batch_size,
-    ).materialize()
+    )
     agg_cols = list(sums) + ([count_as] if count_as else [])
+    return combine_partials(partials, keys, agg_cols)
+
+
+def combine_partials(partials: Dataset, keys: list[str], agg_cols: list[str]) -> Dataset:
+    """Adaptive final combine for a partial-sum Dataset (see
+    :func:`two_phase_sum`): coordinator pandas combine below
+    ``SMALL_AGG_ROWS``, distributed groupby-sum above."""
+    partials = partials.materialize()
     if partials.count() <= SMALL_AGG_ROWS:
         import ray.data as rd
 
@@ -150,10 +158,10 @@ def rollup_sum(
             outs.append(pa.table(cols))
         return pa.concat_tables(outs)
 
-    return (
-        partials.map_batches(expand, batch_format="pyarrow")
-        .groupby(list(keys) + [lvl_as])
-        .aggregate(*[Sum(c, alias_name=c) for c in agg_cols])
+    return combine_partials(
+        partials.map_batches(expand, batch_format="pyarrow"),
+        list(keys) + [lvl_as],
+        agg_cols,
     )
 
 
