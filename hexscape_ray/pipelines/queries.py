@@ -1971,6 +1971,48 @@ SQL_DUP_SPANS = """
 """
 
 
+def q_decontaminate(sf_dir: str) -> Dataset:
+    """Benchmark decontamination (stages/dedup.py::contamination_hits):
+    docs with ``doc_id % 10 == 0`` play the eval benchmark; every other
+    doc reports how many of its 8-gram positions appear anywhere in the
+    eval set.  Eval grams broadcast once (benchmark-sized by nature);
+    the train corpus streams through one vectorised ``is_in`` pass —
+    zero shuffle.  Oracle = the grams semi-join SQL."""
+    from hexscape_ray.stages.dedup import contamination_hits
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def is_eval(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pa.array(batch["doc_id"].to_numpy(zero_copy_only=False) % 10 == 0)
+        )
+
+    def is_train(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pa.array(batch["doc_id"].to_numpy(zero_copy_only=False) % 10 != 0)
+        )
+
+    return contamination_hits(
+        ds.map_batches(is_train, batch_format="pyarrow"),
+        ds.map_batches(is_eval, batch_format="pyarrow"),
+        k=8,
+    )
+
+
+SQL_DECONTAMINATE = """
+  WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+  grams AS (
+    SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS gram
+    FROM toks, LATERAL unnest(range(1, greatest(len(ts) - 7, 0) + 1)) AS g(i)
+  ),
+  eval_g AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0)
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM grams t JOIN eval_g e ON t.gram = e.gram
+  WHERE t.doc_id % 10 != 0
+  GROUP BY t.doc_id
+"""
+
+
 def q_ngram_jaccard(sf_dir: str) -> Dataset:
     """Word-set Jaccard between consecutive doc pairs — the n-gram
     Jaccard dedup kernel, distributed as a keyed self-pair: each doc
@@ -4230,6 +4272,7 @@ RAY_QUERIES = {
     "curation_pipeline": q_curation_pipeline,
     "ngram_jaccard": q_ngram_jaccard,
     "dup_spans": q_dup_spans,
+    "decontaminate": q_decontaminate,
     "minhash_pairs_verified": q_minhash_pairs_verified,
     "media_features": q_media_features,
     "video_frames": q_video_frames,
@@ -4322,6 +4365,7 @@ ORACLES = {
     "knn_cosine": SQL_KNN_COSINE,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "dup_spans": SQL_DUP_SPANS,
+    "decontaminate": SQL_DECONTAMINATE,
     "crs_transform": SQL_CRS_TRANSFORM,
     "events_sessions_stream": SQL_EVENTS_SESSIONS,
     "hex_kring": SQL_HEX_KRING,

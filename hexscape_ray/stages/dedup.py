@@ -1109,3 +1109,77 @@ def duplicate_spans(
 
         spans = spans.map_batches(thresh, batch_format="pyarrow")
     return spans
+
+
+def contamination_hits(
+    train: Dataset,
+    eval_ds: Dataset,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Benchmark DECONTAMINATION: for every training document, the
+    number of its k-gram positions that appear anywhere in the eval
+    set (docs with ≥1 hit are contamination candidates to drop) — the
+    train/test-overlap scrub every LLM data pipeline runs before
+    training.
+
+    Scale shape: the EVAL side is benchmark-sized by nature (thousands
+    of documents, not billions), so its distinct-gram set collects to
+    the driver and broadcasts once via ``ray.put``; the TRAIN side —
+    the big one — streams through one ``map_batches`` doing a single
+    vectorised Arrow ``is_in`` over the batch's flattened grams +
+    cumsum segmented counts.  Zero shuffle, train corpus never moves.
+    For an eval side too big to broadcast, use the
+    :func:`duplicate_spans` coarse-bucket shape instead.
+    """
+    import ray
+
+    def eval_grams(batch: pa.Table) -> pa.Table:
+        gs: set[str] = set()
+        for t in batch[text_col].to_pylist():
+            toks = t.split(" ")
+            gs.update(" ".join(toks[p : p + k]) for p in range(len(toks) - k + 1))
+        return pa.table({"gram": pa.array(sorted(gs), type=pa.string())})
+
+    egrams = pa.array(
+        sorted(
+            set(
+                eval_ds.map_batches(eval_grams, batch_format="pyarrow")
+                .to_pandas()["gram"]
+                .tolist()
+            )
+        ),
+        type=pa.string(),
+    )
+    gref = ray.put(egrams)
+
+    def hits(batch: pa.Table) -> pa.Table:
+        gset = ray.get(gref)
+        texts = batch[text_col].to_pylist()
+        flat: list[str] = []
+        offs = np.empty(len(texts) + 1, dtype=np.int64)
+        offs[0] = 0
+        for i, t in enumerate(texts):
+            toks = t.split(" ")
+            ng = max(len(toks) - k + 1, 0)
+            flat.extend(" ".join(toks[p : p + k]) for p in range(ng))
+            offs[i + 1] = offs[i] + ng
+        if not flat:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "n_hits": pa.array([], pa.int64())}
+            )
+        hit = pc.is_in(pa.array(flat, type=pa.string()), value_set=gset)
+        cum = np.concatenate(
+            [[0], np.cumsum(hit.to_numpy(zero_copy_only=False).astype(np.int64))]
+        )
+        n = cum[offs[1:]] - cum[offs[:-1]]
+        keep = n > 0
+        return pa.table(
+            {
+                id_col: batch[id_col].filter(pa.array(keep)),
+                "n_hits": pa.array(n[keep]),
+            }
+        )
+
+    return train.map_batches(hits, batch_format="pyarrow")
