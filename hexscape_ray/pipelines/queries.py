@@ -1462,35 +1462,53 @@ SQL_HEX_DOC_COUNTS_R1 = (
 
 def q_events_sessions(sf_dir: str) -> Dataset:
     """Session windows (30-min inactivity gap) per user over the event
-    log — the streaming-shaped op done as groupby(key) + in-group
-    ordered pandas (SURVEY §2.9; ordering assumption: within-user)."""
+    log — COARSE-BUCKETED: groupby(user % 64) shuffles once into 64
+    groups, and the whole bucket sessionises in ONE numpy pass
+    (lexsort by (user, ts), session breaks at user change or gap,
+    run-length aggregation) instead of one pandas DataFrame per user
+    (the measured per-group-overhead trap; Ray's map_groups constructs
+    a frame per group)."""
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
     def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "user_id": batch["user_id"],
                 "us": batch["ts"].cast(pa.int64()),
+                "__b": pa.array((uid % 64).astype(np.int64)),
             }
         )
 
     ds = ds.map_batches(prep, batch_format="pyarrow")
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("us", ignore_index=True)
-        gap = g["us"].diff().fillna(1 << 62)
-        sid = (gap > 1_800_000_000).cumsum()
-        out = g.groupby(sid).agg(
-            user_id=("user_id", "first"),
-            n_events=("us", "size"),
-            start_us=("us", "min"),
-            end_us=("us", "max"),
+        u = g["user_id"].to_numpy()
+        t = g["us"].to_numpy()
+        o = np.lexsort((t, u))
+        u, t = u[o], t[o]
+        new_user = np.empty(u.size, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        gap = np.empty(t.size, dtype=np.int64)
+        gap[0] = np.int64(1) << 62
+        gap[1:] = t[1:] - t[:-1]
+        new_s = new_user | (gap > 1_800_000_000)
+        cs = np.cumsum(new_s)
+        ublock = np.cumsum(new_user) - 1
+        sid = cs - cs[np.flatnonzero(new_user)][ublock] + 1
+        starts = np.flatnonzero(new_s)
+        ends = np.concatenate([starts[1:], [t.size]])
+        return pd.DataFrame(
+            {
+                "user_id": u[starts],
+                "session_id": sid[starts],
+                "n_events": (ends - starts).astype(np.int64),
+                "duration_s": (t[ends - 1] - t[starts]) // 1_000_000,
+            }
         )
-        out["session_id"] = np.arange(1, len(out) + 1, dtype=np.int64)
-        out["duration_s"] = (out["end_us"] - out["start_us"]) // 1_000_000
-        return out[["user_id", "session_id", "n_events", "duration_s"]]
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return ds.groupby("__b").map_groups(sessions, batch_format="pandas")
 
 
 SQL_EVENTS_SESSIONS = """
