@@ -1039,6 +1039,89 @@ def test_duplicate_spans(ray_session):
         assert (got[c].to_numpy() == want_df[c].to_numpy()).all(), c
 
 
+def test_range_join_aggregate(ray_session):
+    """Aggregate-pushdown interval join == brute-force join + groupby:
+    per-group sums/counts over overlapping, nested, degenerate and
+    inverted intervals, no pair materialisation."""
+    from hexscape_ray.stages.joins import range_join_aggregate
+
+    rng = np.random.default_rng(59)
+    n, m = 3000, 90
+    v = rng.uniform(-5, 110, n)
+    w = rng.integers(1, 100, n)
+    lo = rng.uniform(0, 100, m)
+    hi = lo + rng.uniform(0, 25, m)
+    hi[::11] = lo[::11]  # degenerate
+    hi[::13] -= 3.0  # inverted
+    grp = np.array([f"g{i % 7}" for i in range(m)])
+    ds = ray.data.from_arrow(
+        pa.table({"v": pa.array(v), "w": pa.array(w.astype(np.int64))})
+    ).repartition(4)
+    ivs = ray.data.from_arrow(
+        pa.table({"band": pa.array(grp), "lo": pa.array(lo), "hi": pa.array(hi)})
+    ).repartition(3)
+    got = (
+        range_join_aggregate(ds, ivs, "v", sum_cols=["w"], group_cols=["band"], n_ranges=16)
+        .to_pandas()
+        .sort_values("band", ignore_index=True)
+    )
+    hit = (v[:, None] >= lo[None, :]) & (v[:, None] < hi[None, :])
+    rows, cols = np.nonzero(hit)
+    want = (
+        pd.DataFrame({"band": grp[cols], "w": w[rows], "n": 1})
+        .groupby("band", as_index=False)
+        .agg(w=("w", "sum"), n=("n", "sum"))
+        .sort_values("band", ignore_index=True)
+    )
+    assert len(got) == len(want)
+    assert (got["band"].to_numpy() == want["band"].to_numpy()).all()
+    assert (got["w"].to_numpy() == want["w"].to_numpy()).all()
+    assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
+
+
+def test_contamination_hits(ray_session):
+    """Decontamination counts == brute force: per train doc, the number
+    of k-gram positions present anywhere in the eval set; clean docs
+    absent from the output."""
+    from hexscape_ray.stages.dedup import contamination_hits
+
+    k = 3
+    rng = np.random.default_rng(67)
+    vocab = [f"w{i}" for i in range(40)]
+    leak = ["l1", "l2", "l3", "l4"]
+    train, evald = [], []
+    for i in range(40):
+        toks = list(rng.choice(vocab, size=20))
+        if i % 5 == 0:
+            toks[4:4] = leak  # leaked span in some train docs
+        train.append({"doc_id": i, "text": " ".join(toks)})
+    for j in range(4):
+        toks = list(rng.choice(vocab, size=15)) + leak
+        evald.append({"doc_id": 1000 + j, "text": " ".join(toks)})
+    tr = ray.data.from_items(train).repartition(3)
+    ev = ray.data.from_items(evald)
+    got = (
+        contamination_hits(tr, ev, k=k)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+    def grams(t):
+        w = t.split(" ")
+        return [" ".join(w[p : p + k]) for p in range(len(w) - k + 1)]
+
+    eg = set()
+    for d in evald:
+        eg.update(grams(d["text"]))
+    want = {}
+    for d in train:
+        nh = sum(1 for g in grams(d["text"]) if g in eg)
+        if nh:
+            want[d["doc_id"]] = nh
+    assert dict(zip(got["doc_id"], got["n_hits"])) == want
+    assert set(got["doc_id"]) >= {0, 5, 10}  # the leaked docs are flagged
+
+
 def test_connected_components_wide_supersteps(ray_session):
     """Superstep width derives from the edge count: a tiny
     target_rows_per_bucket forces >8 buckets and the labels still match
