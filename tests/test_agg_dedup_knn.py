@@ -1039,6 +1039,44 @@ def test_duplicate_spans(ray_session):
         assert (got[c].to_numpy() == want_df[c].to_numpy()).all(), c
 
 
+def test_two_phase_sum_combine_paths_agree(ray_session, monkeypatch):
+    """The adaptive combine's two placements (coordinator pandas vs
+    distributed groupby) produce identical sums/counts, including empty
+    keys (global aggregate) and string keys."""
+    import hexscape_ray.stages.agg as A
+
+    rng = np.random.default_rng(73)
+    n = 40_000
+    t = pa.table(
+        {
+            "k": pa.array([f"k{int(x)}" for x in rng.integers(0, 500, n)]),
+            "v": pa.array(rng.integers(-50, 100, n).astype(np.int64)),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(7)
+
+    def run():
+        return (
+            A.two_phase_sum(ds, ["k"], ["v"], count_as="n")
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+
+    monkeypatch.setattr(A, "SMALL_AGG_ROWS", 10**9)
+    small = run()
+    monkeypatch.setattr(A, "SMALL_AGG_ROWS", 0)
+    big = run()
+    assert len(small) == len(big) == 500
+    assert (small["k"].to_numpy() == big["k"].to_numpy()).all()
+    assert (small["v"].to_numpy() == big["v"].to_numpy()).all()
+    assert (small["n"].to_numpy() == big["n"].to_numpy()).all()
+    # exactness vs plain pandas on the raw rows
+    want = (
+        t.to_pandas().groupby("k", as_index=False)["v"].sum().sort_values("k", ignore_index=True)
+    )
+    assert (small["v"].to_numpy() == want["v"].to_numpy()).all()
+
+
 def test_range_join_aggregate(ray_session):
     """Aggregate-pushdown interval join == brute-force join + groupby:
     per-group sums/counts over overlapping, nested, degenerate and
