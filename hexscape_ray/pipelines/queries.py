@@ -173,6 +173,79 @@ SQL_HEX_DOC_COUNTS = (
 )
 
 
+def q_hex_rasterize(sf_dir: str, g: int = 32) -> Dataset:
+    """VECTOR→RASTER resample (the reverse of habitat's raster→hex,
+    completing the north rule's raster↔vector pair): per-hex doc
+    counts sampled onto a g×g grid — each raster cell takes the value
+    of the hex containing its center (``grid.point_to_axial``, the
+    oracle-parity axial math), empty hexes → cell absent.  The per-hex
+    table is landscape-bounded → correct small-side broadcast; the
+    raster generates distributed (``ray.data.range``), no driver loop."""
+    cdf = (
+        q_hex_doc_counts(sf_dir).select_columns(["r", "q", "n_docs"]).to_pandas()
+    )
+    cmap = {
+        (int(r_), int(q_)): int(n_)
+        for r_, q_, n_ in zip(cdf["r"], cdf["q"], cdf["n_docs"])
+    }
+    cref = ray.put(cmap)
+    cell = 100000.0 / g
+
+    def enc(batch: pa.Table) -> pa.Table:
+        from hexscape_ray import grid as hexgrid
+
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        i = ids // g
+        j = ids % g
+        x = (i + 0.5) * cell
+        y = (j + 0.5) * cell
+        r, q = hexgrid.point_to_axial(x, y, SPEC, 0)
+        m = ray.get(cref)
+        n = np.fromiter(
+            (m.get((int(rr), int(qq)), 0) for rr, qq in zip(r, q)),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        keep = n > 0
+        return pa.table(
+            {
+                "i": pa.array(i[keep].astype(np.int64)),
+                "j": pa.array(j[keep].astype(np.int64)),
+                "r": pa.array(r[keep].astype(np.int64)),
+                "q": pa.array(q[keep].astype(np.int64)),
+                "n_docs": pa.array(n[keep]),
+            }
+        )
+
+    return ray.data.range(g * g, override_num_blocks=8).map_batches(
+        enc, batch_format="pyarrow"
+    )
+
+
+SQL_HEX_RASTERIZE = (
+    f"""
+WITH counts AS (
+  SELECT r, q, count(*) AS n_docs FROM (
+    WITH pts AS (SELECT doc_id, {_GEO_SQL.format(key="doc_id")} FROM documents),
+    {_AXIAL_SQL}
+    SELECT r, q FROM hexed
+  ) GROUP BY r, q
+),
+cells AS (
+  SELECT i.range AS i, j.range AS j,
+         (i.range + 0.5) * 3125.0 AS x, (j.range + 0.5) * 3125.0 AS y
+  FROM range(0, 32) i, range(0, 32) j
+),
+pts AS (SELECT i, j, x, y FROM cells),
+"""
+    + _AXIAL_SQL
+    + """
+SELECT CAST(h.i AS BIGINT) AS i, CAST(h.j AS BIGINT) AS j, h.r, h.q, c.n_docs
+FROM hexed h JOIN counts c USING (r, q)
+"""
+)
+
+
 def q_hex_kring(sf_dir: str, k: int = 2) -> Dataset:
     """k-ring hex-neighbourhood aggregate (the north-star's "kNN
     hex-neighbour query"): for every populated hex, the total docs in
@@ -4297,6 +4370,7 @@ RAY_QUERIES = {
     "crs_transform": q_crs_transform,
     "events_sessions_stream": q_events_sessions_stream,
     "hex_kring": q_hex_kring,
+    "hex_rasterize": q_hex_rasterize,
     "priority_price_quantiles": q_priority_price_quantiles,
     "pca_embeddings": q_pca_embeddings,
     "doc_repetition": q_doc_repetition,
@@ -4387,6 +4461,7 @@ ORACLES = {
     "crs_transform": SQL_CRS_TRANSFORM,
     "events_sessions_stream": SQL_EVENTS_SESSIONS,
     "hex_kring": SQL_HEX_KRING,
+    "hex_rasterize": SQL_HEX_RASTERIZE,
     "priority_price_quantiles": SQL_PRIORITY_PRICE_QUANTILES,
     "event_value_quantiles": SQL_EVENT_VALUE_QUANTILES,
     "doc_repetition": SQL_DOC_REPETITION,
