@@ -3551,6 +3551,157 @@ SQL_NATION_TOP_NAMES = """
 """
 
 
+def q_view_purchase_overlap(sf_dir: str) -> Dataset:
+    """Key-set ops in one pass (INTERSECT / EXCEPT census): users who
+    both viewed and purchased, viewed only, purchased only — per-user
+    0/1 indicators max-combined in the two-phase partials, one scalar
+    row out; no distinct-set shuffles."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def flags(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "v": pa.array((et == "view").astype(np.int64)),
+                "p": pa.array((et == "purchase").astype(np.int64)),
+            }
+        )
+
+    per_user = two_phase_sum(
+        ev.map_batches(flags, batch_format="pyarrow"),
+        ["user_id"],
+        ["v", "p"],
+        count_as=None,
+    )
+
+    def census(batch: pa.Table) -> pa.Table:
+        v = batch["v"].to_numpy(zero_copy_only=False) > 0
+        p = batch["p"].to_numpy(zero_copy_only=False) > 0
+        return pa.table(
+            {
+                "both": pa.array([int((v & p).sum())]),
+                "view_only": pa.array([int((v & ~p).sum())]),
+                "purchase_only": pa.array([int((~v & p).sum())]),
+            }
+        )
+
+    return two_phase_sum(
+        per_user.map_batches(census, batch_format="pyarrow"),
+        [],
+        ["both", "view_only", "purchase_only"],
+        count_as=None,
+    )
+
+
+SQL_VIEW_PURCHASE_OVERLAP = """
+  WITH u AS (
+    SELECT user_id,
+      max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+      max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+    FROM events GROUP BY user_id
+  )
+  SELECT
+    CAST(count(*) FILTER (WHERE v = 1 AND p = 1) AS BIGINT) AS both,
+    CAST(count(*) FILTER (WHERE v = 1 AND p = 0) AS BIGINT) AS view_only,
+    CAST(count(*) FILTER (WHERE v = 0 AND p = 1) AS BIGINT) AS purchase_only
+  FROM u
+"""
+
+
+def q_daily_top_event(sf_dir: str) -> Dataset:
+    """Per-DAY top event type (trending censor): epoch-day truncation
+    (us // 86400e6 — exercises date bucketing parity), counts, then the
+    integer-encoded argmax (ties → lexicographically smallest type)."""
+    from hexscape_ray.stages.agg import argmax_per_key
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def day(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "day": pa.array(us // 86_400_000_000),
+                "event_type": batch["event_type"],
+            }
+        )
+
+    counts = two_phase_sum(
+        ev.map_batches(day, batch_format="pyarrow"),
+        ["day", "event_type"],
+        [],
+        count_as="n",
+    ).materialize()
+    cats = counts.unique("event_type")
+    return argmax_per_key(
+        counts, "day", "event_type", "n", cats, top_as="top_type"
+    ).sort("day")
+
+
+SQL_DAILY_TOP_EVENT = """
+  WITH c AS (
+    SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+  )
+  SELECT day, event_type AS top_type, n FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY day ORDER BY n DESC, event_type) AS rn FROM c)
+  WHERE rn = 1 ORDER BY day
+"""
+
+
+def q_rolling_7d_revenue(sf_dir: str) -> Dataset:
+    """Frame-based moving window over a TIME-BUCKETED aggregate: daily
+    order revenue (exact cents) → 7-day trailing sum per day.  Daily
+    totals are a tiny two-phase result (one row per day), so the frame
+    scan is a single sorted cumsum pass — sum7 = csum[i] − csum[i−7]."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "day": pa.array(
+                    us.to_numpy(zero_copy_only=False) // 86_400_000_000
+                ),
+                "cents": pa.array(np.floor(p * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    daily = two_phase_sum(
+        ds.map_batches(prep, batch_format="pyarrow"), ["day"], ["cents"], count_as="n_orders"
+    )
+
+    def window(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values("day", ignore_index=True)
+        c = df["cents"].to_numpy()
+        cs = np.concatenate([[0], np.cumsum(c)])
+        # trailing 7 ROWS (days are dense in this data; ROWS == RANGE here)
+        lo = np.maximum(np.arange(len(c)) - 6, 0)
+        df["cents_7d"] = cs[np.arange(1, len(c) + 1)] - cs[lo]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    # daily is one small arrow block (adaptive combine) → one window task
+    return daily.map_batches(window, batch_size=1 << 30, batch_format="pyarrow")
+
+
+SQL_ROLLING_7D_REVENUE = """
+  WITH d AS (
+    SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+      CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        AS cents,
+      CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1
+  )
+  SELECT day, cents, n_orders,
+    CAST(sum(cents) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      AS BIGINT) AS cents_7d
+  FROM d
+"""
+
+
 def q_user_top_event_type(sf_dir: str) -> Dataset:
     """Per-key MODE / arg-max: each user's most frequent event type
     (ties → lexicographically smallest) via
@@ -4371,6 +4522,9 @@ RAY_QUERIES = {
     "events_sessions_stream": q_events_sessions_stream,
     "hex_kring": q_hex_kring,
     "hex_rasterize": q_hex_rasterize,
+    "view_purchase_overlap": q_view_purchase_overlap,
+    "daily_top_event": q_daily_top_event,
+    "rolling_7d_revenue": q_rolling_7d_revenue,
     "priority_price_quantiles": q_priority_price_quantiles,
     "pca_embeddings": q_pca_embeddings,
     "doc_repetition": q_doc_repetition,
@@ -4462,6 +4616,9 @@ ORACLES = {
     "events_sessions_stream": SQL_EVENTS_SESSIONS,
     "hex_kring": SQL_HEX_KRING,
     "hex_rasterize": SQL_HEX_RASTERIZE,
+    "view_purchase_overlap": SQL_VIEW_PURCHASE_OVERLAP,
+    "daily_top_event": SQL_DAILY_TOP_EVENT,
+    "rolling_7d_revenue": SQL_ROLLING_7D_REVENUE,
     "priority_price_quantiles": SQL_PRIORITY_PRICE_QUANTILES,
     "event_value_quantiles": SQL_EVENT_VALUE_QUANTILES,
     "doc_repetition": SQL_DOC_REPETITION,
