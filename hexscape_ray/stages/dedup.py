@@ -988,6 +988,7 @@ def duplicate_spans(
     text_col: str = "text",
     n_coarse: int = 64,
     min_span_tokens: int | None = None,
+    occ_cap: int | None = None,
 ) -> Dataset:
     """EXACT-substring duplicate detection: every MAXIMAL run of ≥ ``k``
     consecutive identical tokens shared between two documents, reported
@@ -1008,10 +1009,13 @@ def duplicate_spans(
 
     Exactness: fine grouping is by the gram STRING (collision-checked
     factorize), so output matches the SQL islands oracle bit-for-bit.
-    At 100-TB scale swap the carried gram string for a 128-bit hash
-    (collision odds negligible) and cap per-gram occurrence lists —
-    boilerplate grams shared by m docs cost O(m²) pairs here, exactly
-    what the exactness contract (and the SQL oracle) pays.
+    Boilerplate grams shared by m docs cost O(m²) pairs — exactly what
+    the exactness contract (and the SQL oracle) pays; at 100-TB scale
+    pass ``occ_cap`` to keep only the ``occ_cap`` lowest-(doc, pos)
+    occurrences per gram (boilerplate headers/footers stop contributing
+    quadratic pairs, at the cost of missing spans between high-rank
+    copies — the LSH star-edge trade), and swap the carried gram string
+    for a 128-bit hash.
     """
 
     def gram_rows(batch: pa.Table) -> pa.Table:
@@ -1060,6 +1064,8 @@ def duplicate_spans(
         lens = np.diff(np.append(starts, codes.shape[0]))
         cols = {"a_id": [], "b_id": [], "a_pos": [], "b_pos": []}
         for s, m in zip(starts[lens >= 2], lens[lens >= 2]):
+            if occ_cap is not None and m > occ_cap:
+                m = occ_cap  # rows already (doc, pos)-sorted within the gram
             ii, jj = np.triu_indices(int(m), 1)
             gi, gj = ids[s : s + m], pos[s : s + m]
             cross = gi[ii] != gi[jj]  # same-doc repeats don't pair

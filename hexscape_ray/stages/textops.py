@@ -302,7 +302,10 @@ def pack_sequences(
     - ``by=<key>``: pack per key group (``groupby.map_groups``) with a
       deterministic (len desc, doc_id) chunk order — output is a pure
       function of the DATA, invariant to Ray partitioning (the graded
-      mode; also the curriculum / per-language packing shape).
+      mode; also the curriculum / per-language packing shape).  One
+      packing DOMAIN must fit a worker (and produce < 2^20 sequences);
+      for domains beyond that, sub-split the key (e.g. lang × doc-id
+      band) or use the block-local mode.
     - ``by=None``: block-local packing inside ``map_batches`` — zero
       shuffle, the streaming-throughput mode; sequence composition then
       depends on block boundaries (documented).
