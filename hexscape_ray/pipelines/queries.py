@@ -3702,6 +3702,95 @@ SQL_ROLLING_7D_REVENUE = """
 """
 
 
+def q_user_type_stats(sf_dir: str) -> Dataset:
+    """COMPOSITE-KEY partitioned join: per-(user, event_type) counts +
+    exact value cents joined to per-(user, event_type) first-seen
+    timestamps on the two-column key (bucket = xor-mixed per-column
+    hashes, Arrow multi-key join in each bucket).  The first-seen side
+    is a partial-min pass combined at the coordinator (one row per
+    key-tuple per block — tiny; at corpus scale swap for the
+    distributed Min aggregate)."""
+    from hexscape_ray.stages.joins import bucketed_join
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts", "value"])
+
+    def prep_a(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_type": batch["event_type"],
+                "value_cents": pa.array(cents),
+            }
+        )
+
+    a = two_phase_sum(
+        ev.map_batches(prep_a, batch_format="pyarrow"),
+        ["user_id", "event_type"],
+        ["value_cents"],
+        count_as="n",
+    )
+
+    def partial_min(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "event_type": batch["event_type"].to_pylist(),
+                "first_us": batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+            }
+        )
+        out = df.groupby(["user_id", "event_type"], as_index=False)["first_us"].min()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    bdf = (
+        ev.map_batches(partial_min, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["user_id", "event_type"], as_index=False)["first_us"]
+        .min()
+    )
+    b = ray.data.from_arrow(pa.Table.from_pandas(bdf, preserve_index=False))
+
+    return bucketed_join(
+        a,
+        b,
+        on=["user_id", "event_type"],
+        left_schema=pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value_cents", pa.int64()),
+                ("n", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("first_us", pa.int64()),
+            ]
+        ),
+    )
+
+
+SQL_USER_TYPE_STATS = """
+  WITH a AS (
+    SELECT user_id, event_type,
+      CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        AS value_cents,
+      CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+  ),
+  b AS (
+    SELECT user_id, event_type, CAST(min(epoch_us(ts)) AS BIGINT) AS first_us
+    FROM events GROUP BY 1, 2
+  )
+  SELECT a.user_id, a.event_type, a.value_cents, a.n, b.first_us
+  FROM a JOIN b USING (user_id, event_type)
+"""
+
+
 def q_user_top_event_type(sf_dir: str) -> Dataset:
     """Per-key MODE / arg-max: each user's most frequent event type
     (ties → lexicographically smallest) via
@@ -4525,6 +4614,7 @@ RAY_QUERIES = {
     "view_purchase_overlap": q_view_purchase_overlap,
     "daily_top_event": q_daily_top_event,
     "rolling_7d_revenue": q_rolling_7d_revenue,
+    "user_type_stats": q_user_type_stats,
     "priority_price_quantiles": q_priority_price_quantiles,
     "pca_embeddings": q_pca_embeddings,
     "doc_repetition": q_doc_repetition,
@@ -4619,6 +4709,7 @@ ORACLES = {
     "view_purchase_overlap": SQL_VIEW_PURCHASE_OVERLAP,
     "daily_top_event": SQL_DAILY_TOP_EVENT,
     "rolling_7d_revenue": SQL_ROLLING_7D_REVENUE,
+    "user_type_stats": SQL_USER_TYPE_STATS,
     "priority_price_quantiles": SQL_PRIORITY_PRICE_QUANTILES,
     "event_value_quantiles": SQL_EVENT_VALUE_QUANTILES,
     "doc_repetition": SQL_DOC_REPETITION,

@@ -176,7 +176,7 @@ def bloom_prefilter(
 def bucketed_join(
     left: Dataset,
     right: Dataset,
-    on: str,
+    on,
     n_buckets: int = 64,
     how: str = "inner",
     left_schema=None,
@@ -184,7 +184,10 @@ def bucketed_join(
 ) -> Dataset:
     """Partitioned hash join: tag both sides with bucket = key % B (a
     cheap integer hash is enough for int keys), union with a side tag,
-    then join inside each bucket group.  One shuffle total.
+    then join inside each bucket group.  One shuffle total.  ``on``
+    may be a single column name or a LIST of names (composite key:
+    per-column hashes xor-mixed through splitmix64 so the bucket
+    depends on the whole tuple).
 
     EXECUTION CONTRACT (round-2 verdict #8): building the union schema
     needs each side's schema up front, and ``Dataset.schema()``
@@ -199,6 +202,7 @@ def bucketed_join(
     that are direct parquet reads are fine as-is (schema comes from
     file metadata)."""
 
+    on_cols = [on] if isinstance(on, str) else list(on)
     lschema = left_schema if left_schema is not None else left.schema()
     rschema = right_schema if right_schema is not None else right.schema()
     lcols, rcols = list(lschema.names), list(rschema.names)
@@ -225,16 +229,33 @@ def bucketed_join(
         if n not in lcols
     ]
 
+    def _col_hash(kcol) -> np.ndarray:
+        from hexscape_ray.functions.hashing import fnv1a_64_str_array, splitmix64
+
+        if pa.types.is_integer(kcol.type):
+            with np.errstate(over="ignore"):
+                return splitmix64(
+                    np.asarray(
+                        kcol.to_numpy(zero_copy_only=False), dtype=np.int64
+                    ).view(np.uint64)
+                )
+        return fnv1a_64_str_array(kcol.to_pylist())
+
     def tag(side: str):
         def fn(batch: pa.Table) -> pa.Table:
-            kcol = batch[on]
-            if pa.types.is_integer(kcol.type):
-                k = np.asarray(kcol.to_numpy(zero_copy_only=False), dtype=np.int64)
+            if len(on_cols) == 1 and pa.types.is_integer(batch[on_cols[0]].type):
+                # single int key: plain modulo (cheapest, historical shape)
+                k = np.asarray(
+                    batch[on_cols[0]].to_numpy(zero_copy_only=False), dtype=np.int64
+                )
                 bucket = np.abs(k) % n_buckets
-            else:  # string/binary keys: stable content hash
-                from hexscape_ray.functions.hashing import fnv1a_64_str_array
+            else:  # composite and/or string keys: mixed content hash
+                h = _col_hash(batch[on_cols[0]])
+                for c in on_cols[1:]:
+                    from hexscape_ray.functions.hashing import splitmix64
 
-                h = fnv1a_64_str_array(kcol.to_pylist())
+                    with np.errstate(over="ignore"):
+                        h = splitmix64(h ^ _col_hash(batch[c]))
                 bucket = (h % np.uint64(n_buckets)).astype(np.int64)
             cols = {}
             for name, typ in all_fields:
@@ -283,12 +304,12 @@ def bucketed_join(
         # shuffled group); null→T casts are valid for all-null columns
         lg = g.filter(is_left).select(lcols).cast(l_target)
         rg = g.filter(pc.invert(is_left)).select(rcols).cast(r_target)
-        out = lg.join(rg, keys=on, join_type=join_type)
+        out = lg.join(rg, keys=on_cols, join_type=join_type)
         # Acero's output column order can vary; fix it to lcols + new rcols
         # (semi/anti emit the left side only).
         if join_type in ("left semi", "left anti"):
             return out.select(lcols)
-        ordered = lcols + [c for c in rcols if c != on]
+        ordered = lcols + [c for c in rcols if c not in on_cols]
         return out.select(ordered)
 
     return tagged.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
