@@ -3707,9 +3707,8 @@ def q_user_type_stats(sf_dir: str) -> Dataset:
     exact value cents joined to per-(user, event_type) first-seen
     timestamps on the two-column key (bucket = xor-mixed per-column
     hashes, Arrow multi-key join in each bucket).  The first-seen side
-    is a partial-min pass combined at the coordinator (one row per
-    key-tuple per block — tiny; at corpus scale swap for the
-    distributed Min aggregate)."""
+    is the generalised two-phase MIN (stages/agg.py::two_phase_agg —
+    adaptive combine placement, same machinery as the sums)."""
     from hexscape_ray.stages.joins import bucketed_join
 
     ev = _read(sf_dir, "events", ["user_id", "event_type", "ts", "value"])
@@ -3733,24 +3732,22 @@ def q_user_type_stats(sf_dir: str) -> Dataset:
         count_as="n",
     )
 
-    def partial_min(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
+    from hexscape_ray.stages.agg import two_phase_agg
+
+    def prep_b(batch: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
-                "event_type": batch["event_type"].to_pylist(),
-                "first_us": batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+                "user_id": batch["user_id"],
+                "event_type": batch["event_type"],
+                "first_us": batch["ts"].cast(pa.int64()),
             }
         )
-        out = df.groupby(["user_id", "event_type"], as_index=False)["first_us"].min()
-        return pa.Table.from_pandas(out, preserve_index=False)
 
-    bdf = (
-        ev.map_batches(partial_min, batch_format="pyarrow")
-        .to_pandas()
-        .groupby(["user_id", "event_type"], as_index=False)["first_us"]
-        .min()
+    b = two_phase_agg(
+        ev.map_batches(prep_b, batch_format="pyarrow"),
+        ["user_id", "event_type"],
+        {"first_us": "min"},
     )
-    b = ray.data.from_arrow(pa.Table.from_pandas(bdf, preserve_index=False))
 
     return bucketed_join(
         a,

@@ -551,3 +551,53 @@ def grouped_hash_sample(
         .groupby(key)
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def two_phase_agg(
+    ds: Dataset,
+    keys: list[str],
+    aggs: dict[str, str],
+    batch_size: int | None = None,
+) -> Dataset:
+    """Generalised two-phase aggregate: ``aggs = {col: "sum"|"min"|"max"}``
+    (self-combining reductions — each block reduces to one row per
+    key-tuple, partials re-reduce with the SAME function).  Combine
+    placement is adaptive exactly like :func:`two_phase_sum`.
+    Counts: use :func:`two_phase_sum`'s ``count_as`` (a count partial
+    re-combines with SUM, not itself)."""
+    from ray.data.aggregate import Max, Min
+
+    for how in aggs.values():
+        assert how in ("sum", "min", "max"), how
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(list(keys) + list(aggs))
+        out = t.group_by(keys).aggregate([(c, how) for c, how in aggs.items()])
+        ren = {f"{c}_{how}": c for c, how in aggs.items()}
+        return out.rename_columns([ren.get(c, c) for c in out.column_names])
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size
+    ).materialize()
+    if partials.count() <= SMALL_AGG_ROWS:
+        import ray.data as rd
+
+        pdf = partials.to_pandas()
+        if keys:
+            g = pdf.groupby(keys, as_index=False, dropna=False, sort=True)
+            out_df = g.agg(**{c: (c, how) for c, how in aggs.items()})
+        else:
+            out_df = pd.DataFrame(
+                {c: [getattr(pdf[c], how)()] for c, how in aggs.items()}
+            )
+        t = pa.Table.from_pandas(out_df, preserve_index=False)
+        step = 65536
+        if t.num_rows <= step:
+            return rd.from_arrow(t)
+        return rd.from_arrow([t.slice(i, step) for i in range(0, t.num_rows, step)])
+    ray_aggs = []
+    for c, how in aggs.items():
+        ray_aggs.append(
+            {"sum": Sum, "min": Min, "max": Max}[how](c, alias_name=c)
+        )
+    return partials.groupby(keys).aggregate(*ray_aggs)

@@ -1077,6 +1077,38 @@ def test_two_phase_sum_combine_paths_agree(ray_session, monkeypatch):
     assert (small["v"].to_numpy() == want["v"].to_numpy()).all()
 
 
+def test_two_phase_agg_min_max(ray_session, monkeypatch):
+    """Generalised two-phase min/max/sum matches pandas on the raw rows
+    in BOTH combine placements."""
+    import hexscape_ray.stages.agg as A
+
+    rng = np.random.default_rng(79)
+    n = 20_000
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 300, n).astype(np.int64)),
+            "a": pa.array(rng.integers(-1000, 1000, n).astype(np.int64)),
+            "b": pa.array(rng.integers(0, 10**9, n).astype(np.int64)),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(6)
+    want = (
+        t.to_pandas()
+        .groupby("k", as_index=False)
+        .agg(a=("a", "min"), b=("b", "max"))
+        .sort_values("k", ignore_index=True)
+    )
+    for rows in (10**9, 0):
+        monkeypatch.setattr(A, "SMALL_AGG_ROWS", rows)
+        got = (
+            A.two_phase_agg(ds, ["k"], {"a": "min", "b": "max"})
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        assert (got["a"].to_numpy() == want["a"].to_numpy()).all(), rows
+        assert (got["b"].to_numpy() == want["b"].to_numpy()).all(), rows
+
+
 def test_range_join_aggregate(ray_session):
     """Aggregate-pushdown interval join == brute-force join + groupby:
     per-group sums/counts over overlapping, nested, degenerate and
