@@ -318,7 +318,7 @@ def bucketed_join(
 def asof_join(
     left: Dataset,
     right: Dataset,
-    on: str,
+    on,
     left_time: str,
     right_time: str,
     how: str = "inner",
@@ -338,7 +338,10 @@ def asof_join(
     ``right_time`` ≥ ``left_time`` (the next-event alignment; oracle =
     DuckDB ASOF over negated times).  ``tolerance`` (same units as the
     time columns) drops matches with ``|right_time − left_time| >
-    tolerance`` — pandas ``merge_asof`` semantics.
+    tolerance`` — pandas ``merge_asof`` semantics.  ``on`` may be a
+    LIST of columns (composite ``by``-key, e.g. (symbol, venue)):
+    buckets come from xor-mixed per-column hashes and the in-bucket
+    factorisation folds column-by-column, tuple-exact.
 
     EXECUTION CONTRACT (same as :func:`bucketed_join`): the union
     padding needs each side's schema up front, and ``Dataset.schema()``
@@ -382,17 +385,31 @@ def asof_join(
     rschema = right_schema if right_schema is not None else right.schema()
     lcols = list(lschema.names)
     rcols = list(rschema.names)
-    r_payload = [c for c in rcols if c not in (on, right_time)]
+    on_cols = [on] if isinstance(on, str) else list(on)
+    r_payload = [c for c in rcols if c not in on_cols and c != right_time]
+
+    def _khash(kcol) -> np.ndarray:
+        from hexscape_ray.functions.hashing import fnv1a_64_str_array, splitmix64
+
+        if pa.types.is_integer(kcol.type):
+            with np.errstate(over="ignore"):
+                return splitmix64(
+                    np.asarray(
+                        kcol.to_numpy(zero_copy_only=False), dtype=np.int64
+                    ).view(np.uint64)
+                )
+        return fnv1a_64_str_array(kcol.to_pylist())
 
     def tag(side: str, cols: list[str]):
         def fn(batch: pa.Table) -> pa.Table:
-            k = batch[on].to_numpy(zero_copy_only=False)
-            if not np.issubdtype(np.asarray(k).dtype, np.integer):
-                from hexscape_ray.functions.hashing import fnv1a_64_str_array
+            from hexscape_ray.functions.hashing import splitmix64
 
-                k = fnv1a_64_str_array(batch[on].to_pylist()).astype(np.int64)
+            h = _khash(batch[on_cols[0]])
+            for c in on_cols[1:]:
+                with np.errstate(over="ignore"):
+                    h = splitmix64(h ^ _khash(batch[c]))
             out = {c: batch[c] for c in cols}
-            out["__bucket"] = pa.array(np.abs(np.asarray(k, dtype=np.int64)) % n_buckets)
+            out["__bucket"] = pa.array((h % np.uint64(n_buckets)).astype(np.int64))
             out["__side"] = pa.array(np.repeat(side, len(batch)))
             return pa.table(out)
 
@@ -460,15 +477,27 @@ def asof_join(
         if nl == 0:
             return _empty()
 
-        # joint key factorisation (works for int AND string keys), then
-        # one composite code*M + time-rank per row: right sorted by the
-        # composite IS right sorted by (key, time), so a single
-        # searchsorted(side="right")−1 lands every left row on the
-        # latest right row with the same key and right_time ≤ left_time.
-        lk = lg[on].to_numpy(zero_copy_only=False)
-        rk = rg[on].to_numpy(zero_copy_only=False)
-        _, codes = np.unique(np.concatenate([lk, rk]), return_inverse=True)
-        lcode, rcode = codes[:nl].astype(np.int64), codes[nl:].astype(np.int64)
+        # joint key factorisation (works for int AND string keys; a
+        # composite `on` folds column-by-column with re-factorisation so
+        # the code stays < rows), then one composite code*M + time-rank
+        # per row: right sorted by the composite IS right sorted by
+        # (key, time), so a single searchsorted(side="right")−1 lands
+        # every left row on the latest right row with the same key and
+        # right_time ≤ left_time.
+        codes = None
+        for c in on_cols:
+            lk = lg[c].to_numpy(zero_copy_only=False)
+            rk = rg[c].to_numpy(zero_copy_only=False)
+            u, ccodes = np.unique(np.concatenate([lk, rk]), return_inverse=True)
+            ccodes = ccodes.astype(np.int64)
+            if codes is None:
+                codes = ccodes
+            else:  # fold: tuple-exact, re-factorised to stay small
+                _, codes = np.unique(
+                    codes * np.int64(u.size) + ccodes, return_inverse=True
+                )
+                codes = codes.astype(np.int64)
+        lcode, rcode = codes[:nl], codes[nl:]
         lt = lg[left_time].to_numpy(zero_copy_only=False)
         rt = rg[right_time].to_numpy(zero_copy_only=False)
         tsorted = np.unique(np.concatenate([lt, rt]))

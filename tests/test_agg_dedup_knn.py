@@ -826,6 +826,35 @@ def test_asof_join_matches_pandas_merge_asof(ray_session):
     assert len(got_f) == len(want_f)
     assert np.array_equal(got_f["val"].to_numpy(np.int64), want_f["val"].to_numpy(np.int64))
     assert np.array_equal(got_f["rt"].to_numpy(np.int64), want_f["rt"].to_numpy(np.int64))
+    # composite by-keys == merge_asof(by=[k, k2])
+    left2 = left.assign(k2=(left["lid"] % 3).astype(np.int64))
+    right2 = right.assign(k2=(right["val"] % 3).astype(np.int64))
+    right2 = right2.groupby(["k", "k2", "rt"], as_index=False)["val"].max()
+    want_c = (
+        pd.merge_asof(
+            left2.sort_values("t", kind="stable"),
+            right2.sort_values("rt"),
+            left_on="t",
+            right_on="rt",
+            by=["k", "k2"],
+            direction="backward",
+        )
+        .dropna(subset=["val"])
+        .sort_values("lid", ignore_index=True)
+    )
+    got_c = (
+        asof_join(
+            ray.data.from_pandas(left2),
+            ray.data.from_pandas(right2),
+            on=["k", "k2"],
+            left_time="t",
+            right_time="rt",
+        )
+        .to_pandas()
+        .sort_values("lid", ignore_index=True)
+    )
+    assert len(got_c) == len(want_c)
+    assert np.array_equal(got_c["val"].to_numpy(np.int64), want_c["val"].to_numpy(np.int64))
     # tolerance drops distant matches (both directions)
     for direction in ("backward", "forward"):
         want_t = (
