@@ -977,7 +977,9 @@ def embedding_near_dup(
         .map_groups(pairs, batch_format="pandas")
     )
     if n_tables > 1:  # same pair can surface from several tables
-        out = out.groupby(["a", "b"]).aggregate(Min("cosine", alias_name="cosine"))
+        from hexscape_ray.stages.agg import two_phase_agg
+
+        out = two_phase_agg(out, ["a", "b"], {"cosine": "min"})
     return out
 
 
