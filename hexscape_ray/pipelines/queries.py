@@ -3702,6 +3702,58 @@ SQL_ROLLING_7D_REVENUE = """
 """
 
 
+def q_region_revenue(sf_dir: str) -> Dataset:
+    """Multi-way dimension-chain join (TPC-H Q5 shape): region → nation
+    → customer → orders revenue per region.  The dimension chain
+    (region ⋈ nation ⋈ customer → custkey→region map) composes
+    DRIVER-side into one broadcast dict — dimensions are small by
+    definition; only the fact table streams, one map + one two-phase
+    sum, zero shuffle beyond the partials."""
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    c2r = {
+        int(c): r2name[n2r[int(n)]]
+        for c, n in zip(cust["c_custkey"], cust["c_nationkey"])
+    }
+    cref = ray.put(c2r)
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        m = ray.get(cref)
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        names = [m[int(k)] for k in batch["o_custkey"].to_pylist()]
+        return pa.table(
+            {
+                "r_name": pa.array(names, type=pa.string()),
+                "cents": pa.array(np.floor(p * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return two_phase_sum(
+        orders.map_batches(tag, batch_format="pyarrow"),
+        ["r_name"],
+        ["cents"],
+        count_as="n_orders",
+    ).rename_columns({"cents": "revenue_cents"})
+
+
+SQL_REGION_REVENUE = """
+  SELECT r_name,
+    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+      AS revenue_cents,
+    CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  GROUP BY r_name
+"""
+
+
 def q_user_type_stats(sf_dir: str) -> Dataset:
     """COMPOSITE-KEY partitioned join: per-(user, event_type) counts +
     exact value cents joined to per-(user, event_type) first-seen
@@ -4612,6 +4664,7 @@ RAY_QUERIES = {
     "daily_top_event": q_daily_top_event,
     "rolling_7d_revenue": q_rolling_7d_revenue,
     "user_type_stats": q_user_type_stats,
+    "region_revenue": q_region_revenue,
     "priority_price_quantiles": q_priority_price_quantiles,
     "pca_embeddings": q_pca_embeddings,
     "doc_repetition": q_doc_repetition,
@@ -4707,6 +4760,7 @@ ORACLES = {
     "daily_top_event": SQL_DAILY_TOP_EVENT,
     "rolling_7d_revenue": SQL_ROLLING_7D_REVENUE,
     "user_type_stats": SQL_USER_TYPE_STATS,
+    "region_revenue": SQL_REGION_REVENUE,
     "priority_price_quantiles": SQL_PRIORITY_PRICE_QUANTILES,
     "event_value_quantiles": SQL_EVENT_VALUE_QUANTILES,
     "doc_repetition": SQL_DOC_REPETITION,
