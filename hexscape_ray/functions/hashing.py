@@ -11,6 +11,11 @@ import numpy as np
 
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
+# second FNV family (different offset basis, same prime): an
+# independent 64-bit content hash for 128-bit keys — two strings that
+# collide in family 1 almost surely differ in family 2 (used by
+# duplicate_spans to carry a 128-bit gram id instead of the gram text)
+_FNV_OFFSET2 = np.uint64(0xAF63BD4C8601B7DF)
 
 # Knuth multiplicative constants — also used verbatim in oracle SQL.
 MULT_A = 2654435761
@@ -65,9 +70,16 @@ def knuth_frac(keys: np.ndarray, mult: int) -> np.ndarray:
     return v.astype(np.float64) / float(MOD32)
 
 
-def fnv1a_64_ranges(data: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+def fnv1a_64_ranges(
+    data: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    offset: np.uint64 = _FNV_OFFSET,
+) -> np.ndarray:
     """Vectorised FNV-1a 64 over byte RANGES of one shared uint8 buffer
-    — bit-identical to :func:`fnv1a_64` on ``bytes(data[s:e])`` per row.
+    — bit-identical to :func:`fnv1a_64` on ``bytes(data[s:e])`` per row
+    (at the default ``offset``; pass ``_FNV_OFFSET2`` for the second
+    independent family of a 128-bit key).
 
     One numpy pass per byte POSITION (gather + xor + multiply on the
     still-active rows), so total work is Σ lens elementwise ops instead
@@ -79,7 +91,7 @@ def fnv1a_64_ranges(data: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> n
     starts = np.asarray(starts, dtype=np.int64)
     ends = np.asarray(ends, dtype=np.int64)
     n = starts.size
-    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    h = np.full(n, offset, dtype=np.uint64)
     if n == 0:
         return h
     lens = ends - starts
@@ -90,6 +102,34 @@ def fnv1a_64_ranges(data: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> n
             b = data[starts[active] + j].astype(np.uint64)
             h[active] = (h[active] ^ b) * _FNV_PRIME
     return h
+
+
+def fnv1a_128_str_array(strings) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent uint64 FNV-1a families per string — a 128-bit
+    content key.  Vectorised: the strings are packed once into an Arrow
+    string array and both families run :func:`fnv1a_64_ranges` over its
+    shared utf-8 buffer (no per-string Python hashing).  Family 1 is
+    bit-identical to :func:`fnv1a_64_str_array`.  Collision probability
+    for n distinct strings is ~n²/2^129 — negligible at any corpus
+    scale, which is what lets ``duplicate_spans`` ship a 16-byte gram id
+    through its shuffle instead of the gram text."""
+    import pyarrow as pa
+
+    arr = (
+        strings
+        if isinstance(strings, pa.Array)
+        else pa.array(strings, type=pa.string())
+    )
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64)
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32).astype(np.int64)
+    offs = offs[arr.offset : arr.offset + n + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    h1 = fnv1a_64_ranges(data, offs[:-1], offs[1:])
+    h2 = fnv1a_64_ranges(data, offs[:-1], offs[1:], offset=_FNV_OFFSET2)
+    return h1, h2
 
 
 def _first_match_per_row(pos: np.ndarray, offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

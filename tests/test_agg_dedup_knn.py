@@ -1879,3 +1879,78 @@ def test_edit_distance_pairs_matches_bruteforce(ray_session):
     assert got["doc_b"].tolist() == want["doc_b"].astype(np.int64).tolist()
     assert got["dist"].tolist() == want["dist"].astype(np.int64).tolist()
     assert ((got["doc_a"] == 0) & (got["doc_b"] == 1)).any()  # planted pair found
+
+
+def test_coarse_width_scales_with_input():
+    """The pair-generator shuffle width grows with the estimated row
+    count (round-3 verdict #2: a fixed 64 caps parallelism and lets
+    per-task memory grow linearly with the corpus), stays a power of
+    two (bitmask bucket keys), floors at 64, and caps at 2^20."""
+    from hexscape_ray.stages.dedup import COARSE_TARGET_ROWS, coarse_width
+
+    assert coarse_width(0) == 64
+    assert coarse_width(1_000) == 64
+    assert coarse_width(64 * COARSE_TARGET_ROWS) == 64
+    w1 = coarse_width(10**9)
+    w2 = coarse_width(10**11)
+    assert w1 > 64 and w2 > w1
+    for w in (w1, w2):
+        assert w & (w - 1) == 0  # power of two
+    assert coarse_width(10**18) == 1 << 20
+    # each group holds ~COARSE_TARGET_ROWS rows (within the 2× pow2 round)
+    assert 10**9 / coarse_width(10**9) <= COARSE_TARGET_ROWS
+
+
+def test_duplicate_spans_hash_vs_gram_audit(ray_session):
+    """The 128-bit-gram-id path (default shuffle payload) and the
+    carry_gram collision-audit path (groups on the gram STRING) emit
+    identical spans, and a non-default coarse width does not change the
+    output (fine runs are intact under any modulus)."""
+    from hexscape_ray.stages.dedup import duplicate_spans
+
+    rng = np.random.default_rng(11)
+    vocab = [f"v{i}" for i in range(40)]
+    shared = ["x1", "x2", "x3", "x4", "x5"]
+    docs = []
+    for d in range(10):
+        toks = list(rng.choice(vocab, size=30))
+        if d % 2 == 0:
+            toks[7:7] = shared
+        docs.append(" ".join(toks))
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
+    ).repartition(3)
+
+    def run(**kw):
+        return (
+            duplicate_spans(ds, k=4, **kw)
+            .to_pandas()
+            .sort_values(
+                ["a_id", "b_id", "a_start", "b_start"], ignore_index=True
+            )
+        )
+
+    base = run()
+    audit = run(carry_gram=True)
+    wide = run(n_coarse=256)
+    assert len(base) > 0
+    pd.testing.assert_frame_equal(base, audit)
+    pd.testing.assert_frame_equal(base, wide)
+
+
+def test_fnv1a_128_families_independent_and_consistent():
+    """Family 1 of the 128-bit string hash is bit-identical to the
+    scalar fnv1a_64 path; family 2 differs from family 1 on every test
+    string (independent offset basis)."""
+    from hexscape_ray.functions.hashing import (
+        fnv1a_64_str_array,
+        fnv1a_128_str_array,
+    )
+
+    strs = ["", "a", "ab", "hello world", "héllo wörld", "x" * 100]
+    h1, h2 = fnv1a_128_str_array(strs)
+    ref = fnv1a_64_str_array(strs)
+    assert (h1 == ref).all()
+    assert (h1 != h2).all()
+    e1, e2 = fnv1a_128_str_array([])
+    assert e1.size == 0 and e2.size == 0
