@@ -173,14 +173,21 @@ SQL_HEX_DOC_COUNTS = (
 )
 
 
-def q_hex_rasterize(sf_dir: str, g: int = 32) -> Dataset:
+HEX_RASTER_G = 32  # grid width shared by q_hex_rasterize AND its oracle
+
+
+def q_hex_rasterize(sf_dir: str, g: int = HEX_RASTER_G) -> Dataset:
     """VECTOR→RASTER resample (the reverse of habitat's raster→hex,
     completing the north rule's raster↔vector pair): per-hex doc
     counts sampled onto a g×g grid — each raster cell takes the value
     of the hex containing its center (``grid.point_to_axial``, the
     oracle-parity axial math), empty hexes → cell absent.  The per-hex
     table is landscape-bounded → correct small-side broadcast; the
-    raster generates distributed (``ray.data.range``), no driver loop."""
+    raster generates distributed (``ray.data.range``), no driver loop.
+
+    The static oracle is generated from ``HEX_RASTER_G`` (same constant
+    as the default here, ADVICE r3) — calls with a different ``g`` are
+    valid pipelines but compare against no oracle."""
     cdf = (
         q_hex_doc_counts(sf_dir).select_columns(["r", "q", "n_docs"]).to_pandas()
     )
@@ -233,8 +240,9 @@ WITH counts AS (
 ),
 cells AS (
   SELECT i.range AS i, j.range AS j,
-         (i.range + 0.5) * 3125.0 AS x, (j.range + 0.5) * 3125.0 AS y
-  FROM range(0, 32) i, range(0, 32) j
+         (i.range + 0.5) * {100000.0 / HEX_RASTER_G!r} AS x,
+         (j.range + 0.5) * {100000.0 / HEX_RASTER_G!r} AS y
+  FROM range(0, {HEX_RASTER_G}) i, range(0, {HEX_RASTER_G}) j
 ),
 pts AS (SELECT i, j, x, y FROM cells),
 """

@@ -453,8 +453,9 @@ def _lev_prefix_chunk(
     vectorised over the pair axis: the classic DP runs its L×L cell
     loop in Python but every cell update is a chunk-wide numpy min —
     ~µs/pair at chunk=4096 (cache-resident rows; see CLAUDE.md perf
-    notes).  ``A``/``B`` are (P, L) uint8 padded char matrices,
-    ``la``/``lb`` the true lengths; padding never corrupts the result
+    notes).  ``A``/``B`` are (P, L) padded codepoint matrices (any
+    integer dtype), ``la``/``lb`` the true lengths; padding never
+    corrupts the result
     because D[i, j] depends only on the first i/j chars and each
     pair's answer is read at its own (la, lb)."""
     P, L = A.shape
@@ -508,10 +509,11 @@ def edit_distance_pairs(
     (:func:`_lev_prefix_chunk`) scores them.  Group memory is bounded
     by band occupancy, not block size; ``len_band`` is the knob.
 
-    Distances are CHARACTER-level on the byte-encoded prefix —
-    identical to SQL ``levenshtein(substr(text,1,L))`` on ASCII
-    corpora (documented assumption; non-ASCII needs a codepoint
-    encode).
+    Distances are BYTE-level over the utf-8 encoding of the
+    CODEPOINT-sliced prefix — bit-identical to DuckDB 1.0's
+    ``levenshtein(substr(text,1,L))`` on any corpus (its substr is
+    codepoint-level but its levenshtein is byte-level; probed:
+    ``levenshtein('é','e') = 2``).
     """
 
     def route(batch: pa.Table) -> pa.Table:
@@ -578,10 +580,19 @@ def edit_distance_pairs(
         if len(j_idx) == 0:
             return out_empty
 
-        enc = np.zeros((n, prefix_len), dtype=np.uint8)
+        # full utf-8 bytes of the codepoint-sliced prefix — NO byte
+        # truncation (the ADVICE-r3 bug: [:prefix_len] after the
+        # codepoint slice silently shortened non-ASCII prefixes).
+        # DuckDB 1.0's levenshtein is BYTE-level while its substr is
+        # codepoint-level (probed: levenshtein('é','e')=2), so byte DP
+        # over the codepoint-sliced prefix is the bit-exact oracle
+        # semantic on ANY corpus; the matrix width is the true max
+        # byte length (≤ 4·prefix_len).
+        bs = [s.encode("utf-8") for s in pfx.to_pylist()]
+        maxb = max(len(b) for b in bs)
+        enc = np.zeros((n, max(maxb, 1)), dtype=np.uint8)
         plen = np.empty(n, dtype=np.int64)
-        for r, s in enumerate(pfx.to_pylist()):
-            b = s.encode("utf-8")[:prefix_len]
+        for r, b in enumerate(bs):
             plen[r] = len(b)
             enc[r, : len(b)] = np.frombuffer(b, dtype=np.uint8)
 

@@ -1103,7 +1103,17 @@ def range_join_aggregate(
         a = np.searchsorted(vs, lo, side="left")
         b = np.searchsorted(vs, hi, side="left")
         b = np.maximum(a, b)  # inverted/degenerate intervals → 0 rows
-        out = {c: iv[c] for c in group_cols}
+        # INNER-join semantics: an interval matching zero probe rows in
+        # this cell emits NO partial — so a group whose intervals match
+        # nothing anywhere is absent from the output, exactly like the
+        # SQL oracle's inner join (a zero-partial would resurrect it as
+        # an all-zeros row).  LEFT-join semantics would keep b == a.
+        hit = b > a
+        if not hit.any():
+            return pa.table(empty_cols)
+        iv_hit = iv.filter(pa.array(hit))
+        a, b = a[hit], b[hit]
+        out = {c: iv_hit[c] for c in group_cols}
         for c in sum_cols:
             out[c] = pa.array(prefixes[c][b] - prefixes[c][a])
         out[count_as] = pa.array((b - a).astype(np.int64))

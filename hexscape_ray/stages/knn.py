@@ -541,6 +541,14 @@ def pq_topk(
     q_ref = ray.put(Q)
 
     def score(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:  # an empty block would make argpartition
+            return pa.table(  # raise on a zero-width axis
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
         T = ray.get(tabs_ref)
         qi = ray.get(qids_ref)
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)

@@ -310,10 +310,12 @@ def pack_sequences(
       shuffle, the streaming-throughput mode; sequence composition then
       depends on block boundaries (documented).
 
-    Output rows (one per packed sequence): ``seq_uid`` (min doc id in
-    the sequence ``·2^16 +`` local index — unique because chunk domains
-    partition the doc ids), ``n_docs``, ``n_chunks``, ``n_tokens ≤
-    max_len``, ``fill_pml = floor(1e6·n_tokens/max_len + 0.5)`` and the
+    Output rows (one per packed sequence): ``seq_uid`` (the DOMAIN's
+    min doc id ``·2^20 +`` sequence index — unique because packing
+    domains partition the doc ids; requires doc ids < 2^43 so the
+    shifted base fits int64, enforced next to the ``n_seq < 2^20``
+    assert), ``n_docs``, ``n_chunks``, ``n_tokens ≤ max_len``,
+    ``fill_pml = floor(1e6·n_tokens/max_len + 0.5)`` and the
     chunk-ordered ``doc_ids`` list.
     """
     import pandas as pd
@@ -353,6 +355,7 @@ def pack_sequences(
         n_seq = len(bins_docs)
         assert n_seq < (1 << 20), "packing domain too large for uid scheme"
         base = int(min(ids)) if len(ids) else 0
+        assert base < (1 << 43), "doc id too large for uid scheme (base<<20 must fit int64)"
         return pa.table(
             {
                 "seq_uid": pa.array(

@@ -1178,6 +1178,51 @@ def test_range_join_aggregate(ray_session):
     assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
 
 
+def test_range_join_aggregate_unmatched_group_omitted(ray_session):
+    """INNER-join semantics: a group whose intervals match zero probe
+    rows is ABSENT from the output (not an all-zeros row), matching a
+    brute-force inner join + groupby exactly."""
+    from hexscape_ray.stages.joins import range_join_aggregate
+
+    v = np.array([1.0, 2.0, 3.0, 50.0, 51.0])
+    w = np.array([10, 20, 30, 40, 50], dtype=np.int64)
+    # g_hit overlaps the probes, g_miss sits in an empty value region,
+    # g_degen is degenerate (lo == hi → matches nothing)
+    ivs_tbl = pa.table(
+        {
+            "band": pa.array(["g_hit", "g_hit", "g_miss", "g_degen"]),
+            "lo": pa.array([0.0, 49.0, 90.0, 2.0]),
+            "hi": pa.array([2.5, 52.0, 95.0, 2.0]),
+        }
+    )
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(v), "w": pa.array(w)}))
+    got = (
+        range_join_aggregate(
+            ds,
+            ray.data.from_arrow(ivs_tbl),
+            "v",
+            sum_cols=["w"],
+            group_cols=["band"],
+            n_ranges=4,
+        )
+        .to_pandas()
+        .sort_values("band", ignore_index=True)
+    )
+    lo, hi = ivs_tbl["lo"].to_numpy(), ivs_tbl["hi"].to_numpy()
+    grp = ivs_tbl["band"].to_numpy(zero_copy_only=False)
+    hit = (v[:, None] >= lo[None, :]) & (v[:, None] < hi[None, :])
+    rows, cols = np.nonzero(hit)
+    want = (
+        pd.DataFrame({"band": grp[cols], "w": w[rows], "n": 1})
+        .groupby("band", as_index=False)
+        .agg(w=("w", "sum"), n=("n", "sum"))
+        .sort_values("band", ignore_index=True)
+    )
+    assert got["band"].tolist() == ["g_hit"] == want["band"].tolist()
+    assert got["w"].tolist() == want["w"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+
+
 def test_contamination_hits(ray_session):
     """Decontamination counts == brute force: per train doc, the number
     of k-gram positions present anywhere in the eval set; clean docs
@@ -1954,3 +1999,50 @@ def test_fnv1a_128_families_independent_and_consistent():
     assert (h1 != h2).all()
     e1, e2 = fnv1a_128_str_array([])
     assert e1.size == 0 and e2.size == 0
+
+
+def test_edit_distance_pairs_non_ascii(ray_session):
+    """Levenshtein parity with DuckDB on a non-ASCII corpus (accents,
+    CJK, emoji): DuckDB's substr is codepoint-level but its levenshtein
+    is byte-level, so the engine byte-DPs the codepoint-sliced prefix
+    WITHOUT byte truncation (the old 40-byte cut silently shortened
+    non-ASCII prefixes)."""
+    import duckdb
+
+    from hexscape_ray.stages.dedup import edit_distance_pairs
+
+    texts = [
+        "héllo wörld çafé au lait déjà vu über alles naïve",
+        "héllo wörld çafé au lait déjà vu über alles naïvé",
+        "日本語のテキストです これはテストです よろしくお願いします",
+        "日本語のテキストです これはテストですん よろしくお願いします",
+        "mixed ascii and 日本語 plus émojis 🎉🎊 here",
+    ]
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts,
+            "lang": ["x"] * len(texts),
+            "n_chars": np.asarray([len(t) for t in texts], dtype=np.int64),
+        }
+    )
+    got = (
+        edit_distance_pairs(
+            ray.data.from_pandas(df), prefix_len=30, max_dist=12, len_band=64
+        )
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"], ignore_index=True)
+    )
+    want = duckdb.sql(
+        """
+        WITH d AS (SELECT doc_id, lang, n_chars, substr(text,1,30) p FROM df)
+        SELECT a.doc_id doc_a, b.doc_id doc_b, levenshtein(a.p,b.p) dist
+        FROM d a JOIN d b ON a.lang=b.lang AND a.doc_id < b.doc_id
+          AND abs(a.n_chars-b.n_chars) <= 64
+        WHERE levenshtein(a.p,b.p) <= 12 ORDER BY doc_a, doc_b
+        """
+    ).df()
+    assert got["doc_a"].tolist() == want["doc_a"].astype(np.int64).tolist()
+    assert got["doc_b"].tolist() == want["doc_b"].astype(np.int64).tolist()
+    assert got["dist"].tolist() == want["dist"].astype(np.int64).tolist()
+    assert len(got) >= 2  # the accent pair and the CJK pair both found
