@@ -93,29 +93,39 @@ def two_phase_sum(
 
 def combine_partials(partials: Dataset, keys: list[str], agg_cols: list[str]) -> Dataset:
     """Adaptive final combine for a partial-sum Dataset (see
-    :func:`two_phase_sum`): coordinator pandas combine below
-    ``SMALL_AGG_ROWS``, distributed groupby-sum above."""
+    :func:`two_phase_sum`): single-task pandas combine below
+    ``SMALL_AGG_ROWS``, distributed groupby-sum above.
+
+    The small-side combine runs in ONE REMOTE TASK
+    (``repartition(1).map_batches``, the graph.py single-task pattern)
+    rather than on the driver (round-3 verdict #4): same measured win
+    over Ray's ~6 s sort-shuffle constant, but N concurrent aggregates
+    on a multi-node cluster burn N workers' CPU instead of serialising
+    on driver CPU/RAM, and the partials never leave the object store."""
     partials = partials.materialize()
     if partials.count() <= SMALL_AGG_ROWS:
-        import ray.data as rd
 
-        pdf = partials.to_pandas()
-        if keys:
-            out_df = pdf.groupby(keys, as_index=False, dropna=False, sort=True)[
-                agg_cols
-            ].sum()
-        else:
-            out_df = pdf[agg_cols].sum().to_frame().T
-        # Arrow blocks, not pandas: Ray's Project (select/rename) operator
-        # assumes Arrow blocks and dies on a pandas one.  Slice into
-        # ~64k-row blocks so downstream stages keep their parallelism
-        # (a single giant block would serialise any further map/groupby).
-        t = pa.Table.from_pandas(out_df, preserve_index=False)
-        step = 65536
-        if t.num_rows <= step:
-            return rd.from_arrow(t)
-        slices = [t.slice(i, step) for i in range(0, t.num_rows, step)]
-        return rd.from_arrow(slices)
+        def combine(batch: pa.Table):
+            pdf = batch.to_pandas()
+            if keys:
+                out_df = pdf.groupby(keys, as_index=False, dropna=False, sort=True)[
+                    agg_cols
+                ].sum()
+            else:
+                out_df = pdf[agg_cols].sum().to_frame().T
+            # Arrow, not pandas: Ray's Project (select/rename) operator
+            # assumes Arrow blocks and dies on a pandas one.  Yield
+            # ~64k-row slices so downstream stages keep their
+            # parallelism (a single giant block would serialise any
+            # further map/groupby).
+            t = pa.Table.from_pandas(out_df, preserve_index=False)
+            step = 65536
+            for i in range(0, max(t.num_rows, 1), step):
+                yield t.slice(i, step)
+
+        return partials.repartition(1).map_batches(
+            combine, batch_format="pyarrow", batch_size=None
+        )
     return partials.groupby(keys).aggregate(
         *[Sum(c, alias_name=c) for c in agg_cols]
     )
@@ -580,21 +590,24 @@ def two_phase_agg(
         partial, batch_format="pyarrow", batch_size=batch_size
     ).materialize()
     if partials.count() <= SMALL_AGG_ROWS:
-        import ray.data as rd
+        # same single-remote-task placement as combine_partials
+        def combine(batch: pa.Table):
+            pdf = batch.to_pandas()
+            if keys:
+                g = pdf.groupby(keys, as_index=False, dropna=False, sort=True)
+                out_df = g.agg(**{c: (c, how) for c, how in aggs.items()})
+            else:
+                out_df = pd.DataFrame(
+                    {c: [getattr(pdf[c], how)()] for c, how in aggs.items()}
+                )
+            t = pa.Table.from_pandas(out_df, preserve_index=False)
+            step = 65536
+            for i in range(0, max(t.num_rows, 1), step):
+                yield t.slice(i, step)
 
-        pdf = partials.to_pandas()
-        if keys:
-            g = pdf.groupby(keys, as_index=False, dropna=False, sort=True)
-            out_df = g.agg(**{c: (c, how) for c, how in aggs.items()})
-        else:
-            out_df = pd.DataFrame(
-                {c: [getattr(pdf[c], how)()] for c, how in aggs.items()}
-            )
-        t = pa.Table.from_pandas(out_df, preserve_index=False)
-        step = 65536
-        if t.num_rows <= step:
-            return rd.from_arrow(t)
-        return rd.from_arrow([t.slice(i, step) for i in range(0, t.num_rows, step)])
+        return partials.repartition(1).map_batches(
+            combine, batch_format="pyarrow", batch_size=None
+        )
     ray_aggs = []
     for c, how in aggs.items():
         ray_aggs.append(
