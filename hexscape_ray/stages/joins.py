@@ -173,11 +173,52 @@ def bloom_prefilter(
     )
 
 
+JOIN_BUCKET_TARGET_BYTES = 64 << 20  # ~64 MB of joined input per bucket task
+
+
+def _safe_size_bytes(ds: Dataset) -> int | None:
+    """Metadata-only size probe: a value for a MATERIALIZED dataset or
+    a bare SOURCE (read_parquet / from_arrow / from_pandas — size comes
+    from file or block metadata), ``None`` for any lazy pipeline —
+    probing those would execute them once and the consumer would then
+    re-execute (the measured round-2/3 recompute trap that motivated
+    the ``*_schema`` params)."""
+    try:
+        from ray.data.dataset import MaterializedDataset
+
+        if isinstance(ds, MaterializedDataset):
+            return ds.size_bytes()
+        if not ds._plan._logical_plan.dag.input_dependencies:
+            return ds.size_bytes()  # source op: metadata only
+    except Exception:
+        return None
+    return None
+
+
+def derive_n_buckets(*sides: Dataset, default: int = 64) -> int:
+    """Bucket count for the co-partitioned joins, scaled from the
+    inputs' combined size so each bucket group stays ~
+    ``JOIN_BUCKET_TARGET_BYTES`` (bounded per-task memory, parallelism
+    grows with data — round-3 verdict #5, mirroring the native join's
+    ``num_partitions`` derivation).  Sides whose size can't be probed
+    without executing them count as zero; if NO side is probe-able the
+    ``default`` (the historical 64) is returned."""
+    total, probed = 0, False
+    for s in sides:
+        b = _safe_size_bytes(s)
+        if b is not None:
+            total += b
+            probed = True
+    if not probed:
+        return default
+    return int(min(65536, max(default, -(-total // JOIN_BUCKET_TARGET_BYTES))))
+
+
 def bucketed_join(
     left: Dataset,
     right: Dataset,
     on,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     how: str = "inner",
     left_schema=None,
     right_schema=None,
@@ -202,6 +243,8 @@ def bucketed_join(
     that are direct parquet reads are fine as-is (schema comes from
     file metadata)."""
 
+    if n_buckets is None:  # size-derived width (metadata-only probes)
+        n_buckets = derive_n_buckets(left, right)
     on_cols = [on] if isinstance(on, str) else list(on)
     lschema = left_schema if left_schema is not None else left.schema()
     rschema = right_schema if right_schema is not None else right.schema()
@@ -322,7 +365,7 @@ def asof_join(
     left_time: str,
     right_time: str,
     how: str = "inner",
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     left_schema=None,
     right_schema=None,
     right_dedup: tuple[str, str] | None = None,
@@ -381,6 +424,8 @@ def asof_join(
     ``how='left'`` keeps unmatched left rows with nulls; 'inner' drops
     them.
     """
+    if n_buckets is None:  # size-derived width (metadata-only probes)
+        n_buckets = derive_n_buckets(left, right)
     lschema = left_schema if left_schema is not None else left.schema()
     rschema = right_schema if right_schema is not None else right.schema()
     lcols = list(lschema.names)
@@ -831,7 +876,7 @@ def interval_self_join_census(
     time_col: str,
     label_col: str,
     window: int,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> Dataset:
     """Stream-stream WINDOW JOIN census: for every ordered pair of rows
     (a, b) sharing ``key`` with ``a.time − window ≤ b.time < a.time``
@@ -851,6 +896,9 @@ def interval_self_join_census(
     Oracle: the equivalent interval-predicate SQL self-join.
     """
     import pyarrow.compute as pc
+
+    if n_buckets is None:  # size-derived width (metadata-only probes)
+        n_buckets = derive_n_buckets(events)
 
     def tag(batch: pa.Table) -> pa.Table:
         k = batch[key].to_numpy(zero_copy_only=False)
@@ -918,7 +966,7 @@ def salted_join(
     small: Dataset,
     on: str,
     n_salt: int = 16,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     big_schema=None,
     small_schema=None,
 ) -> Dataset:
@@ -939,6 +987,8 @@ def salted_join(
     skewed.
     """
     assert n_salt >= 2
+    if n_buckets is None:  # probe the RAW sides (the salted ones are lazy)
+        n_buckets = derive_n_buckets(big, small)
 
     def salt_big(batch: pa.Table) -> pa.Table:
         k = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -2046,3 +2046,50 @@ def test_edit_distance_pairs_non_ascii(ray_session):
     assert got["doc_b"].tolist() == want["doc_b"].astype(np.int64).tolist()
     assert got["dist"].tolist() == want["dist"].astype(np.int64).tolist()
     assert len(got) >= 2  # the accent pair and the CJK pair both found
+
+
+def test_derive_n_buckets_scales(ray_session):
+    """Join bucket width derives from probe-able input sizes (floor 64,
+    grows with bytes), never executes a lazy pipeline (unprobed sides
+    fall back to the default), and the oracle-facing joins accept the
+    derived width."""
+    from hexscape_ray.stages.joins import (
+        JOIN_BUCKET_TARGET_BYTES,
+        _safe_size_bytes,
+        bucketed_join,
+        derive_n_buckets,
+    )
+
+    small = ray.data.from_arrow(
+        pa.table({"k": pa.array(np.arange(100, dtype=np.int64)),
+                  "v": pa.array(np.arange(100, dtype=np.int64))})
+    )
+    assert derive_n_buckets(small) == 64
+
+    calls = {"n": 0}
+
+    def bump(b):
+        calls["n"] += 1
+        return b
+
+    lazy = small.map_batches(bump, batch_format="pyarrow")
+    assert _safe_size_bytes(lazy) is None
+    assert derive_n_buckets(lazy) == 64  # fallback, no execution
+    assert calls["n"] == 0
+
+    big_m = small.materialize()
+    sz = big_m.size_bytes()
+    assert _safe_size_bytes(big_m) == sz
+    # synthetic check of the width formula at cluster scale
+    assert derive_n_buckets(small, default=64) == 64
+    w = -(-(200 * JOIN_BUCKET_TARGET_BYTES) // JOIN_BUCKET_TARGET_BYTES)
+    assert w == 200  # sanity of the ceil-div the derivation uses
+
+    # end-to-end: derived-width join equals explicit-width join
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array(np.arange(0, 100, 2, dtype=np.int64)),
+                  "w": pa.array(np.arange(50, dtype=np.int64))})
+    )
+    a = bucketed_join(small, right, on="k").to_pandas().sort_values("k", ignore_index=True)
+    b = bucketed_join(small, right, on="k", n_buckets=8).to_pandas().sort_values("k", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
