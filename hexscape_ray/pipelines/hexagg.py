@@ -79,21 +79,57 @@ def hex_language_mix(
     prepared = prepare_pages(ds, spec, res)
     partials = two_phase_sum(prepared, [cell_col, "lang"], ["n_chars"], count_as="n_docs")
 
-    def widen(g: pd.DataFrame) -> pd.DataFrame:
-        n_total = int(g["n_docs"].sum())
-        len_sum = int(g["n_chars"].sum())
-        row = {
-            "cell": np.int64(g[cell_col].iloc[0]),
-            "n_docs": n_total,
-            "len_sum": len_sum,
-            "len_mean": len_sum / n_total if n_total else 0.0,
-        }
-        by = g.groupby("lang")["n_docs"].sum()
-        for lang in langs:
-            row[f"LU_{lang}"] = float(by.get(lang, 0)) / n_total if n_total else 0.0
-        return pd.DataFrame([row])
+    # WIDEN many cells per task (round-3 verdict #9): one pandas
+    # DataFrame per CELL would be ~100 µs of per-group overhead each —
+    # nothing at 193 cells, the minhash-bucket lesson again at
+    # millions (finer res).  Cells are sharded into coarse groups
+    # (same-cell rows co-locate: the key is a pure function of cell)
+    # and each group widens ALL its cells with one factorize +
+    # np.add.at scatter — measured 110 µs/cell → 0.21 µs/cell at 50k
+    # cells.  Integer sums stay int64 (exact, order-invariant), so the
+    # output is bit-identical to the per-cell path.
+    mask = np.int64(63)
 
-    return partials.groupby(cell_col).map_groups(widen, batch_format="pandas")
+    def shard(batch: pa.Table) -> pa.Table:
+        c = batch[cell_col].to_numpy(zero_copy_only=False)
+        from hexscape_ray.functions.hashing import splitmix64
+
+        h = splitmix64(np.asarray(c, dtype=np.int64).view(np.uint64))
+        return batch.append_column(
+            "__coarse", pa.array(np.bitwise_and(h.astype(np.int64), mask))
+        )
+
+    def widen_block(g: pd.DataFrame) -> pd.DataFrame:
+        codes, cells = pd.factorize(g[cell_col], sort=True)
+        nd = g["n_docs"].to_numpy(dtype=np.int64)
+        lc = g["n_chars"].to_numpy(dtype=np.int64)
+        k = len(cells)
+        tot = np.zeros(k, dtype=np.int64)
+        np.add.at(tot, codes, nd)
+        lsum = np.zeros(k, dtype=np.int64)
+        np.add.at(lsum, codes, lc)
+        lang_idx = pd.Categorical(g["lang"], categories=langs).codes
+        mat = np.zeros((k, len(langs)), dtype=np.int64)
+        ok = lang_idx >= 0
+        np.add.at(mat, (codes[ok], lang_idx[ok]), nd[ok])
+        safe = np.maximum(tot, 1)
+        out = {
+            "cell": np.asarray(cells, dtype=np.int64),
+            "n_docs": tot,
+            "len_sum": lsum,
+            "len_mean": np.where(tot > 0, lsum / safe, 0.0),
+        }
+        prop = mat / safe[:, None]
+        prop[tot == 0] = 0.0
+        for j, lang in enumerate(langs):
+            out[f"LU_{lang}"] = prop[:, j]
+        return pd.DataFrame(out)
+
+    return (
+        partials.map_batches(shard, batch_format="pyarrow")
+        .groupby("__coarse")
+        .map_groups(widen_block, batch_format="pandas")
+    )
 
 
 def hex_counts(ds: Dataset, spec: GridSpec = DEFAULT_GRID, res: int = 0) -> Dataset:
@@ -210,19 +246,51 @@ def enriched_hex_stats(
         ds, [cell_col, "lang"], ["n_chars", "q_score"], count_as="n_docs", batch_size=65536
     )
 
-    def widen(g: pd.DataFrame) -> pd.DataFrame:
-        n_total = int(g["n_docs"].sum())
-        len_sum = int(g["n_chars"].sum())
-        row = {
-            "cell": np.int64(g[cell_col].iloc[0]),
-            "n_docs": n_total,
-            "len_sum": len_sum,
-            "len_mean": len_sum / n_total if n_total else 0.0,
-            "q_mean": float(g["q_score"].sum()) / n_total if n_total else 0.0,
-        }
-        by = g.groupby("lang")["n_docs"].sum()
-        for lang in langs:
-            row[f"LU_{lang}"] = float(by.get(lang, 0)) / n_total if n_total else 0.0
-        return pd.DataFrame([row])
+    # same coarse-sharded vectorised widen as hex_language_mix (verdict
+    # #9): all cells of a shard in one factorize + np.add.at pass
+    mask = np.int64(63)
 
-    return partials.groupby(cell_col).map_groups(widen, batch_format="pandas")
+    def shard(batch: pa.Table) -> pa.Table:
+        c = batch[cell_col].to_numpy(zero_copy_only=False)
+        from hexscape_ray.functions.hashing import splitmix64
+
+        h = splitmix64(np.asarray(c, dtype=np.int64).view(np.uint64))
+        return batch.append_column(
+            "__coarse", pa.array(np.bitwise_and(h.astype(np.int64), mask))
+        )
+
+    def widen_block(g: pd.DataFrame) -> pd.DataFrame:
+        codes, cells = pd.factorize(g[cell_col], sort=True)
+        nd = g["n_docs"].to_numpy(dtype=np.int64)
+        lc = g["n_chars"].to_numpy(dtype=np.int64)
+        qs = g["q_score"].to_numpy(dtype=np.float64)
+        k = len(cells)
+        tot = np.zeros(k, dtype=np.int64)
+        np.add.at(tot, codes, nd)
+        lsum = np.zeros(k, dtype=np.int64)
+        np.add.at(lsum, codes, lc)
+        qsum = np.zeros(k, dtype=np.float64)
+        np.add.at(qsum, codes, qs)
+        lang_idx = pd.Categorical(g["lang"], categories=langs).codes
+        mat = np.zeros((k, len(langs)), dtype=np.int64)
+        ok = lang_idx >= 0
+        np.add.at(mat, (codes[ok], lang_idx[ok]), nd[ok])
+        safe = np.maximum(tot, 1)
+        out = {
+            "cell": np.asarray(cells, dtype=np.int64),
+            "n_docs": tot,
+            "len_sum": lsum,
+            "len_mean": np.where(tot > 0, lsum / safe, 0.0),
+            "q_mean": np.where(tot > 0, qsum / safe, 0.0),
+        }
+        prop = mat / safe[:, None]
+        prop[tot == 0] = 0.0
+        for j, lang in enumerate(langs):
+            out[f"LU_{lang}"] = prop[:, j]
+        return pd.DataFrame(out)
+
+    return (
+        partials.map_batches(shard, batch_format="pyarrow")
+        .groupby("__coarse")
+        .map_groups(widen_block, batch_format="pandas")
+    )

@@ -281,21 +281,60 @@ def pivot_proportions(
     """Widen (key, class, value) → one row per key with ``prefix<class>``
     proportion columns over the FIXED class list (zero-filled — the
     full_join grid completion, /root/reference/R/generate_patches.R:269-277),
-    proportions summing to 1 (checksum invariant, :346-355)."""
+    proportions summing to 1 (checksum invariant, :346-355).
+
+    Vectorised (round-3 verdict #9): keys are sharded into coarse
+    groups (the key hashes to its shard, so all rows of one key
+    co-locate) and each shard widens ALL its keys with one factorize +
+    ``np.add.at`` scatter — per-KEY pandas groups cost ~100 µs of
+    overhead each, the measured minhash-bucket lesson at million-key
+    cardinality."""
     extra_sums = extra_sums or []
 
-    def widen(g: pd.DataFrame) -> pd.DataFrame:
-        total = float(g[value_col].sum())
-        row = {group_key: g[group_key].iloc[0], f"{value_col}_sum": total}
-        for c in extra_sums:
-            row[c] = g[c].sum()
-        by = g.groupby(class_col)[value_col].sum()
-        for cls in classes:
-            v = float(by.get(cls, 0.0))
-            row[f"{prefix}{cls}"] = (v / total) if total > 0 else 0.0
-        return pd.DataFrame([row])
+    def shard(batch: pa.Table) -> pa.Table:
+        from hexscape_ray.functions.hashing import fnv1a_64_str_array, splitmix64
 
-    return ds.groupby(group_key).map_groups(widen, batch_format="pandas")
+        kcol = batch[group_key]
+        if pa.types.is_integer(kcol.type):
+            h = splitmix64(
+                np.asarray(
+                    kcol.to_numpy(zero_copy_only=False), dtype=np.int64
+                ).view(np.uint64)
+            )
+        else:
+            h = fnv1a_64_str_array(kcol.to_pylist())
+        return batch.append_column(
+            "__coarse",
+            pa.array(np.bitwise_and(h.astype(np.int64), np.int64(63))),
+        )
+
+    def widen_block(g: pd.DataFrame) -> pd.DataFrame:
+        codes, uniq = pd.factorize(g[group_key], sort=True)
+        v = g[value_col].to_numpy(dtype=np.float64)
+        k = len(uniq)
+        tot = np.zeros(k, dtype=np.float64)
+        np.add.at(tot, codes, v)
+        out = {group_key: np.asarray(uniq), f"{value_col}_sum": tot}
+        for c in extra_sums:
+            acc = np.zeros(k, dtype=np.float64)
+            np.add.at(acc, codes, g[c].to_numpy(dtype=np.float64))
+            out[c] = acc
+        cls_idx = pd.Categorical(g[class_col], categories=classes).codes
+        mat = np.zeros((k, len(classes)), dtype=np.float64)
+        ok = cls_idx >= 0
+        np.add.at(mat, (codes[ok], cls_idx[ok]), v[ok])
+        safe = np.where(tot > 0, tot, 1.0)
+        prop = mat / safe[:, None]
+        prop[tot <= 0] = 0.0
+        for j, cls in enumerate(classes):
+            out[f"{prefix}{cls}"] = prop[:, j]
+        return pd.DataFrame(out)
+
+    return (
+        ds.map_batches(shard, batch_format="pyarrow")
+        .groupby("__coarse")
+        .map_groups(widen_block, batch_format="pandas")
+    )
 
 
 def grouped_ntile(
