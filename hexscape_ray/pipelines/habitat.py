@@ -61,6 +61,86 @@ def kde2d_grid(
     return gx, gy, z
 
 
+def kde2d_grid_distributed(
+    points: Dataset,
+    n: int = 64,
+    bbox: tuple = (0.0, 0.0, 100_000.0, 100_000.0),
+    hx: float | None = None,
+    hy: float | None = None,
+    x_col: str = "x",
+    y_col: str = "y",
+):
+    """Distributed 2-D Gaussian KDE on a fixed n×n grid (round-3
+    verdict #7): the product kernel decomposes per POINT —
+    ``z[i,j] = (1/P) Σ_p ax_p[i]·ay_p[j]`` — so each block contributes
+    one (n×n) partial ``AX_b @ AY_b.T`` and the partials sum with
+    :func:`two_phase_sum` over flattened grid indices.  The point
+    table never leaves the cluster; only (n², block) partial rows move
+    and the final n² grid (4096 doubles at the default) lands on the
+    driver.  Output matches :func:`kde2d_grid` to float-sum
+    re-association (~1e-15 relative; the single-matmul path sums the
+    point axis in one order, the block partials in another).
+
+    Bandwidths: when not given, ``bandwidth.nrd`` runs in ONE remote
+    task over the (x, y) projection (``repartition(1)`` — 16 bytes per
+    point, the same collect the driver path did, moved off the driver;
+    numpy semantics identical).  For corpora beyond single-task memory
+    pass precomputed ``hx``/``hy`` (e.g. from the histogram quantile
+    sketch) — the kernel-sum stage itself has no such bound.
+    """
+    n_pts = points.count()
+    if hx is None or hy is None:
+
+        def bw(batch: pa.Table) -> pa.Table:
+            x = batch[x_col].to_numpy(zero_copy_only=False)
+            y = batch[y_col].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "hx": pa.array([bandwidth_nrd(x) / 4.0]),
+                    "hy": pa.array([bandwidth_nrd(y) / 4.0]),
+                }
+            )
+
+        row = (
+            points.select_columns([x_col, y_col])
+            .repartition(1)
+            .map_batches(bw, batch_format="pyarrow", batch_size=None)
+            .take_all()[0]
+        )
+        hx = hx if hx is not None else float(row["hx"])
+        hy = hy if hy is not None else float(row["hy"])
+
+    gx = np.linspace(bbox[0], bbox[2], n)
+    gy = np.linspace(bbox[1], bbox[3], n)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        px = batch[x_col].to_numpy(zero_copy_only=False)
+        py = batch[y_col].to_numpy(zero_copy_only=False)
+        ax = np.exp(-0.5 * ((gx[:, None] - px[None, :]) / hx) ** 2) / (
+            hx * np.sqrt(2 * np.pi)
+        )
+        ay = np.exp(-0.5 * ((gy[:, None] - py[None, :]) / hy) ** 2) / (
+            hy * np.sqrt(2 * np.pi)
+        )
+        zb = ax @ ay.T  # (n, n) partial kernel sum for this block
+        return pa.table(
+            {
+                "idx": pa.array(np.arange(n * n, dtype=np.int64)),
+                "zsum": pa.array(zb.ravel()),
+            }
+        )
+
+    summed = two_phase_sum(
+        points.map_batches(partial, batch_format="pyarrow"),
+        ["idx"],
+        ["zsum"],
+        count_as=None,
+    ).to_pandas()
+    z = np.zeros(n * n, dtype=np.float64)
+    z[summed["idx"].to_numpy()] = summed["zsum"].to_numpy() / n_pts
+    return gx, gy, z.reshape(n, n)
+
+
 def raster_to_hex(
     gx: np.ndarray, gy: np.ndarray, z: np.ndarray, spec: GridSpec, res: int = 0
 ) -> Dataset:
@@ -148,9 +228,10 @@ def discretise_habitat(
     bbox: tuple = (0.0, 0.0, 100_000.0, 100_000.0),
     n_components: int = 2,
 ) -> pd.DataFrame:
-    """End-to-end: points → KDE → hex density → threshold → components."""
-    pdf = points.to_pandas()
-    gx, gy, z = kde2d_grid(pdf["x"].to_numpy(), pdf["y"].to_numpy(), n=grid_n, bbox=bbox)
+    """End-to-end: points → distributed KDE → hex density → threshold
+    → components.  The point table is never collected (round-3 verdict
+    #7); the O(points × grid) kernel sums run as per-block partials."""
+    gx, gy, z = kde2d_grid_distributed(points, n=grid_n, bbox=bbox)
     hexes = raster_to_hex(gx, gy, z, spec)
     kept = threshold_by_cumulative_area(hexes, target_area, spec.hex_area)
     return split_components(kept.to_pandas(), spec, n_components=n_components)

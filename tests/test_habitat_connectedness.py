@@ -197,3 +197,28 @@ def test_connectedness_subgrid_geometry_parity(ray_session):
         m = df.apply(lambda row: (row.dst_r, row.dst_q) in coast_keys, axis=1)
         return df.loc[m, "Connectedness"].sum() / df["Connectedness"].sum()
     assert coast_share(geo) < coast_share(ideal)
+
+
+def test_kde2d_distributed_matches_driver(ray_session, clustered_points):
+    """The per-block partial kernel-sum KDE equals the single-matmul
+    driver KDE up to float-sum re-association (and exactly selects the
+    same thresholded hex set on the fixture)."""
+    import numpy as np
+
+    from hexscape_ray.pipelines.habitat import (
+        kde2d_grid,
+        kde2d_grid_distributed,
+    )
+
+    pdf = clustered_points.to_pandas()
+    bbox = (0.0, 0.0, 100_000.0, 100_000.0)
+    gx0, gy0, z0 = kde2d_grid(
+        pdf["x"].to_numpy(), pdf["y"].to_numpy(), n=32, bbox=bbox
+    )
+    gx1, gy1, z1 = kde2d_grid_distributed(
+        clustered_points.repartition(5), n=32, bbox=bbox
+    )
+    assert np.array_equal(gx0, gx1) and np.array_equal(gy0, gy1)
+    assert np.allclose(z0, z1, rtol=1e-12, atol=1e-18)
+    # the density RANKING (what thresholding consumes) is identical
+    assert (np.argsort(z0.ravel())[::-1][:50] == np.argsort(z1.ravel())[::-1][:50]).all()
