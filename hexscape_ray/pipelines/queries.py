@@ -2439,8 +2439,14 @@ def q_generate_neighbours(sf_dir: str) -> Dataset:
 
 def q_point_in_polygon(sf_dir: str) -> Dataset:
     """documents geocoded → admin level-2 containment assignment
-    (J1/S1a) → census per admin code.  Rows-only (geometry op), but
-    invariant-tested: every point assigned exactly one polygon."""
+    (J1/S1a) → census per admin code.  ORACLE-backed (round-3 verdict
+    #10): the fixture's 16 subregions tile the landscape as an exact
+    4×4 band grid, so containment reduces to coordinate band predicates
+    the SQL can mirror (``floor(x/25000)`` per axis + the fixture's
+    code formula).  Band-EDGE points would tie-break differently
+    (engine: lowest-gid containing polygon; SQL: right/upper band), but
+    the Knuth geocode puts no point on an internal edge at any test SF
+    (checked: only doc 0 at the (0,0) corner, where both agree)."""
     from hexscape_ray.stages.spatial import assign_points_to_polygons
 
     fx = _fixture_tables()
@@ -2450,6 +2456,19 @@ def q_point_in_polygon(sf_dir: str) -> Dataset:
     ds = ds.map_batches(lambda b: geocode_ids_batch(b, "doc_id"), batch_format="pyarrow")
     assigned = assign_points_to_polygons(ds, lvl2)
     return two_phase_sum(assigned.select_columns(["admin_code"]), ["admin_code"], [], count_as="n_docs")
+
+
+SQL_POINT_IN_POLYGON = f"""
+  WITH pts AS (SELECT doc_id, {_GEO_SQL.format(key="doc_id")} FROM documents),
+  bands AS (
+    SELECT CAST(floor(x / 25000.0) AS BIGINT) AS i,
+           CAST(floor(y / 25000.0) AS BIGINT) AS j
+    FROM pts)
+  SELECT 'A' || CAST((i // 2) * 2 + (j // 2) AS VARCHAR)
+             || CAST((i % 2) * 2 + (j % 2) AS VARCHAR) AS admin_code,
+         count(*) AS n_docs
+  FROM bands GROUP BY 1 ORDER BY 1
+"""
 
 
 def q_voronoi(sf_dir: str) -> Dataset:
@@ -4811,6 +4830,7 @@ ORACLES = {
     "lang_source_cube": SQL_LANG_SOURCE_CUBE,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "region_order_rank_dense": SQL_REGION_ORDER_RANK_DENSE,
+    "point_in_polygon": SQL_POINT_IN_POLYGON,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,
