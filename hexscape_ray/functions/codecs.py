@@ -184,3 +184,545 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if nch > 1:
         x = x.reshape(-1, nch).mean(axis=1)
     return x, rate
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (JFIF / ITU-T T.81) — pure numpy, no external libs.
+#
+# Supported: baseline sequential DCT (SOF0), 8-bit, 1 or 3 components,
+# any sampling factors (4:4:4 / 4:2:0 / 4:2:2), restart markers,
+# 8- and 16-bit quantisation tables.  Progressive (SOF2), arithmetic
+# coding and 12-bit precision raise ValueError (callers fall back to
+# the labelled fake).  Everything follows the public T.81 spec: huffman
+# tables are read from the stream's DHT segments (canonical codes,
+# F.2.2.3), coefficients decode per F.2.2.1-2, the IDCT is the exact
+# orthonormal 8x8 DCT-III as two matrix products (A.3.3).
+#
+# The ENCODER exists for fixtures and roundtrip tests: Annex K quant
+# tables with libjpeg's quality scaling, Annex K huffman tables written
+# into DHT (the decoder never assumes them), optional 4:2:0 chroma
+# subsampling (box average down, nearest up — matched pair).
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = sorted(
+    ((i, j) for i in range(8) for j in range(8)),
+    key=lambda t: (t[0] + t[1], t[0] if (t[0] + t[1]) % 2 else -t[0]),
+)
+_ZZ_ROWS = np.array([i for i, _ in _ZIGZAG], dtype=np.int64)
+_ZZ_COLS = np.array([j for _, j in _ZIGZAG], dtype=np.int64)
+
+# orthonormal 8-point DCT-II basis: M[u, i] = c(u)/2 * cos((2i+1)u*pi/16)
+_DCT_M = np.zeros((8, 8))
+for _u in range(8):
+    for _i in range(8):
+        _c = (1.0 / np.sqrt(2.0)) if _u == 0 else 1.0
+        _DCT_M[_u, _i] = 0.5 * _c * np.cos((2 * _i + 1) * _u * np.pi / 16.0)
+del _u, _i, _c
+
+# Annex K quantisation tables (quality scaled at encode; decoder reads DQT)
+_Q_LUM = np.array(
+    [16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+     14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+     18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+     49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99],
+    dtype=np.int64,
+).reshape(8, 8)
+_Q_CHROM = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99],
+    dtype=np.int64,
+).reshape(8, 8)
+
+# Annex K huffman specs (BITS counts per code length 1..16, then values).
+# The DECODER reads whatever DHT the stream carries — these constants
+# only shape what the encoder writes, and the counts/values are
+# internally consistent (sum(bits) == len(vals)), which is all canonical
+# code construction requires.
+_HUFF_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_HUFF_DC_CHROM = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_HUFF_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+     0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA],
+)
+_HUFF_AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+     0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+     0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+     0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+     0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+     0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+     0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+     0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+     0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+     0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA],
+)
+
+
+def _build_canonical_codes(bits: list[int], vals: list[int]):
+    """(code, length) per symbol from the BITS counts — T.81 C.2."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_decode_table(bits: list[int], vals: list[int]):
+    """{(length, code): symbol} for the bit-serial decoder — F.2.2.3."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int):
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing (F.1.2.3)
+                self.out.append(0x00)
+
+    def flush(self):
+        if self.nbits:  # pad with 1-bits (F.1.2.3)
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+class _BitReader:
+    """Bit-serial reader over destuffed entropy data."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("jpeg: entropy data exhausted")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align(self):
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+
+def _decode_huff_symbol(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg: invalid huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """F.2.2.1 EXTEND: map s-bit magnitude to signed coefficient."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """Inverse of EXTEND: signed value → (size s, s-bit code)."""
+    if v == 0:
+        return 0, 0
+    s = int(abs(v)).bit_length()
+    return s, v if v >= 0 else v + (1 << s) - 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes → (H, W, C) uint8 (C=3 RGB or 1 gray)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a jpeg (no SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("jpeg: marker expected")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq:  # 16-bit table
+                    vals = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.int64)
+                    p += 128
+                else:
+                    vals = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int64)
+                    p += 64
+                q = np.zeros((8, 8), dtype=np.int64)
+                q[_ZZ_ROWS, _ZZ_COLS] = vals
+                qt[tq] = q
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                (huff_ac if tc else huff_dc)[th] = _build_decode_table(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+            prec = seg[0]
+            if prec != 8:
+                raise ValueError("jpeg: only 8-bit precision supported")
+            h = struct.unpack(">H", seg[1:3])[0]
+            w = struct.unpack(">H", seg[3:5])[0]
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("jpeg: non-baseline SOF (progressive etc.) unsupported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[0:2])[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = seg[0]
+            scan = {}
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan[cs] = (tt >> 4, tt & 15)
+            pos += seglen
+            # find entropy span: up to next non-RST marker; destuff
+            ent = bytearray()
+            rst_breaks = []
+            p = pos
+            while p < len(data) - 1:
+                if data[p] == 0xFF:
+                    nxt = data[p + 1]
+                    if nxt == 0x00:
+                        ent.append(0xFF)
+                        p += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:  # RSTn
+                        rst_breaks.append(len(ent))
+                        p += 2
+                        continue
+                    break  # real marker (EOI etc.)
+                ent.append(data[p])
+                p += 1
+            return _decode_scan(
+                frame, scan, qt, huff_dc, huff_ac, bytes(ent), rst_breaks,
+                restart_interval,
+            )
+        pos += seglen
+    raise ValueError("jpeg: no SOS segment")
+
+
+def _decode_scan(frame, scan, qt, huff_dc, huff_ac, ent, rst_breaks, restart_interval):
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # per-component coefficient planes (in blocks)
+    planes = {}
+    for c in comps:
+        bw, bh = mcus_x * c["h"], mcus_y * c["v"]
+        planes[c["id"]] = np.zeros((bh, bw, 8, 8), dtype=np.float64)
+    reader = _BitReader(ent)
+    pred = {c["id"]: 0 for c in comps}
+    n_mcu = mcus_x * mcus_y
+    seg_idx = 0
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            # restart: byte-align at the recorded RST boundary, reset DC
+            if seg_idx < len(rst_breaks):
+                reader.pos = rst_breaks[seg_idx]
+                reader.bit = 0
+                seg_idx += 1
+            pred = {c["id"]: 0 for c in comps}
+        my, mx = divmod(m, mcus_x)
+        for c in comps:
+            dct, act = scan[c["id"]]
+            dtab, atab = huff_dc[dct], huff_ac[act]
+            q = qt[c["tq"]]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    zz = np.zeros(64, dtype=np.int64)
+                    s = _decode_huff_symbol(reader, dtab)
+                    diff = _extend(reader.read_bits(s), s) if s else 0
+                    pred[c["id"]] += diff
+                    zz[0] = pred[c["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = _decode_huff_symbol(reader, atab)
+                        r, sz = rs >> 4, rs & 15
+                        if sz == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("jpeg: AC index overflow")
+                        zz[k] = _extend(reader.read_bits(sz), sz)
+                        k += 1
+                    blk = np.zeros((8, 8), dtype=np.float64)
+                    blk[_ZZ_ROWS, _ZZ_COLS] = zz * q[_ZZ_ROWS, _ZZ_COLS]
+                    planes[c["id"]][my * c["v"] + by, mx * c["h"] + bx] = blk
+    # batched IDCT per component: f = M.T @ F @ M  (+128)
+    out_planes = []
+    for c in comps:
+        F = planes[c["id"]]
+        bh, bw = F.shape[:2]
+        f = np.einsum("ui,yxuv,vj->yxij", _DCT_M, F, _DCT_M, optimize=True)
+        pix = f + 128.0
+        # blocks → plane
+        plane = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        # upsample to full resolution (nearest/box — matched to encoder)
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out_planes.append(plane[:h, :w])
+    if len(comps) == 1:
+        y = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return y[:, :, None]
+    Y, Cb, Cr = out_planes
+    r = Y + 1.402 * (Cr - 128.0)
+    g = Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)
+    b = Y + 1.772 * (Cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _scaled_q(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality scaling: 1..100 → scaled Annex K table."""
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (base * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int64)
+
+
+def _fdct_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) float plane (level-shifted) → (bh, bw, 8, 8) DCT blocks."""
+    H, W = plane.shape
+    bh, bw = H // 8, W // 8
+    blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+    return np.einsum("ui,yxij,vj->yxuv", _DCT_M, blocks, _DCT_M, optimize=True)
+
+
+def _encode_block(writer, zz, pred, dc_codes, ac_codes):
+    """One quantised block in zigzag order → entropy bits; returns DC."""
+    diff = int(zz[0]) - pred
+    s, code = _magnitude(diff)
+    hc, hl = dc_codes[s]
+    writer.write(hc, hl)
+    if s:
+        writer.write(code, s)
+    run = 0
+    last_nz = 63
+    while last_nz > 0 and zz[last_nz] == 0:
+        last_nz -= 1
+    for k in range(1, 64):
+        v = int(zz[k])
+        if k > last_nz:
+            hc, hl = ac_codes[0x00]  # EOB
+            writer.write(hc, hl)
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            hc, hl = ac_codes[0xF0]  # ZRL
+            writer.write(hc, hl)
+            run -= 16
+        s, code = _magnitude(v)
+        hc, hl = ac_codes[(run << 4) | s]
+        writer.write(hc, hl)
+        writer.write(code, s)
+        run = 0
+    return int(zz[0])
+
+
+def _pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
+    """Edge-replicate pad to a multiple of ``mult`` in both dims."""
+    H, W = plane.shape
+    ph = (-H) % mult
+    pw = (-W) % mult
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 90, subsample: bool = False) -> bytes:
+    """(H, W, 3) RGB or (H, W)/(H, W, 1) gray uint8 → baseline JFIF
+    bytes.  ``subsample=True`` writes 4:2:0 chroma (box average)."""
+    arr = np.asarray(arr)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    H, W = arr.shape[:2]
+    gray = arr.shape[2] == 1
+    a = arr.astype(np.float64)
+    if gray:
+        planes = [a[:, :, 0]]
+    else:
+        r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+
+    if gray:
+        samp = [(1, 1)]
+    elif subsample:
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        samp = [(1, 1), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    qts = [_scaled_q(_Q_LUM, quality)] + ([] if gray else [_scaled_q(_Q_CHROM, quality)])
+    dc_lum = _build_canonical_codes(*_HUFF_DC_LUM)
+    ac_lum = _build_canonical_codes(*_HUFF_AC_LUM)
+    dc_chrom = _build_canonical_codes(*_HUFF_DC_CHROM)
+    ac_chrom = _build_canonical_codes(*_HUFF_AC_CHROM)
+
+    # per-component quantised zigzag blocks
+    comp_blocks = []
+    for ci, plane in enumerate(planes):
+        hs, vs = samp[ci]
+        if hs != hmax or vs != vmax:  # box-average downsample (chroma)
+            fy, fx = vmax // vs, hmax // hs
+            p = _pad_to(plane, max(fy, fx))
+            p = p.reshape(p.shape[0] // fy, fy, p.shape[1] // fx, fx).mean(axis=(1, 3))
+        else:
+            p = plane
+        # pad so the MCU grid is complete for THIS component
+        mcus_x = -(-W // (8 * hmax))
+        mcus_y = -(-H // (8 * vmax))
+        p = _pad_to(p, 8)
+        need_w, need_h = mcus_x * hs * 8, mcus_y * vs * 8
+        if p.shape[0] < need_h or p.shape[1] < need_w:
+            p = np.pad(
+                p,
+                ((0, need_h - p.shape[0]), (0, need_w - p.shape[1])),
+                mode="edge",
+            )
+        F = _fdct_blocks(p[:need_h, :need_w] - 128.0)
+        q = qts[0 if ci == 0 else 1]
+        zz = np.round(F / q).astype(np.int64)[:, :, _ZZ_ROWS, _ZZ_COLS]
+        comp_blocks.append(zz)
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for ti, q in enumerate(qts):  # DQT (8-bit)
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([ti])
+        out += bytes(q[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8).tolist())
+    nc = 1 if gray else 3
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, H, W, nc)
+    for ci in range(nc):
+        hs, vs = samp[ci]
+        out += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
+    for tc, th, spec in (
+        (0, 0, _HUFF_DC_LUM),
+        (1, 0, _HUFF_AC_LUM),
+    ) + ((() if gray else ((0, 1, _HUFF_DC_CHROM), (1, 1, _HUFF_AC_CHROM)))):
+        bits, vals = spec
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([(tc << 4) | th])
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    out += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
+
+    writer = _BitWriter()
+    mcus_x = -(-W // (8 * hmax))
+    mcus_y = -(-H // (8 * vmax))
+    pred = [0] * nc
+    for m in range(mcus_x * mcus_y):
+        my, mx = divmod(m, mcus_x)
+        for ci in range(nc):
+            hs, vs = samp[ci]
+            dc_codes = dc_lum if ci == 0 else dc_chrom
+            ac_codes = ac_lum if ci == 0 else ac_chrom
+            for by in range(vs):
+                for bx in range(hs):
+                    zz = comp_blocks[ci][my * vs + by, mx * hs + bx]
+                    pred[ci] = _encode_block(writer, zz, pred[ci], dc_codes, ac_codes)
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

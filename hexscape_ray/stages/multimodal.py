@@ -6,8 +6,10 @@ small-batch sizing for wide binary rows, n→m frame expansion.  Codec
 kernels: PNG and WAV decode are REAL pure-stdlib implementations
 (``functions/codecs.py`` — zlib + wave are in every CPython), used for
 the fixture payloads, which are themselves genuine PNG/WAV bytes.
-Formats needing external libs (jpeg / flac / h264 — PIL / soundfile /
-av absent from this container) fall back to a clearly-labelled
+Baseline JPEG also decodes for REAL (pure-numpy huffman + IDCT codec
+in ``functions/codecs.py``).  Formats still needing external libs
+(progressive jpeg / flac / h264 — PIL / soundfile / av absent from
+this container) fall back to a clearly-labelled
 DETERMINISTIC FAKE derived from the payload hash, so outputs stay
 stable across runs and parallelism levels; the per-row
 ``decode_backend`` column says which path each row took.
@@ -25,8 +27,10 @@ import numpy as np
 import pyarrow as pa
 
 from hexscape_ray.functions.codecs import (
+    decode_jpeg,
     decode_png,
     decode_wav,
+    encode_jpeg,
     encode_png,
     encode_wav,
 )
@@ -49,14 +53,39 @@ def _fake_stats(payload: bytes, n: int) -> np.ndarray:
     return (vals % np.uint64(10_000)).astype(np.float64) / 10_000.0
 
 
+def _img_features(arr: np.ndarray) -> np.ndarray:
+    """(H, W, C) uint8 → (mean_r, mean_g, mean_b, sharpness)."""
+    arr = arr.astype(np.float64)
+    if arr.shape[2] >= 3:
+        means = arr[:, :, :3].mean(axis=(0, 1)) / 255.0
+        lum = arr[:, :, :3].mean(axis=2)
+    else:  # gray / gray+alpha: replicate channel 0
+        means = np.full(3, arr[:, :, 0].mean() / 255.0)
+        lum = arr[:, :, 0]
+    # sharpness = mean abs gradient of luminance (0 for 1-px dims)
+    gsum = 0.0
+    gn = 0
+    if lum.shape[0] > 1:
+        d = np.abs(np.diff(lum, axis=0))
+        gsum += d.sum()
+        gn += d.size
+    if lum.shape[1] > 1:
+        d = np.abs(np.diff(lum, axis=1))
+        gsum += d.sum()
+        gn += d.size
+    sharp = (gsum / gn / 255.0) if gn else 0.0
+    return np.array([*means, sharp])
+
+
 class ImageDecoder:
     """image payload → (mean_r, mean_g, mean_b, sharpness) features.
 
-    PNG payloads decode for real (pure-stdlib codec); other codecs
-    (jpeg — PIL absent) fall back to the labelled fake.  Actor pool
-    with SMALL batches: payload rows are wide, so batch_size ×
-    concurrency must fit the worker heap (SURVEY §4 memory pressure;
-    use batch_size≈256 at 1 MB payloads).
+    PNG and baseline JPEG payloads decode for REAL (pure-numpy codecs,
+    ``functions/codecs.py``); progressive JPEG and other codecs fall
+    back to the labelled fake.  Actor pool with SMALL batches: payload
+    rows are wide, so batch_size × concurrency must fit the worker
+    heap (SURVEY §4 memory pressure; use batch_size≈256 at 1 MB
+    payloads).
     """
 
     def __init__(self):
@@ -64,26 +93,12 @@ class ImageDecoder:
 
     def _decode(self, payload: bytes) -> tuple[np.ndarray, str]:
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
-            arr = decode_png(payload).astype(np.float64)
-            if arr.shape[2] >= 3:
-                means = arr[:, :, :3].mean(axis=(0, 1)) / 255.0
-                lum = arr[:, :, :3].mean(axis=2)
-            else:  # gray / gray+alpha: replicate channel 0
-                means = np.full(3, arr[:, :, 0].mean() / 255.0)
-                lum = arr[:, :, 0]
-            # sharpness = mean abs gradient of luminance (0 for 1-px dims)
-            gsum = 0.0
-            gn = 0
-            if lum.shape[0] > 1:
-                d = np.abs(np.diff(lum, axis=0))
-                gsum += d.sum()
-                gn += d.size
-            if lum.shape[1] > 1:
-                d = np.abs(np.diff(lum, axis=1))
-                gsum += d.sum()
-                gn += d.size
-            sharp = (gsum / gn / 255.0) if gn else 0.0
-            return np.array([*means, sharp]), "native-png"
+            return _img_features(decode_png(payload)), "native-png"
+        if payload[:2] == b"\xff\xd8":
+            try:
+                return _img_features(decode_jpeg(payload)), "native-jpeg"
+            except ValueError:  # progressive / 12-bit / arithmetic
+                pass
         return _fake_stats(payload, 4), "fake"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -194,20 +209,38 @@ class VideoFrameSampler:
 
 def gen_media(n: int = 200, seed: int = 7) -> pa.Table:
     """Seeded media fixture table in the schema convention.  Image and
-    audio payloads are GENUINE bytes (PNG via the stdlib codec, 16–48
-    px RGB; WAV PCM16 mono 8 kHz sine+noise) so the decode stages run
-    real kernels; video payloads stay opaque pseudo-h264 (no
-    pure-stdlib decoder exists)."""
+    audio payloads are GENUINE bytes (PNG via the stdlib codec and
+    baseline JFIF via the numpy JPEG encoder, 16–48 px RGB gradients;
+    WAV PCM16 mono 8 kHz sine+noise) so the decode stages run real
+    kernels; video payloads stay opaque pseudo-h264 (no pure-numpy
+    decoder is feasible)."""
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
     rows_meta, payloads = [], []
     for i in range(n):
         if kinds[i] == "image":
             w, h = int(rng.integers(16, 48)), int(rng.integers(16, 48))
-            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-            payloads.append(encode_png(img))
+            # smooth gradient + texture: JPEG-representative content
+            yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            base = np.stack(
+                [
+                    yy * (200.0 / max(h - 1, 1)),
+                    xx * (200.0 / max(w - 1, 1)),
+                    (yy + xx) * (100.0 / max(h + w - 2, 1)),
+                ],
+                axis=2,
+            )
+            img = np.clip(
+                base + rng.normal(0, 12, (h, w, 3)) + 20, 0, 255
+            ).astype(np.uint8)
+            if i % 3 == 0:  # genuine baseline JFIF via the numpy encoder
+                payloads.append(encode_jpeg(img, quality=90, subsample=i % 6 == 0))
+                codec = "jpeg"
+            else:
+                payloads.append(encode_png(img))
+                codec = "png"
             rows_meta.append(
-                {"width": w, "height": h, "duration_ms": 0, "codec": "png"}
+                {"width": w, "height": h, "duration_ms": 0, "codec": codec}
             )
         elif kinds[i] == "audio":
             ns = int(rng.integers(400, 2400))

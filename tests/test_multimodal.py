@@ -50,19 +50,35 @@ def test_image_features_real_decode(media_ds):
     df = images.to_pandas().sort_values("media_id", ignore_index=True)
     assert {"mean_r", "mean_g", "mean_b", "sharpness", "decode_backend"} <= set(df.columns)
     assert "payload" not in df.columns  # wide binary dropped after decode
-    assert (df["decode_backend"] == "native-png").all()  # fixture images are real PNG
+    # fixture images are real PNG and real baseline JFIF — both decode
+    # natively, nothing falls to the fake
+    assert set(df["decode_backend"]) == {"native-png", "native-jpeg"}
     # cross-check one row against a direct decode of the source payload
-    from hexscape_ray.functions.codecs import decode_png
+    from hexscape_ray.functions.codecs import decode_jpeg, decode_png
 
     src = gen_media(n=150)
     kinds = src["kind"].to_pylist()
-    first_img = kinds.index("image")
+    metas = src["meta"].to_pylist()
+    first_img = next(
+        i for i, k in enumerate(kinds)
+        if k == "image" and metas[i]["codec"] == "png"
+    )
     arr = decode_png(src["payload"][first_img].as_py()).astype(np.float64)
     row = df[df["media_id"] == first_img].iloc[0]
     assert np.isclose(row["mean_r"], arr[:, :, 0].mean() / 255.0)
     assert np.isclose(row["mean_g"], arr[:, :, 1].mean() / 255.0)
     meta = src["meta"][first_img].as_py()
     assert arr.shape[:2] == (meta["height"], meta["width"])
+    # and one JPEG row: decoded features, not fake hash-stats
+    first_jpg = next(
+        i for i, k in enumerate(kinds)
+        if k == "image" and metas[i]["codec"] == "jpeg"
+    )
+    jarr = decode_jpeg(src["payload"][first_jpg].as_py()).astype(np.float64)
+    jrow = df[df["media_id"] == first_jpg].iloc[0]
+    assert jrow["decode_backend"] == "native-jpeg"
+    assert np.isclose(jrow["mean_r"], jarr[:, :, 0].mean() / 255.0)
+    assert np.isclose(jrow["mean_b"], jarr[:, :, 2].mean() / 255.0)
 
 
 def test_audio_mel_bands(media_ds):
@@ -94,3 +110,72 @@ def test_determinism_across_partitioning(ray_session):
     db = ib.to_pandas().sort_values("media_id", ignore_index=True)
     for c in ["mean_r", "mean_g", "mean_b", "sharpness"]:
         assert np.allclose(da[c], db[c], atol=0)
+
+
+def test_jpeg_roundtrip_near_lossless():
+    """quality-100 4:4:4 roundtrip of a smooth gradient is exact to
+    ±3 (only DCT float rounding; quant tables ~1), and quality-90
+    stays within ±8 — the self-consistency contract of the matched
+    encoder/decoder pair (the decoder reads DQT/DHT from the stream,
+    so this exercises the full parse→huffman→dequant→IDCT path)."""
+    from hexscape_ray.functions.codecs import decode_jpeg, encode_jpeg
+
+    yy, xx = np.meshgrid(np.linspace(0, 1, 24), np.linspace(0, 1, 17), indexing="ij")
+    arr = np.stack([yy * 200 + 20, xx * 200 + 20, (yy + xx) * 100 + 20], axis=2).astype(
+        np.uint8
+    )
+    for q, tol in ((100, 3), (90, 8)):
+        dec = decode_jpeg(encode_jpeg(arr, quality=q))
+        assert dec.shape == arr.shape
+        assert np.abs(dec.astype(int) - arr.astype(int)).max() <= tol
+
+
+def test_jpeg_golden_blocks():
+    """Golden decode: hand-constructed inputs with known pixel answers.
+    A constant image must decode EXACTLY (DC-only blocks, zero AC);
+    an 8x8 horizontal step decodes with the step edge preserved."""
+    from hexscape_ray.functions.codecs import decode_jpeg, encode_jpeg
+
+    const = np.full((16, 16, 3), 137, np.uint8)
+    dec = decode_jpeg(encode_jpeg(const, quality=95))
+    assert (dec == 137).all()
+    # gray constant too (1-component scan path)
+    g = np.full((8, 8), 64, np.uint8)
+    dg = decode_jpeg(encode_jpeg(g, quality=95))
+    assert dg.shape == (8, 8, 1) and (dg == 64).all()
+    step = np.zeros((8, 8), np.uint8)
+    step[:, 4:] = 200
+    ds_ = decode_jpeg(encode_jpeg(step, quality=100))[:, :, 0].astype(int)
+    assert ds_[:, :3].mean() < 30 and ds_[:, 5:].mean() > 170
+
+
+def test_jpeg_subsampled_and_multi_mcu():
+    """4:2:0 chroma subsampling over several MCUs with non-multiple
+    dims: luma stays tight, chroma loss bounded on smooth content."""
+    from hexscape_ray.functions.codecs import decode_jpeg, encode_jpeg
+
+    yy, xx = np.meshgrid(np.linspace(0, 1, 33), np.linspace(0, 1, 29), indexing="ij")
+    arr = np.stack([yy * 180 + 30, xx * 180 + 30, (1 - yy) * 120 + 40], axis=2).astype(
+        np.uint8
+    )
+    dec = decode_jpeg(encode_jpeg(arr, quality=95, subsample=True))
+    assert dec.shape == arr.shape
+    err = np.abs(dec.astype(int) - arr.astype(int))
+    assert err.max() <= 12 and err.mean() < 3
+
+
+def test_jpeg_rejects_progressive():
+    """A progressive SOF2 stream raises ValueError (the ImageDecoder
+    falls back to the labelled fake for those)."""
+    import pytest
+
+    from hexscape_ray.functions.codecs import decode_jpeg, encode_jpeg
+
+    enc = bytearray(encode_jpeg(np.full((8, 8, 3), 10, np.uint8)))
+    sof = enc.find(b"\xff\xc0")
+    assert sof > 0
+    enc[sof + 1] = 0xC2  # flip SOF0 -> SOF2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(enc))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")
