@@ -4624,6 +4624,83 @@ SQL_REGION_ORDER_RANK_DENSE = """
 """
 
 
+def q_doc_tfidf(sf_dir: str) -> Dataset:
+    """Per-document top-3 TF-IDF terms
+    (stages/textops.py::doc_tfidf_top_terms): corpus-streamed document
+    frequencies broadcast once, per-doc scoring + local top-k with zero
+    data shuffles.  tfidf_pml = floor(1e6·tf·ln(N/df)+0.5) — numpy and
+    DuckDB ln agree bit-for-bit on this domain (probed), so the score
+    is hash-exact."""
+    from hexscape_ray.stages.textops import doc_tfidf_top_terms
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return doc_tfidf_top_terms(ds, k=3).sort(
+        ["doc_id", "tfidf_pml", "token"], descending=[False, True, False]
+    )
+
+
+SQL_DOC_TFIDF = """
+  WITH tf AS (
+    SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY doc_id, token),
+  dft AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+  n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+  s AS (
+    SELECT tf.doc_id, tf.token, tf.tf, dft.df,
+           CAST(floor(1e6 * tf.tf * ln(n.n / dft.df) + 0.5) AS BIGINT)
+             AS tfidf_pml
+    FROM tf JOIN dft USING (token), n),
+  r AS (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY tfidf_pml DESC, token ASC) AS rk
+    FROM s)
+  SELECT doc_id, token, tf, df, tfidf_pml
+  FROM r WHERE rk <= 3 ORDER BY doc_id, tfidf_pml DESC, token
+"""
+
+
+def q_doc_logprob(sf_dir: str) -> Dataset:
+    """Unigram-LM surprisal per document
+    (stages/textops.py::doc_unigram_logprob): corpus-trained token
+    frequencies broadcast once; per-token micro-rounded −ln p summed as
+    INTEGERS so the score is partition-order-invariant and hash-exact
+    (summing raw float logprobs would depend on reduction order)."""
+    from hexscape_ray.stages.textops import doc_unigram_logprob
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return doc_unigram_logprob(ds)
+
+
+SQL_DOC_LOGPROB = """
+  WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+  census AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token),
+  total AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM census),
+  per_tok AS (
+    SELECT tok.doc_id,
+           CAST(floor(1e6 * ln(total.t / census.c) + 0.5) AS BIGINT) AS nll
+    FROM tok JOIN census USING (token), total)
+  SELECT doc_id, count(*) AS n_tokens,
+         CAST(sum(nll) AS BIGINT) AS nll_pml_sum,
+         CAST(sum(nll) // count(*) AS BIGINT) AS mean_nll_pml
+  FROM per_tok GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_semantic_dedup(sf_dir: str) -> Dataset:
+    """SemDeDup embedding-space dedup (stages/dedup.py::semantic_dedup):
+    spherical k-means clusters, then drop in-cluster vectors whose
+    cosine to a lower-id member exceeds the threshold.  Rows-only
+    (iterative float clustering); determinism + brute-force parity in
+    pytest."""
+    from hexscape_ray.stages.dedup import semantic_dedup
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semantic_dedup(emb, k=4, threshold=0.25).sort("vec_id")
+
+
 RAY_QUERIES = {
     "hex_doc_counts": q_hex_doc_counts,
     "hex_lang_mix": q_hex_lang_mix,
@@ -4738,6 +4815,9 @@ RAY_QUERIES = {
     "lang_source_cube": q_lang_source_cube,
     "weighted_sample": q_weighted_sample,
     "region_order_rank_dense": q_region_order_rank_dense,
+    "doc_tfidf": q_doc_tfidf,
+    "doc_logprob": q_doc_logprob,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 ORACLES = {
@@ -4831,6 +4911,8 @@ ORACLES = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "region_order_rank_dense": SQL_REGION_ORDER_RANK_DENSE,
     "point_in_polygon": SQL_POINT_IN_POLYGON,
+    "doc_tfidf": SQL_DOC_TFIDF,
+    "doc_logprob": SQL_DOC_LOGPROB,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

@@ -1283,3 +1283,97 @@ def contamination_hits(
         )
 
     return train.map_batches(hits, batch_format="pyarrow")
+
+
+def semantic_dedup(
+    emb: Dataset,
+    k: int = 8,
+    threshold: float = 0.92,
+    n_iter: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Dataset:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embeddings with distributed
+    spherical k-means, then WITHIN each cluster drop every vector whose
+    cosine to any LOWER-id cluster member exceeds ``threshold`` — the
+    embedding-space dedup tier above MinHash (catches paraphrases the
+    token sketches miss).  Deterministic variant: the drop test is
+    against all lower-id members (not just kept ones), so the KEEP
+    decision is a pure function of the cluster contents, independent
+    of scan order.  (Cluster LABELS can drift across partitionings —
+    Lloyd's moment partials re-associate in float — but near-identical
+    vectors always co-cluster, so keep/drop is stable; pytest-pinned.)
+
+    Distributed shape: the k-means pass streams moment partials (the
+    corpus never moves); the final centroids broadcast once and each
+    batch re-derives its rows' clusters with the SAME argmax-dot rule
+    (ties → lowest cluster id) — cheaper and join-free versus shipping
+    the assignment stream back through a join (Acero also cannot carry
+    ``list<double>`` payload columns).  The per-cluster prune runs in
+    ``map_groups`` with chunked cosine blocks (cache-resident, the
+    embedding_near_dup pattern).  Cross-cluster near-dups are missed by
+    design — that is SemDeDup's recall/cost trade; raise ``k`` for
+    smaller clusters and cheaper prunes, lower it for higher recall.
+
+    Output: one row per vector — (id, cluster, keep, max_prior_cos
+    rounded to 1e-6 parts) with ``keep=False`` for dropped near-dups.
+    """
+    import ray
+
+    from hexscape_ray.stages.knn import _normalize, kmeans_distributed
+
+    cents, _ = kmeans_distributed(
+        emb, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col
+    )
+    cref = ray.put(_normalize(np.asarray(cents, dtype=np.float64)))
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        X = _normalize(
+            np.asarray(
+                batch[vec_col].to_numpy(zero_copy_only=False).tolist(),
+                dtype=np.float64,
+            )
+        )
+        cl = (X @ C.T).argmax(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                vec_col: batch[vec_col],
+                "cluster": pa.array(cl),
+            }
+        )
+
+    joined = emb.map_batches(assign_batch, batch_format="pyarrow")
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = np.asarray(g[vec_col].tolist(), dtype=np.float64)[order]
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0
+        Vn = V / norms[:, None]
+        m = Vn.shape[0]
+        best = np.zeros(m, dtype=np.float64)
+        chunk = max(1, (1 << 17) // max(m, 1))  # sim chunk ~1 M floats
+        for s in range(1, m, chunk):
+            e = min(s + chunk, m)
+            sim = Vn[s:e] @ Vn[:e].T  # rows s..e vs ALL lower (and self)
+            col = np.arange(e - s)
+            for r in range(sim.shape[0]):  # mask self+upper triangle
+                sim[r, s + r :] = -np.inf
+            best[s:e] = sim.max(axis=1) if sim.shape[1] else 0.0
+        best[0] = 0.0
+        keep = best <= threshold
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster": np.full(m, g["cluster"].iloc[0], dtype=np.int64),
+                "keep": keep,
+                "max_prior_cos_pml": np.floor(best * 1e6 + 0.5).astype(np.int64),
+            }
+        )
+
+    return joined.groupby("cluster").map_groups(prune, batch_format="pandas")

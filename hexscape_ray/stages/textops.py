@@ -465,3 +465,199 @@ def encode_docs(ds, vocab, id_col: str = "doc_id", text_col: str = "text"):
         )
 
     return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def doc_tfidf_top_terms(
+    ds,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document top-k TF-IDF terms — the weighted extension of
+    ``doc_top_term`` (which is the rank-exact no-float skeleton):
+    ``tfidf_pml = floor(1e6 · tf · ln(N/df) + 0.5)``, ties broken
+    token-ascending.  numpy's and DuckDB's ``ln`` agree bit-for-bit on
+    this domain (probed exhaustively over N/df for the test corpus),
+    so the micro-rounded score is a hash-exact oracle column.
+
+    Distributed shape — zero data shuffles: pass A streams the corpus
+    once for document frequencies (distinct tokens per doc → partial
+    counts; vocab-sized result), which broadcast once via ``ray.put``
+    as parallel Arrow (token, df) arrays; pass B streams the corpus
+    again, scoring each doc's terms against the broadcast with one
+    vectorised ``pc.index_in`` gather and selecting its top-k locally
+    (every term of a doc lives in the doc's own row — no co-location
+    shuffle needed).  The broadcast is the vocab, not the corpus:
+    fine to ~10^7 terms; beyond that swap pass B's gather for a
+    ``bucketed_join`` on token (one shuffle).
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    from hexscape_ray.stages.agg import two_phase_sum
+
+    n_docs = ds.count()
+
+    def doc_tokens(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch[text_col].to_pylist():
+            toks.extend(set(t.split(" ")))
+        return pa.table({"token": pa.array(toks, type=pa.string())})
+
+    df_tbl = (
+        two_phase_sum(
+            ds.map_batches(doc_tokens, batch_format="pyarrow"),
+            ["token"],
+            [],
+            count_as="df",
+        )
+        .to_pandas()
+        .sort_values("token", ignore_index=True)
+    )
+    tok_arr = pa.array(df_tbl["token"], type=pa.string())
+    df_arr = df_tbl["df"].to_numpy(dtype=np.int64)
+    bref = ray.put((tok_arr, df_arr))
+
+    def score(batch: pa.Table) -> pa.Table:
+        toks_ref, dfs = ray.get(bref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out = {c: [] for c in ("doc", "tok", "tf")}
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            u, c = np.unique(np.array(t.split(" "), dtype=object), return_counts=True)
+            out["doc"].append(np.full(u.size, ids[i], dtype=np.int64))
+            out["tok"].append(u)
+            out["tf"].append(c.astype(np.int64))
+        if not out["doc"]:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                    "tfidf_pml": pa.array([], pa.int64()),
+                }
+            )
+        doc = np.concatenate(out["doc"])
+        tok = np.concatenate(out["tok"])
+        tf = np.concatenate(out["tf"])
+        pos = pc.index_in(
+            pa.array(tok.tolist(), type=pa.string()), value_set=toks_ref
+        ).to_numpy(zero_copy_only=False)
+        dfv = dfs[pos]  # every term has df ≥ 1 by construction
+        pml = np.floor(1e6 * tf * np.log(n_docs / dfv) + 0.5).astype(np.int64)
+        # per-doc top-k: docs are contiguous, sort (doc, -score, token)
+        order = np.lexsort((tok, -pml, doc))
+        doc, tok, tf, dfv, pml = (
+            doc[order], tok[order], tf[order], dfv[order], pml[order]
+        )
+        new = np.r_[True, doc[1:] != doc[:-1]]
+        rank = np.arange(doc.size) - np.maximum.accumulate(
+            np.where(new, np.arange(doc.size), 0)
+        )
+        keep = rank < k
+        return pa.table(
+            {
+                id_col: pa.array(doc[keep]),
+                "token": pa.array(tok[keep].tolist(), type=pa.string()),
+                "tf": pa.array(tf[keep]),
+                "df": pa.array(dfv[keep]),
+                "tfidf_pml": pa.array(pml[keep]),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def doc_unigram_logprob(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document unigram language-model surprisal — the classic
+    perplexity-style quality signal (CCNet / Gopher filtering): train
+    the unigram LM on the corpus itself (token frequency / corpus
+    size), then score each document with the sum of its tokens'
+    negative log-probabilities.
+
+    Hash-exact under ANY partitioning: each token's surprisal is
+    micro-rounded FIRST — ``nll_pml(t) = floor(1e6·ln(T/c_t) + 0.5)``
+    with T = corpus token count, c_t = token count — and the per-doc
+    score is the INTEGER sum of those, so float addition order never
+    enters (summing raw float logprobs would make the result depend on
+    reduction order).  numpy and DuckDB ``ln`` agree bit-for-bit on
+    this domain (probed).
+
+    Distributed shape mirrors :func:`doc_tfidf_top_terms`: one
+    streaming pass for the token census (vocab-sized, broadcast via
+    ``ray.put``), one scoring pass with a vectorised ``pc.index_in``
+    gather + cumsum segmented sums.  Zero data shuffles.
+
+    Output: (id, n_tokens, nll_pml_sum, mean_nll_pml) — mean is the
+    exact integer division floor(sum/n) to stay hash-safe.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    from hexscape_ray.stages.agg import two_phase_sum
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch[text_col].to_pylist():
+            toks.extend(t.split(" "))
+        return pa.table({"token": pa.array(toks, type=pa.string())})
+
+    census = (
+        two_phase_sum(
+            ds.map_batches(tokens, batch_format="pyarrow"),
+            ["token"],
+            [],
+            count_as="c",
+        )
+        .to_pandas()
+        .sort_values("token", ignore_index=True)
+    )
+    T = int(census["c"].sum())
+    tok_arr = pa.array(census["token"], type=pa.string())
+    nll_pml = np.floor(
+        1e6 * np.log(float(T) / census["c"].to_numpy(dtype=np.float64)) + 0.5
+    ).astype(np.int64)
+    bref = ray.put((tok_arr, nll_pml))
+
+    def score(batch: pa.Table) -> pa.Table:
+        toks_ref, nll = ray.get(bref)
+        texts = batch[text_col].to_pylist()
+        flat: list[str] = []
+        offs = np.empty(len(texts) + 1, dtype=np.int64)
+        offs[0] = 0
+        for i, t in enumerate(texts):
+            tk = t.split(" ")
+            flat.extend(tk)
+            offs[i + 1] = offs[i] + len(tk)
+        if not flat:
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "n_tokens": pa.array(
+                        np.zeros(len(batch), dtype=np.int64)
+                    ),
+                    "nll_pml_sum": pa.array(np.zeros(len(batch), dtype=np.int64)),
+                    "mean_nll_pml": pa.array(np.zeros(len(batch), dtype=np.int64)),
+                }
+            )
+        pos = pc.index_in(
+            pa.array(flat, type=pa.string()), value_set=toks_ref
+        ).to_numpy(zero_copy_only=False)
+        per_tok = nll[pos]  # every token is in the census by construction
+        cum = np.concatenate([[0], np.cumsum(per_tok)])
+        sums = cum[offs[1:]] - cum[offs[:-1]]
+        n_tok = offs[1:] - offs[:-1]
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(n_tok),
+                "nll_pml_sum": pa.array(sums),
+                "mean_nll_pml": pa.array(sums // np.maximum(n_tok, 1)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -2093,3 +2093,135 @@ def test_derive_n_buckets_scales(ray_session):
     a = bucketed_join(small, right, on="k").to_pandas().sort_values("k", ignore_index=True)
     b = bucketed_join(small, right, on="k", n_buckets=8).to_pandas().sort_values("k", ignore_index=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_doc_tfidf_matches_duckdb(ray_session):
+    """doc_tfidf_top_terms == the SQL TF-IDF (micro-rounded ln scores,
+    token-ascending tie-break) on a synthetic corpus with ties, rare
+    terms, and repeated tokens."""
+    import duckdb
+
+    from hexscape_ray.stages.textops import doc_tfidf_top_terms
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for d in range(40):
+        toks = list(rng.choice(vocab, size=rng.integers(5, 40)))
+        if d % 7 == 0:
+            toks += [f"rare{d}"] * 2  # distinctive rare term
+        docs.append(" ".join(toks))
+    df = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64), "text": docs})
+    got = (
+        doc_tfidf_top_terms(ray.data.from_pandas(df).repartition(4), k=3)
+        .to_pandas()
+        .sort_values(["doc_id", "tfidf_pml", "token"],
+                     ascending=[True, False, True], ignore_index=True)
+    )
+    want = duckdb.sql(
+        """
+        WITH tf AS (
+          SELECT doc_id, token, CAST(count(*) AS BIGINT) tf
+          FROM (SELECT doc_id, unnest(string_split(text,' ')) token FROM df)
+          GROUP BY doc_id, token),
+        dft AS (SELECT token, CAST(count(*) AS BIGINT) df FROM tf GROUP BY token),
+        n AS (SELECT CAST(count(*) AS DOUBLE) n FROM df),
+        s AS (SELECT tf.doc_id, tf.token, tf.tf, dft.df,
+                CAST(floor(1e6*tf.tf*ln(n.n/dft.df)+0.5) AS BIGINT) tfidf_pml
+              FROM tf JOIN dft USING (token), n),
+        r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY tfidf_pml DESC, token ASC) rk FROM s)
+        SELECT doc_id, token, tf, df, tfidf_pml FROM r WHERE rk <= 3
+        ORDER BY doc_id, tfidf_pml DESC, token
+        """
+    ).df()
+    assert len(got) == len(want)
+    for c in ("doc_id", "tf", "df", "tfidf_pml"):
+        assert (got[c].to_numpy() == want[c].to_numpy(np.int64)).all(), c
+    assert got["token"].tolist() == want["token"].tolist()
+    # the planted rare terms rank first for their docs
+    top1 = got.groupby("doc_id").first()
+    assert top1.loc[0, "token"] == "rare0" and top1.loc[7, "token"] == "rare7"
+
+
+def test_semantic_dedup_plants_and_partition_invariance(ray_session):
+    """semantic_dedup drops exactly the planted higher-id near-copies
+    (cosine > threshold to a lower-id cluster member) and keeps
+    orthogonal vectors; output invariant under repartitioning."""
+    from hexscape_ray.stages.dedup import semantic_dedup
+
+    rng = np.random.default_rng(23)
+    dim = 16
+    base = rng.standard_normal((10, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs, planted_dups = [], []
+    vid = 0
+    rows = []
+    for b in range(10):
+        rows.append((vid, base[b])); vid += 1
+        if b % 2 == 0:  # a near-copy: tiny perturbation, cosine ≈ 1
+            nd = base[b] + rng.normal(0, 0.01, dim)
+            rows.append((vid, nd / np.linalg.norm(nd)))
+            planted_dups.append(vid)
+            vid += 1
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    embs = [r[1].tolist() for r in rows]
+    tbl = pa.table({"vec_id": pa.array(ids), "embedding": pa.array(embs)})
+
+    def run(parts):
+        return (
+            semantic_dedup(
+                ray.data.from_arrow(tbl).repartition(parts),
+                k=3, threshold=0.98, n_iter=6,
+            )
+            .to_pandas()
+            .sort_values("vec_id", ignore_index=True)
+        )
+
+    a = run(2)
+    b = run(5)
+    # keep/drop decisions are partition-invariant (cluster LABELS may
+    # permute/drift: Lloyd's partial sums re-associate across
+    # partitionings, a documented float property — near-identical
+    # pairs still always co-cluster)
+    assert a["vec_id"].tolist() == b["vec_id"].tolist()
+    assert a["keep"].tolist() == b["keep"].tolist()
+    dropped = set(a.loc[~a["keep"], "vec_id"])
+    assert dropped == set(planted_dups)
+    assert a["keep"].sum() == len(rows) - len(planted_dups)
+
+
+def test_doc_unigram_logprob_matches_duckdb(ray_session):
+    """doc_unigram_logprob == the SQL unigram surprisal: per-token
+    micro-rounded -ln p, integer-summed (partition-order-invariant)."""
+    import duckdb
+
+    from hexscape_ray.stages.textops import doc_unigram_logprob
+
+    rng = np.random.default_rng(29)
+    vocab = [f"w{i}" for i in range(25)]
+    docs = [" ".join(rng.choice(vocab, size=rng.integers(3, 60))) for _ in range(50)]
+    df = pd.DataFrame({"doc_id": np.arange(50, dtype=np.int64), "text": docs})
+    got = (
+        doc_unigram_logprob(ray.data.from_pandas(df).repartition(6))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    want = duckdb.sql(
+        """
+        WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) token FROM df),
+        census AS (SELECT token, CAST(count(*) AS BIGINT) c FROM tok GROUP BY token),
+        total AS (SELECT CAST(sum(c) AS DOUBLE) t FROM census),
+        per_tok AS (SELECT tok.doc_id,
+            CAST(floor(1e6*ln(total.t/census.c)+0.5) AS BIGINT) nll
+          FROM tok JOIN census USING (token), total)
+        SELECT doc_id, count(*) n_tokens, CAST(sum(nll) AS BIGINT) nll_pml_sum,
+               CAST(sum(nll) // count(*) AS BIGINT) mean_nll_pml
+        FROM per_tok GROUP BY doc_id ORDER BY doc_id
+        """
+    ).df()
+    for c in ("doc_id", "n_tokens", "nll_pml_sum", "mean_nll_pml"):
+        assert (got[c].to_numpy() == want[c].to_numpy(np.int64)).all(), c
+    # rare tokens cost more than common ones: the doc with the rarest
+    # mix has a higher mean surprisal than the most-common-token doc
+    assert got["mean_nll_pml"].std() > 0
