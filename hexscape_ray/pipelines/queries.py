@@ -2528,8 +2528,15 @@ def q_connectedness_subgrid(sf_dir: str) -> Dataset:
 
 
 def q_group_union(sf_dir: str) -> Dataset:
-    """A2 geometric group-union by land-cover class (rows-only;
-    area/part-count invariants in pytest)."""
+    """A2 geometric group-union by land-cover class — ORACLE-backed
+    (round-3 verdict #10): the fixture's cells are disjoint axis-
+    aligned squares, so union_area = 6.25e6·count exactly, n_parts =
+    the cell count, and n_components = 4-adjacency connected
+    components (verified empirically: the trapezoid-scanline union
+    merges edge-touching cells and does NOT merge corner-touching
+    ones, 12/12 classes match 4-adjacency, 0/12 match 8-adjacency).
+    The SQL mirror embeds the deterministic cell grid as VALUES and
+    computes components with a recursive transitive-closure CTE."""
     import ray.data as rd
 
     from hexscape_ray.stages.spatial import group_union_by_class
@@ -2537,6 +2544,42 @@ def q_group_union(sf_dir: str) -> Dataset:
     fx = _fixture_tables()
     out = group_union_by_class(rd.from_arrow(fx["landcover"]))
     return out.drop_columns(["wkb"])
+
+
+def _sql_group_union() -> str:
+    """Generated oracle for q_group_union (see its docstring): the
+    deterministic fixture grid is embedded as VALUES; components via
+    recursive closure over 4-adjacent same-class cells (components are
+    small — ≤ a handful of cells — so the closure stays tiny)."""
+    from hexscape_ray.sources.fixtures import landcover_cells
+
+    vals = ",".join(
+        f"('{clc}',{i},{j})" for clc, _cat, i, j in landcover_cells()
+    )
+    return f"""
+  WITH RECURSIVE cells(clc, i, j) AS (VALUES {vals}),
+  ids AS (SELECT clc, i, j, i * 1000 + j AS id FROM cells),
+  edges AS (
+    SELECT a.clc, a.id AS src, b.id AS dst
+    FROM ids a JOIN ids b
+      ON a.clc = b.clc AND abs(a.i - b.i) + abs(a.j - b.j) = 1),
+  reach(clc, a, b) AS (
+    SELECT clc, id, id FROM ids
+    UNION
+    SELECT r.clc, r.a, e.dst FROM reach r
+    JOIN edges e ON r.clc = e.clc AND r.b = e.src),
+  comp AS (SELECT clc, a, min(b) AS root FROM reach GROUP BY clc, a)
+  SELECT p.clc, p.n_parts, q.n_components,
+         p.n_parts * 6250000.0 AS union_area
+  FROM (SELECT clc, CAST(count(*) AS BIGINT) AS n_parts
+        FROM ids GROUP BY clc) p
+  JOIN (SELECT clc, CAST(count(DISTINCT root) AS BIGINT) AS n_components
+        FROM comp GROUP BY clc) q USING (clc)
+  ORDER BY clc
+"""
+
+
+SQL_GROUP_UNION = _sql_group_union()
 
 
 def q_simhash(sf_dir: str) -> Dataset:
@@ -4913,6 +4956,7 @@ ORACLES = {
     "point_in_polygon": SQL_POINT_IN_POLYGON,
     "doc_tfidf": SQL_DOC_TFIDF,
     "doc_logprob": SQL_DOC_LOGPROB,
+    "group_union": SQL_GROUP_UNION,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

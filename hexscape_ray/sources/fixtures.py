@@ -178,9 +178,13 @@ LANDCOVER_CLASSES = [
 ]
 
 
-def gen_landcover(cell: float = 2500.0, gap_cells: int = 8, seed: int = SEED) -> pa.Table:
-    """Land-cover cells over the landscape; class drawn Zipf-skewed;
-    ``gap_cells`` cells deliberately omitted (coverage-gap operator)."""
+def landcover_cells(
+    cell: float = 2500.0, gap_cells: int = 8, seed: int = SEED
+) -> list[tuple[str, str, int, int]]:
+    """The deterministic (clc, category, i, j) cell grid behind
+    :func:`gen_landcover` — the SINGLE source of the class draw and
+    gap set, exposed so oracle SQL can embed the exact fixture (the
+    group_union oracle mirrors union/components over these cells)."""
     rng = np.random.default_rng(seed + 1)
     nx = int((LANDSCAPE_XMAX - LANDSCAPE_XMIN) / cell)
     ny = int((LANDSCAPE_YMAX - LANDSCAPE_YMIN) / cell)
@@ -189,12 +193,21 @@ def gen_landcover(cell: float = 2500.0, gap_cells: int = 8, seed: int = SEED) ->
     pmf /= pmf.sum()
     cls = rng.choice(len(LANDCOVER_CLASSES), size=nx * ny, p=pmf)
     gaps = set(rng.choice(nx * ny, size=gap_cells, replace=False).tolist())
-    clcs, cats, wkbs = [], [], []
+    out = []
     for idx in range(nx * ny):
         if idx in gaps:
             continue
         i, j = idx % nx, idx // nx
         code, cat = LANDCOVER_CLASSES[int(cls[idx])]
+        out.append((code, cat, i, j))
+    return out
+
+
+def gen_landcover(cell: float = 2500.0, gap_cells: int = 8, seed: int = SEED) -> pa.Table:
+    """Land-cover cells over the landscape; class drawn Zipf-skewed;
+    ``gap_cells`` cells deliberately omitted (coverage-gap operator)."""
+    clcs, cats, wkbs = [], [], []
+    for code, cat, i, j in landcover_cells(cell, gap_cells, seed):
         clcs.append(code)
         cats.append(cat)
         wkbs.append(
