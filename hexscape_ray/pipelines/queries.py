@@ -4732,6 +4732,69 @@ SQL_DOC_LOGPROB = """
 """
 
 
+def q_bm25_topk(sf_dir: str) -> Dataset:
+    """BM25 top-10 retrieval for 3 fixed term queries
+    (stages/textops.py::bm25_topk): one census pass (N, avgdl, query-
+    term DFs) broadcast once, one scoring pass with per-block partial
+    top-k.  Per-(doc, term) contributions are micro-rounded then
+    INTEGER-summed, and every float subexpression mirrors the SQL's
+    parse tree exactly (e.g. ``tf * (1.2 + 1)``, NOT ``tf * 2.2`` —
+    the two literals differ in the last ulp), so the score is
+    hash-exact."""
+    from hexscape_ray.stages.textops import bm25_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(ds, k=10).sort(["query_id", "rank"])
+
+
+def _sql_bm25() -> str:
+    from hexscape_ray.stages.textops import BM25_QUERIES
+
+    vals = ",".join(
+        f"({qid},'{t}')" for qid, ts in sorted(BM25_QUERIES.items()) for t in ts
+    )
+    return f"""
+  WITH q(query_id, term) AS (VALUES {vals}),
+  terms AS (SELECT DISTINCT term FROM q),
+  tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+  dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+  stats AS (
+    SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+           (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+             / (SELECT count(*) FROM documents) AS avgdl),
+  dfs AS (
+    SELECT terms.term,
+           CAST(coalesce(count(DISTINCT tok.doc_id), 0) AS DOUBLE) AS df
+    FROM terms LEFT JOIN tok ON tok.token = terms.term GROUP BY terms.term),
+  tf AS (
+    SELECT tok.doc_id, terms.term, CAST(count(*) AS BIGINT) AS tf
+    FROM tok JOIN terms ON tok.token = terms.term GROUP BY 1, 2),
+  contrib AS (
+    SELECT q.query_id, tf.doc_id,
+           CAST(floor(1e6 * (ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+                             * (tf.tf * (1.2 + 1))
+                             / (tf.tf + 1.2 * (1 - 0.75
+                                               + 0.75 * dl.dl / stats.avgdl)))
+                      + 0.5) AS BIGINT) AS c
+    FROM tf
+    JOIN q ON q.term = tf.term
+    JOIN dl ON dl.doc_id = tf.doc_id, stats, dfs
+    WHERE dfs.term = tf.term),
+  scores AS (
+    SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_pml
+    FROM contrib GROUP BY query_id, doc_id),
+  ranked AS (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY score_pml DESC, doc_id ASC) AS rank
+    FROM scores)
+  SELECT query_id, doc_id, score_pml, CAST(rank AS BIGINT) AS rank
+  FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+SQL_BM25_TOPK = _sql_bm25()
+
+
 def q_semantic_dedup(sf_dir: str) -> Dataset:
     """SemDeDup embedding-space dedup (stages/dedup.py::semantic_dedup):
     spherical k-means clusters, then drop in-cluster vectors whose
@@ -4860,6 +4923,7 @@ RAY_QUERIES = {
     "region_order_rank_dense": q_region_order_rank_dense,
     "doc_tfidf": q_doc_tfidf,
     "doc_logprob": q_doc_logprob,
+    "bm25_topk": q_bm25_topk,
     "semantic_dedup": q_semantic_dedup,
 }
 
@@ -4957,6 +5021,7 @@ ORACLES = {
     "doc_tfidf": SQL_DOC_TFIDF,
     "doc_logprob": SQL_DOC_LOGPROB,
     "group_union": SQL_GROUP_UNION,
+    "bm25_topk": SQL_BM25_TOPK,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

@@ -661,3 +661,160 @@ def doc_unigram_logprob(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+BM25_QUERIES = {
+    1: ["hash", "join", "shuffle"],
+    2: ["window", "agg", "dup"],
+    3: ["customer", "query", "sort", "scan"],
+}
+
+
+def bm25_topk(
+    ds,
+    queries: dict[int, list[str]] | None = None,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """BM25 retrieval: top-k documents per query over the corpus —
+    the classic lexical ranking (Robertson/Spärck Jones; Lucene's
+    BM25 idf variant ``ln(1 + (N − df + 0.5)/(df + 0.5))``).
+
+    Hash-exact scores under any partitioning: each (doc, term)
+    contribution is micro-rounded FIRST —
+    ``floor(1e6 · idf · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) + 0.5)``
+    — and the per-(query, doc) score is the INTEGER sum (same
+    order-invariance trick as ``doc_unigram_logprob``); ties break
+    doc_id-ascending.
+
+    Distributed shape: pass A streams the corpus once for N, total
+    token count (→ avgdl) and the QUERY TERMS' document frequencies
+    (term census filtered to the query vocabulary — tiny, broadcast);
+    pass B scores each doc against the broadcast terms with one
+    vectorised ``pc.index_in`` gather and keeps a per-block partial
+    top-k per query, so the final per-query ``map_groups`` merge sees
+    only (k × blocks) candidate rows, never the corpus.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    from hexscape_ray.stages.agg import two_phase_sum
+
+    queries = queries if queries is not None else BM25_QUERIES
+    q_terms = sorted({t for ts in queries.values() for t in ts})
+    term_arr = pa.array(q_terms, type=pa.string())
+    n_docs = ds.count()
+
+    # pass A: doc-length stats + query-term document frequencies
+    def census(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        rows_t: list[str] = []
+        total = 0
+        for t in texts:
+            tk = t.split(" ")
+            total += len(tk)
+            rows_t.extend(set(tk) & set(q_terms))
+        out = {"term": rows_t + ["\x00total\x00"], "w": [1] * len(rows_t) + [total]}
+        return pa.table(
+            {
+                "term": pa.array(out["term"], type=pa.string()),
+                "w": pa.array(np.asarray(out["w"], dtype=np.int64)),
+            }
+        )
+
+    cen = (
+        two_phase_sum(
+            ds.map_batches(census, batch_format="pyarrow"),
+            ["term"],
+            ["w"],
+            count_as=None,
+        )
+        .to_pandas()
+        .set_index("term")["w"]
+    )
+    total_tokens = int(cen.get("\x00total\x00", 0))
+    avgdl = total_tokens / n_docs
+    dfs = np.array([int(cen.get(t, 0)) for t in q_terms], dtype=np.float64)
+    idf = np.log(1.0 + (n_docs - dfs + 0.5) / (dfs + 0.5))
+    # query → term indices into q_terms
+    q_idx = {qid: np.array([q_terms.index(t) for t in ts], dtype=np.int64)
+             for qid, ts in queries.items()}
+    bref = ray.put((term_arr, idf, q_idx))
+
+    def score(batch: pa.Table) -> pa.Table:
+        terms_ref, idfs, qidx = ray.get(bref)
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        nq = len(terms_ref)
+        tf = np.zeros((len(texts), nq), dtype=np.int64)
+        dl = np.empty(len(texts), dtype=np.int64)
+        flat: list[str] = []
+        offs = np.empty(len(texts) + 1, dtype=np.int64)
+        offs[0] = 0
+        for i, t in enumerate(texts):
+            tk = t.split(" ")
+            dl[i] = len(tk)
+            flat.extend(tk)
+            offs[i + 1] = offs[i] + len(tk)
+        if flat:
+            pos_arr = pc.index_in(
+                pa.array(flat, type=pa.string()), value_set=terms_ref
+            )  # null where the token is not a query term
+            hit = pc.is_valid(pos_arr).to_numpy(zero_copy_only=False)
+            pos = (
+                pc.fill_null(pos_arr, 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            rows = np.searchsorted(offs, np.arange(len(flat)), side="right") - 1
+            np.add.at(tf, (rows[hit], pos[hit]), 1)
+        # per-(doc, term) micro-rounded contribution, SQL-mirroring
+        # expression structure
+        denom = tf + k1 * (1 - b + b * dl[:, None] / avgdl)
+        contrib = np.floor(
+            1e6 * (idfs[None, :] * (tf * (k1 + 1)) / denom) + 0.5
+        ).astype(np.int64)
+        contrib[tf == 0] = 0
+        out_q, out_d, out_s = [], [], []
+        for qid, ti in qidx.items():
+            s = contrib[:, ti].sum(axis=1)
+            nz = s > 0
+            if not nz.any():
+                continue
+            # per-block partial top-k (score desc, doc asc)
+            cand_s, cand_d = s[nz], ids[nz]
+            order = np.lexsort((cand_d, -cand_s))[:k]
+            out_q.append(np.full(order.size, qid, dtype=np.int64))
+            out_d.append(cand_d[order].astype(np.int64))
+            out_s.append(cand_s[order])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "score_pml": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_d)),
+                "score_pml": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    cand = ds.map_batches(score, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["score_pml", id_col], ascending=[False, True]
+        ).head(k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g.reset_index(drop=True)
+
+    import pandas as pd
+
+    return cand.groupby("query_id").map_groups(merge, batch_format="pandas")

@@ -2225,3 +2225,53 @@ def test_doc_unigram_logprob_matches_duckdb(ray_session):
     # rare tokens cost more than common ones: the doc with the rarest
     # mix has a higher mean surprisal than the most-common-token doc
     assert got["mean_nll_pml"].std() > 0
+
+
+def test_bm25_topk_matches_duckdb(ray_session):
+    """bm25_topk == brute-force SQL BM25 (Lucene idf, micro-rounded
+    per-term contributions, integer-summed) on a synthetic corpus,
+    including a query term absent from the corpus (df = 0)."""
+    import duckdb
+
+    from hexscape_ray.stages.textops import bm25_topk
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i}" for i in range(20)]
+    docs = [" ".join(rng.choice(vocab, size=rng.integers(4, 50))) for _ in range(60)]
+    df = pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64), "text": docs})
+    queries = {1: ["w0", "w5"], 2: ["w19", "missingterm"], 3: ["w3"]}
+    got = (
+        bm25_topk(ray.data.from_pandas(df).repartition(5), queries=queries, k=5)
+        .to_pandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    vals = ",".join(f"({q},'{t}')" for q, ts in sorted(queries.items()) for t in ts)
+    want = duckdb.sql(f"""
+      WITH q(query_id, term) AS (VALUES {vals}),
+      terms AS (SELECT DISTINCT term FROM q),
+      tok AS (SELECT doc_id, unnest(string_split(text,' ')) token FROM df),
+      dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) dl FROM tok GROUP BY doc_id),
+      stats AS (SELECT CAST((SELECT count(*) FROM df) AS DOUBLE) n,
+        (SELECT CAST(sum(dl) AS DOUBLE) FROM dl) / (SELECT count(*) FROM df) avgdl),
+      dfs AS (SELECT terms.term,
+          CAST(coalesce(count(DISTINCT tok.doc_id), 0) AS DOUBLE) df
+        FROM terms LEFT JOIN tok ON tok.token = terms.term GROUP BY terms.term),
+      tf AS (SELECT tok.doc_id, terms.term, CAST(count(*) AS BIGINT) tf
+        FROM tok JOIN terms ON tok.token = terms.term GROUP BY 1, 2),
+      contrib AS (SELECT q.query_id, tf.doc_id,
+          CAST(floor(1e6 * (ln(1 + (stats.n - dfs.df + 0.5)/(dfs.df + 0.5))
+            * (tf.tf * (1.2 + 1))
+            / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) + 0.5)
+            AS BIGINT) c
+        FROM tf JOIN q ON q.term = tf.term
+        JOIN dl ON dl.doc_id = tf.doc_id, stats, dfs WHERE dfs.term = tf.term),
+      scores AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) score_pml
+        FROM contrib GROUP BY query_id, doc_id),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY score_pml DESC, doc_id ASC) rank FROM scores)
+      SELECT query_id, doc_id, score_pml, CAST(rank AS BIGINT) rank
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """).df()
+    assert len(got) == len(want)
+    for c in ("query_id", "doc_id", "score_pml", "rank"):
+        assert (got[c].to_numpy() == want[c].to_numpy(np.int64)).all(), c
