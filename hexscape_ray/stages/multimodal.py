@@ -112,24 +112,72 @@ class ImageDecoder:
         )
 
 
+def _bilinear_resize(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """(H, W, C) uint8 → (out_h, out_w, C) uint8, bilinear with
+    half-pixel-centre sampling (the OpenCV/PIL convention), fully
+    vectorised (4 gathers + lerp)."""
+    H, W = arr.shape[:2]
+    a = arr.astype(np.float64)
+    ys = (np.arange(out_h) + 0.5) * (H / out_h) - 0.5
+    xs = (np.arange(out_w) + 0.5) * (W / out_w) - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, H - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, W - 1)
+    y1 = np.minimum(y0 + 1, H - 1)
+    x1 = np.minimum(x0 + 1, W - 1)
+    fy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    fx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    top = a[y0[:, None], x0[None, :]] * (1 - fx) + a[y0[:, None], x1[None, :]] * fx
+    bot = a[y1[:, None], x0[None, :]] * (1 - fx) + a[y1[:, None], x1[None, :]] * fx
+    out = top * (1 - fy) + bot * fy
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
 class ImageResizer:
-    """Metadata-level resize: rewrites meta.width/height to the target
-    box preserving aspect; payload passthrough (stub re-encode)."""
+    """REAL resize for decodable payloads (PNG + baseline JPEG):
+    decode → vectorised bilinear to the target box (aspect preserved,
+    never upscaled) → re-encode as PNG; meta rewritten to the actual
+    output dims, ``codec`` becomes ``png``.  Undecodable payloads keep
+    the metadata-only rewrite (passthrough bytes) — the per-row
+    ``resize_backend`` column says which path ran."""
 
     def __init__(self, max_side: int = 256):
         self.max_side = max_side
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        meta = batch["meta"].to_pylist()
-        new_meta = []
-        for m in meta:
+    def _one(self, payload: bytes, m: dict) -> tuple[bytes, dict, str]:
+        arr = None
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            arr = decode_png(payload)
+        elif payload[:2] == b"\xff\xd8":
+            try:
+                arr = decode_jpeg(payload)
+            except ValueError:
+                arr = None
+        if arr is None:  # metadata-only fallback (labelled)
             w, h = m["width"], m["height"]
-            scale = min(self.max_side / max(w, h), 1.0)
-            new_meta.append(
-                {**m, "width": int(w * scale), "height": int(h * scale)}
-            )
-        return batch.set_column(
-            batch.column_names.index("meta"), "meta", pa.array(new_meta)
+            scale = min(self.max_side / max(w, h, 1), 1.0)
+            return payload, {**m, "width": int(w * scale), "height": int(h * scale)}, "meta-only"
+        h, w = arr.shape[:2]
+        scale = min(self.max_side / max(w, h, 1), 1.0)
+        ow, oh = max(int(w * scale), 1), max(int(h * scale), 1)
+        if (ow, oh) != (w, h):
+            arr = _bilinear_resize(arr, oh, ow)
+        out = encode_png(arr)
+        return out, {**m, "width": ow, "height": oh, "codec": "png"}, "native"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        metas = batch["meta"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        done = [self._one(p, m) for p, m in zip(payloads, metas)]
+        batch = batch.set_column(
+            batch.column_names.index("payload"),
+            "payload",
+            pa.array([d[0] for d in done], type=pa.binary()),
+        )
+        batch = batch.set_column(
+            batch.column_names.index("meta"), "meta", pa.array([d[1] for d in done])
+        )
+        return batch.append_column(
+            "resize_backend", pa.array([d[2] for d in done], type=pa.string())
         )
 
 

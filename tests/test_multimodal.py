@@ -2,6 +2,7 @@
 determinism across parallelism (decode kernels are documented stubs)."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 import ray.data
 
@@ -179,3 +180,51 @@ def test_jpeg_rejects_progressive():
         decode_jpeg(bytes(enc))
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01not a jpeg")
+
+
+def test_image_resizer_real(ray_session):
+    """ImageResizer actually resizes decodable payloads: output is a
+    valid PNG at the aspect-preserved target box, constant images stay
+    exactly constant through decode→bilinear→encode, and meta matches
+    the real output dims."""
+    from hexscape_ray.functions.codecs import decode_png, encode_jpeg, encode_png
+    from hexscape_ray.stages.multimodal import ImageResizer
+
+    const = np.full((64, 32, 3), 99, np.uint8)
+    grad = np.tile(np.linspace(0, 255, 48, dtype=np.uint8), (96, 1))[:, :, None]
+    grad = np.repeat(grad, 3, axis=2)
+    tbl = pa.table(
+        {
+            "media_id": pa.array([0, 1, 2], type=pa.int64()),
+            "kind": pa.array(["image"] * 3),
+            "payload": pa.array(
+                [encode_png(const), encode_jpeg(grad, quality=95), b"\x00opaque"],
+                type=pa.binary(),
+            ),
+            "meta": pa.array(
+                [
+                    {"width": 32, "height": 64, "duration_ms": 0, "codec": "png"},
+                    {"width": 48, "height": 96, "duration_ms": 0, "codec": "jpeg"},
+                    {"width": 800, "height": 600, "duration_ms": 0, "codec": "h264"},
+                ]
+            ),
+        }
+    )
+    out = (
+        ray.data.from_arrow(tbl)
+        .map_batches(ImageResizer, fn_constructor_args=(16,), batch_format="pyarrow", concurrency=(1, 2))
+        .to_pandas()
+        .sort_values("media_id", ignore_index=True)
+    )
+    assert out["resize_backend"].tolist() == ["native", "native", "meta-only"]
+    # row 0: 32x64 -> 8x16, still exactly constant
+    a0 = decode_png(out["payload"][0])
+    assert a0.shape == (16, 8, 3) and (a0 == 99).all()
+    assert out["meta"][0]["width"] == 8 and out["meta"][0]["height"] == 16
+    assert out["meta"][1]["codec"] == "png"  # jpeg re-encoded as png
+    a1 = decode_png(out["payload"][1])
+    assert a1.shape == (16, 8, 3)
+    # gradient direction preserved after jpeg->resize->png
+    assert a1[:, 0].mean() < a1[:, -1].mean()
+    # opaque payload untouched
+    assert bytes(out["payload"][2]) == b"\x00opaque"
