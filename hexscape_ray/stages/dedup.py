@@ -1285,9 +1285,12 @@ def contamination_hits(
     return train.map_batches(hits, batch_format="pyarrow")
 
 
+SEMDEDUP_TARGET_CLUSTER = 4096  # expected vectors per cluster when k derives
+
+
 def semantic_dedup(
     emb: Dataset,
-    k: int = 8,
+    k: int | None = None,
     threshold: float = 0.92,
     n_iter: int = 8,
     id_col: str = "vec_id",
@@ -1318,11 +1321,21 @@ def semantic_dedup(
 
     Output: one row per vector — (id, cluster, keep, max_prior_cos
     rounded to 1e-6 parts) with ``keep=False`` for dropped near-dups.
+
+    SCALE: the in-cluster prune is O(m²) in cluster size, so ``k``
+    must GROW with the corpus — when not given it derives as
+    ``ceil(n / SEMDEDUP_TARGET_CLUSTER)`` (floor 8), keeping expected
+    cluster population ~4k and each prune a few ms (the paper's regime:
+    tens of thousands of clusters at web scale).  A fixed small k at
+    10^9 vectors would OOM the prune tasks.
     """
     import ray
 
     from hexscape_ray.stages.knn import _normalize, kmeans_distributed
 
+    if k is None:
+        n = emb.count()  # parquet-metadata for fresh reads
+        k = max(8, -(-n // SEMDEDUP_TARGET_CLUSTER))
     cents, _ = kmeans_distributed(
         emb, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col
     )
