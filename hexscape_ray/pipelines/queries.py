@@ -329,17 +329,52 @@ def q_hex_lang_mix(sf_dir: str) -> Dataset:
     ds = _hex_prepare(ds, "doc_id")
     partials = two_phase_sum(ds, ["r", "q", "lang"], [], count_as="n")
 
-    def widen(g: pd.DataFrame) -> pd.DataFrame:
-        total = int(g["n"].sum())
-        row = {"r": g["r"].iloc[0], "q": g["q"].iloc[0], "n_docs": total}
-        by = g.groupby("lang")["n"].sum()
-        for lang in DOC_LANGS:
-            c = int(by.get(lang, 0))
-            row[f"n_{lang}"] = c
-            row[f"p_{lang}"] = c / total
-        return pd.DataFrame([row])
+    # vectorised widen (round-3 verdict #9, same coarse-shard +
+    # factorize + np.add.at pattern as hexagg.hex_language_mix): all
+    # cells of a shard in one pass instead of a pandas DataFrame per
+    # (r, q) cell
+    def shard(batch: pa.Table) -> pa.Table:
+        from hexscape_ray.functions.hashing import splitmix64
 
-    return partials.groupby(["r", "q"]).map_groups(widen, batch_format="pandas")
+        r = np.asarray(batch["r"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        qq = np.asarray(batch["q"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        with np.errstate(over="ignore"):
+            h = splitmix64(splitmix64(r.view(np.uint64)) ^ qq.view(np.uint64))
+        return batch.append_column(
+            "__coarse", pa.array(np.bitwise_and(h.astype(np.int64), np.int64(63)))
+        )
+
+    def widen_block(g: pd.DataFrame) -> pd.DataFrame:
+        # negative-safe composite pack: (r+2^30)·2^31 + (q+2^30)
+        off = np.int64(1 << 30)
+        key = (g["r"].to_numpy(dtype=np.int64) + off) * np.int64(1 << 31) + (
+            g["q"].to_numpy(dtype=np.int64) + off
+        )
+        codes, uniq = pd.factorize(key, sort=True)
+        nv = g["n"].to_numpy(dtype=np.int64)
+        kk = len(uniq)
+        tot = np.zeros(kk, dtype=np.int64)
+        np.add.at(tot, codes, nv)
+        lang_idx = pd.Categorical(g["lang"], categories=DOC_LANGS).codes
+        mat = np.zeros((kk, len(DOC_LANGS)), dtype=np.int64)
+        ok = lang_idx >= 0
+        np.add.at(mat, (codes[ok], lang_idx[ok]), nv[ok])
+        u = np.asarray(uniq)
+        out = {
+            "r": (u // np.int64(1 << 31) - off).astype(np.int64),
+            "q": (u % np.int64(1 << 31) - off).astype(np.int64),
+            "n_docs": tot,
+        }
+        for j, lang in enumerate(DOC_LANGS):
+            out[f"n_{lang}"] = mat[:, j]
+            out[f"p_{lang}"] = mat[:, j] / tot
+        return pd.DataFrame(out)
+
+    return (
+        partials.map_batches(shard, batch_format="pyarrow")
+        .groupby("__coarse")
+        .map_groups(widen_block, batch_format="pandas")
+    )
 
 
 SQL_HEX_LANG_MIX = (
