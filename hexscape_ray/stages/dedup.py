@@ -59,6 +59,32 @@ def _count_estimate(ds: Dataset) -> int:
     return ds.count()
 
 
+def _pairs_via_groups(rows: Dataset, n_rows_est: int, pairs_block) -> Dataset:
+    """Route exploded (bucketed) rows into the pair kernel, combine-
+    placement-adaptively: below ``HEXRAY_SMALL_AGG_ROWS`` exploded rows
+    the kernel runs over EVERYTHING in one ``repartition(1)`` remote
+    task — Ray's sort-based groupby costs a ~6 s shuffle constant on
+    this box regardless of volume (measured: it was 6 of the 8 s of
+    the whole minhash pair stage on 5k docs), and the kernel itself is
+    a lexsort over the full row set either way.  Above the threshold
+    the count-scaled ``groupby('__coarse')`` co-locates fine runs as
+    before.  Output identical: one group = all groups for these
+    kernels (fine runs are detected inside the kernel)."""
+    from hexscape_ray.stages.agg import SMALL_AGG_ROWS
+
+    if n_rows_est <= SMALL_AGG_ROWS:
+
+        def run_all(t: pa.Table) -> pa.Table:
+            return pa.Table.from_pandas(
+                pairs_block(t.to_pandas()), preserve_index=False
+            )
+
+        return rows.repartition(1).map_batches(
+            run_all, batch_format="pyarrow", batch_size=None
+        )
+    return rows.groupby("__coarse").map_groups(pairs_block, batch_format="pandas")
+
+
 def exact_dedup(ds: Dataset, key_col: str = "text", id_col: str = "doc_id") -> Dataset:
     """Keep the min-id row per identical key: hash-partition groupby on
     a content-hash column (groups stay tiny; no skew)."""
@@ -313,8 +339,9 @@ def minhash_candidate_pairs(
     list between non-representative members is dropped, and only for
     pathological buckets.
     """
+    n_est = _count_estimate(ds) * N_BANDS
     if n_coarse is None:
-        n_coarse = coarse_width(_count_estimate(ds) * N_BANDS)
+        n_coarse = coarse_width(n_est)
     sigs = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 8))
     bands = lsh_band_rows(sigs)
 
@@ -331,6 +358,8 @@ def minhash_candidate_pairs(
         return batch.append_column("__coarse", pa.array(np.bitwise_and(bh, mask)))
 
     def pairs_block(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
         bid = g["band_id"].to_numpy()
         bh = g["band_hash"].to_numpy()
         ids = g[id_col].to_numpy()
@@ -357,14 +386,18 @@ def minhash_candidate_pairs(
             {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
         )
 
-    cand = (
-        bands.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__coarse")
-        .map_groups(pairs_block, batch_format="pandas")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="n_bands_hit"))
+    from hexscape_ray.stages.agg import two_phase_sum
+
+    pair_rows = _pairs_via_groups(
+        bands.map_batches(add_bucket, batch_format="pyarrow"),
+        n_est,
+        pairs_block,
     )
-    return cand
+    # adaptive-combine pair count instead of groupby().aggregate():
+    # Ray's sort aggregate costs a ~6 s shuffle CONSTANT regardless of
+    # pair volume (measured: this one call was 6 of the 8 s this stage
+    # took on 5k docs / 256 pairs)
+    return two_phase_sum(pair_rows, ["a", "b"], [], count_as="n_bands_hit")
 
 
 def verify_jaccard(
@@ -667,8 +700,9 @@ def ngram_jaccard_pairs_exact(
     from hexscape_ray.stages.agg import two_phase_sum
 
     num, den = threshold
+    n_est = _count_estimate(ds) * NGRAM_SHINGLES_PER_DOC_EST
     if n_coarse is None:
-        n_coarse = coarse_width(_count_estimate(ds) * NGRAM_SHINGLES_PER_DOC_EST)
+        n_coarse = coarse_width(n_est)
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
@@ -695,6 +729,10 @@ def ngram_jaccard_pairs_exact(
         )
 
     def pairs_block(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {c: np.empty(0, np.int64) for c in ("i", "j", "si", "sj")}
+            )
         codes, _ = pd.factorize(g["g"], sort=False)
         ids = g["i"].to_numpy()
         szs = g["sz"].to_numpy()
@@ -718,10 +756,10 @@ def ngram_jaccard_pairs_exact(
             )
         return pd.DataFrame({c: np.concatenate(v) for c, v in cols.items()})
 
-    pair_rows = (
-        ds.map_batches(shingle_rows, batch_format="pyarrow")
-        .groupby("__coarse")
-        .map_groups(pairs_block, batch_format="pandas")
+    pair_rows = _pairs_via_groups(
+        ds.map_batches(shingle_rows, batch_format="pyarrow"),
+        n_est,
+        pairs_block,
     )
     inter = two_phase_sum(pair_rows, ["i", "j", "si", "sj"], [], count_as="inter")
 
@@ -902,8 +940,9 @@ def winnow_candidate_pairs(
     to (fingerprint, doc) rows, count-scaled coarse-group pair
     generation with the star-edge cap, then count shared fingerprints
     per pair."""
+    n_est = _count_estimate(ds) * WINNOW_FP_PER_DOC_EST
     if n_coarse is None:
-        n_coarse = coarse_width(_count_estimate(ds) * WINNOW_FP_PER_DOC_EST)
+        n_coarse = coarse_width(n_est)
     fps = ds.map_batches(
         Winnower,
         fn_constructor_args=(k, w),
@@ -917,6 +956,8 @@ def winnow_candidate_pairs(
         return batch.append_column("__coarse", pa.array(np.bitwise_and(fp, mask)))
 
     def pairs_block(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
         fp = g["fingerprint"].to_numpy()
         ids = g["doc_id"].to_numpy()
         order = np.lexsort((ids, fp))
@@ -943,13 +984,16 @@ def winnow_candidate_pairs(
             return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
         return pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
 
-    cand = (
-        fps.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__coarse")
-        .map_groups(pairs_block, batch_format="pandas")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="n_shared"))
+    from hexscape_ray.stages.agg import two_phase_sum
+
+    pair_rows = _pairs_via_groups(
+        fps.map_batches(add_bucket, batch_format="pyarrow"),
+        n_est,
+        pairs_block,
     )
+    # adaptive-combine pair count (see minhash_candidate_pairs: Ray's
+    # sort aggregate costs a ~6 s constant the combine avoids)
+    cand = two_phase_sum(pair_rows, ["a", "b"], [], count_as="n_shared")
 
     def thresh(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -1095,8 +1139,9 @@ def duplicate_spans(
     quadratic pairs, at the cost of missing spans between high-rank
     copies — the LSH star-edge trade).
     """
+    n_est = _count_estimate(ds) * DUP_SPAN_GRAMS_PER_DOC_EST
     if n_coarse is None:
-        n_coarse = coarse_width(_count_estimate(ds) * DUP_SPAN_GRAMS_PER_DOC_EST)
+        n_coarse = coarse_width(n_est)
     mask = np.uint64(n_coarse - 1)
 
     def gram_rows(batch: pa.Table) -> pa.Table:
@@ -1137,6 +1182,10 @@ def duplicate_spans(
         return pa.table(cols)
 
     def occ_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {c: np.empty(0, np.int64) for c in ("a_id", "b_id", "a_pos", "b_pos")}
+            )
         if carry_gram:  # audit mode: group on the string itself
             codes, _ = pd.factorize(g["g"], sort=False)
             sort_keys: tuple = (codes,)
@@ -1194,13 +1243,11 @@ def duplicate_spans(
             }
         )
 
-    spans = (
-        ds.map_batches(gram_rows, batch_format="pyarrow")
-        .groupby("__coarse")
-        .map_groups(occ_pairs, batch_format="pandas")
-        .groupby(["a_id", "b_id"])
-        .map_groups(islands, batch_format="pandas")
-    )
+    spans = _pairs_via_groups(
+        ds.map_batches(gram_rows, batch_format="pyarrow"),
+        n_est,
+        occ_pairs,
+    ).groupby(["a_id", "b_id"]).map_groups(islands, batch_format="pandas")
     if min_span_tokens is not None:
 
         def thresh(batch: pa.Table) -> pa.Table:
