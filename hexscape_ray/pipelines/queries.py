@@ -4830,6 +4830,41 @@ def _sql_bm25() -> str:
 SQL_BM25_TOPK = _sql_bm25()
 
 
+def q_quantize_int8(sf_dir: str) -> Dataset:
+    """Per-vector symmetric INT8 quantisation of the embeddings table
+    (stages/knn.py::quantize_embeddings_int8).  The oracle checks the
+    order-free integer summary — scale_pml, Σq, Σ|q|, saturation count
+    (per-element half-up rounding then integer sums; the codes column
+    itself is dropped for the compare)."""
+    from hexscape_ray.stages.knn import quantize_embeddings_int8
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return (
+        quantize_embeddings_int8(emb)
+        .select_columns(["vec_id", "scale_pml", "sum_q", "sum_abs_q", "n_sat"])
+        .sort("vec_id")
+    )
+
+
+SQL_QUANTIZE_INT8 = """
+  WITH e AS (
+    SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings),
+  s AS (SELECT vec_id, max(abs(x)) AS scale FROM e GROUP BY vec_id),
+  q AS (
+    SELECT e.vec_id,
+           CAST(floor(CASE WHEN s.scale > 0 THEN e.x * 127.0 / s.scale
+                           ELSE 0 END + 0.5) AS BIGINT) AS q
+    FROM e JOIN s USING (vec_id))
+  SELECT q.vec_id,
+         CAST(floor(1e6 * s.scale + 0.5) AS BIGINT) AS scale_pml,
+         CAST(sum(q.q) AS BIGINT) AS sum_q,
+         CAST(sum(abs(q.q)) AS BIGINT) AS sum_abs_q,
+         CAST(sum(CASE WHEN abs(q.q) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat
+  FROM q JOIN s USING (vec_id)
+  GROUP BY q.vec_id, s.scale ORDER BY q.vec_id
+"""
+
+
 def q_semantic_dedup(sf_dir: str) -> Dataset:
     """SemDeDup embedding-space dedup (stages/dedup.py::semantic_dedup):
     spherical k-means clusters, then drop in-cluster vectors whose
@@ -4959,6 +4994,7 @@ RAY_QUERIES = {
     "doc_tfidf": q_doc_tfidf,
     "doc_logprob": q_doc_logprob,
     "bm25_topk": q_bm25_topk,
+    "quantize_int8": q_quantize_int8,
     "semantic_dedup": q_semantic_dedup,
 }
 
@@ -5057,6 +5093,7 @@ ORACLES = {
     "doc_logprob": SQL_DOC_LOGPROB,
     "group_union": SQL_GROUP_UNION,
     "bm25_topk": SQL_BM25_TOPK,
+    "quantize_int8": SQL_QUANTIZE_INT8,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

@@ -590,3 +590,55 @@ def pq_topk(
         return g.reset_index(drop=True)
 
     return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def quantize_embeddings_int8(
+    emb: Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> Dataset:
+    """Symmetric per-vector INT8 quantisation of an embedding column —
+    the storage/serving compression step of an embedding pipeline
+    (4× smaller than float32, 8× smaller than the float64 on disk):
+    ``scale = max|x|``, ``q_i = floor(x_i·127/scale + 0.5)`` (half-up,
+    the SQL-mirrorable rounding; q ∈ [-127, 127], so int8 with no
+    −128 edge case).  Zero vectors quantise to all-zero codes with
+    scale 0.
+
+    Output rows carry the codes (``list<int8>``) for downstream use
+    plus an integer summary that is hash-exact under any partitioning
+    (per-element rounding then integer sums — no float reduction):
+    ``scale_pml = floor(1e6·scale + 0.5)``, ``sum_q``, ``sum_abs_q``,
+    and ``n_sat`` (elements at ±127).
+    """
+
+    def quant(batch: pa.Table) -> pa.Table:
+        X = np.asarray(
+            batch[vec_col].to_numpy(zero_copy_only=False).tolist(), dtype=np.float64
+        )
+        if X.ndim == 1:  # empty batch
+            X = X.reshape(0, 0)
+        scale = np.abs(X).max(axis=1) if X.shape[1] else np.zeros(len(batch))
+        safe = np.where(scale > 0, scale, 1.0)
+        q = np.floor(X * 127.0 / safe[:, None] + 0.5).astype(np.int64)
+        q[scale == 0] = 0
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "codes": pa.FixedSizeListArray.from_arrays(
+                    pa.array(q.astype(np.int8).ravel()), X.shape[1]
+                )
+                if X.shape[1]
+                else pa.nulls(len(batch), pa.list_(pa.int8())),
+                "scale_pml": pa.array(
+                    np.floor(1e6 * scale + 0.5).astype(np.int64)
+                ),
+                "sum_q": pa.array(q.sum(axis=1)),
+                "sum_abs_q": pa.array(np.abs(q).sum(axis=1)),
+                "n_sat": pa.array(
+                    (np.abs(q) == 127).sum(axis=1).astype(np.int64)
+                ),
+            }
+        )
+
+    return emb.map_batches(quant, batch_format="pyarrow")

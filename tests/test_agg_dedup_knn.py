@@ -2275,3 +2275,41 @@ def test_bm25_topk_matches_duckdb(ray_session):
     assert len(got) == len(want)
     for c in ("query_id", "doc_id", "score_pml", "rank"):
         assert (got[c].to_numpy() == want[c].to_numpy(np.int64)).all(), c
+
+
+def test_quantize_int8_roundtrip_and_codes(ray_session):
+    """INT8 quantisation: codes bounded to [-127, 127], dequantised
+    reconstruction error <= scale/254 per element (half-up rounding),
+    zero vectors quantise to zero codes with scale 0, and the integer
+    summary matches a direct numpy recompute."""
+    from hexscape_ray.stages.knn import quantize_embeddings_int8
+
+    rng = np.random.default_rng(37)
+    X = rng.standard_normal((30, 16))
+    X[5] = 0.0  # zero vector
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(30, dtype=np.int64)),
+            "embedding": pa.array([r.tolist() for r in X]),
+        }
+    )
+    out = (
+        quantize_embeddings_int8(ray.data.from_arrow(tbl).repartition(3))
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    codes = np.stack(out["codes"].to_numpy())
+    assert codes.dtype == np.int8
+    assert np.abs(codes.astype(int)).max() <= 127
+    scale = np.abs(X).max(axis=1)
+    # reconstruction error bound: |x - q*scale/127| <= scale/254
+    deq = codes.astype(np.float64) * scale[:, None] / 127.0
+    deq[scale == 0] = 0.0
+    assert (np.abs(deq - X) <= scale[:, None] / 254.0 + 1e-12).all()
+    assert (codes[5] == 0).all() and out["scale_pml"][5] == 0
+    safe = np.where(scale > 0, scale, 1.0)
+    q = np.floor(X * 127.0 / safe[:, None] + 0.5).astype(np.int64)
+    q[scale == 0] = 0
+    assert (out["sum_q"].to_numpy() == q.sum(axis=1)).all()
+    assert (out["sum_abs_q"].to_numpy() == np.abs(q).sum(axis=1)).all()
+    assert (out["n_sat"].to_numpy() == (np.abs(q) == 127).sum(axis=1)).all()
