@@ -4830,6 +4830,60 @@ def _sql_bm25() -> str:
 SQL_BM25_TOPK = _sql_bm25()
 
 
+def _lang_census_from(ds: Dataset) -> Dataset:
+    """Shared downstream for the format-ingest parity queries: per-lang
+    doc count + total chars (dtype-normalised — JSON/CSV readers may
+    widen ints)."""
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch["lang"].cast(pa.string()),
+                "n_chars": batch["n_chars"].cast(pa.int64()),
+            }
+        )
+
+    out = two_phase_sum(
+        ds.map_batches(norm, batch_format="pyarrow"),
+        ["lang"],
+        ["n_chars"],
+        count_as="n_docs",
+    )
+    return out.rename_columns({"n_chars": "len_sum"}).sort("lang")
+
+
+SQL_INGEST_CENSUS = """
+  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS len_sum,
+         count(*) AS n_docs
+  FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_ingest_jsonl(sf_dir: str) -> Dataset:
+    """FORMAT-INGEST parity (JSONL): the documents projection exported
+    once to sharded JSON-lines (cached fixture), read back with
+    ``ray.data.read_json`` and aggregated — hash-identical to the SQL
+    census over the parquet original, proving the JSONL source surface
+    feeds the same pipeline unchanged."""
+    import ray.data as rd
+
+    from hexscape_ray.sources.readers import export_documents_text_formats
+
+    jsonl_dir, _ = export_documents_text_formats(sf_dir)
+    return _lang_census_from(rd.read_json(jsonl_dir))
+
+
+def q_ingest_csv(sf_dir: str) -> Dataset:
+    """FORMAT-INGEST parity (CSV): same as q_ingest_jsonl via
+    ``ray.data.read_csv``."""
+    import ray.data as rd
+
+    from hexscape_ray.sources.readers import export_documents_text_formats
+
+    _, csv_dir = export_documents_text_formats(sf_dir)
+    return _lang_census_from(rd.read_csv(csv_dir))
+
+
 def q_quantize_int8(sf_dir: str) -> Dataset:
     """Per-vector symmetric INT8 quantisation of the embeddings table
     (stages/knn.py::quantize_embeddings_int8).  The oracle checks the
@@ -4995,6 +5049,8 @@ RAY_QUERIES = {
     "doc_logprob": q_doc_logprob,
     "bm25_topk": q_bm25_topk,
     "quantize_int8": q_quantize_int8,
+    "ingest_jsonl": q_ingest_jsonl,
+    "ingest_csv": q_ingest_csv,
     "semantic_dedup": q_semantic_dedup,
 }
 
@@ -5094,6 +5150,8 @@ ORACLES = {
     "group_union": SQL_GROUP_UNION,
     "bm25_topk": SQL_BM25_TOPK,
     "quantize_int8": SQL_QUANTIZE_INT8,
+    "ingest_jsonl": SQL_INGEST_CENSUS,
+    "ingest_csv": SQL_INGEST_CENSUS,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

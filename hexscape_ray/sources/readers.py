@@ -90,3 +90,41 @@ def load_map(
     if level is not None:
         out = out.filter(pc.equal(out.column("level"), level))
     return out
+
+
+def export_documents_text_formats(sf_dir: str, tmp_root: str = "/tmp/hexray_ingest"):
+    """Export the documents table's (doc_id, lang, n_chars) projection
+    to sharded JSONL and CSV under a per-SF cache dir (``_SUCCESS``
+    marker) — the fixtures for the format-ingest parity queries.  Only
+    integer/categorical columns travel, so the text round-trip quirks
+    of each format (quote escaping, unicode) never enter the compare;
+    the INGEST surface (``ray.data.read_json`` / ``read_csv`` →
+    identical downstream pipeline) is what the parity proves.
+    """
+    import os
+
+    import pyarrow.parquet as _pq
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    out = os.path.join(tmp_root, tag)
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return os.path.join(out, "jsonl"), os.path.join(out, "csv")
+    os.makedirs(os.path.join(out, "jsonl"), exist_ok=True)
+    os.makedirs(os.path.join(out, "csv"), exist_ok=True)
+    t = _pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    df = t.to_pandas()
+    shard_rows = max(1, -(-len(df) // 4))  # 4 shards → parallel read
+    for s in range(0, len(df), shard_rows):
+        part = df.iloc[s : s + shard_rows]
+        part.to_json(
+            os.path.join(out, "jsonl", f"part-{s:08d}.jsonl"),
+            orient="records",
+            lines=True,
+        )
+        part.to_csv(os.path.join(out, "csv", f"part-{s:08d}.csv"), index=False)
+    open(marker, "w").close()
+    return os.path.join(out, "jsonl"), os.path.join(out, "csv")
