@@ -4884,6 +4884,46 @@ def q_ingest_csv(sf_dir: str) -> Dataset:
     return _lang_census_from(rd.read_csv(csv_dir))
 
 
+def q_sink_roundtrip(sf_dir: str) -> Dataset:
+    """SINK parity: the per-source census written to HIVE-partitioned
+    parquet (``lang=<v>/`` directories — the resumable-output layout a
+    100-TB run needs: a restart skips finished partitions), then read
+    back with partition-column recovery and re-aggregated to the
+    per-lang census — hash-identical to the direct SQL census.  Proves
+    write_parquet(partition_cols) → read_parquet round-trips values,
+    dtypes and partition keys."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    docs = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+    fine = two_phase_sum(docs, ["source", "lang"], ["n_chars"], count_as="n_docs")
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    out = f"/tmp/hexray_sink/{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    fine.write_parquet(out, partition_cols=["lang"])
+    back = rd.read_parquet(out)
+
+    def norm(batch: pa.Table) -> pa.Table:
+        # partition columns come back as dictionary/string — normalise
+        return pa.table(
+            {
+                "lang": batch["lang"].cast(pa.string()),
+                "n_chars": batch["n_chars"].cast(pa.int64()),
+                "n_docs": batch["n_docs"].cast(pa.int64()),
+            }
+        )
+
+    out_ds = two_phase_sum(
+        back.map_batches(norm, batch_format="pyarrow"),
+        ["lang"],
+        ["n_chars", "n_docs"],
+        count_as=None,
+    )
+    return out_ds.rename_columns({"n_chars": "len_sum"}).sort("lang")
+
+
 def q_quantize_int8(sf_dir: str) -> Dataset:
     """Per-vector symmetric INT8 quantisation of the embeddings table
     (stages/knn.py::quantize_embeddings_int8).  The oracle checks the
@@ -5051,6 +5091,7 @@ RAY_QUERIES = {
     "quantize_int8": q_quantize_int8,
     "ingest_jsonl": q_ingest_jsonl,
     "ingest_csv": q_ingest_csv,
+    "sink_roundtrip": q_sink_roundtrip,
     "semantic_dedup": q_semantic_dedup,
 }
 
@@ -5152,6 +5193,7 @@ ORACLES = {
     "quantize_int8": SQL_QUANTIZE_INT8,
     "ingest_jsonl": SQL_INGEST_CENSUS,
     "ingest_csv": SQL_INGEST_CENSUS,
+    "sink_roundtrip": SQL_INGEST_CENSUS,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,
