@@ -4884,6 +4884,16 @@ def q_ingest_csv(sf_dir: str) -> Dataset:
     return _lang_census_from(rd.read_csv(csv_dir))
 
 
+def q_dedup_exact_stream(sf_dir: str):
+    """STREAMING exact dedup (stages/streaming.py::streaming_exact_dedup):
+    incremental per-shard content-hash state, distributed router
+    ingest, no ordering machinery (min/count commute) — same output
+    and SAME SQL oracle as the batch ``dedup_exact``."""
+    from hexscape_ray.stages.streaming import streaming_exact_dedup
+
+    return streaming_exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_sink_roundtrip(sf_dir: str) -> Dataset:
     """SINK parity: the per-source census written to HIVE-partitioned
     parquet (``lang=<v>/`` directories — the resumable-output layout a
@@ -5092,6 +5102,7 @@ RAY_QUERIES = {
     "ingest_jsonl": q_ingest_jsonl,
     "ingest_csv": q_ingest_csv,
     "sink_roundtrip": q_sink_roundtrip,
+    "dedup_exact_stream": q_dedup_exact_stream,
     "semantic_dedup": q_semantic_dedup,
 }
 
@@ -5194,6 +5205,7 @@ ORACLES = {
     "ingest_jsonl": SQL_INGEST_CENSUS,
     "ingest_csv": SQL_INGEST_CENSUS,
     "sink_roundtrip": SQL_INGEST_CENSUS,
+    "dedup_exact_stream": SQL_DEDUP_EXACT,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

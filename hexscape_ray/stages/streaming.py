@@ -188,3 +188,102 @@ def streaming_sessions(
         out.to_pandas()
         .sort_values(["user_id", "session_id"], ignore_index=True)
     )
+
+
+@ray.remote
+class DedupShard:
+    """One shard of the STREAMING exact-dedup state: content-hash →
+    (min doc id, copy count).  Min and count are commutative, so —
+    unlike sessions — no sequence tags or reorder buffer are needed:
+    router tasks may deliver slices in any order and the result is
+    exact.  ``seen()`` answers mid-stream novelty probes (the online
+    filter shape: drop a page the moment its content hash is known)."""
+
+    def __init__(self):
+        self.state: dict[int, list[int]] = {}
+
+    def feed(self, h: np.ndarray, ids: np.ndarray) -> int:
+        st = self.state
+        for hv, i in zip(h.tolist(), ids.tolist()):
+            cur = st.get(hv)
+            if cur is None:
+                st[hv] = [i, 1]
+            else:
+                if i < cur[0]:
+                    cur[0] = i
+                cur[1] += 1
+        return len(st)
+
+    def seen(self, h: np.ndarray) -> np.ndarray:
+        return np.fromiter(
+            (hv in self.state for hv in h.tolist()), dtype=bool, count=len(h)
+        )
+
+    def flush(self) -> pa.Table:
+        if not self.state:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_copies": pa.array([], pa.int64()),
+                }
+            )
+        arr = np.asarray(sorted(v for v in self.state.values()), dtype=np.int64)
+        return pa.table(
+            {"doc_id": pa.array(arr[:, 0]), "n_copies": pa.array(arr[:, 1])}
+        )
+
+
+@ray.remote
+def _route_dedup_block(block: pa.Table, shards: list, id_col: str, text_col: str) -> int:
+    """Router task: content-hash one block's texts (the same
+    ``fnv1a_64_str_array`` as the batch operator, so hash-collision
+    semantics are identical) and deliver each shard its slice."""
+    from hexscape_ray.functions.hashing import fnv1a_64_str_array
+
+    if isinstance(block, pd.DataFrame):  # pandas-backed blocks
+        block = pa.Table.from_pandas(block, preserve_index=False)
+    ids = block[id_col].to_numpy(zero_copy_only=False)
+    h = fnv1a_64_str_array(block[text_col].to_pylist()).astype(np.int64)
+    n_shards = len(shards)
+    shard = (h % np.int64(n_shards) + n_shards) % np.int64(n_shards)
+    refs = []
+    for s in range(n_shards):
+        m = shard == s
+        if m.any():
+            refs.append(shards[s].feed.remote(h[m], ids[m]))
+    ray.get(refs)
+    return len(ids)
+
+
+def streaming_exact_dedup(
+    docs: Dataset,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_inflight: int = 32,
+) -> pd.DataFrame:
+    """STREAMING exact dedup: incremental per-shard content-hash state
+    fed by parallel router tasks over the document stream's block refs
+    (same distributed-ingest shape as :func:`streaming_sessions`, minus
+    the ordering machinery — min/count are commutative).  Output is
+    bit-identical to the batch ``exact_dedup`` / the SQL group-by
+    oracle: one row per distinct content with the minimum doc id and
+    the copy count.  The driver never touches a row."""
+    shards = [DedupShard.remote() for _ in range(n_shards)]
+    stream = docs.materialize()
+    block_refs: list = []
+    for bundle in stream.iter_internal_ref_bundles():
+        block_refs.extend(bundle.block_refs)
+
+    inflight: list = []
+    for bref in block_refs:
+        inflight.append(_route_dedup_block.remote(bref, shards, id_col, text_col))
+        if len(inflight) > max_inflight:
+            done, inflight = ray.wait(
+                inflight, num_returns=len(inflight) - max_inflight
+            )
+            ray.get(done)
+    ray.get(inflight)
+    tables = ray.get([s.flush.remote() for s in shards])
+    out = pa.concat_tables([t for t in tables if len(t)])
+    return out.to_pandas().sort_values("doc_id", ignore_index=True)

@@ -2313,3 +2313,36 @@ def test_quantize_int8_roundtrip_and_codes(ray_session):
     assert (out["sum_q"].to_numpy() == q.sum(axis=1)).all()
     assert (out["sum_abs_q"].to_numpy() == np.abs(q).sum(axis=1)).all()
     assert (out["n_sat"].to_numpy() == (np.abs(q) == 127).sum(axis=1)).all()
+
+
+def test_streaming_exact_dedup_matches_batch(ray_session):
+    """Streaming shard-actor dedup == batch exact_dedup on a corpus
+    with planted duplicate groups, regardless of block layout; the
+    mid-stream novelty probe answers correctly after ingest."""
+    import ray as _ray
+
+    from hexscape_ray.functions.hashing import fnv1a_64_str_array
+    from hexscape_ray.stages.dedup import exact_dedup
+    from hexscape_ray.stages.streaming import DedupShard, streaming_exact_dedup
+
+    rng = np.random.default_rng(41)
+    texts = [f"unique doc {i} " + " ".join(map(str, rng.integers(0, 9, 5))) for i in range(40)]
+    texts += [texts[3]] * 4 + [texts[10]] * 2  # planted dup groups
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = streaming_exact_dedup(ds, n_shards=3)
+    want = (
+        exact_dedup(ds)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["n_copies"].tolist() == want["n_copies"].tolist()
+    assert int(got.loc[got["doc_id"] == 3, "n_copies"].iloc[0]) == 5
+
+    # novelty probe: a fed hash is seen, a fresh one is not
+    shard = DedupShard.remote()
+    h = fnv1a_64_str_array(["a", "b"]).astype(np.int64)
+    _ray.get(shard.feed.remote(h[:1], np.array([7], dtype=np.int64)))
+    seen = _ray.get(shard.seen.remote(h))
+    assert seen.tolist() == [True, False]
