@@ -4884,6 +4884,101 @@ def q_ingest_csv(sf_dir: str) -> Dataset:
     return _lang_census_from(rd.read_csv(csv_dir))
 
 
+def q_curation_v2(sf_dir: str) -> Dataset:
+    """Curation flow built from the ORACLE-EXACT round-4 ops, so the
+    whole composition hash-checks end-to-end (the original
+    curation_pipeline is the rows-only per-hex story): unigram-LM
+    surprisal gate (drop the most surprising 'junk' tail,
+    mean_nll_pml > threshold) → exact dedup (keep min doc id per
+    content) → per-lang accounting of survivors (docs, tokens,
+    total surprisal).  Zero extra shuffles beyond the ops' own: the LM
+    score and the dedup keeper mark both ride broadcast/semi-join
+    passes."""
+    from hexscape_ray.stages.dedup import exact_dedup
+    from hexscape_ray.stages.joins import bucketed_join
+    from hexscape_ray.stages.textops import doc_unigram_logprob
+
+    thr = 3_410_000  # mean_nll_pml gate — ~p90 of the corpus (drops the tail)
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    scored = doc_unigram_logprob(ds)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        keep = pc.less_equal(batch["mean_nll_pml"], thr)
+        return batch.filter(keep)
+
+    kept_scores = scored.map_batches(gate, batch_format="pyarrow").materialize()
+    # dedup keepers: min doc id per content over the FULL corpus (the
+    # gate is per-doc; duplicates share text hence share the gate
+    # decision, so restricting dedup to gated docs equals the SQL).
+    # Both attachments are BUCKETED joins — keeper ids and the lang
+    # column are corpus-sized, so neither may land on the driver.
+    keepers = exact_dedup(ds).select_columns(["doc_id"]).materialize()
+    survivors = bucketed_join(
+        kept_scores,
+        keepers,
+        on="doc_id",
+        how="semi",
+    )
+    langs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = bucketed_join(
+        survivors,
+        langs,
+        on="doc_id",
+        left_schema=pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_tokens", pa.int64()),
+                ("nll_pml_sum", pa.int64()),
+                ("mean_nll_pml", pa.int64()),
+            ]
+        ),
+    )
+    res = two_phase_sum(
+        out.map_batches(
+            lambda t: pa.table(
+                {
+                    "lang": t["lang"],
+                    "n_tokens": t["n_tokens"],
+                    "nll_pml_sum": t["nll_pml_sum"],
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["lang"],
+        ["n_tokens", "nll_pml_sum"],
+        count_as="n_docs",
+    )
+    return res.sort("lang")
+
+
+SQL_CURATION_V2 = """
+  WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+  census AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token),
+  total AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM census),
+  per_tok AS (
+    SELECT tok.doc_id,
+           CAST(floor(1e6 * ln(total.t / census.c) + 0.5) AS BIGINT) AS nll
+    FROM tok JOIN census USING (token), total),
+  scored AS (
+    SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(nll) AS BIGINT) AS nll_pml_sum,
+           CAST(sum(nll) // count(*) AS BIGINT) AS mean_nll_pml
+    FROM per_tok GROUP BY doc_id),
+  keepers AS (
+    SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY text)
+  SELECT d.lang,
+         CAST(sum(s.n_tokens) AS BIGINT) AS n_tokens,
+         CAST(sum(s.nll_pml_sum) AS BIGINT) AS nll_pml_sum,
+         count(*) AS n_docs
+  FROM scored s
+  JOIN keepers k ON k.doc_id = s.doc_id
+  JOIN documents d ON d.doc_id = s.doc_id
+  WHERE s.mean_nll_pml <= 3410000
+  GROUP BY d.lang ORDER BY d.lang
+"""
+
+
 def q_dedup_exact_stream(sf_dir: str):
     """STREAMING exact dedup (stages/streaming.py::streaming_exact_dedup):
     incremental per-shard content-hash state, distributed router
@@ -5103,6 +5198,7 @@ RAY_QUERIES = {
     "ingest_csv": q_ingest_csv,
     "sink_roundtrip": q_sink_roundtrip,
     "dedup_exact_stream": q_dedup_exact_stream,
+    "curation_v2": q_curation_v2,
     "semantic_dedup": q_semantic_dedup,
 }
 
@@ -5206,6 +5302,7 @@ ORACLES = {
     "ingest_csv": SQL_INGEST_CENSUS,
     "sink_roundtrip": SQL_INGEST_CENSUS,
     "dedup_exact_stream": SQL_DEDUP_EXACT,
+    "curation_v2": SQL_CURATION_V2,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,
