@@ -4979,6 +4979,53 @@ SQL_CURATION_V2 = """
 """
 
 
+def q_doc_logprob2(sf_dir: str) -> Dataset:
+    """Interpolated BIGRAM-LM surprisal per document
+    (stages/textops.py::doc_bigram_logprob): token 1 scores unigram,
+    later tokens p = 0.8·c12/c1 + (1−0.8)·c2/T — the (1−0.8) form is
+    deliberate, the literal 0.2 parses to a DIFFERENT double.  Same
+    micro-round-then-integer-sum construction as doc_logprob, so
+    hash-exact under any partitioning."""
+    from hexscape_ray.stages.textops import doc_bigram_logprob
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return doc_bigram_logprob(ds)
+
+
+SQL_DOC_LOGPROB2 = """
+  WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+  tok AS (
+    SELECT doc_id, unnest(l) AS tok,
+           unnest(range(1, len(l) + 1)) AS pos
+    FROM d),
+  uni AS (SELECT tok AS g, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+  total AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM uni),
+  big AS (
+    SELECT a.tok AS w1, b.tok AS w2, CAST(count(*) AS BIGINT) AS c12
+    FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    GROUP BY 1, 2),
+  per AS (
+    SELECT t.doc_id,
+           CASE WHEN t.pos = 1 THEN
+             CAST(floor(1e6 * ln(total.t / u.c) + 0.5) AS BIGINT)
+           ELSE
+             CAST(floor(1e6 * (- ln(0.8 * bg.c12 / up.c
+                                    + (1 - 0.8) * u.c / total.t))
+                        + 0.5) AS BIGINT)
+           END AS nll
+    FROM tok t
+    JOIN uni u ON u.g = t.tok
+    LEFT JOIN tok prev ON prev.doc_id = t.doc_id AND prev.pos = t.pos - 1
+    LEFT JOIN uni up ON up.g = prev.tok
+    LEFT JOIN big bg ON bg.w1 = prev.tok AND bg.w2 = t.tok,
+    total)
+  SELECT doc_id, count(*) AS n_tokens,
+         CAST(sum(nll) AS BIGINT) AS nll2_pml_sum,
+         CAST(sum(nll) // count(*) AS BIGINT) AS mean_nll2_pml
+  FROM per GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_dedup_exact_stream(sf_dir: str):
     """STREAMING exact dedup (stages/streaming.py::streaming_exact_dedup):
     incremental per-shard content-hash state, distributed router
@@ -5199,6 +5246,7 @@ RAY_QUERIES = {
     "sink_roundtrip": q_sink_roundtrip,
     "dedup_exact_stream": q_dedup_exact_stream,
     "curation_v2": q_curation_v2,
+    "doc_logprob2": q_doc_logprob2,
     "semantic_dedup": q_semantic_dedup,
 }
 
@@ -5303,6 +5351,7 @@ ORACLES = {
     "sink_roundtrip": SQL_INGEST_CENSUS,
     "dedup_exact_stream": SQL_DEDUP_EXACT,
     "curation_v2": SQL_CURATION_V2,
+    "doc_logprob2": SQL_DOC_LOGPROB2,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

@@ -818,3 +818,143 @@ def bm25_topk(
     import pandas as pd
 
     return cand.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+BIGRAM_LAMBDA = 0.8  # interpolation weight on the bigram term
+
+
+def doc_bigram_logprob(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document INTERPOLATED BIGRAM-LM surprisal — the stronger
+    perplexity-style quality signal (a Kneser-Ney-lite tier above
+    :func:`doc_unigram_logprob`): token 1 scores with the unigram
+    model, token i>1 with ``p(w_i|w_{i-1}) = λ·c(w_{i-1}w_i)/c(w_{i-1})
+    + (1−λ)·c(w_i)/T`` (λ=0.8; the unigram term guarantees p>0 for
+    any corpus token, so no OOV special case on self-trained data).
+
+    Hash-exact by the same construction as the unigram op: every
+    token's surprisal is micro-rounded FIRST, per-doc scores are
+    INTEGER sums, and each float expression mirrors the SQL parse tree
+    (shared λ literals parse to the same double in numpy and DuckDB).
+
+    Distributed shape: one census pass (unigram + bigram counts —
+    bigram vocabulary is corpus-bounded and Zipf-light at test scale;
+    at 100 TB swap the broadcast for a ``bucketed_join`` on the bigram
+    key) broadcast once; one scoring pass with two vectorised
+    ``pc.index_in`` gathers.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    from hexscape_ray.stages.agg import two_phase_sum
+
+    SEP = "\x01"  # never appears in whitespace-split tokens
+
+    def grams(batch: pa.Table) -> pa.Table:
+        uni: list[str] = []
+        bi: list[str] = []
+        for t in batch[text_col].to_pylist():
+            tk = t.split(" ")
+            uni.extend(tk)
+            bi.extend(f"{a}{SEP}{b}" for a, b in zip(tk, tk[1:]))
+        return pa.table(
+            {
+                "g": pa.array(uni + bi, type=pa.string()),
+                "is_bi": pa.array(
+                    np.r_[
+                        np.zeros(len(uni), dtype=np.int64),
+                        np.ones(len(bi), dtype=np.int64),
+                    ]
+                ),
+            }
+        )
+
+    cen = (
+        two_phase_sum(
+            ds.map_batches(grams, batch_format="pyarrow"),
+            ["g", "is_bi"],
+            [],
+            count_as="c",
+        )
+        .to_pandas()
+    )
+    uni_df = cen[cen["is_bi"] == 0].sort_values("g", ignore_index=True)
+    bi_df = cen[cen["is_bi"] == 1].sort_values("g", ignore_index=True)
+    T = int(uni_df["c"].sum())
+    bref = ray.put(
+        (
+            pa.array(uni_df["g"], type=pa.string()),
+            uni_df["c"].to_numpy(dtype=np.int64),
+            pa.array(bi_df["g"], type=pa.string()),
+            bi_df["c"].to_numpy(dtype=np.int64),
+        )
+    )
+    lam = BIGRAM_LAMBDA
+
+    def score(batch: pa.Table) -> pa.Table:
+        uni_arr, uni_c, bi_arr, bi_c = ray.get(bref)
+        texts = batch[text_col].to_pylist()
+        toks: list[str] = []
+        bis: list[str] = []
+        offs = np.empty(len(texts) + 1, dtype=np.int64)
+        offs[0] = 0
+        for i, t in enumerate(texts):
+            tk = t.split(" ")
+            toks.extend(tk)
+            bis.extend(f"{a}{SEP}{b}" for a, b in zip(tk, tk[1:]))
+            offs[i + 1] = offs[i] + len(tk)
+        n_tok = offs[1:] - offs[:-1]
+        if not toks:
+            z = np.zeros(len(batch), dtype=np.int64)
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "n_tokens": pa.array(z),
+                    "nll2_pml_sum": pa.array(z),
+                    "mean_nll2_pml": pa.array(z),
+                }
+            )
+        upos = pc.index_in(
+            pa.array(toks, type=pa.string()), value_set=uni_arr
+        ).to_numpy(zero_copy_only=False)
+        c_tok = uni_c[upos.astype(np.int64)]  # every token is in the census
+        # first token of each doc: unigram surprisal (identical
+        # expression to doc_unigram_logprob)
+        first = offs[:-1][n_tok > 0]
+        nll = np.zeros(len(toks), dtype=np.int64)
+        nll[first] = np.floor(
+            1e6 * np.log(float(T) / c_tok[first].astype(np.float64)) + 0.5
+        ).astype(np.int64)
+        # tokens 2..n: interpolated bigram
+        if bis:
+            bpos_arr = pc.index_in(pa.array(bis, type=pa.string()), value_set=bi_arr)
+            bhit = pc.is_valid(bpos_arr).to_numpy(zero_copy_only=False)
+            bpos = (
+                pc.fill_null(bpos_arr, 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            c12 = np.where(bhit, bi_c[bpos], 0).astype(np.float64)
+            # bigram row j pairs token positions (k, k+1) within a doc;
+            # global positions of the SECOND token of each bigram:
+            doc_of = np.searchsorted(offs, np.arange(len(toks)), side="right") - 1
+            second = np.flatnonzero(np.arange(len(toks)) != offs[doc_of])
+            c1 = c_tok[second - 1].astype(np.float64)
+            c2 = c_tok[second].astype(np.float64)
+            p = lam * c12 / c1 + (1 - lam) * c2 / T
+            nll[second] = np.floor(1e6 * (-np.log(p)) + 0.5).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(nll)])
+        sums = cum[offs[1:]] - cum[offs[:-1]]
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(n_tok),
+                "nll2_pml_sum": pa.array(sums),
+                "mean_nll2_pml": pa.array(sums // np.maximum(n_tok, 1)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -2346,3 +2346,53 @@ def test_streaming_exact_dedup_matches_batch(ray_session):
     _ray.get(shard.feed.remote(h[:1], np.array([7], dtype=np.int64)))
     seen = _ray.get(shard.seen.remote(h))
     assert seen.tolist() == [True, False]
+
+
+def test_doc_bigram_logprob_matches_duckdb(ray_session):
+    """Interpolated bigram-LM surprisal == the SQL mirror (unigram for
+    token 1, 0.8/(1-0.8) interpolation after), including single-token
+    docs and repeated bigrams."""
+    import duckdb
+
+    from hexscape_ray.stages.textops import doc_bigram_logprob
+
+    rng = np.random.default_rng(43)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = ["w0"]  # single-token doc: unigram-only path
+    docs += [" ".join(rng.choice(vocab, size=rng.integers(2, 30))) for _ in range(40)]
+    docs += ["w1 w2 w1 w2 w1 w2"]  # heavy repeated bigram
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64), "text": docs})
+    got = (
+        doc_bigram_logprob(ray.data.from_pandas(df).repartition(4))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    want = duckdb.sql("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM df),
+      tok AS (SELECT doc_id, unnest(l) tok, unnest(range(1, len(l)+1)) pos FROM d),
+      uni AS (SELECT tok g, CAST(count(*) AS BIGINT) c FROM tok GROUP BY tok),
+      total AS (SELECT CAST(sum(c) AS DOUBLE) t FROM uni),
+      big AS (SELECT a.tok w1, b.tok w2, CAST(count(*) AS BIGINT) c12
+        FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2),
+      per AS (SELECT t.doc_id,
+          CASE WHEN t.pos = 1 THEN
+            CAST(floor(1e6 * ln(total.t / u.c) + 0.5) AS BIGINT)
+          ELSE
+            CAST(floor(1e6 * (- ln(0.8 * bg.c12 / up.c
+                                   + (1 - 0.8) * u.c / total.t)) + 0.5) AS BIGINT)
+          END nll
+        FROM tok t JOIN uni u ON u.g = t.tok
+        LEFT JOIN tok prev ON prev.doc_id = t.doc_id AND prev.pos = t.pos - 1
+        LEFT JOIN uni up ON up.g = prev.tok
+        LEFT JOIN big bg ON bg.w1 = prev.tok AND bg.w2 = t.tok, total)
+      SELECT doc_id, count(*) n_tokens, CAST(sum(nll) AS BIGINT) nll2_pml_sum,
+             CAST(sum(nll) // count(*) AS BIGINT) mean_nll2_pml
+      FROM per GROUP BY doc_id ORDER BY doc_id
+    """).df()
+    for c in ("doc_id", "n_tokens", "nll2_pml_sum", "mean_nll2_pml"):
+        assert (got[c].to_numpy() == want[c].to_numpy(np.int64)).all(), c
+    # the repeated-bigram doc is much less surprising per token than
+    # the random docs (the bigram model "learned" it)
+    rep = got.loc[got["doc_id"] == len(docs) - 1, "mean_nll2_pml"].iloc[0]
+    assert rep < got["mean_nll2_pml"].median()
