@@ -189,6 +189,15 @@ def run_queries() -> dict:
         "pack_sequences",
         "vocab_encode",
         "small_quantity_revenue",
+        # round-4 ops
+        "doc_tfidf",
+        "doc_logprob",
+        "doc_logprob2",
+        "bm25_topk",
+        "semantic_dedup",
+        "quantize_int8",
+        "dedup_exact_stream",
+        "curation_v2",
     ]
     out = {}
     for name in names:
