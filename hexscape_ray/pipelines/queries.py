@@ -4906,32 +4906,37 @@ def q_curation_v2(sf_dir: str) -> Dataset:
         keep = pc.less_equal(batch["mean_nll_pml"], thr)
         return batch.filter(keep)
 
-    kept_scores = scored.map_batches(gate, batch_format="pyarrow").materialize()
+    kept_scores = scored.map_batches(gate, batch_format="pyarrow")
     # dedup keepers: min doc id per content over the FULL corpus (the
     # gate is per-doc; duplicates share text hence share the gate
     # decision, so restricting dedup to gated docs equals the SQL).
     # Both attachments are BUCKETED joins — keeper ids and the lang
-    # column are corpus-sized, so neither may land on the driver.
-    keepers = exact_dedup(ds).select_columns(["doc_id"]).materialize()
+    # column are corpus-sized, so neither may land on the driver — and
+    # every lazy side passes its schema explicitly (the execution
+    # contract: no schema probe, no materialise, ONE real pass each).
+    score_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("nll_pml_sum", pa.int64()),
+            ("mean_nll_pml", pa.int64()),
+        ]
+    )
+    keepers = exact_dedup(ds).select_columns(["doc_id"])
     survivors = bucketed_join(
         kept_scores,
         keepers,
         on="doc_id",
         how="semi",
+        left_schema=score_schema,
+        right_schema=pa.schema([("doc_id", pa.int64())]),
     )
     langs = _read(sf_dir, "documents", ["doc_id", "lang"])
     out = bucketed_join(
         survivors,
         langs,
         on="doc_id",
-        left_schema=pa.schema(
-            [
-                ("doc_id", pa.int64()),
-                ("n_tokens", pa.int64()),
-                ("nll_pml_sum", pa.int64()),
-                ("mean_nll_pml", pa.int64()),
-            ]
-        ),
+        left_schema=score_schema,
     )
     res = two_phase_sum(
         out.map_batches(
