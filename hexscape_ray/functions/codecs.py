@@ -726,3 +726,410 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, subsample: bool = False) -> 
     out += writer.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# FLAC (fixed-predictor subset) — pure numpy/stdlib, from the public
+# format spec (xiph.org/flac/format.html).
+#
+# Decoder: STREAMINFO parsing, frame headers (utf-8 frame numbers, all
+# blocksize/rate codes), CONSTANT / VERBATIM / FIXED(0-4) subframes
+# with Rice-coded residual partitions, wasted bits, and
+# left/right/mid-side stereo decorrelation.  LPC subframes raise
+# ValueError (callers fall back to the labelled fake) — the honest
+# subset line, like baseline-only JPEG.  CRC-8/CRC-16 are computed and
+# VERIFIED.  Encoder (fixtures/roundtrips): per-block best-of
+# FIXED(0-2)+Rice vs VERBATIM, correct CRCs — output is real FLAC any
+# conforming decoder accepts.
+# ---------------------------------------------------------------------------
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+class _FlacBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, v: int, bits: int):
+        if bits == 0:
+            return
+        self.acc = (self.acc << bits) | (v & ((1 << bits) - 1))
+        self.n += bits
+        while self.n >= 8:
+            self.n -= 8
+            self.out.append((self.acc >> self.n) & 0xFF)
+
+    def write_unary(self, q: int):
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)  # q zeros then a 1
+
+    def align(self):
+        if self.n:
+            self.write(0, 8 - self.n)
+
+
+class _FlacBitReader:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+
+    def read(self, bits: int) -> int:
+        v = 0
+        for _ in range(bits):
+            byte = self.data[self.pos]
+            v = (v << 1) | ((byte >> (7 - self.bit)) & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return v
+
+    def read_unary(self) -> int:
+        q = 0
+        while True:
+            byte = self.data[self.pos]
+            while self.bit < 8:
+                bit = (byte >> (7 - self.bit)) & 1
+                self.bit += 1
+                if self.bit == 8:
+                    self.bit = 0
+                    self.pos += 1
+                if bit:
+                    return q
+                q += 1
+                if self.bit == 0:
+                    break
+
+    def read_signed(self, bits: int) -> int:
+        v = self.read(bits)
+        return v - (1 << bits) if v >= (1 << (bits - 1)) else v
+
+    def align(self):
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+
+def _utf8_coded(n: int) -> bytes:
+    """FLAC's utf-8-style frame-number coding."""
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    bits = n.bit_length()
+    nbytes = 2
+    while bits > 1 + 5 * nbytes - (nbytes - 1):  # capacity of nbytes
+        nbytes += 1
+    head = (0xFF << (8 - nbytes - 1)) & 0xFF
+    shift = 6 * (nbytes - 1)
+    out.append(head | (n >> shift))
+    for i in range(nbytes - 1):
+        shift -= 6
+        out.append(0x80 | ((n >> shift) & 0x3F))
+    return bytes(out)
+
+
+def _read_utf8_coded(r: "_FlacBitReader") -> int:
+    b0 = r.read(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    while (b0 << n) & 0x80:
+        n += 1
+    v = b0 & (0x7F >> n)
+    for _ in range(n - 1):
+        v = (v << 6) | (r.read(8) & 0x3F)
+    return v
+
+
+def _rice_encode(w: _FlacBitWriter, res: np.ndarray, param: int):
+    zz = np.where(res >= 0, res.astype(np.int64) * 2, -2 * res.astype(np.int64) - 1)
+    for z in zz.tolist():
+        w.write_unary(z >> param)
+        if param:
+            w.write(z & ((1 << param) - 1), param)
+
+
+def _best_rice_param(res: np.ndarray) -> int:
+    best_p, best_bits = 0, None
+    zz = np.where(res >= 0, res.astype(np.int64) * 2, -2 * res.astype(np.int64) - 1)
+    for p in range(15):
+        bits = int((zz >> p).sum()) + zz.size * (1 + p)
+        if best_bits is None or bits < best_bits:
+            best_p, best_bits = p, bits
+    return best_p
+
+
+def encode_flac(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Mono int16 samples → FLAC bytes (fixed-predictor subset: each
+    4096-sample block stores the cheapest of FIXED order 0-2 + Rice or
+    VERBATIM; real CRCs)."""
+    x = np.asarray(samples)
+    if x.dtype != np.int16:
+        x = np.clip(np.round(np.asarray(samples, dtype=np.float64) * 32767.0), -32768, 32767).astype(np.int16)
+    n = x.size
+    out = bytearray(b"fLaC")
+    # STREAMINFO (last metadata block)
+    si = _FlacBitWriter()
+    si.write(4096, 16)  # min block
+    si.write(4096, 16)  # max block
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(rate, 20)
+    si.write(0, 3)  # channels - 1
+    si.write(15, 5)  # bits per sample - 1
+    si.write(n, 36)
+    body = bytes(si.out) + b"\x00" * 16  # md5 unset (allowed)
+    out += bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+    frame_no = 0
+    for s0 in range(0, max(n, 1), 4096):
+        blk = x[s0 : s0 + 4096].astype(np.int64)
+        bs = blk.size if blk.size else 1
+        if blk.size == 0:
+            blk = np.zeros(1, dtype=np.int64)
+        hdr = _FlacBitWriter()
+        hdr.write(0b11111111111110, 14)
+        hdr.write(0, 1)  # reserved
+        hdr.write(0, 1)  # fixed blocksize stream
+        hdr.write(0b0111, 4)  # blocksize: 16-bit at end of header
+        hdr.write(0b0000, 4)  # sample rate: from STREAMINFO
+        hdr.write(0, 4)  # mono
+        hdr.write(0b100, 3)  # 16 bits
+        hdr.write(0, 1)
+        head = bytes(hdr.out) + _utf8_coded(frame_no) + (bs - 1).to_bytes(2, "big")
+        head += bytes([_crc8(head)])
+
+        # choose subframe encoding: fixed 0-2 w/ rice vs verbatim
+        best = None
+        for order in (0, 1, 2):
+            if blk.size <= order:
+                continue
+            res = blk.copy()
+            for _ in range(order):
+                res = np.diff(res)
+            res = res  # residual after `order` diffs, warmup = blk[:order]
+            p = _best_rice_param(res)
+            cost = res.size * (1 + p) + int(
+                (np.where(res >= 0, res * 2, -2 * res - 1) >> p).sum()
+            ) + order * 16
+            if best is None or cost < best[0]:
+                best = (cost, order, res, p)
+        verb_cost = blk.size * 16
+        w = _FlacBitWriter()
+        if best is not None and best[0] < verb_cost:
+            _cost, order, res, p = best
+            w.write(0, 1)
+            w.write(0b001000 | order, 6)  # FIXED, order
+            w.write(0, 1)  # no wasted bits
+            for v in blk[:order].tolist():
+                w.write(v & 0xFFFF, 16)
+            w.write(0, 2)  # residual method: rice 4-bit params
+            w.write(0, 4)  # partition order 0
+            w.write(p, 4)
+            _rice_encode(w, res, p)
+        else:
+            w.write(0, 1)
+            w.write(0b000001, 6)  # VERBATIM
+            w.write(0, 1)
+            for v in blk.tolist():
+                w.write(v & 0xFFFF, 16)
+        w.align()
+        frame = head + bytes(w.out)
+        frame += _crc16(frame).to_bytes(2, "big")
+        out += frame
+        frame_no += 1
+    return bytes(out)
+
+
+def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
+    """FLAC bytes → (float64 samples in [-1, 1), sample_rate).
+    Fixed-predictor subset; LPC subframes raise ValueError."""
+    if data[:4] != b"fLaC":
+        raise ValueError("not flac")
+    pos = 4
+    rate = bits = channels = None
+    total = 0
+    while True:  # metadata blocks
+        hdr = data[pos]
+        last, btype = hdr >> 7, hdr & 0x7F
+        blen = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        if btype == 0:  # STREAMINFO
+            r = _FlacBitReader(data, pos + 4)
+            r.read(16); r.read(16); r.read(24); r.read(24)
+            rate = r.read(20)
+            channels = r.read(3) + 1
+            bits = r.read(5) + 1
+            total = r.read(36)
+        pos += 4 + blen
+        if last:
+            break
+    if rate is None:
+        raise ValueError("flac: no STREAMINFO")
+    out: list[np.ndarray] = []
+    got = 0
+    while pos < len(data) and (total == 0 or got < total):
+        r = _FlacBitReader(data, pos)
+        sync = r.read(14)
+        if sync != 0b11111111111110:
+            raise ValueError("flac: lost frame sync")
+        r.read(1)
+        r.read(1)  # blocking strategy
+        bs_code = r.read(4)
+        sr_code = r.read(4)
+        ch_asgn = r.read(4)
+        ss_code = r.read(3)
+        r.read(1)
+        _read_utf8_coded(r)
+        if bs_code == 0b0110:
+            bs = r.read(8) + 1
+        elif bs_code == 0b0111:
+            bs = r.read(16) + 1
+        elif bs_code == 0b0001:
+            bs = 192
+        elif 0b0010 <= bs_code <= 0b0101:
+            bs = 576 << (bs_code - 2)
+        else:
+            bs = 256 << (bs_code - 8)
+        if sr_code == 0b1100:
+            r.read(8)
+        elif sr_code in (0b1101, 0b1110):
+            r.read(16)
+        hdr_end = r.pos + (1 if r.bit else 0)
+        if _crc8(data[pos:hdr_end]) != data[hdr_end] if r.bit == 0 else False:
+            pass  # crc checked below via aligned read
+        crc8_got = r.read(8)
+        if _crc8(data[pos : r.pos - 1]) != crc8_got:
+            raise ValueError("flac: frame header crc mismatch")
+        ss_bits = {0: bits, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24}[ss_code]
+        n_ch = channels if ch_asgn < 8 else 2
+        chans = []
+        for ci in range(n_ch):
+            eff_bits = ss_bits
+            # side channels carry one extra bit
+            if ch_asgn == 8 and ci == 1 or ch_asgn == 9 and ci == 0 or ch_asgn == 10 and ci == 1:
+                eff_bits += 1
+            if r.read(1):
+                raise ValueError("flac: bad subframe padding bit")
+            stype = r.read(6)
+            wasted = 0
+            if r.read(1):
+                wasted = 1 + r.read_unary()
+                eff_bits -= wasted
+            if stype == 0:  # CONSTANT
+                v = r.read_signed(eff_bits)
+                ch = np.full(bs, v, dtype=np.int64)
+            elif stype == 1:  # VERBATIM
+                ch = np.fromiter(
+                    (r.read_signed(eff_bits) for _ in range(bs)),
+                    dtype=np.int64,
+                    count=bs,
+                )
+            elif 8 <= stype <= 12:  # FIXED order 0-4
+                order = stype - 8
+                warm = [r.read_signed(eff_bits) for _ in range(order)]
+                res = _read_rice_residual(r, bs, order)
+                ch = _undiff(np.asarray(warm, dtype=np.int64), res, order)
+            elif stype >= 32:
+                raise ValueError("flac: LPC subframes unsupported (subset decoder)")
+            else:
+                raise ValueError(f"flac: reserved subframe type {stype}")
+            if wasted:
+                ch = ch << wasted
+            chans.append(ch)
+        r.align()
+        crc16_got = int.from_bytes(data[r.pos : r.pos + 2], "big")
+        if _crc16(data[pos : r.pos]) != crc16_got:
+            raise ValueError("flac: frame crc mismatch")
+        pos = r.pos + 2
+        if ch_asgn < 8:
+            frame = np.stack(chans, axis=1) if n_ch > 1 else chans[0][:, None]
+        elif ch_asgn == 8:  # left/side
+            left = chans[0]
+            right = left - chans[1]
+            frame = np.stack([left, right], axis=1)
+        elif ch_asgn == 9:  # side/right
+            right = chans[1]
+            left = chans[0] + right
+            frame = np.stack([left, right], axis=1)
+        else:  # mid/side
+            mid, side = chans
+            left = ((mid << 1) | (side & 1)) + side >> 1
+            right = ((mid << 1) | (side & 1)) - side >> 1
+            frame = np.stack([left, right], axis=1)
+        out.append(frame)
+        got += bs
+    allf = np.concatenate(out, axis=0) if out else np.zeros((0, 1), dtype=np.int64)
+    if total:
+        allf = allf[:total]
+    mono = allf.mean(axis=1) if allf.shape[1] > 1 else allf[:, 0].astype(np.float64)
+    return mono / float(1 << (bits - 1)), rate
+
+
+def _read_rice_residual(r: "_FlacBitReader", bs: int, order: int) -> np.ndarray:
+    method = r.read(2)
+    if method > 1:
+        raise ValueError("flac: reserved residual method")
+    pbits = 4 if method == 0 else 5
+    esc = (1 << pbits) - 1
+    part_order = r.read(4)
+    n_parts = 1 << part_order
+    res = np.empty(bs - order, dtype=np.int64)
+    k = 0
+    for pi in range(n_parts):
+        n_in_part = (bs >> part_order) - (order if pi == 0 else 0)
+        p = r.read(pbits)
+        if p == esc:  # escape: raw n-bit residuals
+            nb = r.read(5)
+            for _ in range(n_in_part):
+                res[k] = r.read_signed(nb) if nb else 0
+                k += 1
+        else:
+            for _ in range(n_in_part):
+                q = r.read_unary()
+                z = (q << p) | (r.read(p) if p else 0)
+                res[k] = (z >> 1) ^ -(z & 1)  # un-zigzag
+                k += 1
+    return res
+
+
+def _undiff(warm: np.ndarray, res: np.ndarray, order: int) -> np.ndarray:
+    out = np.empty(warm.size + res.size, dtype=np.int64)
+    out[: warm.size] = warm
+    coefs = _FIXED_COEFS[order]
+    for i in range(res.size):
+        j = warm.size + i
+        pred = 0
+        for c, off in zip(coefs, range(1, order + 1)):
+            pred += c * out[j - off]
+        out[j] = res[i] + pred
+    return out

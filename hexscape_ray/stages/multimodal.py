@@ -6,10 +6,11 @@ small-batch sizing for wide binary rows, n→m frame expansion.  Codec
 kernels: PNG and WAV decode are REAL pure-stdlib implementations
 (``functions/codecs.py`` — zlib + wave are in every CPython), used for
 the fixture payloads, which are themselves genuine PNG/WAV bytes.
-Baseline JPEG also decodes for REAL (pure-numpy huffman + IDCT codec
-in ``functions/codecs.py``).  Formats still needing external libs
-(progressive jpeg / flac / h264 — PIL / soundfile / av absent from
-this container) fall back to a clearly-labelled
+Baseline JPEG (pure-numpy huffman + IDCT) and fixed-predictor-subset
+FLAC also decode for REAL (``functions/codecs.py``).  The remaining
+external-lib formats (progressive jpeg, LPC flac, h264 — PIL /
+soundfile / av absent from this container) fall back to a
+clearly-labelled
 DETERMINISTIC FAKE derived from the payload hash, so outputs stay
 stable across runs and parallelism levels; the per-row
 ``decode_backend`` column says which path each row took.
@@ -27,9 +28,11 @@ import numpy as np
 import pyarrow as pa
 
 from hexscape_ray.functions.codecs import (
+    decode_flac,
     decode_jpeg,
     decode_png,
     decode_wav,
+    encode_flac,
     encode_jpeg,
     encode_png,
     encode_wav,
@@ -184,16 +187,26 @@ class ImageResizer:
 class AudioFeatureExtractor:
     """audio payload → 8 log-spaced spectral band energies.
 
-    WAV/PCM payloads decode for real (stdlib ``wave``): rfft magnitude
-    averaged over 8 geometrically-spaced bands, normalised by sample
-    count.  Other codecs (flac — soundfile absent) fall back to the
-    labelled fake."""
+    WAV/PCM payloads decode for real (stdlib ``wave``) and FLAC via
+    the from-scratch fixed-predictor-subset codec (LPC subframes →
+    labelled fake): rfft magnitude averaged over 8 geometrically-
+    spaced bands, normalised by sample count."""
 
     N_BANDS = 8
 
     def _features(self, payload: bytes) -> tuple[np.ndarray, str]:
+        x = None
+        backend = "fake"
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             x, _rate = decode_wav(payload)
+            backend = "native-wav"
+        elif payload[:4] == b"fLaC":
+            try:
+                x, _rate = decode_flac(payload)
+                backend = "native-flac"
+            except ValueError:  # LPC / exotic layouts
+                x = None
+        if x is not None:
             mag = np.abs(np.fft.rfft(x)) / max(len(x), 1)
             edges = np.unique(
                 np.round(np.geomspace(1, max(mag.size, 2), self.N_BANDS + 1)).astype(
@@ -204,7 +217,7 @@ class AudioFeatureExtractor:
             for i in range(min(self.N_BANDS, edges.size - 1)):
                 seg = mag[edges[i] : edges[i + 1]]
                 bands[i] = seg.mean() if seg.size else 0.0
-            return bands, "native-wav"
+            return bands, backend
         return _fake_stats(payload, self.N_BANDS), "fake"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -295,13 +308,18 @@ def gen_media(n: int = 200, seed: int = 7) -> pa.Table:
             t = np.arange(ns)
             freq = float(rng.uniform(100, 1200))
             x = 0.6 * np.sin(2 * np.pi * freq * t / 8000.0) + rng.normal(0, 0.02, ns)
-            payloads.append(encode_wav(x, rate=8000))
+            if i % 3 == 0:  # genuine FLAC via the numpy subset codec
+                payloads.append(encode_flac(x, rate=8000))
+                acodec = "flac"
+            else:
+                payloads.append(encode_wav(x, rate=8000))
+                acodec = "wav"
             rows_meta.append(
                 {
                     "width": 0,
                     "height": 0,
                     "duration_ms": int(ns * 1000 / 8000),
-                    "codec": "wav",
+                    "codec": acodec,
                 }
             )
         else:
