@@ -2917,49 +2917,67 @@ def q_curation_pipeline(sf_dir: str) -> Dataset:
     min doc_id) → quality gate → geocode + hex encode → per-hex
     accounting of kept / dropped-duplicate / dropped-quality.
 
-    One groupby marks dedup keepers IN-STREAM (no driver
-    materialisation); the final exchange moves per-hex partials only.
-    Rows-only (per-hex invariant n_total = kept + dup + lowq is
-    asserted in pytest and implied by the column sums).
+    ORACLE-backed (round 4): the quality gate uses the shared integer
+    ``quality_micro_batch`` kernel (q_micro < 500000, the exact-
+    rational mirror of the 0.5 float threshold) and the dedup keeper
+    mark is ONE co-partition join against the per-content min id — so
+    the whole per-hex accounting hash-checks against SQL.  The per-hex
+    invariant n_total = kept + dup + lowq additionally holds by
+    construction.
     """
     from hexscape_ray.functions.hashing import fnv1a_64_str_array
-    from hexscape_ray.stages.textops import _quality_tokens
+    from hexscape_ray.stages.agg import two_phase_agg
+    from hexscape_ray.stages.joins import bucketed_join
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def enrich(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        toks = [t.lower().split() for t in texts]
-        q = np.fromiter(
-            (_quality_tokens(len(t), tk) for t, tk in zip(texts, toks)),
-            dtype=np.float64,
-            count=len(texts),
-        )
-        h = fnv1a_64_str_array(texts).astype(np.int64)
+        _c, _w, q_micro = quality_micro_batch(batch["text"])
+        h = fnv1a_64_str_array(batch["text"].to_pylist()).astype(np.int64)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "q_score": pa.array(q),
+                "q_micro": pa.array(q_micro),
                 "content_hash": pa.array(h),
             }
         )
 
     enriched = ds.map_batches(enrich, batch_format="pyarrow")
-
-    def mark_keeper(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["is_dup"] = g["doc_id"] != g["doc_id"].min()
-        return g
-
-    marked = enriched.groupby("content_hash").map_groups(
-        mark_keeper, batch_format="pandas"
+    # dup mark via ONE co-partition join against the per-content min id
+    # (the former per-content-hash map_groups was one pandas frame per
+    # DISTINCT TEXT — the measured per-group-overhead lesson at corpus
+    # cardinality)
+    keepers = two_phase_agg(
+        enriched.select_columns(["content_hash", "doc_id"]),
+        ["content_hash"],
+        {"doc_id": "min"},
+    ).rename_columns({"doc_id": "min_doc"})
+    marked = bucketed_join(
+        enriched,
+        keepers,
+        on="content_hash",
+        left_schema=pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("q_micro", pa.int64()),
+                ("content_hash", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema(
+            [("content_hash", pa.int64()), ("min_doc", pa.int64())]
+        ),
     )
 
     def bucketize(batch: pa.Table) -> pa.Table:
         batch = geocode_ids_batch(batch, "doc_id")
         batch = hex_encode_batch(batch, SPEC, resolutions=(0,))
-        dup = batch["is_dup"].to_numpy(zero_copy_only=False)
-        lowq = (~dup) & (batch["q_score"].to_numpy(zero_copy_only=False) < 0.5)
+        dup = (
+            batch["doc_id"].to_numpy(zero_copy_only=False)
+            != batch["min_doc"].to_numpy(zero_copy_only=False)
+        )
+        lowq = (~dup) & (
+            batch["q_micro"].to_numpy(zero_copy_only=False) < 500000
+        )
         kept = ~dup & ~lowq
         return pa.table(
             {
@@ -2975,6 +2993,42 @@ def q_curation_pipeline(sf_dir: str) -> Dataset:
     return two_phase_sum(
         per_doc, ["r", "q"], ["n_kept", "n_dup", "n_lowq"], count_as="n_total"
     )
+
+
+SQL_CURATION_PIPELINE = (
+    _hex_cte("documents", "doc_id", "doc_id")
+    + """,
+  t AS (
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           CAST(length(text) - (len(string_split(text, ' ')) - 1) AS BIGINT)
+             AS sum_len,
+           CAST(len(list_filter(string_split(text, ' '),
+                x -> x IN ('the','and','of','to','in','is','that','with',
+                           'for','was'))) AS BIGINT) AS n_stop,
+           CAST(min(doc_id) OVER (PARTITION BY text) AS BIGINT) AS min_doc
+    FROM documents),
+  m AS (
+    SELECT doc_id,
+           CASE WHEN doc_id != min_doc THEN 1 ELSE 0 END AS is_dup,
+           CAST(800 * least(n_chars, 500)
+                + CASE WHEN 2 * n_tok <= sum_len AND sum_len <= 12 * n_tok
+                       THEN 200000 ELSE 100000 END
+                + (2 * (300000 * n_tok + 100000 * least(5 * n_stop, n_tok))
+                   + n_tok) // (2 * n_tok) AS BIGINT) AS q_micro
+    FROM t)
+  SELECT h.r, h.q,
+         CAST(sum(CASE WHEN m.is_dup = 0 AND m.q_micro >= 500000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(sum(m.is_dup) AS BIGINT) AS n_dup,
+         CAST(sum(CASE WHEN m.is_dup = 0 AND m.q_micro < 500000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_lowq,
+         count(*) AS n_total
+  FROM hexed h JOIN m USING (doc_id)
+  GROUP BY h.r, h.q
+"""
+)
 
 
 def q_customers_without_orders(sf_dir: str) -> Dataset:
@@ -3131,6 +3185,41 @@ def q_user_rolling_value(sf_dir: str) -> Dataset:
     )
 
 
+def _creg(arr, pattern) -> np.ndarray:
+    return (
+        pc.count_substring_regex(arr, pattern)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+
+
+def quality_micro_batch(txt) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorised EXACT integer quality score for an Arrow string
+    column → (n_chars, n_ws_tokens, q_micro) — the shared kernel of
+    ``doc_quality_exact`` and the curation pipeline (one formula, one
+    oracle mirror; see q_doc_quality_exact's docstring for the
+    rational-arithmetic construction)."""
+    from hexscape_ray.functions import text as T
+
+    stop_re = r"\b(" + "|".join(sorted(T._STOP_EN)) + r")\b"
+    c = pc.utf8_length(txt).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_ws = _creg(txt, r"\S+")
+    n_tok = _creg(txt, r"\w+")
+    sum_len = _creg(txt, r"\w")
+    n_stop = _creg(pc.utf8_lower(txt), stop_re)
+    n_punct = _creg(txt, r"[^\w\s]")
+    d = np.maximum(n_tok, 1)
+    w = np.where(
+        (n_tok > 0) & (2 * d <= sum_len) & (sum_len <= 12 * d),
+        200000,
+        100000,
+    )
+    A = 800 * np.minimum(c, 500) + w
+    R = 300000 * (d - np.minimum(n_punct, d)) + 100000 * np.minimum(5 * n_stop, d)
+    q_micro = A + (2 * R + d) // (2 * d)
+    return c, n_ws, q_micro
+
+
 def q_doc_quality_exact(sf_dir: str) -> Dataset:
     """Quality scoring with an EXACT integer score — the oracle-checkable
     form of ``doc_quality``.  ``q_micro`` is ``quality_score`` × 1e6
@@ -3157,40 +3246,17 @@ def q_doc_quality_exact(sf_dir: str) -> Dataset:
 
     from hexscape_ray.functions import text as T
 
-    stop_re = r"\b(" + "|".join(sorted(T._STOP_EN)) + r")\b"
-
     def score(batch: pa.Table) -> pa.Table:
-        def creg(arr, pattern):
-            return (
-                pc.count_substring_regex(arr, pattern)
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-            )
-
         txt = batch["text"]
         n = len(batch)
-        c = pc.utf8_length(txt).to_numpy(zero_copy_only=False).astype(np.int64)
-        n_ws = creg(txt, r"\S+")
-        n_tok = creg(txt, r"\w+")
-        sum_len = creg(txt, r"\w")
-        n_stop = creg(pc.utf8_lower(txt), stop_re)
-        n_punct = creg(txt, r"[^\w\s]")
+        c, n_ws, q_micro = quality_micro_batch(txt)
+        n_tok = _creg(txt, r"\w+")
         n_bpe = np.fromiter(
             (T.count_tokens_bpe(t) for t in txt.to_pylist()),
             dtype=np.int64,
             count=n,
         )
-        d = np.maximum(n_tok, 1)
-        w = np.where(
-            (n_tok > 0) & (2 * d <= sum_len) & (sum_len <= 12 * d),
-            200000,
-            100000,
-        )
-        A = 800 * np.minimum(c, 500) + w
-        R = 300000 * (d - np.minimum(n_punct, d)) + 100000 * np.minimum(
-            5 * n_stop, d
-        )
-        q_micro = A + (2 * R + d) // (2 * d)
+        del n_tok  # ws/bpe reported; kernel shares the micro score
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -5357,6 +5423,7 @@ ORACLES = {
     "dedup_exact_stream": SQL_DEDUP_EXACT,
     "curation_v2": SQL_CURATION_V2,
     "doc_logprob2": SQL_DOC_LOGPROB2,
+    "curation_pipeline": SQL_CURATION_PIPELINE,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,
