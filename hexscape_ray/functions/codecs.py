@@ -1133,3 +1133,125 @@ def _undiff(warm: np.ndarray, res: np.ndarray, order: int) -> np.ndarray:
             pred += c * out[j - off]
         out[j] = res[i] + pred
     return out
+
+
+# --------------------------------------------------------------------------
+# AVI / MJPEG container (RIFF 'AVI ' with '00dc' chunks of baseline JFIF).
+#
+# Motion-JPEG is the one video format fully decodable in this container:
+# the container is plain RIFF (same family as WAV above) and every frame
+# is an independent baseline JPEG, which ``decode_jpeg`` already handles.
+# Public spec: Microsoft AVI RIFF form (msdn "AVI RIFF File Reference");
+# OpenDML extensions are not needed for the subset we write/read.
+#
+# Reference parity note: the reference has no video ops at all — this is
+# graft scope (multimodal columns, SURVEY §2 M-web); the n→m frame split
+# mirrors /root/reference/R/generate_patches.R:148-166 row explosion.
+# --------------------------------------------------------------------------
+
+
+def _riff_chunk(fourcc: bytes, payload: bytes) -> bytes:
+    """RIFF chunk with even-byte padding (word alignment is mandatory)."""
+    pad = b"\x00" if len(payload) & 1 else b""
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def encode_avi_mjpeg(frames: list, fps: int = 10, quality: int = 90) -> bytes:
+    """list of (H, W, 3) uint8 frames (or ready JPEG ``bytes``) → AVI bytes.
+
+    Writes the minimal standards-conformant subset: 'hdrl' (avih + one
+    'vids'/'MJPG' stream with BITMAPINFOHEADER), 'movi' with one '00dc'
+    chunk per frame, and an 'idx1' index so strict readers can seek.
+    """
+    if not frames:
+        raise ValueError("encode_avi_mjpeg: need at least one frame")
+    jpegs = [
+        f if isinstance(f, (bytes, bytearray)) else encode_jpeg(np.asarray(f), quality=quality)
+        for f in frames
+    ]
+    w, h = decode_jpeg(jpegs[0]).shape[1], decode_jpeg(jpegs[0]).shape[0]
+    n = len(jpegs)
+    max_size = max(len(j) for j in jpegs)
+
+    # avih: MainAVIHeader (56 bytes)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,     # dwMicroSecPerFrame
+        max_size * fps,       # dwMaxBytesPerSec
+        0,                    # dwPaddingGranularity
+        0x10,                 # dwFlags = AVIF_HASINDEX
+        n,                    # dwTotalFrames
+        0,                    # dwInitialFrames
+        1,                    # dwStreams
+        max_size,             # dwSuggestedBufferSize
+        w, h, 0, 0, 0, 0,     # width, height, reserved[4]
+    )
+    # strh: AVIStreamHeader (56 bytes)
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<10I", 0, 0, 0, 1, fps, 0, n, max_size, 0xFFFFFFFF, 0)
+        + struct.pack("<4h", 0, 0, w, h)
+    )
+    # strf: BITMAPINFOHEADER (40 bytes)
+    strf = struct.pack("<I2i2H2I2i2I", 40, w, h, 1, 24, 0x47504A4D,  # 'MJPG'
+                       w * h * 3, 0, 0, 0, 0)
+    strl = b"LIST" + struct.pack("<I", 4 + len(_riff_chunk(b"strh", strh)) + len(_riff_chunk(b"strf", strf))) + b"strl" + _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)
+    hdrl_body = b"hdrl" + _riff_chunk(b"avih", avih) + strl
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+
+    movi_chunks = b"".join(_riff_chunk(b"00dc", j) for j in jpegs)
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_chunks)) + b"movi" + movi_chunks
+
+    # idx1: one AVIINDEXENTRY per frame; offsets relative to 'movi' fourcc
+    idx_entries = []
+    off = 4  # past the 'movi' fourcc
+    for j in jpegs:
+        idx_entries.append(b"00dc" + struct.pack("<3I", 0x10, off, len(j)))
+        off += 8 + len(j) + (len(j) & 1)
+    idx1 = _riff_chunk(b"idx1", b"".join(idx_entries))
+
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi_mjpeg(data: bytes) -> tuple[list[bytes], int, int, int]:
+    """AVI bytes → (list of per-frame JPEG bytes, fps, width, height).
+
+    Walks the RIFF tree; collects '00dc'/'00db' chunks inside the 'movi'
+    LIST (recursing through 'rec ' groups).  Raises ValueError on
+    non-AVI input so callers can fall back to the labelled fake path.
+    """
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+    fps, w, h = 0, 0, 0
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int, in_movi: bool) -> None:
+        nonlocal fps, w, h
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            body_start = pos + 8
+            body_end = min(body_start + size, end)
+            if fourcc == b"LIST":
+                ltype = buf[body_start : body_start + 4]
+                walk(
+                    buf,
+                    body_start + 4,
+                    body_end,
+                    in_movi or ltype in (b"movi", b"rec "),
+                )
+            elif fourcc == b"avih" and size >= 40:
+                us_pf, _, _, _, _, _, _, _, aw, ah = struct.unpack_from(
+                    "<10I", buf, body_start
+                )
+                fps = round(1_000_000 / us_pf) if us_pf else 0
+                w, h = aw, ah
+            elif in_movi and fourcc[2:4] in (b"dc", b"db"):
+                frames.append(bytes(buf[body_start:body_end]))
+            pos = body_start + size + (size & 1)
+
+    walk(data, 12, len(data), False)
+    if not frames:
+        raise ValueError("AVI stream holds no video frames")
+    return frames, fps, w, h

@@ -6,8 +6,9 @@ small-batch sizing for wide binary rows, n→m frame expansion.  Codec
 kernels: PNG and WAV decode are REAL pure-stdlib implementations
 (``functions/codecs.py`` — zlib + wave are in every CPython), used for
 the fixture payloads, which are themselves genuine PNG/WAV bytes.
-Baseline JPEG (pure-numpy huffman + IDCT) and fixed-predictor-subset
-FLAC also decode for REAL (``functions/codecs.py``).  The remaining
+Baseline JPEG (pure-numpy huffman + IDCT), fixed-predictor-subset
+FLAC, and MJPEG-in-AVI video (RIFF container of baseline JPEGs) also
+decode for REAL (``functions/codecs.py``).  The remaining
 external-lib formats (progressive jpeg, LPC flac, h264 — PIL /
 soundfile / av absent from this container) fall back to a
 clearly-labelled
@@ -32,10 +33,12 @@ from hexscape_ray.functions.codecs import (
     decode_jpeg,
     decode_png,
     decode_wav,
+    encode_avi_mjpeg,
     encode_flac,
     encode_jpeg,
     encode_png,
     encode_wav,
+    parse_avi_mjpeg,
 )
 from hexscape_ray.functions.hashing import fnv1a_64, splitmix64
 
@@ -239,8 +242,16 @@ class AudioFeatureExtractor:
 class VideoFrameSampler:
     """video row → k frame rows (n→m expansion inside map_batches —
     the reference's split-patch pattern,
-    /root/reference/R/generate_patches.R:148-166).  Frame payloads are
-    deterministic slices of the video payload (stub extraction)."""
+    /root/reference/R/generate_patches.R:148-166).
+
+    MJPEG-in-AVI payloads are REAL: the RIFF container is parsed
+    (``parse_avi_mjpeg``), k evenly-spaced frames are extracted, and
+    each ``frame_payload`` is a genuine baseline JPEG that the image
+    stage can decode (``decode_backend="native-mjpeg"``).  Other codecs
+    (h264 — no pure-numpy decoder is feasible) keep the labelled fake:
+    deterministic byte slices of the payload (``decode_backend="fake"``).
+    Always emits exactly k rows per video (indices may repeat when the
+    stream is shorter than k)."""
 
     def __init__(self, frames_per_video: int = 4):
         self.k = frames_per_video
@@ -249,8 +260,24 @@ class VideoFrameSampler:
         ids = batch["media_id"].to_numpy(zero_copy_only=False)
         metas = batch["meta"].to_pylist()
         payloads = batch["payload"].to_pylist()
-        out_id, out_frame, out_ts, out_payload = [], [], [], []
+        out_id, out_frame, out_ts, out_payload, out_backend = [], [], [], [], []
         for mid, m, p in zip(ids, metas, payloads):
+            try:
+                jpegs, fps, _, _ = parse_avi_mjpeg(p)
+            except ValueError:
+                jpegs, fps = None, 0
+            if jpegs is not None:
+                src = np.floor(
+                    np.linspace(0, len(jpegs), self.k, endpoint=False)
+                ).astype(int)
+                ms_per = 1000 // max(fps, 1)
+                for f, s in enumerate(src):
+                    out_id.append(mid)
+                    out_frame.append(f)
+                    out_ts.append(int(s) * ms_per)
+                    out_payload.append(jpegs[s])
+                    out_backend.append("native-mjpeg")
+                continue
             dur = max(int(m.get("duration_ms") or 1000), 1)
             step = max(len(p) // self.k, 1)
             for f in range(self.k):
@@ -258,12 +285,14 @@ class VideoFrameSampler:
                 out_frame.append(f)
                 out_ts.append(dur * f // self.k)
                 out_payload.append(p[f * step : (f + 1) * step])
+                out_backend.append("fake")
         return pa.table(
             {
                 "media_id": pa.array(out_id, type=pa.int64()),
                 "frame_idx": pa.array(out_frame, type=pa.int32()),
                 "ts_ms": pa.array(out_ts, type=pa.int32()),
                 "frame_payload": pa.array(out_payload, type=pa.binary()),
+                "decode_backend": pa.array(out_backend, type=pa.string()),
             }
         )
 
@@ -273,8 +302,9 @@ def gen_media(n: int = 200, seed: int = 7) -> pa.Table:
     audio payloads are GENUINE bytes (PNG via the stdlib codec and
     baseline JFIF via the numpy JPEG encoder, 16–48 px RGB gradients;
     WAV PCM16 mono 8 kHz sine+noise) so the decode stages run real
-    kernels; video payloads stay opaque pseudo-h264 (no pure-numpy
-    decoder is feasible)."""
+    kernels; video payloads mix GENUINE MJPEG-in-AVI streams (every
+    third video — real RIFF container of baseline JPEG frames) with
+    opaque pseudo-h264 (no pure-numpy h264 decoder is feasible)."""
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
     rows_meta, payloads = [], []
@@ -323,16 +353,48 @@ def gen_media(n: int = 200, seed: int = 7) -> pa.Table:
                 }
             )
         else:
-            size = int(rng.integers(2_000, 20_000))
-            payloads.append(rng.integers(0, 256, size, dtype=np.uint8).tobytes())
-            rows_meta.append(
-                {
-                    "width": int(rng.integers(64, 4096)),
-                    "height": int(rng.integers(64, 4096)),
-                    "duration_ms": int(rng.integers(1_000, 60_000)),
-                    "codec": "h264",
-                }
-            )
+            if i % 3 == 0:  # genuine MJPEG-in-AVI via the numpy JPEG encoder
+                nf = int(rng.integers(4, 9))
+                fw, fh = int(rng.integers(16, 33)), int(rng.integers(16, 33))
+                fps = int(rng.integers(5, 25))
+                yy, xx = np.meshgrid(np.arange(fh), np.arange(fw), indexing="ij")
+                vids = []
+                for f in range(nf):
+                    img = np.clip(
+                        np.stack(
+                            [
+                                yy * (180.0 / max(fh - 1, 1)) + f * 8.0,
+                                xx * (180.0 / max(fw - 1, 1)),
+                                (yy + xx) * (90.0 / max(fh + fw - 2, 1)) + f * 4.0,
+                            ],
+                            axis=2,
+                        )
+                        + rng.normal(0, 10, (fh, fw, 3))
+                        + 15,
+                        0,
+                        255,
+                    ).astype(np.uint8)
+                    vids.append(img)
+                payloads.append(encode_avi_mjpeg(vids, fps=fps))
+                rows_meta.append(
+                    {
+                        "width": fw,
+                        "height": fh,
+                        "duration_ms": nf * 1000 // fps,
+                        "codec": "mjpeg",
+                    }
+                )
+            else:
+                size = int(rng.integers(2_000, 20_000))
+                payloads.append(rng.integers(0, 256, size, dtype=np.uint8).tobytes())
+                rows_meta.append(
+                    {
+                        "width": int(rng.integers(64, 4096)),
+                        "height": int(rng.integers(64, 4096)),
+                        "duration_ms": int(rng.integers(1_000, 60_000)),
+                        "codec": "h264",
+                    }
+                )
     return pa.table(
         {
             "media_id": pa.array(np.arange(n, dtype=np.int64)),
