@@ -4768,6 +4768,45 @@ SQL_REGION_ORDER_RANK_DENSE = """
 """
 
 
+SQL_SEGMENT_DEDUP = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+segidx AS (
+  SELECT doc_id, ts, unnest(range(0, (len(ts) - 1) // 10 + 1)) AS i FROM toks
+),
+seg AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(ts[i * 10 + 1 : least((i + 1) * 10, len(ts))], ' ') AS seg,
+         least((i + 1) * 10, len(ts)) - i * 10 AS ntok
+  FROM segidx
+),
+firsts AS (
+  SELECT seg, min(doc_id * 65536 + seg_idx) AS rk FROM seg GROUP BY seg
+)
+SELECT s.doc_id,
+       count(*) AS n_kept,
+       CAST(sum(s.ntok) AS BIGINT) AS kept_tokens
+FROM seg s
+JOIN firsts f ON s.seg = f.seg AND s.doc_id * 65536 + s.seg_idx = f.rk
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+
+def q_segment_dedup(sf_dir: str) -> Dataset:
+    """RefinedWeb-style segment-exact dedup
+    (stages/dedup.py::segment_dedup): first corpus-wide occurrence of
+    every 10-token segment wins; per-doc kept stats.  Hash-exact: the
+    Ray side groups on an FNV-128 of the segment's byte range (byte-
+    identical to the SQL's ' '-joined token slice), ranks/counts are
+    pure integers."""
+    from hexscape_ray.stages.dedup import segment_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return segment_dedup(ds, width=10)
+
+
 def q_doc_tfidf(sf_dir: str) -> Dataset:
     """Per-document top-3 TF-IDF terms
     (stages/textops.py::doc_tfidf_top_terms): corpus-streamed document
@@ -5309,6 +5348,7 @@ RAY_QUERIES = {
     "weighted_sample": q_weighted_sample,
     "region_order_rank_dense": q_region_order_rank_dense,
     "doc_tfidf": q_doc_tfidf,
+    "segment_dedup": q_segment_dedup,
     "doc_logprob": q_doc_logprob,
     "bm25_topk": q_bm25_topk,
     "quantize_int8": q_quantize_int8,
@@ -5413,6 +5453,7 @@ ORACLES = {
     "region_order_rank_dense": SQL_REGION_ORDER_RANK_DENSE,
     "point_in_polygon": SQL_POINT_IN_POLYGON,
     "doc_tfidf": SQL_DOC_TFIDF,
+    "segment_dedup": SQL_SEGMENT_DEDUP,
     "doc_logprob": SQL_DOC_LOGPROB,
     "group_union": SQL_GROUP_UNION,
     "bm25_topk": SQL_BM25_TOPK,

@@ -1437,3 +1437,128 @@ def semantic_dedup(
         )
 
     return joined.groupby("cluster").map_groups(prune, batch_format="pandas")
+
+
+def segment_dedup(
+    docs: Dataset,
+    width: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Line-level exact dedup (RefinedWeb/Falcon "remove repeated
+    lines") generalised to fixed token-width segments — the corpus
+    stores one-line documents, so the dedup unit is each consecutive
+    run of ``width`` tokens (last run ragged).
+
+    For every distinct segment the FIRST occurrence corpus-wide wins
+    (rank = doc_id·2^16 + seg_idx — document order then position, the
+    reference's deterministic-ordering discipline,
+    /root/reference/R/generate_patches.R:188-202); output is per-doc
+    kept-segment stats ``(doc_id, n_kept, kept_tokens)`` for docs that
+    retain ≥1 segment (INNER semantics, mirrored by
+    ``SQL_SEGMENT_DEDUP``'s join).
+
+    Scale shape: segments NEVER ship text — a shuffle row is a 16-byte
+    FNV-128 content key + one packed int64 (rank·16 + ntok); both
+    aggregates are two-phase (block partials → adaptive combine), so
+    the exchange only carries per-block-distinct partials.  The hash is
+    computed straight off the Arrow string buffer: a segment's byte
+    range [start of token t0, end of token t1] is byte-identical to
+    ``' '.join(tokens[t0:t1+1])`` by definition of splitting on a
+    single space, so range-hashing equals hashing the oracle's
+    ``array_to_string`` segment (collision odds ~n²/2^129).
+    """
+    assert 1 <= width <= 15  # ntok packs into 4 bits
+    from hexscape_ray.functions.hashing import (
+        _FNV_OFFSET2,
+        fnv1a_64_ranges,
+        fnv1a_128_str_array,
+    )
+    from hexscape_ray.stages.agg import two_phase_agg, two_phase_sum
+
+    W = width
+
+    def seg_rows(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        ids = np.asarray(
+            batch[id_col].to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        nd = len(arr)
+        if nd == 0:
+            return pa.table(
+                {
+                    "h1": pa.array([], type=pa.int64()),
+                    "h2": pa.array([], type=pa.int64()),
+                    "key": pa.array([], type=pa.int64()),
+                }
+            )
+        assert int(ids.max(initial=0)) < (1 << 43), "doc_id overflows rank pack"
+        if arr.null_count or not pa.types.is_string(arr.type):
+            # scalar parity path (nulls / large_string storage)
+            segs, keys = [], []
+            for d, t in zip(ids, arr.to_pylist()):
+                toks = (t or "").split(" ")
+                n_seg = (len(toks) - 1) // W + 1
+                for j in range(n_seg):
+                    part = toks[j * W : (j + 1) * W]
+                    segs.append(" ".join(part))
+                    keys.append((((int(d) << 16) | j) << 4) | len(part))
+            h1, h2 = fnv1a_128_str_array(segs)
+            key = np.asarray(keys, dtype=np.int64)
+        else:
+            _, off_buf, data_buf = arr.buffers()
+            offs = np.frombuffer(off_buf, dtype=np.int32)[
+                arr.offset : arr.offset + nd + 1
+            ].astype(np.int64)
+            data = np.frombuffer(data_buf, dtype=np.uint8)
+            sp = offs[0] + np.flatnonzero(data[offs[0] : offs[-1]] == 32)
+            sp_start = np.searchsorted(sp, offs[:-1], side="left")
+            sp_end = np.searchsorted(sp, offs[1:], side="left")
+            n_tok = sp_end - sp_start + 1
+            n_seg = (n_tok - 1) // W + 1
+            assert int(n_tok.max()) <= (1 << 16), "seg_idx overflows rank pack"
+            total = int(n_seg.sum())
+            doc = np.repeat(np.arange(nd), n_seg)
+            base = np.cumsum(n_seg) - n_seg
+            j = np.arange(total, dtype=np.int64) - np.repeat(base, n_seg)
+            t0 = j * W
+            t1 = np.minimum(t0 + W - 1, n_tok[doc] - 1)
+            if sp.size:
+                prev_sp = np.clip(sp_start[doc] + t0 - 1, 0, sp.size - 1)
+                next_sp = np.clip(sp_start[doc] + t1, 0, sp.size - 1)
+                starts = np.where(t0 == 0, offs[:-1][doc], sp[prev_sp] + 1)
+                ends = np.where(t1 == n_tok[doc] - 1, offs[1:][doc], sp[next_sp])
+            else:  # every doc is a single token: one segment per doc
+                starts, ends = offs[:-1][doc], offs[1:][doc]
+            ntok_seg = t1 - t0 + 1
+            key = ((((ids[doc] << 16) | j) << 4) | ntok_seg).astype(np.int64)
+            h1 = fnv1a_64_ranges(data, starts, ends)
+            h2 = fnv1a_64_ranges(data, starts, ends, offset=_FNV_OFFSET2)
+        return pa.table(
+            {
+                "h1": pa.array(h1.astype(np.int64), type=pa.int64()),
+                "h2": pa.array(h2.astype(np.int64), type=pa.int64()),
+                "key": pa.array(key, type=pa.int64()),
+            }
+        )
+
+    rows = docs.map_batches(seg_rows, batch_format="pyarrow")
+    firsts = two_phase_agg(rows, ["h1", "h2"], {"key": "min"})
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        key = batch["key"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(key >> 20, type=pa.int64()),
+                "kept_tokens": pa.array(key & 15, type=pa.int64()),
+            }
+        )
+
+    kept = two_phase_sum(
+        firsts.map_batches(unpack, batch_format="pyarrow"),
+        keys=["doc_id"],
+        sums=["kept_tokens"],
+        count_as="n_kept",
+    )
+    return kept.sort("doc_id")

@@ -2396,3 +2396,45 @@ def test_doc_bigram_logprob_matches_duckdb(ray_session):
     # the random docs (the bigram model "learned" it)
     rep = got.loc[got["doc_id"] == len(docs) - 1, "mean_nll2_pml"].iloc[0]
     assert rep < got["mean_nll2_pml"].median()
+
+
+def test_segment_dedup_brute_force_and_partition_invariance(ray_session):
+    """segment_dedup == brute-force python first-occurrence dedup, and
+    the output is invariant to input partitioning (keep decisions are
+    global, not block-local)."""
+    import ray.data as rd
+
+    from hexscape_ray.stages.dedup import segment_dedup
+
+    rng = np.random.default_rng(42)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    docs = []
+    for d in range(40):
+        n = int(rng.integers(1, 35))
+        docs.append(" ".join(vocab[i] for i in rng.integers(0, 5, n)))
+    docs[7] = docs[3]  # exact duplicate doc
+    docs[11] = docs[3] + " " + docs[5]  # composed of earlier segments + glue
+    W = 3
+
+    # brute force: first corpus-wide occurrence of each W-token segment
+    seen, kept = set(), {}
+    for d, t in enumerate(docs):
+        toks = t.split(" ")
+        for j in range((len(toks) - 1) // W + 1):
+            seg = " ".join(toks[j * W : (j + 1) * W])
+            if seg not in seen:
+                seen.add(seg)
+                n_kept, n_tok = kept.get(d, (0, 0))
+                kept[d] = (n_kept + 1, n_tok + len(toks[j * W : (j + 1) * W]))
+
+    src = pa.table({"doc_id": pa.array(range(40), type=pa.int64()),
+                    "text": pa.array(docs, type=pa.string())})
+    for parts in (1, 7):
+        ds = rd.from_arrow(src).repartition(parts)
+        got = segment_dedup(ds, width=W).to_pandas()
+        assert list(got["doc_id"]) == sorted(kept)
+        for _, r in got.iterrows():
+            want = kept[int(r["doc_id"])]
+            assert (int(r["n_kept"]), int(r["kept_tokens"])) == want
+    # the exact-duplicate doc kept nothing
+    assert 7 not in kept
