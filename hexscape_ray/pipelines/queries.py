@@ -4768,6 +4768,87 @@ SQL_REGION_ORDER_RANK_DENSE = """
 """
 
 
+SQL_REDACT_PII = """
+SELECT event_id,
+       regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted,
+       CAST(length(props) - length(regexp_replace(props, '[0-9]+', '', 'g'))
+            AS BIGINT) AS n_redacted_chars
+FROM events
+ORDER BY event_id
+"""
+
+
+def q_redact_pii(sf_dir: str) -> Dataset:
+    """PII-style regex redaction (stages/textops.py::regex_scrub):
+    digit-run scrub over the events JSON props — Arrow
+    replace_substring_regex and DuckDB regexp_replace are both RE2, so
+    the redacted strings are byte-identical."""
+    from hexscape_ray.stages.textops import regex_scrub
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    return (
+        regex_scrub(ds, "props", [(r"[0-9]+", "<NUM>")])
+        .drop_columns(["props"])
+        .sort("event_id")
+    )
+
+
+SQL_UNPIVOT_LINEITEM = """
+WITH m AS (
+  SELECT l_returnflag, 'l_quantity' AS measure,
+         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS cents FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_extendedprice',
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_discount',
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_tax',
+         CAST(floor(l_tax * 100 + 0.5) AS BIGINT) FROM lineitem
+)
+SELECT l_returnflag, measure,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM m GROUP BY l_returnflag, measure
+ORDER BY l_returnflag, measure
+"""
+
+
+def q_unpivot_lineitem(sf_dir: str) -> Dataset:
+    """Wide → long melt (stages/agg.py::unpivot) of the four lineitem
+    measures into (measure, cents) rows, then a two-phase grouped sum —
+    the inverse of the pivot stages.  Money as exact integer cents
+    (floor(x·100 + 0.5), the repo rounding rule)."""
+    import pyarrow.compute as pc
+
+    from hexscape_ray.stages.agg import two_phase_sum, unpivot
+
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = _read(sf_dir, "lineitem", ["l_returnflag"] + measures)
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        out = batch.select(["l_returnflag"])
+        for c in measures:
+            v = batch[c].to_numpy(zero_copy_only=False)
+            out = out.append_column(
+                c, pa.array(np.floor(v * 100 + 0.5).astype(np.int64))
+            )
+        return out
+
+    long = unpivot(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        ["l_returnflag"],
+        measures,
+        var_name="measure",
+        value_name="cents",
+    )
+    agg = two_phase_sum(long, ["l_returnflag", "measure"], ["cents"], count_as="n")
+    return agg.rename_columns({"cents": "sum_cents"}).sort(
+        ["l_returnflag", "measure"]
+    )
+
+
 SQL_SEGMENT_DEDUP = """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS ts FROM documents
@@ -5349,6 +5430,8 @@ RAY_QUERIES = {
     "region_order_rank_dense": q_region_order_rank_dense,
     "doc_tfidf": q_doc_tfidf,
     "segment_dedup": q_segment_dedup,
+    "redact_pii": q_redact_pii,
+    "unpivot_lineitem": q_unpivot_lineitem,
     "doc_logprob": q_doc_logprob,
     "bm25_topk": q_bm25_topk,
     "quantize_int8": q_quantize_int8,
@@ -5454,6 +5537,8 @@ ORACLES = {
     "point_in_polygon": SQL_POINT_IN_POLYGON,
     "doc_tfidf": SQL_DOC_TFIDF,
     "segment_dedup": SQL_SEGMENT_DEDUP,
+    "redact_pii": SQL_REDACT_PII,
+    "unpivot_lineitem": SQL_UNPIVOT_LINEITEM,
     "doc_logprob": SQL_DOC_LOGPROB,
     "group_union": SQL_GROUP_UNION,
     "bm25_topk": SQL_BM25_TOPK,

@@ -653,3 +653,34 @@ def two_phase_agg(
             {"sum": Sum, "min": Min, "max": Max}[how](c, alias_name=c)
         )
     return partials.groupby(keys).aggregate(*ray_aggs)
+
+
+def unpivot(
+    ds: Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "measure",
+    value_name: str = "value",
+) -> Dataset:
+    """Wide → long melt: each input row becomes ``len(value_cols)``
+    output rows ``(*id_cols, measure, value)`` — the inverse of the
+    engine's pivot stages (SQL ``UNPIVOT`` / UNION-ALL-of-selects).
+
+    Vectorised n→m expansion inside one map_batches: per block, one
+    sub-table per value column is built by column aliasing (zero-copy
+    for the id columns) and stacked with ``concat_tables`` — no Python
+    row loop, no shuffle.  Measure order within a source row follows
+    ``value_cols`` order, deterministically.
+    """
+
+    def melt(batch: pa.Table) -> pa.Table:
+        parts = []
+        ids = batch.select(id_cols)
+        for vc in value_cols:
+            t = ids.append_column(
+                var_name, pa.array([vc] * batch.num_rows, type=pa.string())
+            ).append_column(value_name, batch[vc])
+            parts.append(t)
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow")

@@ -958,3 +958,51 @@ def doc_bigram_logprob(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def regex_scrub(
+    ds,
+    col: str,
+    patterns: list[tuple[str, str]] | None = None,
+    out_col: str = "redacted",
+    count_col: str = "n_redacted_chars",
+):
+    """PII-style regex redaction as a vectorised stateless stage.
+
+    ``patterns`` is an ordered list of (RE2 regex, replacement token);
+    every match is replaced (Arrow ``replace_substring_regex`` ==
+    DuckDB ``regexp_replace(..., 'g')`` — both engines are RE2, so
+    class/anchor semantics agree).  Adds ``out_col`` (the scrubbed
+    string) and ``count_col`` (how many CHARS the scrub removed before
+    the replacement tokens were inserted — an audit measure that is
+    insertion-token independent).
+
+    Scale: pure per-row compute, no shuffle, no state — the patterns
+    are compiled once per task by Arrow's kernel cache.  This is the
+    dedup-safe ordering: scrub BEFORE hashing/dedup so `<EMAIL>` vs the
+    literal address can't split an otherwise-identical pair
+    (reference parity n/a: the reference has no text ops; graft scope
+    SURVEY §2 M-web).
+    """
+    import pyarrow.compute as pc
+
+    if patterns is None:
+        patterns = [(r"[0-9]+", "<NUM>")]
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        s = batch[col]
+        s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        red = s
+        stripped = s
+        for pat, tok in patterns:
+            red = pc.replace_substring_regex(red, pattern=pat, replacement=tok)
+            stripped = pc.replace_substring_regex(
+                stripped, pattern=pat, replacement=""
+            )
+        n = pc.subtract(
+            pc.utf8_length(s).cast(pa.int64()),
+            pc.utf8_length(stripped).cast(pa.int64()),
+        )
+        return batch.append_column(out_col, red).append_column(count_col, n)
+
+    return ds.map_batches(scrub, batch_format="pyarrow")

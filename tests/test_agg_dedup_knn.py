@@ -2438,3 +2438,36 @@ def test_segment_dedup_brute_force_and_partition_invariance(ray_session):
             assert (int(r["n_kept"]), int(r["kept_tokens"])) == want
     # the exact-duplicate doc kept nothing
     assert 7 not in kept
+
+
+def test_unpivot_and_regex_scrub(ray_session):
+    import ray.data as rd
+
+    from hexscape_ray.stages.agg import unpivot
+    from hexscape_ray.stages.textops import regex_scrub
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3], type=pa.int64()),
+            "a": [10.0, 20.0, 30.0],
+            "b": [1.0, 2.0, 3.0],
+        }
+    )
+    got = unpivot(rd.from_arrow(t).repartition(2), ["id"], ["a", "b"]).to_pandas()
+    assert len(got) == 6
+    assert set(got["measure"]) == {"a", "b"}
+    # melt is lossless: pivoting back reproduces the input
+    wide = got.pivot(index="id", columns="measure", values="value").reset_index()
+    assert (wide["a"].to_numpy() == [10.0, 20.0, 30.0]).all()
+    assert (wide["b"].to_numpy() == [1.0, 2.0, 3.0]).all()
+
+    s = pa.table({"x": ["mail: a9@b.io tel 555-0100", "clean", ""]})
+    r = regex_scrub(
+        rd.from_arrow(s),
+        "x",
+        [(r"[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"), (r"[0-9][0-9-]+", "<TEL>")],
+    ).to_pandas()
+    assert r["redacted"][0] == "mail: <EMAIL> tel <TEL>"
+    assert r["n_redacted_chars"][0] == len("a9@b.io") + len("555-0100")
+    assert r["redacted"][1] == "clean" and r["n_redacted_chars"][1] == 0
+    assert r["n_redacted_chars"][2] == 0
