@@ -4888,6 +4888,28 @@ def q_segment_dedup(sf_dir: str) -> Dataset:
     return segment_dedup(ds, width=10)
 
 
+def q_bpe_merges(sf_dir: str) -> Dataset:
+    """BPE tokenizer training (stages/textops.py::bpe_train): corpus
+    word-type counts (the only corpus-scale pass) → sequential merge
+    loop in one remote task.  Rows-only: the merge sequence is an
+    iterative argmax, not SQL-expressible; parity vs an independent
+    naive implementation lives in pytest."""
+    from hexscape_ray.stages.textops import bpe_train
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bpe_train(ds, n_merges=40).sort("rank")
+
+
+def q_bpe_encode(sf_dir: str) -> Dataset:
+    """Per-doc BPE piece stats against the learned merge table
+    (broadcast once; distinct words memoised per batch)."""
+    from hexscape_ray.stages.textops import bpe_encode_stats, bpe_train
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = bpe_train(ds, n_merges=40).to_pandas()
+    return bpe_encode_stats(ds, merges).sort("doc_id")
+
+
 def q_doc_tfidf(sf_dir: str) -> Dataset:
     """Per-document top-3 TF-IDF terms
     (stages/textops.py::doc_tfidf_top_terms): corpus-streamed document
@@ -5432,6 +5454,8 @@ RAY_QUERIES = {
     "segment_dedup": q_segment_dedup,
     "redact_pii": q_redact_pii,
     "unpivot_lineitem": q_unpivot_lineitem,
+    "bpe_merges": q_bpe_merges,
+    "bpe_encode": q_bpe_encode,
     "doc_logprob": q_doc_logprob,
     "bm25_topk": q_bm25_topk,
     "quantize_int8": q_quantize_int8,

@@ -1006,3 +1006,147 @@ def regex_scrub(
         return batch.append_column(out_col, red).append_column(count_col, n)
 
     return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def bpe_train(ds, n_merges: int = 50, text_col: str = "text"):
+    """Distributed BPE merge learning (Sennrich et al. 2016, public
+    algorithm): the corpus-scale pass is the word-TYPE frequency count
+    — a two-phase sum, the only stage that reads every document; the
+    sequential merge loop then runs over the bounded word-type table in
+    ONE remote task (the graph.py repartition(1) pattern — word types
+    grow ~log with corpus size, so the loop input is vocabulary-sized
+    at any corpus scale, which is why single-node BPE trainers are the
+    industry norm even for trillion-token corpora).
+
+    Determinism: best pair = max joint frequency, ties broken by
+    lexicographically smallest (left, right); loop stops early when the
+    best pair occurs < 2 times.  Per-iteration recount over the type
+    table is O(types × word_len) — the incremental-update optimisation
+    is deliberately skipped for auditability (the table is bounded).
+
+    Returns a Dataset ``(rank:int64, left, right:string, n:int64)``.
+    """
+    from hexscape_ray.stages.agg import two_phase_sum
+
+    def toks(batch: pa.Table) -> pa.Table:
+        flat: list[str] = []
+        for t in batch[text_col].to_pylist():
+            flat.extend(t.split(" "))
+        return pa.table({"token": pa.array(flat, type=pa.string())})
+
+    counts = two_phase_sum(
+        ds.map_batches(toks, batch_format="pyarrow"), ["token"], [], count_as="cnt"
+    )
+
+    def merge_loop(batch: pa.Table) -> pa.Table:
+        words = batch["token"].to_pylist()
+        freq = batch["cnt"].to_numpy(zero_copy_only=False)
+        seqs = [list(w) + ["</w>"] for w in words]
+        out_rank, out_l, out_r, out_n = [], [], [], []
+        for rank in range(n_merges):
+            pair_counts: dict = {}
+            for s, f in zip(seqs, freq):
+                f = int(f)
+                for p in zip(s, s[1:]):
+                    pair_counts[p] = pair_counts.get(p, 0) + f
+            if not pair_counts:
+                break
+            (a, b), n = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            if n < 2:
+                break
+            out_rank.append(rank)
+            out_l.append(a)
+            out_r.append(b)
+            out_n.append(n)
+            new = a + b
+            for i, s in enumerate(seqs):
+                if len(s) < 2:
+                    continue
+                j, merged = 0, []
+                while j < len(s):
+                    if j + 1 < len(s) and s[j] == a and s[j + 1] == b:
+                        merged.append(new)
+                        j += 2
+                    else:
+                        merged.append(s[j])
+                        j += 1
+                seqs[i] = merged
+        return pa.table(
+            {
+                "rank": pa.array(out_rank, type=pa.int64()),
+                "left": pa.array(out_l, type=pa.string()),
+                "right": pa.array(out_r, type=pa.string()),
+                "n": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    return counts.repartition(1).map_batches(merge_loop, batch_format="pyarrow")
+
+
+def bpe_apply_word(word: str, ranks: dict) -> list[str]:
+    """Encode ONE word with a learned merge table (dict (l, r) → rank):
+    repeatedly merge all occurrences of the lowest-rank pair present —
+    the standard BPE inference rule, which replays training order."""
+    s = list(word) + ["</w>"]
+    while len(s) > 1:
+        best_rank, best_pair = None, None
+        for p in zip(s, s[1:]):
+            r = ranks.get(p)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, p
+        if best_pair is None:
+            break
+        a, b = best_pair
+        j, merged = 0, []
+        while j < len(s):
+            if j + 1 < len(s) and s[j] == a and s[j + 1] == b:
+                merged.append(a + b)
+                j += 2
+            else:
+                merged.append(s[j])
+                j += 1
+        s = merged
+    return s
+
+
+def bpe_encode_stats(ds, merges, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document BPE piece stats against a broadcast merge table:
+    each batch encodes its DISTINCT words once (memoised dict — the
+    Zipf head covers almost every occurrence), then gathers per-doc
+    sums.  Output (doc_id, n_tokens, n_pieces); no shuffle, merge
+    table shipped once via ray.put."""
+    import ray
+
+    mdf = merges if hasattr(merges, "columns") else merges.to_pandas()
+    ranks = {
+        (l, r): int(k)
+        for k, l, r in zip(mdf["rank"], mdf["left"], mdf["right"])
+    }
+    rref = ray.put(ranks)
+
+    def enc(batch: pa.Table) -> pa.Table:
+        rk = ray.get(rref)
+        cache: dict[str, int] = {}
+        texts = batch[text_col].to_pylist()
+        n_tok = np.empty(len(texts), dtype=np.int64)
+        n_pieces = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            parts = t.split(" ")
+            n_tok[i] = len(parts)
+            total = 0
+            for w in parts:
+                np_ = cache.get(w)
+                if np_ is None:
+                    np_ = len(bpe_apply_word(w, rk))
+                    cache[w] = np_
+                total += np_
+            n_pieces[i] = total
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(n_tok),
+                "n_pieces": pa.array(n_pieces),
+            }
+        )
+
+    return ds.map_batches(enc, batch_format="pyarrow")

@@ -2471,3 +2471,79 @@ def test_unpivot_and_regex_scrub(ray_session):
     assert r["n_redacted_chars"][0] == len("a9@b.io") + len("555-0100")
     assert r["redacted"][1] == "clean" and r["n_redacted_chars"][1] == 0
     assert r["n_redacted_chars"][2] == 0
+
+
+def test_bpe_train_matches_naive_reference(ray_session):
+    """bpe_train (distributed word-type count + single-task merge loop)
+    == a from-first-principles naive BPE that recounts pairs from the
+    RAW CORPUS every iteration (different algorithm shape, same
+    definition), and bpe_encode_stats replays training exactly."""
+    import ray.data as rd
+
+    from hexscape_ray.stages.textops import (
+        bpe_apply_word,
+        bpe_encode_stats,
+        bpe_train,
+    )
+
+    rng = np.random.default_rng(9)
+    vocab = ["spark", "sparse", "sparkle", "park", "lark", "larkspur", "spur"]
+    docs = [
+        " ".join(vocab[i] for i in rng.integers(0, len(vocab), int(rng.integers(3, 12))))
+        for _ in range(25)
+    ]
+
+    # naive reference: corpus = flat token list, re-derive everything
+    def naive(n_merges):
+        toks = [t for d in docs for t in d.split(" ")]
+        seqs = [list(w) + ["</w>"] for w in toks]  # per OCCURRENCE
+        merges = []
+        for rank in range(n_merges):
+            pc_ = {}
+            for s in seqs:
+                for p in zip(s, s[1:]):
+                    pc_[p] = pc_.get(p, 0) + 1
+            if not pc_:
+                break
+            (a, b), n = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))
+            if n < 2:
+                break
+            merges.append((rank, a, b, n))
+            for i, s in enumerate(seqs):
+                j, out = 0, []
+                while j < len(s):
+                    if j + 1 < len(s) and s[j] == a and s[j + 1] == b:
+                        out.append(a + b)
+                        j += 2
+                    else:
+                        out.append(s[j])
+                        j += 1
+                seqs[i] = out
+        return merges, seqs
+
+    want, want_seqs = naive(12)
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(len(docs)), type=pa.int64()), "text": docs}
+        )
+    ).repartition(4)
+    got = bpe_train(ds, n_merges=12).to_pandas().sort_values("rank")
+    assert [
+        (int(r), l, rr, int(n))
+        for r, l, rr, n in zip(got["rank"], got["left"], got["right"], got["n"])
+    ] == want
+
+    # encode replay: piece count per occurrence == naive final seqs
+    ranks = {(l, r): int(k) for k, l, r, _ in want}
+    toks = [t for d in docs for t in d.split(" ")]
+    for w, s in zip(toks, want_seqs):
+        assert bpe_apply_word(w, ranks) == s
+    st = bpe_encode_stats(ds, got).to_pandas().sort_values("doc_id")
+    flat_i = 0
+    for d, (_, row) in zip(docs, st.iterrows()):
+        n = len(d.split(" "))
+        assert int(row["n_tokens"]) == n
+        assert int(row["n_pieces"]) == sum(
+            len(want_seqs[flat_i + k]) for k in range(n)
+        )
+        flat_i += n
