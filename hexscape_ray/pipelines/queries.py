@@ -2651,19 +2651,83 @@ def q_pq_knn(sf_dir: str) -> Dataset:
     return pq_topk(emb, _query_vectors(sf_dir), k=5)
 
 
+SQL_PACK_SEQUENCES = """
+WITH RECURSIVE
+toks AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS L FROM documents),
+chunkcnt AS (SELECT doc_id, lang, L, greatest((L + 255) // 256, 1) AS nc FROM toks),
+chunks0 AS (SELECT doc_id, lang, L, nc, unnest(range(0, nc)) AS ci FROM chunkcnt),
+chunks1 AS (
+  SELECT lang, doc_id,
+         CASE WHEN ci < nc - 1 THEN 256 ELSE L - (nc - 1) * 256 END AS clen
+  FROM chunks0
+),
+ord AS (
+  SELECT lang, doc_id, clen,
+         row_number() OVER (PARTITION BY lang ORDER BY clen DESC, doc_id) AS rn
+  FROM chunks1
+),
+fit AS (
+  SELECT lang, CAST(0 AS BIGINT) AS rn,
+         CAST([] AS BIGINT[]) AS rem, CAST([] AS BIGINT[]) AS assign
+  FROM (SELECT DISTINCT lang FROM ord)
+  UNION ALL
+  SELECT o.lang, s.rn + 1,
+    CASE WHEN list_filter(range(1, len(s.rem) + 1), i -> s.rem[i] >= o.clen)[1] IS NULL
+         THEN list_append(s.rem, 256 - o.clen)
+         ELSE list_transform(range(1, len(s.rem) + 1),
+                j -> CASE WHEN j = list_filter(range(1, len(s.rem) + 1),
+                                               i -> s.rem[i] >= o.clen)[1]
+                          THEN s.rem[j] - o.clen ELSE s.rem[j] END)
+    END,
+    list_append(s.assign,
+                coalesce(list_filter(range(1, len(s.rem) + 1),
+                                     i -> s.rem[i] >= o.clen)[1],
+                         len(s.rem) + 1))
+  FROM fit s JOIN ord o ON o.lang = s.lang AND o.rn = s.rn + 1
+),
+final AS (
+  SELECT f.lang, f.assign
+  FROM fit f
+  JOIN (SELECT lang, max(rn) AS mr FROM fit GROUP BY lang) m
+    ON m.lang = f.lang AND m.mr = f.rn
+),
+assigned AS (
+  SELECT f.lang AS lang, unnest(range(1, len(f.assign) + 1)) AS rn,
+         unnest(f.assign) AS bin
+  FROM final f
+),
+base AS (SELECT lang, min(doc_id) AS b FROM documents GROUP BY lang)
+SELECT o.lang,
+       b.b * 1048576 + (a.bin - 1) AS seq_uid,
+       count(DISTINCT o.doc_id) AS n_docs,
+       count(*) AS n_chunks,
+       CAST(sum(o.clen) AS BIGINT) AS n_tokens,
+       CAST(floor(1e6 * sum(o.clen) / 256 + 0.5) AS BIGINT) AS fill_pml
+FROM assigned a
+JOIN ord o ON o.lang = a.lang AND o.rn = a.rn
+JOIN base b ON b.lang = o.lang
+GROUP BY o.lang, b.b, a.bin
+ORDER BY o.lang, seq_uid
+"""
+
+
 def q_pack_sequences(sf_dir: str) -> Dataset:
     """Sequence packing (stages/textops.py::pack_sequences): per-lang
     FFD bin-packing of ≤256-token doc chunks into training sequences.
-    Keyed mode → deterministic under any partitioning; rows-only (seq
-    composition is packing-algorithm-defined, not SQL); the exact
-    conservation laws are the ``packing_stats`` oracle."""
+    Keyed mode → deterministic under any partitioning.  Hash-exact
+    oracle: SQL_PACK_SEQUENCES replays first-fit-decreasing step by
+    step in a recursive CTE whose state is the per-bin remaining-
+    capacity LIST (first fit = first index with rem[i] ≥ clen via
+    list_filter; chunk order = clen DESC, doc_id — ties are identical
+    chunks, so any stable order agrees); ``packing_stats`` keeps the
+    conservation-law view."""
     from hexscape_ray.stages.textops import pack_sequences
 
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
     out = pack_sequences(ds, max_len=256, by="lang")
     return out.select_columns(
         ["lang", "seq_uid", "n_docs", "n_chunks", "n_tokens", "fill_pml"]
-    )
+    ).sort(["lang", "seq_uid"])
 
 
 def q_packing_stats(sf_dir: str) -> Dataset:
@@ -5486,6 +5550,7 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "token_counts": SQL_TOKEN_COUNTS,
     "packing_stats": SQL_PACKING_STATS,
+    "pack_sequences": SQL_PACK_SEQUENCES,
     "vocab_encode": SQL_VOCAB_ENCODE,
     "length_outliers": SQL_LENGTH_OUTLIERS,
     "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
