@@ -1143,6 +1143,67 @@ def q_stratified_sample(sf_dir: str) -> Dataset:
     ).rename_columns({"n_chars": "len_sum"})
 
 
+def q_mixture_sample(sf_dir: str) -> Dataset:
+    """Self-calibrating mixture rebalancing (the DoReMi/data-mixture
+    move): target = UNIFORM language mixture; keep rates are DERIVED
+    from a first census pass — ``rate_l = min(1, T / (k·n_l))`` with T
+    = corpus size, k = #languages — then applied as the same
+    deterministic Knuth-hash filter as ``stratified_sample``.  Two
+    corpus passes (census, filter+census), a k-row broadcast between
+    them, no shuffle beyond the two-phase partials; keep-set invariant
+    under partitioning and resume.  The SQL oracle re-derives the
+    rates from the same census, so the parity covers the calibration
+    arithmetic, not just the filter."""
+    from hexscape_ray.stages.agg import two_phase_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    census = two_phase_sum(
+        ds.select_columns(["lang"]), ["lang"], [], count_as="n"
+    ).to_pandas()
+    T = int(census["n"].sum())
+    k = len(census)
+    thr = {l: min(1.0, T / (k * int(n))) for l, n in zip(census["lang"], census["n"])}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        frac = (
+            ((did * np.uint64(2654435761)) % np.uint64(4294967296)).astype(np.float64)
+            / 4294967296.0
+        )
+        lang = batch["lang"].to_pylist()
+        t = np.fromiter((thr[l] for l in lang), dtype=np.float64)
+        sel = np.flatnonzero(frac < t)
+        return pa.table(
+            {
+                "lang": batch["lang"].take(pa.array(sel)),
+                "n_chars": batch["n_chars"].take(pa.array(sel)),
+            }
+        )
+
+    return two_phase_sum(
+        ds.map_batches(keep, batch_format="pyarrow"),
+        ["lang"],
+        ["n_chars"],
+        count_as="n_kept",
+    ).rename_columns({"n_chars": "len_sum"}).sort("lang")
+
+
+SQL_MIXTURE_SAMPLE = """
+  WITH census AS (
+    SELECT lang, count(*) AS n FROM documents GROUP BY lang
+  ), tot AS (
+    SELECT CAST(sum(n) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS k FROM census
+  ), kept AS (
+    SELECT d.lang, d.n_chars
+    FROM documents d JOIN census c ON d.lang = c.lang, tot
+    WHERE ((CAST(d.doc_id AS HUGEINT) * 2654435761) % 4294967296)
+          / 4294967296.0 < least(1.0, tot.t / (tot.k * c.n))
+  )
+  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS len_sum, count(*) AS n_kept
+  FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
 SQL_STRATIFIED_SAMPLE = """
   WITH rates(lang, rate) AS (
     VALUES ('en', 0.25), ('zh', 0.5), ('de', 1.0), ('es', 1.0), ('fr', 1.0)
@@ -5520,6 +5581,7 @@ RAY_QUERIES = {
     "unpivot_lineitem": q_unpivot_lineitem,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
+    "mixture_sample": q_mixture_sample,
     "doc_logprob": q_doc_logprob,
     "bm25_topk": q_bm25_topk,
     "quantize_int8": q_quantize_int8,
@@ -5551,6 +5613,7 @@ ORACLES = {
     "token_counts": SQL_TOKEN_COUNTS,
     "packing_stats": SQL_PACKING_STATS,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "mixture_sample": SQL_MIXTURE_SAMPLE,
     "vocab_encode": SQL_VOCAB_ENCODE,
     "length_outliers": SQL_LENGTH_OUTLIERS,
     "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
