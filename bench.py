@@ -198,6 +198,12 @@ def run_queries() -> dict:
         "quantize_int8",
         "dedup_exact_stream",
         "curation_v2",
+        # round-4 late-session ops
+        "segment_dedup",
+        "bpe_merges",
+        "mixture_sample",
+        "unpivot_lineitem",
+        "redact_pii",
     ]
     out = {}
     for name in names:

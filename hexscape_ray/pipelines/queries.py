@@ -2465,6 +2465,22 @@ def q_video_frames(sf_dir: str) -> Dataset:
     return frames.drop_columns(["frame_payload"])
 
 
+def q_video_frame_features(sf_dir: str) -> Dataset:
+    """End-to-end video analysis: sample frames (real RIFF parse for
+    mjpeg payloads), then decode each frame with the shared image
+    stage — per-frame RGB/sharpness features, rows-only."""
+    import ray.data as rd
+
+    from hexscape_ray.stages.multimodal import (
+        frame_features,
+        gen_media,
+        media_pipeline,
+    )
+
+    _, _, frames = media_pipeline(rd.from_arrow(gen_media(n=200)))
+    return frame_features(frames)
+
+
 # ---------------------------------------------------------------------------
 # spatial pipelines over deterministic synthetic boundaries (rows-only:
 # geometry ops are not SQL-expressible; invariants live in pytest)
@@ -5520,6 +5536,7 @@ RAY_QUERIES = {
     "minhash_pairs_verified": q_minhash_pairs_verified,
     "media_features": q_media_features,
     "video_frames": q_video_frames,
+    "video_frame_features": q_video_frame_features,
     "crs_transform": q_crs_transform,
     "events_sessions_stream": q_events_sessions_stream,
     "hex_kring": q_hex_kring,

@@ -406,6 +406,27 @@ def gen_media(n: int = 200, seed: int = 7) -> pa.Table:
     )
 
 
+def frame_features(frames):
+    """video frames → per-frame image features: the sampled
+    ``frame_payload`` of a native-mjpeg video is a genuine baseline
+    JPEG, so the SAME ImageDecoder actor stage that serves still
+    images decodes it (fake-slice frames from h264 payloads fall to
+    the labelled fake path inside the decoder).  Output adds
+    mean_r/g/b + sharpness + decode_backend per (media_id, frame_idx).
+    """
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        names = [
+            "payload" if n == "frame_payload" else n for n in batch.column_names
+        ]
+        t = batch.rename_columns(names)
+        return t.drop_columns(["decode_backend"])
+
+    return frames.map_batches(to_payload, batch_format="pyarrow").map_batches(
+        ImageDecoder, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
+    )
+
+
 def media_pipeline(media, frames_per_video: int = 4):
     """media Dataset → per-kind feature Datasets (the composed stage
     graph: filter per kind → actor pool with small batches)."""

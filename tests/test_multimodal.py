@@ -351,3 +351,19 @@ def test_video_native_mjpeg_frames(media_ds):
     for p in native["frame_payload"].head(8):
         arr = decode_jpeg(p)
         assert arr.ndim == 3 and arr.shape[2] == 3 and arr.dtype == np.uint8
+
+
+def test_video_frame_features_end_to_end(media_ds):
+    from hexscape_ray.stages.multimodal import frame_features
+
+    _, _, frames = media_pipeline(media_ds, frames_per_video=3)
+    feats = frame_features(frames).to_pandas()
+    # mjpeg frames decode natively through the shared image stage
+    assert set(feats["decode_backend"]) == {"native-jpeg", "fake"}
+    native = feats[feats["decode_backend"] == "native-jpeg"]
+    assert len(native) > 0
+    # fixture frames are gradient images: real decode means real means
+    assert (native["mean_r"] >= 0).all() and (native["mean_r"] <= 1).all()
+    assert native["sharpness"].gt(0).all()
+    # per-video frame count preserved through the feature stage
+    assert (feats.groupby("media_id").size() == 3).all()
