@@ -5051,6 +5051,46 @@ def q_bpe_encode(sf_dir: str) -> Dataset:
     return bpe_encode_stats(ds, merges).sort("doc_id")
 
 
+SQL_EMBED_PROJECT = """
+WITH e AS (
+  SELECT vec_id, unnest(embedding) AS v,
+         unnest(range(0, len(embedding))) AS d
+  FROM embeddings
+),
+terms AS (
+  SELECT vec_id, js.j, d,
+         CAST(floor(1e6 * (CAST(v AS DOUBLE)
+                           * (((js.j * 131 + d * 137) % 1009 - 504) / 504.0))
+                    + 0.5) AS BIGINT) AS t
+  FROM e, (SELECT unnest(range(0, 4)) AS j) js
+)
+SELECT vec_id, j, CAST(sum(t) AS BIGINT) AS proj_pml
+FROM terms GROUP BY vec_id, j
+ORDER BY vec_id, j
+"""
+
+
+def q_embed_project(sf_dir: str) -> Dataset:
+    """JL projection (stages/knn.py::jl_project) with a hash-exact SQL
+    oracle — the plane matrix has a closed form both engines compute,
+    and per-term micro-rounding + integer sums make the float matmul
+    order-invariant."""
+    from hexscape_ray.stages.knn import jl_project
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return jl_project(ds, k=4).sort(["vec_id", "j"])
+
+
+def q_doc_compress(sf_dir: str) -> Dataset:
+    """Compression-ratio quality signal
+    (stages/textops.py::doc_compress_ratio): zlib level-6 deflate per
+    doc.  Rows-only (no SQL deflate); direct-zlib parity in pytest."""
+    from hexscape_ray.stages.textops import doc_compress_ratio
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return doc_compress_ratio(ds).sort("doc_id")
+
+
 def q_doc_tfidf(sf_dir: str) -> Dataset:
     """Per-document top-3 TF-IDF terms
     (stages/textops.py::doc_tfidf_top_terms): corpus-streamed document
@@ -5599,6 +5639,8 @@ RAY_QUERIES = {
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
     "mixture_sample": q_mixture_sample,
+    "embed_project": q_embed_project,
+    "doc_compress": q_doc_compress,
     "doc_logprob": q_doc_logprob,
     "bm25_topk": q_bm25_topk,
     "quantize_int8": q_quantize_int8,
@@ -5631,6 +5673,7 @@ ORACLES = {
     "packing_stats": SQL_PACKING_STATS,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
+    "embed_project": SQL_EMBED_PROJECT,
     "vocab_encode": SQL_VOCAB_ENCODE,
     "length_outliers": SQL_LENGTH_OUTLIERS,
     "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,

@@ -642,3 +642,53 @@ def quantize_embeddings_int8(
         )
 
     return emb.map_batches(quant, batch_format="pyarrow")
+
+
+def jl_project(
+    ds,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Johnson–Lindenstrauss-style dense projection of an embedding
+    column against a DETERMINISTIC plane matrix
+    ``P[j,d] = (((j·131 + d·137) mod 1009) − 504) / 504`` — a fixed
+    pseudo-random matrix whose closed form is SQL-expressible, so the
+    whole linear-algebra stage carries a hash-exact oracle.
+
+    Float-parity discipline (working-notes rule): each scalar product
+    term is micro-rounded to an int64 (floor(1e6·v·p + 0.5)) and the
+    PROJECTION is the integer sum of terms — order-invariant, so Ray's
+    block order and DuckDB's unnest order can't diverge.  Per batch
+    one (n,k,d) broadcast multiply in the fast direction (big operand
+    first); no shuffle, planes are a compile-time constant."""
+
+    def proj(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "j": pa.array([], type=pa.int64()),
+                    "proj_pml": pa.array([], type=pa.int64()),
+                }
+            )
+        E = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        d = E.shape[1]
+        jj = np.arange(k, dtype=np.int64)[:, None]
+        dd = np.arange(d, dtype=np.int64)[None, :]
+        P = ((jj * 131 + dd * 137) % 1009 - 504) / 504.0
+        terms = np.floor(1e6 * (E[:, None, :] * P[None, :, :]) + 0.5).astype(
+            np.int64
+        )
+        proj_pml = terms.sum(axis=2)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids.astype(np.int64), k)),
+                "j": pa.array(np.tile(jj.ravel(), n)),
+                "proj_pml": pa.array(proj_pml.ravel()),
+            }
+        )
+
+    return ds.map_batches(proj, batch_format="pyarrow")

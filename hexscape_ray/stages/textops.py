@@ -1150,3 +1150,34 @@ def bpe_encode_stats(ds, merges, id_col: str = "doc_id", text_col: str = "text")
         )
 
     return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def doc_compress_ratio(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Compression-ratio quality signal (the CCNet/Gopher-family
+    heuristic: highly compressible text = repetitive/boilerplate):
+    per-doc zlib level-6 deflate ratio.  zlib is stdlib C — the per-row
+    loop is dominated by the C compressor, not the interpreter; pure
+    stateless map, no shuffle.  ratio_pml = floor(1e6·clen/blen + 0.5)
+    (micro-round rule).  Rows-only surface (no SQL deflate); direct
+    zlib parity lives in pytest."""
+    import zlib
+
+    def comp(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        nb = np.empty(len(texts), dtype=np.int64)
+        nc = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            raw = (t or "").encode("utf-8")
+            nb[i] = len(raw)
+            nc[i] = len(zlib.compress(raw, 6))
+        ratio = np.floor(1e6 * nc / np.maximum(nb, 1) + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_bytes": pa.array(nb),
+                "n_compressed": pa.array(nc),
+                "ratio_pml": pa.array(ratio),
+            }
+        )
+
+    return ds.map_batches(comp, batch_format="pyarrow")

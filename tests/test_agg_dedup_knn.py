@@ -2547,3 +2547,46 @@ def test_bpe_train_matches_naive_reference(ray_session):
             len(want_seqs[flat_i + k]) for k in range(n)
         )
         flat_i += n
+
+
+def test_jl_project_and_compress_ratio(ray_session):
+    import zlib
+
+    import ray.data as rd
+
+    from hexscape_ray.stages.knn import jl_project
+    from hexscape_ray.stages.textops import doc_compress_ratio
+
+    rng = np.random.default_rng(5)
+    V = rng.normal(0, 1, (30, 8)).astype(np.float32)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(30), type=pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in V], type=pa.list_(pa.float32())
+                ),
+            }
+        )
+    ).repartition(3)
+    got = jl_project(ds, k=2).to_pandas().sort_values(["vec_id", "j"], ignore_index=True)
+    # independent recompute: per-term micro-round then integer sum
+    jj = np.arange(2)[:, None]
+    dd = np.arange(8)[None, :]
+    P = ((jj * 131 + dd * 137) % 1009 - 504) / 504.0
+    want = np.floor(
+        1e6 * (V.astype(np.float64)[:, None, :] * P[None, :, :]) + 0.5
+    ).astype(np.int64).sum(axis=2)
+    assert (got["proj_pml"].to_numpy().reshape(30, 2) == want).all()
+
+    docs = ["aaaa " * 20, "the quick brown fox", ""]
+    dds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(3), type=pa.int64()), "text": docs})
+    )
+    r = doc_compress_ratio(dds).to_pandas().sort_values("doc_id", ignore_index=True)
+    for i, t in enumerate(docs):
+        raw = t.encode()
+        assert int(r["n_bytes"][i]) == len(raw)
+        assert int(r["n_compressed"][i]) == len(zlib.compress(raw, 6))
+    # repetitive text compresses much better than prose
+    assert r["ratio_pml"][0] < r["ratio_pml"][1]
