@@ -5070,6 +5070,19 @@ ORDER BY vec_id, j
 """
 
 
+def q_quality_classifier(sf_dir: str) -> Dataset:
+    """Model-based quality scoring (stages/classifier.py): class-
+    weighted distributed logistic regression trained on the embeddings
+    label column (positive = label 0), then a broadcast scoring pass.
+    Rows-only: GD weights are float-summation-order defined, not SQL;
+    separable-data quality + in-process parity live in pytest."""
+    from hexscape_ray.stages.classifier import score_logreg, train_logreg
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    w = train_logreg(ds, dim=64, iters=30, lr=3.0, pos_weight=9.0)
+    return score_logreg(ds, w).sort("vec_id")
+
+
 def q_embed_project(sf_dir: str) -> Dataset:
     """JL projection (stages/knn.py::jl_project) with a hash-exact SQL
     oracle — the plane matrix has a closed form both engines compute,
@@ -5641,6 +5654,7 @@ RAY_QUERIES = {
     "mixture_sample": q_mixture_sample,
     "embed_project": q_embed_project,
     "doc_compress": q_doc_compress,
+    "quality_classifier": q_quality_classifier,
     "doc_logprob": q_doc_logprob,
     "bm25_topk": q_bm25_topk,
     "quantize_int8": q_quantize_int8,

@@ -2590,3 +2590,50 @@ def test_jl_project_and_compress_ratio(ray_session):
         assert int(r["n_compressed"][i]) == len(zlib.compress(raw, 6))
     # repetitive text compresses much better than prose
     assert r["ratio_pml"][0] < r["ratio_pml"][1]
+
+
+def test_logreg_classifier_separable_and_parity(ray_session):
+    """Distributed class-weighted logistic regression: (a) learns a
+    linearly separable mixture to near-perfect train accuracy; (b) the
+    distributed gradient loop matches an in-process numpy GD with the
+    same hyperparameters to float tolerance."""
+    import ray.data as rd
+
+    from hexscape_ray.stages.classifier import score_logreg, train_logreg
+
+    rng = np.random.default_rng(17)
+    n, d = 400, 16
+    y = (rng.random(n) < 0.25).astype(np.float64)
+    X = rng.normal(0, 1, (n, d))
+    X[y == 1] += 2.0  # shift positives: linearly separable-ish
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(
+                [r.tolist() for r in X.astype(np.float32)],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": pa.array((y == 1).astype(np.int32) * 0 + (1 - y).astype(np.int32)),
+        }
+    )
+    # label 0 = positive class (matches the query convention)
+    ds = rd.from_arrow(t).repartition(4)
+    w = train_logreg(ds, dim=d, iters=40, lr=2.0, pos_weight=3.0)
+    sc = score_logreg(ds, w).to_pandas()
+    pos = sc["label"] == 0
+    acc = ((sc["pred"]) == pos).mean()
+    assert acc > 0.95, acc
+
+    # in-process parity: identical update rule on float32-roundtripped X
+    X64 = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    yv = (t["label"].to_numpy(zero_copy_only=False) == 0).astype(np.float64)
+    wref = np.zeros(d + 1)
+    for _ in range(40):
+        z = X64 @ wref[:d] + wref[d]
+        p = 1 / (1 + np.exp(-z))
+        e = (p - yv) * np.where(yv == 1, 3.0, 1.0)
+        g = np.concatenate([X64.T @ e, [e.sum()]]) / n + 1e-3 * np.concatenate(
+            [wref[:d], [0.0]]
+        )
+        wref -= 2.0 * g
+    assert np.allclose(w, wref, rtol=1e-8, atol=1e-10)
