@@ -2694,11 +2694,73 @@ def _sql_group_union() -> str:
 SQL_GROUP_UNION = _sql_group_union()
 
 
+SQL_SIMHASH = """
+WITH RECURSIVE
+doctoks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+  FROM documents
+),
+toks AS (SELECT DISTINCT tok FROM doctoks),
+fnv AS (
+  SELECT tok, 0 AS p, CAST(14695981039346656037 AS HUGEINT) AS h FROM toks
+  UNION ALL
+  SELECT f.tok, f.p + 1,
+         ((((f.h // 256) * 256
+            + xor(f.h % 256, CAST(ascii(substr(f.tok, f.p + 1, 1)) AS HUGEINT)))
+           * 1099511628211) % 18446744073709551616)
+  FROM fnv f WHERE f.p < length(f.tok)
+),
+hfinal AS (
+  SELECT f.tok, f.h FROM fnv f
+  JOIN (SELECT tok, max(p) AS mp FROM fnv GROUP BY tok) m
+    ON m.tok = f.tok AND m.mp = f.p
+),
+p2 AS (
+  SELECT 0 AS b, CAST(1 AS HUGEINT) AS v
+  UNION ALL
+  SELECT b + 1, v * 2 FROM p2 WHERE b < 63
+),
+bits AS (
+  SELECT f.tok, p.b, CAST((f.h // p.v) % 2 AS BIGINT) AS bit FROM hfinal f, p2 p
+),
+votes AS (
+  SELECT d.doc_id, b.b, sum(2 * b.bit - 1) AS v
+  FROM doctoks d JOIN bits b ON b.tok = d.tok
+  GROUP BY d.doc_id, b.b
+),
+sig AS (
+  SELECT s.doc_id, CAST(sum(CAST(CASE WHEN s.v > 0 THEN 1 ELSE 0 END AS HUGEINT)
+                             * p.v) AS HUGEINT) AS u
+  FROM votes s JOIN p2 p ON p.b = s.b
+  GROUP BY s.doc_id
+)
+SELECT doc_id,
+       CAST(CASE WHEN u >= 9223372036854775808
+                 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS simhash,
+       CAST(u % 65536 AS BIGINT) AS sim_band0,
+       CAST((u // 65536) % 65536 AS BIGINT) AS sim_band1,
+       CAST((u // 4294967296) % 65536 AS BIGINT) AS sim_band2,
+       CAST((u // 281474976710656) % 65536 AS BIGINT) AS sim_band3
+FROM sig ORDER BY doc_id
+"""
+
+
 def q_simhash(sf_dir: str) -> Dataset:
+    """64-bit SimHash + 16-bit LSH bands (stages/dedup.py::SimHasher).
+    Hash-exact oracle: FNV-1a-64 itself is replayed in SQL — a
+    recursive CTE folds (h XOR byte)·prime mod 2^64 over character
+    positions of the DISTINCT tokens (HUGEINT modular arithmetic;
+    rows = token types, iterations = max token length), then bit
+    votes/packing mirror the kernel.  ASCII corpus ⇒ byte == codepoint
+    (``ascii(substr(...))``); the vectorised kernel's scalar parity
+    path is additionally pytest-checked on non-ASCII."""
     from hexscape_ray.stages.dedup import SimHasher
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=2).sort(
+        "doc_id"
+    )
 
 
 def q_embedding_near_dup(sf_dir: str) -> Dataset:
@@ -5688,6 +5750,7 @@ ORACLES = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "embed_project": SQL_EMBED_PROJECT,
+    "simhash": SQL_SIMHASH,
     "vocab_encode": SQL_VOCAB_ENCODE,
     "length_outliers": SQL_LENGTH_OUTLIERS,
     "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
