@@ -1625,6 +1625,70 @@ def q_hex_doc_counts_r1(sf_dir: str) -> Dataset:
     return out.rename_columns({"n_chars": "len_sum"})
 
 
+def q_hex_pyramid(sf_dir: str) -> Dataset:
+    """Multi-resolution tile pyramid in ONE corpus pass: the kernel
+    geocodes once, derives axial (r, q) at every resolution of the
+    GridSpec pyramid (res 0/1/2 — widths 2 km/1 km/500 m), and emits
+    long rows (res, r, q); a single two-phase sum then carries all
+    three levels through one exchange — the scale shape for serving
+    every zoom level of a tile service without re-scanning the corpus.
+    Oracle: UNION ALL of the axial CTE at each resolution."""
+    from hexscape_ray import grid
+    from hexscape_ray.stages.encode import geocode_ids_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def enc(batch: pa.Table) -> pa.Table:
+        batch = geocode_ids_batch(batch, "doc_id")
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        parts = []
+        for res in SPEC.resolutions:
+            r, q = grid.point_to_axial(x, y, SPEC, res)
+            parts.append(
+                pa.table(
+                    {
+                        "res": pa.array(
+                            np.full(len(x), res, dtype=np.int64)
+                        ),
+                        "r": pa.array(np.asarray(r, dtype=np.int64)),
+                        "q": pa.array(np.asarray(q, dtype=np.int64)),
+                        "n_chars": pa.array(nc),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    out = two_phase_sum(
+        ds.map_batches(enc, batch_format="pyarrow"),
+        ["res", "r", "q"],
+        ["n_chars"],
+        count_as="n_docs",
+    )
+    return out.rename_columns({"n_chars": "len_sum"}).sort(["res", "r", "q"])
+
+
+def _pyramid_level_sql(res: int) -> str:
+    return (
+        "SELECT "
+        + str(res)
+        + " AS res, r, q, CAST(sum(n_chars) AS BIGINT) AS len_sum,"
+        + " count(*) AS n_docs FROM (WITH pts AS (SELECT doc_id, n_chars,"
+        + _GEO_SQL.format(key="doc_id")
+        + " FROM documents),"
+        + axial_sql(res=res)
+        + " SELECT r, q, n_chars FROM hexed) GROUP BY r, q"
+    )
+
+
+SQL_HEX_PYRAMID = (
+    "SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(_pyramid_level_sql(res) for res in (0, 1, 2))
+    + "\n) ORDER BY res, r, q"
+)
+
+
 _AXIAL_SQL_R1 = axial_sql(res=1)
 
 SQL_HEX_DOC_COUNTS_R1 = (
@@ -5613,6 +5677,7 @@ RAY_QUERIES = {
     "minhash_bands": q_minhash_bands,
     "knn_cosine": q_knn_cosine,
     "hex_doc_counts_r1": q_hex_doc_counts_r1,
+    "hex_pyramid": q_hex_pyramid,
     "events_sessions": q_events_sessions,
     "events_late": q_events_late,
     "nation_top_customers": q_nation_top_customers,
@@ -5755,6 +5820,7 @@ ORACLES = {
     "length_outliers": SQL_LENGTH_OUTLIERS,
     "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
     "hex_doc_counts_r1": SQL_HEX_DOC_COUNTS_R1,
+    "hex_pyramid": SQL_HEX_PYRAMID,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_late": SQL_EVENTS_LATE,
     "nation_top_customers": SQL_NATION_TOP_CUSTOMERS,
