@@ -5569,6 +5569,16 @@ def q_dedup_exact_stream(sf_dir: str):
     return streaming_exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_minhash_pairs_stream(sf_dir: str):
+    """STREAMING MinHash-LSH near-dup candidates
+    (stages/streaming.py::streaming_lsh_pairs): incremental per-shard
+    bucket state + mid-stream candidate probe; output bit-identical to
+    the batch minhash_candidate_pairs (pytest-asserted)."""
+    from hexscape_ray.stages.streaming import streaming_lsh_pairs
+
+    return streaming_lsh_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_sink_roundtrip(sf_dir: str) -> Dataset:
     """SINK parity: the per-source census written to HIVE-partitioned
     parquet (``lang=<v>/`` directories — the resumable-output layout a
@@ -5789,6 +5799,7 @@ RAY_QUERIES = {
     "ingest_csv": q_ingest_csv,
     "sink_roundtrip": q_sink_roundtrip,
     "dedup_exact_stream": q_dedup_exact_stream,
+    "minhash_pairs_stream": q_minhash_pairs_stream,
     "curation_v2": q_curation_v2,
     "doc_logprob2": q_doc_logprob2,
     "semantic_dedup": q_semantic_dedup,

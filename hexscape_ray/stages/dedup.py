@@ -294,27 +294,36 @@ class MinHasher:
         )
 
 
+def band_rows_block(batch: pa.Table, n_bands: int = N_BANDS) -> pa.Table:
+    """One block of signatures → (band_id, band_hash, doc_id) rows —
+    the LSH bucket key kernel, shared by the batch explode and the
+    streaming router tasks."""
+    sig = np.asarray(
+        batch["sig"].to_numpy(zero_copy_only=False).tolist(), dtype=np.uint64
+    )
+    n, p = sig.shape
+    rpb = p // n_bands
+    doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+    bands = sig.reshape(n, n_bands, rpb)
+    # hash each band's rows into one uint64
+    bh = bands[:, :, 0]
+    for j in range(1, rpb):
+        bh = splitmix64(bh ^ bands[:, :, j])
+    return pa.table(
+        {
+            "band_id": pa.array(np.tile(np.arange(n_bands, dtype=np.int64), n)),
+            "band_hash": pa.array(bh.astype(np.int64).ravel()),
+            "doc_id": pa.array(np.repeat(doc, n_bands)),
+        }
+    )
+
+
 def lsh_band_rows(sigs: Dataset, n_bands: int = N_BANDS) -> Dataset:
     """Explode signatures to (band_id, band_hash, doc_id) rows — the
     LSH bucket key for the candidate groupby."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        sig = np.asarray(batch["sig"].to_numpy(zero_copy_only=False).tolist(), dtype=np.uint64)
-        n, p = sig.shape
-        rpb = p // n_bands
-        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
-        bands = sig.reshape(n, n_bands, rpb)
-        # hash each band's rows into one uint64
-        bh = bands[:, :, 0]
-        for j in range(1, rpb):
-            bh = splitmix64(bh ^ bands[:, :, j])
-        return pa.table(
-            {
-                "band_id": pa.array(np.tile(np.arange(n_bands, dtype=np.int64), n)),
-                "band_hash": pa.array(bh.astype(np.int64).ravel()),
-                "doc_id": pa.array(np.repeat(doc, n_bands)),
-            }
-        )
+        return band_rows_block(batch, n_bands)
 
     return sigs.map_batches(explode, batch_format="pyarrow")
 

@@ -287,3 +287,144 @@ def streaming_exact_dedup(
     tables = ray.get([s.flush.remote() for s in shards])
     out = pa.concat_tables([t for t in tables if len(t)])
     return out.to_pandas().sort_values("doc_id", ignore_index=True)
+
+
+@ray.remote
+class LSHShard:
+    """One shard of the STREAMING near-dup state: (band_id, band_hash)
+    → bucket member list.  Buckets are append-only and pair emission
+    is deferred to ``flush_pairs`` (min/clique over the final bucket —
+    commutative in arrival order, so routers need no sequencing, same
+    argument as :class:`DedupShard`).  ``probe()`` answers the online
+    filter question mid-stream: does this band row land in an already-
+    occupied bucket (i.e. is the incoming doc a near-dup CANDIDATE of
+    anything seen so far)."""
+
+    def __init__(self, bucket_cap: int = 64):
+        self.cap = bucket_cap
+        self.buckets: dict[tuple[int, int], list[int]] = {}
+
+    def feed(self, band_id: np.ndarray, band_hash: np.ndarray, ids: np.ndarray) -> int:
+        b = self.buckets
+        for k0, k1, i in zip(band_id.tolist(), band_hash.tolist(), ids.tolist()):
+            cur = b.get((k0, k1))
+            if cur is None:
+                b[(k0, k1)] = [i]
+            else:
+                cur.append(i)
+        return len(b)
+
+    def probe(self, band_id: np.ndarray, band_hash: np.ndarray) -> np.ndarray:
+        b = self.buckets
+        return np.fromiter(
+            ((k0, k1) in b for k0, k1 in zip(band_id.tolist(), band_hash.tolist())),
+            dtype=bool,
+            count=len(band_id),
+        )
+
+    def flush_pairs(self) -> pa.Table:
+        """Per bucket: the SAME pair rule as the batch generator
+        (stages/dedup.py::minhash_candidate_pairs) — full clique at
+        m ≤ cap, star edges to the min id above."""
+        out_a, out_b = [], []
+        for members in self.buckets.values():
+            m = len(members)
+            if m < 2:
+                continue
+            run = np.sort(np.asarray(members, dtype=np.int64))
+            if m <= self.cap:
+                i, j = np.triu_indices(m, 1)
+                out_a.append(run[i])
+                out_b.append(run[j])
+            else:
+                out_a.append(np.repeat(run[0], m - 1))
+                out_b.append(run[1:])
+        if not out_a:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a)),
+                "b": pa.array(np.concatenate(out_b)),
+            }
+        )
+
+
+@ray.remote
+def _route_lsh_block(block, shards: list, id_col: str, text_col: str) -> int:
+    """Router task: MinHash-sign one block (the identical kernel the
+    batch operator uses) and deliver each shard its band rows, routed
+    by band_hash so a bucket lives wholly on one shard."""
+    from hexscape_ray.stages.dedup import MinHasher, band_rows_block
+
+    if isinstance(block, pd.DataFrame):
+        block = pa.Table.from_pandas(block, preserve_index=False)
+    if id_col != "doc_id" or text_col != "text":
+        block = pa.table(
+            {"doc_id": block[id_col], "text": block[text_col]}
+        )
+    sigs = MinHasher()(block)
+    rows = band_rows_block(sigs)
+    bh = rows["band_hash"].to_numpy(zero_copy_only=False)
+    bid = rows["band_id"].to_numpy(zero_copy_only=False)
+    ids = rows["doc_id"].to_numpy(zero_copy_only=False)
+    n_shards = len(shards)
+    shard = (bh % np.int64(n_shards) + n_shards) % np.int64(n_shards)
+    refs = []
+    for s in range(n_shards):
+        m = shard == s
+        if m.any():
+            refs.append(shards[s].feed.remote(bid[m], bh[m], ids[m]))
+    ray.get(refs)
+    return len(block)
+
+
+def streaming_lsh_pairs(
+    docs: Dataset,
+    n_shards: int = 8,
+    bucket_cap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_inflight: int = 32,
+) -> pd.DataFrame:
+    """STREAMING MinHash-LSH near-dup candidates: incremental per-shard
+    bucket state fed by parallel router tasks; output (a, b,
+    n_bands_hit) is bit-identical to the batch
+    ``minhash_candidate_pairs`` (same signatures, same band hash, same
+    clique/star rule — arrival order cancels because buckets sort at
+    flush).  The online filter shape is ``LSHShard.probe``: a page can
+    be flagged as a near-dup CANDIDATE the moment its band rows land in
+    occupied buckets, before the stream ends."""
+    shards = [LSHShard.remote(bucket_cap) for _ in range(n_shards)]
+    stream = docs.materialize()
+    block_refs: list = []
+    for bundle in stream.iter_internal_ref_bundles():
+        block_refs.extend(bundle.block_refs)
+
+    inflight: list = []
+    for bref in block_refs:
+        inflight.append(_route_lsh_block.remote(bref, shards, id_col, text_col))
+        if len(inflight) > max_inflight:
+            done, inflight = ray.wait(
+                inflight, num_returns=len(inflight) - max_inflight
+            )
+            ray.get(done)
+    ray.get(inflight)
+    tables = ray.get([s.flush_pairs.remote() for s in shards])
+    out = pa.concat_tables([t for t in tables if len(t)])
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                "a": np.empty(0, np.int64),
+                "b": np.empty(0, np.int64),
+                "n_bands_hit": np.empty(0, np.int64),
+            }
+        )
+    df = out.to_pandas()
+    return (
+        df.groupby(["a", "b"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_bands_hit"})
+        .sort_values(["a", "b"], ignore_index=True)
+    )

@@ -2637,3 +2637,45 @@ def test_logreg_classifier_separable_and_parity(ray_session):
         )
         wref -= 2.0 * g
     assert np.allclose(w, wref, rtol=1e-8, atol=1e-10)
+
+
+def test_streaming_lsh_pairs_matches_batch_and_probe(ray_session):
+    """Streaming incremental LSH == batch candidate generator
+    bit-for-bit (any shard count / partitioning), and the mid-stream
+    probe flags a re-fed near-duplicate doc as a candidate."""
+    import ray
+    import ray.data as rd
+
+    from hexscape_ray.stages.dedup import MinHasher, band_rows_block, minhash_candidate_pairs
+    from hexscape_ray.stages.streaming import LSHShard, streaming_lsh_pairs
+
+    docs = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    batch = (
+        minhash_candidate_pairs(docs)
+        .to_pandas()
+        .sort_values(["a", "b"], ignore_index=True)
+        .astype("int64")
+    )
+    for n_shards, parts in [(3, 5), (8, 2)]:
+        got = streaming_lsh_pairs(docs.repartition(parts), n_shards=n_shards)
+        assert got.astype("int64").equals(batch), (n_shards, parts)
+
+    # online probe: feed one doc, then probe an identical doc's band
+    # rows — every row must hit an occupied bucket
+    t = docs.take(1)[0]
+    one = pa.table({"doc_id": pa.array([t["doc_id"]], pa.int64()),
+                    "text": pa.array([t["text"]])})
+    rows = band_rows_block(MinHasher()(one))
+    shard = LSHShard.remote()
+    ray.get(shard.feed.remote(
+        rows["band_id"].to_numpy(zero_copy_only=False),
+        rows["band_hash"].to_numpy(zero_copy_only=False),
+        rows["doc_id"].to_numpy(zero_copy_only=False),
+    ))
+    hit = ray.get(shard.probe.remote(
+        rows["band_id"].to_numpy(zero_copy_only=False),
+        rows["band_hash"].to_numpy(zero_copy_only=False),
+    ))
+    assert hit.all()
