@@ -5666,6 +5666,322 @@ def q_semantic_dedup(sf_dir: str) -> Dataset:
     return semantic_dedup(emb, k=4, threshold=0.25).sort("vec_id")
 
 
+_Q3_CUT_US = int(np.datetime64("1999-06-30", "us").astype(np.int64))
+
+
+def q_shipping_priority(sf_dir: str) -> Dataset:
+    """TPC-H Q3-shaped THREE-WAY large join with a distributed top-k:
+    customers of one market segment → their orders placed before a
+    cutoff date → lineitems shipped after it, revenue per order,
+    top 10 by revenue (deterministic tie-break: orderdate, orderkey).
+
+    Scale shape: the segment filter runs before any shuffle; orders
+    pass a bucketed SEMI join against the filtered customer keys (no
+    customer payload moves); the big lineitem side carries only
+    (orderkey, revenue_c100) through ONE bucketed hash join; the
+    top-k is per-block partial top-10 → one-task final merge — no
+    global sort of the aggregate."""
+    from hexscape_ray.stages.joins import bucketed_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: pa.table(
+            {"c_custkey": b.filter(pc.equal(b["c_mktsegment"], "BUILDING"))["c_custkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def prep_o(batch: pa.Table) -> pa.Table:
+        us = batch["o_orderdate"].cast(pa.int64())
+        t = batch.filter(pc.less(us, _Q3_CUT_US))
+        return pa.table(
+            {
+                "c_custkey": t["o_custkey"],
+                "o_orderkey": t["o_orderkey"],
+                "odate_us": t["o_orderdate"].cast(pa.int64()),
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(prep_o, batch_format="pyarrow")
+    o_schema = pa.schema(
+        [
+            ("c_custkey", pa.int64()),
+            ("o_orderkey", pa.int64()),
+            ("odate_us", pa.int64()),
+            ("o_orderpriority", pa.string()),
+        ]
+    )
+    o_filt = bucketed_join(
+        orders,
+        cust,
+        on="c_custkey",
+        how="semi",
+        left_schema=o_schema,
+        right_schema=pa.schema([("c_custkey", pa.int64())]),
+    ).map_batches(
+        lambda b: b.drop_columns(["c_custkey"]), batch_format="pyarrow"
+    )
+
+    def prep_l(batch: pa.Table) -> pa.Table:
+        us = batch["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = us > _Q3_CUT_US
+        t = batch.filter(pa.array(keep))
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        ext_cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        disc_pct = np.floor(disc * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "revenue_c100": pa.array(ext_cents * (100 - disc_pct)),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(prep_l, batch_format="pyarrow")
+    joined = bucketed_join(
+        li,
+        o_filt,
+        on="o_orderkey",
+        left_schema=pa.schema([("o_orderkey", pa.int64()), ("revenue_c100", pa.int64())]),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("odate_us", pa.int64()), ("o_orderpriority", pa.string())]
+        ),
+    )
+    agg = two_phase_sum(
+        joined.select_columns(["o_orderkey", "odate_us", "o_orderpriority", "revenue_c100"]),
+        ["o_orderkey", "odate_us", "o_orderpriority"],
+        ["revenue_c100"],
+        count_as="n_items",
+    )
+
+    def topk(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        rev = batch["revenue_c100"].to_numpy(zero_copy_only=False)
+        od = batch["odate_us"].to_numpy(zero_copy_only=False)
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, od, -rev))[:10]
+        return batch.take(pa.array(order))
+
+    return agg.map_batches(topk, batch_format="pyarrow").repartition(1).map_batches(
+        topk, batch_format="pyarrow"
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+  SELECT o_orderkey, epoch_us(o_orderdate) AS odate_us, o_orderpriority,
+         CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                  * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))) AS BIGINT)
+           AS revenue_c100,
+         count(*) AS n_items
+  FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1999-06-30'
+    AND l_shipdate  > TIMESTAMP '1999-06-30'
+  GROUP BY 1, 2, 3
+  ORDER BY revenue_c100 DESC, odate_us, o_orderkey
+  LIMIT 10
+"""
+
+
+def q_region_supplier_volume(sf_dir: str) -> Dataset:
+    """TPC-H Q5-shaped FOUR-JOIN pipeline mixing all three join
+    strategies by side size: orders(date-filtered) ⋈ customer and
+    lineitem ⋈ supplier are bucketed hash joins (both sides scale
+    with SF), the joined facts meet on orderkey in a third bucketed
+    join, and the ~30-row nation⋈region dimension is a DRIVER-side
+    lookup pushed into the final filter (broadcast, never shuffled).
+    Local-supplier constraint: customer and supplier nation must
+    match and lie in the chosen region."""
+    from hexscape_ray.stages.joins import bucketed_join
+
+    nat = {
+        r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
+        for r in _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).take_all()
+    }
+    asia = {
+        r["r_regionkey"]
+        for r in _read(sf_dir, "region", ["r_regionkey", "r_name"]).take_all()
+        if r["r_name"] == "ASIA"
+    }
+    in_region = sorted(k for k, (_, rk) in nat.items() if rk in asia)
+    # dense lookup: nationkey → name (nation keys are small ints)
+    max_nk = max(nat) if nat else 0
+    names = np.array([nat.get(i, ("", -1))[0] for i in range(max_nk + 1)], dtype=object)
+    in_set = np.zeros(max_nk + 1, dtype=bool)
+    in_set[np.array(in_region, dtype=np.int64)] = True
+
+    lo = int(np.datetime64("1997-01-01", "us").astype(np.int64))
+    hi = int(np.datetime64("1998-01-01", "us").astype(np.int64))
+
+    def prep_o(batch: pa.Table) -> pa.Table:
+        us = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array((us >= lo) & (us < hi)))
+        return pa.table({"o_orderkey": t["o_orderkey"], "c_custkey": t["o_custkey"]})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        prep_o, batch_format="pyarrow"
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    o_c = bucketed_join(
+        orders,
+        cust,
+        on="c_custkey",
+        left_schema=pa.schema([("o_orderkey", pa.int64()), ("c_custkey", pa.int64())]),
+    ).map_batches(lambda b: b.drop_columns(["c_custkey"]), batch_format="pyarrow")
+
+    def prep_l(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        ext_cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        disc_pct = np.floor(disc * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": batch["l_orderkey"],
+                "s_suppkey": batch["l_suppkey"],
+                "revenue_c100": pa.array(ext_cents * (100 - disc_pct)),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]).map_batches(
+        prep_l, batch_format="pyarrow"
+    )
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    l_s = bucketed_join(
+        li,
+        supp,
+        on="s_suppkey",
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("s_suppkey", pa.int64()), ("revenue_c100", pa.int64())]
+        ),
+    ).map_batches(lambda b: b.drop_columns(["s_suppkey"]), batch_format="pyarrow")
+
+    facts = bucketed_join(
+        l_s,
+        o_c,
+        on="o_orderkey",
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("revenue_c100", pa.int64()), ("s_nationkey", pa.int32())]
+        ),
+        right_schema=pa.schema([("o_orderkey", pa.int64()), ("c_nationkey", pa.int32())]),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cn = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        sn = batch["s_nationkey"].to_numpy(zero_copy_only=False)
+        keep = (cn == sn) & (sn <= max_nk) & in_set[np.minimum(sn, max_nk)]
+        t = batch.filter(pa.array(keep))
+        nk = t["s_nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_name": pa.array(names[nk].astype(str)),
+                "revenue_c100": t["revenue_c100"],
+            }
+        )
+
+    out = two_phase_sum(
+        facts.map_batches(finish, batch_format="pyarrow"),
+        ["n_name"],
+        ["revenue_c100"],
+        count_as="n_items",
+    )
+    return out.sort("n_name")
+
+
+SQL_REGION_SUPPLIER_VOLUME = """
+  SELECT n_name,
+         CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                  * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))) AS BIGINT)
+           AS revenue_c100,
+         count(*) AS n_items
+  FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+    AND c_nationkey = s_nationkey
+    AND o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'
+  GROUP BY n_name
+  ORDER BY n_name
+"""
+
+
+_GOPHER_STOPS = ("the", "a", "and", "of", "to", "in", "is", "that", "with", "for")
+
+
+def q_gopher_filter(sf_dir: str) -> Dataset:
+    """Gopher-rules document quality gate (Rae et al. 2021, public):
+    keep a document iff word count ∈ [40, 80], mean word length
+    ∈ [4, 10], and it contains ≥ 2 distinct stop words.  All three
+    predicates are evaluated in EXACT integer arithmetic (the mean
+    bound via cross-multiplication, 4·n ≤ Σlen ≤ 10·n) so the SQL
+    oracle is bit-checkable; counting is vectorised RE2
+    (`count_substring_regex`) — token runs `\\S+`, their total length
+    `\\S`, and one `\\b`-bounded presence pass per stop word.  Same
+    single-space `[a-z0-9 ]` corpus assumption as
+    SQL_DOC_QUALITY_EXACT (under it, `\\S+` runs == string_split
+    tokens).  Stateless per-batch → embarrassingly parallel at any
+    scale."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        txt = batch["text"]
+        n = len(batch)
+        n_tok = _creg(txt, r"\S+")
+        sum_len = _creg(txt, r"\S")
+        n_stop = np.zeros(n, dtype=np.int64)
+        for sw in _GOPHER_STOPS:
+            n_stop += (_creg(txt, rf"\b{sw}\b") > 0).astype(np.int64)
+        keep = (
+            (n_tok >= 40)
+            & (n_tok <= 80)
+            & (4 * n_tok <= sum_len)
+            & (sum_len <= 10 * n_tok)
+            & (n_stop >= 2)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tok": pa.array(n_tok),
+                "sum_len": pa.array(sum_len),
+                "n_stop": pa.array(n_stop),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+SQL_GOPHER_FILTER = """
+  WITH t AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           CAST(length(text) - (len(string_split(text, ' ')) - 1) AS BIGINT)
+             AS sum_len,
+           CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                x -> x IN ('the','a','and','of','to','in','is','that','with',
+                           'for')))) AS BIGINT) AS n_stop
+    FROM documents
+  )
+  SELECT doc_id, n_tok, sum_len, n_stop,
+         CAST(CASE WHEN n_tok BETWEEN 40 AND 80
+                    AND 4 * n_tok <= sum_len AND sum_len <= 10 * n_tok
+                    AND n_stop >= 2
+               THEN 1 ELSE 0 END AS BIGINT) AS keep
+  FROM t
+"""
+
+
 RAY_QUERIES = {
     "hex_doc_counts": q_hex_doc_counts,
     "hex_lang_mix": q_hex_lang_mix,
@@ -5803,6 +6119,9 @@ RAY_QUERIES = {
     "curation_v2": q_curation_v2,
     "doc_logprob2": q_doc_logprob2,
     "semantic_dedup": q_semantic_dedup,
+    "shipping_priority": q_shipping_priority,
+    "region_supplier_volume": q_region_supplier_volume,
+    "gopher_filter": q_gopher_filter,
 }
 
 ORACLES = {
@@ -5915,6 +6234,9 @@ ORACLES = {
     "dedup_exact_stream": SQL_DEDUP_EXACT,
     "curation_v2": SQL_CURATION_V2,
     "doc_logprob2": SQL_DOC_LOGPROB2,
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
+    "region_supplier_volume": SQL_REGION_SUPPLIER_VOLUME,
+    "gopher_filter": SQL_GOPHER_FILTER,
     "curation_pipeline": SQL_CURATION_PIPELINE,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
