@@ -204,6 +204,11 @@ def run_queries() -> dict:
         "mixture_sample",
         "unpivot_lineitem",
         "redact_pii",
+        "shipping_priority",
+        "region_supplier_volume",
+        "gopher_filter",
+        "large_volume_customers",
+        "pagerank",
     ]
     out = {}
     for name in names:

@@ -5982,6 +5982,182 @@ SQL_GOPHER_FILTER = """
 """
 
 
+def q_large_volume_customers(sf_dir: str) -> Dataset:
+    """TPC-H Q18-shaped AGGREGATE-THEN-JOIN-BACK: per-order quantity
+    sums (partials-only shuffle), HAVING-filter to the heavy orders,
+    then join the small qualifying set back through orders and
+    customer for attribution.  The heavy-hitter set is tiny by
+    construction, so both join-backs move only qualifying keys — the
+    full lineitem table is touched exactly once."""
+    from hexscape_ray.stages.joins import bucketed_join
+
+    def prep_l(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": batch["l_orderkey"],
+                "qty": pa.array(np.floor(q + 0.5).astype(np.int64)),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+        prep_l, batch_format="pyarrow"
+    )
+    qual = two_phase_sum(li, ["o_orderkey"], ["qty"], count_as="n_items").map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "sum_qty": t["qty"],
+                "n_items": t["n_items"],
+            }
+        ).filter(pc.greater_equal(t["qty"], 265)),
+        batch_format="pyarrow",
+    )
+
+    def prep_o(batch: pa.Table) -> pa.Table:
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "c_custkey": batch["o_custkey"],
+                "odate_us": batch["o_orderdate"].cast(pa.int64()),
+                "total_cents": pa.array(np.floor(p * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    ).map_batches(prep_o, batch_format="pyarrow")
+    j1 = bucketed_join(
+        orders,
+        qual,
+        on="o_orderkey",
+        left_schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("c_custkey", pa.int64()),
+                ("odate_us", pa.int64()),
+                ("total_cents", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("sum_qty", pa.int64()), ("n_items", pa.int64())]
+        ),
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return bucketed_join(
+        j1,
+        cust,
+        on="c_custkey",
+        left_schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("c_custkey", pa.int64()),
+                ("odate_us", pa.int64()),
+                ("total_cents", pa.int64()),
+                ("sum_qty", pa.int64()),
+                ("n_items", pa.int64()),
+            ]
+        ),
+    ).select_columns(
+        ["c_name", "c_custkey", "o_orderkey", "odate_us", "total_cents", "sum_qty", "n_items"]
+    )
+
+
+SQL_LARGE_VOLUME_CUSTOMERS = """
+  WITH q AS (
+    SELECT l_orderkey,
+           CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
+           count(*) AS n_items
+    FROM lineitem GROUP BY l_orderkey
+    HAVING sum_qty >= 265
+  )
+  SELECT c_name, c_custkey, o_orderkey, epoch_us(o_orderdate) AS odate_us,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS total_cents,
+         q.sum_qty, q.n_items
+  FROM q
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+"""
+
+
+def q_pagerank(sf_dir: str) -> Dataset:
+    """ORACLE-CHECKED distributed PageRank (3 iterations, d=0.85) over
+    the bipartite customer↔supplier trade graph — the iterative
+    graph-analytics companion to `copurchase_components`.  Every rank
+    is a micro-scaled int64 and every step floors
+    (`stages/graph.py::pagerank`), so the SQL oracle replays the exact
+    iterations as three unrolled join+aggregate CTEs — a bit-exact
+    hash check on an ITERATIVE distributed algorithm.  Node ids:
+    customer = 2·custkey, supplier = 2·suppkey+1 (disjoint key
+    spaces)."""
+    from hexscape_ray.stages.graph import pagerank
+    from hexscape_ray.stages.joins import bucketed_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "suppnode": pc.add(pc.multiply(t["l_suppkey"], 2), 1),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    trade = bucketed_join(
+        orders,
+        li,
+        on="o_orderkey",
+        right_schema=pa.schema([("o_orderkey", pa.int64()), ("suppnode", pa.int64())]),
+    ).map_batches(
+        lambda t: pa.table(
+            {"u": pc.multiply(t["o_custkey"], 2), "v": t["suppnode"]}
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = two_phase_sum(trade, ["u", "v"], [], count_as="__n")
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": pa.concat_arrays(
+                    [t["u"].combine_chunks(), t["v"].combine_chunks()]
+                ),
+                "v": pa.concat_arrays(
+                    [t["v"].combine_chunks(), t["u"].combine_chunks()]
+                ),
+            }
+        )
+
+    edges = pairs.select_columns(["u", "v"]).map_batches(
+        symmetrize, batch_format="pyarrow"
+    )
+    return pagerank(edges, n_iter=3, damping_pct=85).sort("node")
+
+
+SQL_PAGERANK = """
+  WITH pairs AS (
+    SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+  edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+  deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY u),
+  r0 AS (SELECT node, d, CAST(1000000 AS BIGINT) AS r FROM deg),
+  s1 AS (SELECT e.v AS node, CAST(sum(r0.r // r0.d) AS BIGINT) AS s
+         FROM edges e JOIN r0 ON e.u = r0.node GROUP BY e.v),
+  r1 AS (SELECT deg.node, deg.d, CAST(150000 + (85 * s1.s) // 100 AS BIGINT) AS r
+         FROM s1 JOIN deg ON deg.node = s1.node),
+  s2 AS (SELECT e.v AS node, CAST(sum(r1.r // r1.d) AS BIGINT) AS s
+         FROM edges e JOIN r1 ON e.u = r1.node GROUP BY e.v),
+  r2 AS (SELECT deg.node, deg.d, CAST(150000 + (85 * s2.s) // 100 AS BIGINT) AS r
+         FROM s2 JOIN deg ON deg.node = s2.node),
+  s3 AS (SELECT e.v AS node, CAST(sum(r2.r // r2.d) AS BIGINT) AS s
+         FROM edges e JOIN r2 ON e.u = r2.node GROUP BY e.v),
+  r3 AS (SELECT deg.node, deg.d, CAST(150000 + (85 * s3.s) // 100 AS BIGINT) AS r
+         FROM s3 JOIN deg ON deg.node = s3.node)
+  SELECT node, r AS rank_micro FROM r3 ORDER BY node
+"""
+
+
 RAY_QUERIES = {
     "hex_doc_counts": q_hex_doc_counts,
     "hex_lang_mix": q_hex_lang_mix,
@@ -6122,6 +6298,8 @@ RAY_QUERIES = {
     "shipping_priority": q_shipping_priority,
     "region_supplier_volume": q_region_supplier_volume,
     "gopher_filter": q_gopher_filter,
+    "large_volume_customers": q_large_volume_customers,
+    "pagerank": q_pagerank,
 }
 
 ORACLES = {
@@ -6237,6 +6415,8 @@ ORACLES = {
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "region_supplier_volume": SQL_REGION_SUPPLIER_VOLUME,
     "gopher_filter": SQL_GOPHER_FILTER,
+    "large_volume_customers": SQL_LARGE_VOLUME_CUSTOMERS,
+    "pagerank": SQL_PAGERANK,
     "curation_pipeline": SQL_CURATION_PIPELINE,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);

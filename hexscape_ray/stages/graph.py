@@ -226,3 +226,100 @@ def dedup_clusters(
             batch_format="pyarrow",
         )
     )
+
+
+def pagerank(
+    edges: Dataset,
+    src: str = "u",
+    dst: str = "v",
+    n_iter: int = 3,
+    damping_pct: int = 85,
+    r0_micro: int = 1_000_000,
+) -> Dataset:
+    """Fixed-iteration PageRank in EXACT int64 arithmetic — every
+    quantity is a micro-scaled integer and every division is a floor,
+    so the result is deterministic, partition-order-invariant, and
+    bit-reproducible by an unrolled SQL mirror (no float accumulation
+    anywhere):
+
+        r⁰(n)   = r0_micro
+        c(u→v)  = r(u) // d(u)                (per-edge contribution)
+        rᵏ⁺¹(v) = base + (damping_pct · Σ c) // 100,
+        base    = (100 − damping_pct) · r0_micro // 100
+
+    ``edges`` must already contain both directions for undirected
+    graphs (every node must appear as ``src`` at least once — true
+    after symmetrisation).  Scale shape: each iteration is one
+    edge-partitioned bucketed join (ranks are re-keyed to the edge
+    sources), one partials-only sum by destination, and one node-sized
+    join to re-attach degrees — no all-pairs, no driver data.  The
+    node-sized rank table is materialised per iteration (iterating a
+    lazy Dataset re-executes the whole chain per consumer — the
+    round-2 recompute trap)."""
+    from hexscape_ray.stages.agg import two_phase_sum
+    from hexscape_ray.stages.joins import bucketed_join
+
+    e = edges.map_batches(
+        lambda t: pa.table({"node": t[src], "__dst": t[dst]}),
+        batch_format="pyarrow",
+    ).materialize()
+    deg = two_phase_sum(e.select_columns(["node"]), ["node"], [], count_as="d").materialize()
+    base = (100 - damping_pct) * r0_micro // 100
+
+    def init_ranks(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t["node"],
+                "d": t["d"],
+                "r": pa.array(np.full(len(t), r0_micro, dtype=np.int64)),
+            }
+        )
+
+    ranks = deg.map_batches(init_ranks, batch_format="pyarrow").materialize()
+    e_schema = pa.schema([("node", pa.int64()), ("__dst", pa.int64())])
+    r_schema = pa.schema([("node", pa.int64()), ("d", pa.int64()), ("r", pa.int64())])
+    d_schema = pa.schema([("node", pa.int64()), ("d", pa.int64())])
+
+    for _ in range(n_iter):
+        joined = bucketed_join(
+            e, ranks, on="node", left_schema=e_schema, right_schema=r_schema
+        )
+
+        def contrib(t: pa.Table) -> pa.Table:
+            r = t["r"].to_numpy(zero_copy_only=False)
+            d = t["d"].to_numpy(zero_copy_only=False)
+            return pa.table({"node": t["__dst"], "c": pa.array(r // d)})
+
+        sums = two_phase_sum(
+            joined.map_batches(contrib, batch_format="pyarrow"),
+            ["node"],
+            ["c"],
+            count_as="__n",
+        )
+
+        def update(t: pa.Table) -> pa.Table:
+            s = t["c"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "node": t["node"],
+                    "d": t["d"],
+                    "r": pa.array(base + (damping_pct * s) // 100),
+                }
+            )
+
+        ranks = (
+            bucketed_join(
+                sums.select_columns(["node", "c"]),
+                deg,
+                on="node",
+                left_schema=pa.schema([("node", pa.int64()), ("c", pa.int64())]),
+                right_schema=d_schema,
+            )
+            .map_batches(update, batch_format="pyarrow")
+            .materialize()
+        )
+
+    return ranks.map_batches(
+        lambda t: pa.table({"node": t["node"], "rank_micro": t["r"]}),
+        batch_format="pyarrow",
+    )

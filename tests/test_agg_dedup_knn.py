@@ -2679,3 +2679,34 @@ def test_streaming_lsh_pairs_matches_batch_and_probe(ray_session):
         rows["band_hash"].to_numpy(zero_copy_only=False),
     ))
     assert hit.all()
+
+
+def test_pagerank_matches_integer_replay(ray_session):
+    """Distributed pagerank == a driver-side numpy replay of the exact
+    integer recurrence on a random symmetric graph (the same floors in
+    the same order — any drift in the join/aggregate plumbing shows)."""
+    import numpy as np
+    import ray
+
+    from hexscape_ray.stages.graph import pagerank
+
+    rng = np.random.default_rng(11)
+    n_nodes, n_edges = 60, 240
+    u = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    v = (u + 1 + rng.integers(0, n_nodes - 1, n_edges)) % n_nodes  # no self-loops
+    su = np.concatenate([u, v])
+    sv = np.concatenate([v, u])
+    ds = ray.data.from_items([{"u": int(a), "v": int(b)} for a, b in zip(su, sv)])
+    got = pagerank(ds, n_iter=3, damping_pct=85).to_pandas().sort_values("node")
+
+    # integer replay
+    deg = np.bincount(su, minlength=n_nodes).astype(np.int64)
+    assert (deg > 0).all()
+    r = np.full(n_nodes, 1_000_000, dtype=np.int64)
+    for _ in range(3):
+        contrib = r[su] // deg[su]
+        s = np.zeros(n_nodes, dtype=np.int64)
+        np.add.at(s, sv, contrib)
+        r = 150_000 + (85 * s) // 100
+    assert np.array_equal(got["node"].to_numpy(), np.arange(n_nodes))
+    assert np.array_equal(got["rank_micro"].to_numpy(), r)
