@@ -6158,6 +6158,42 @@ SQL_PAGERANK = """
 """
 
 
+def q_shard_assign(sf_dir: str) -> Dataset:
+    """Deterministic SIZE-BALANCED OUTPUT SHARDING — the resumable-
+    output primitive: a global byte prefix-sum in doc_id order
+    (`stages/agg.py::global_cumsum`, two-level distributed scan), then
+    shard = exclusive_prefix // TARGET, so every shard holds ~TARGET
+    bytes and the assignment is a pure function of the corpus (a
+    re-run assigns identical shards — failed partitions can be
+    re-written in isolation).  All-integer → hash-exact vs the SQL
+    window cumsum."""
+    from hexscape_ray.stages.agg import global_cumsum
+
+    TARGET = 2048
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    n = ds.count()  # parquet metadata for a bare read
+    cum = global_cumsum(
+        ds, "doc_id", "n_chars", out_col="cum_bytes", n_rows_est=n, order_hi=n
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c = batch["cum_bytes"].to_numpy(zero_copy_only=False)
+        v = batch["n_chars"].to_numpy(zero_copy_only=False)
+        return batch.append_column("shard", pa.array((c - v) // TARGET))
+
+    return cum.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_SHARD_ASSIGN = """
+  SELECT doc_id, n_chars,
+         CAST(sum(n_chars) OVER w AS BIGINT) AS cum_bytes,
+         CAST((sum(n_chars) OVER w - n_chars) // 2048 AS BIGINT) AS shard
+  FROM documents
+  WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+"""
+
+
 RAY_QUERIES = {
     "hex_doc_counts": q_hex_doc_counts,
     "hex_lang_mix": q_hex_lang_mix,
@@ -6300,6 +6336,7 @@ RAY_QUERIES = {
     "gopher_filter": q_gopher_filter,
     "large_volume_customers": q_large_volume_customers,
     "pagerank": q_pagerank,
+    "shard_assign": q_shard_assign,
 }
 
 ORACLES = {
@@ -6417,6 +6454,7 @@ ORACLES = {
     "gopher_filter": SQL_GOPHER_FILTER,
     "large_volume_customers": SQL_LARGE_VOLUME_CUSTOMERS,
     "pagerank": SQL_PAGERANK,
+    "shard_assign": SQL_SHARD_ASSIGN,
     "curation_pipeline": SQL_CURATION_PIPELINE,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);

@@ -684,3 +684,100 @@ def unpivot(
         return pa.concat_tables(parts)
 
     return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def global_cumsum(
+    ds: Dataset,
+    order_col: str,
+    val_col: str,
+    out_col: str = "cum",
+    n_rows_est: int | None = None,
+    order_hi: int | None = None,
+    small_threshold: int | None = None,
+) -> Dataset:
+    """Distributed GLOBAL prefix sum — for every row, the inclusive sum
+    of ``val_col`` over all rows with ``order_col`` ≤ its own (a total
+    scan order; ``order_col`` must be unique non-negative integers).
+    The primitive behind size-balanced output sharding and any
+    "running total over the whole corpus" layout decision.
+
+    Scale shape: classic two-level scan.  Rows bucket by
+    ``order_col // width`` (width from the order-key range, so bucket
+    count GROWS with the corpus and each bucket holds a bounded row
+    span); per-bucket totals reduce through :func:`two_phase_sum`
+    (tiny), exclusive bucket offsets are a cumsum over that bucket
+    census (≤ ~4k rows — driver-held like the other census lookups),
+    and one ``groupby(bucket).map_groups`` sorts each bucket locally
+    and adds its offset.  One data shuffle total.  Below
+    ``SMALL_AGG_ROWS`` rows the whole scan runs in ONE remote task
+    (the combine-placement lesson: Ray's sort shuffle costs a ~6 s
+    constant this path skips), emitted as 64k-row slices.
+
+    ``order_hi``: exclusive upper bound of ``order_col`` used to size
+    the bucket width; defaults to ``n_rows_est`` (exact for dense ids —
+    sparse ids only skew bucket balance, never correctness)."""
+    if n_rows_est is None:
+        n_rows_est = ds.count()
+    thr = SMALL_AGG_ROWS if small_threshold is None else small_threshold
+
+    if n_rows_est <= thr:
+
+        def scan_all(batch: pa.Table):
+            o = batch[order_col].to_numpy(zero_copy_only=False)
+            v = batch[val_col].to_numpy(zero_copy_only=False)
+            idx = np.argsort(o, kind="stable")
+            t = pa.table(
+                {
+                    order_col: pa.array(o[idx]),
+                    val_col: pa.array(v[idx]),
+                    out_col: pa.array(np.cumsum(v[idx])),
+                }
+            )
+            step = 65536
+            for i in range(0, max(t.num_rows, 1), step):
+                yield t.slice(i, step)
+
+        return ds.repartition(1).map_batches(
+            scan_all, batch_format="pyarrow", batch_size=None
+        )
+
+    hi = int(order_hi if order_hi is not None else n_rows_est)
+    n_buckets = int(min(4096, max(8, n_rows_est // 262144)))
+    width = max(1, -(-hi // n_buckets))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        o = batch[order_col].to_numpy(zero_copy_only=False)
+        return batch.append_column("__bucket", pa.array(o // width))
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow").materialize()
+    totals = (
+        two_phase_sum(
+            bucketed.select_columns(["__bucket", val_col]),
+            ["__bucket"],
+            [val_col],
+            count_as=None,
+        )
+        .to_pandas()
+        .sort_values("__bucket")
+    )
+    csum = totals[val_col].cumsum().to_numpy()
+    offsets = dict(
+        zip(totals["__bucket"].tolist(), (csum - totals[val_col].to_numpy()).tolist())
+    )
+
+    def scan_bucket(group: pa.Table) -> pa.Table:
+        o = group[order_col].to_numpy(zero_copy_only=False)
+        v = group[val_col].to_numpy(zero_copy_only=False)
+        idx = np.argsort(o, kind="stable")
+        base = offsets[int(group["__bucket"][0].as_py())]
+        return pa.table(
+            {
+                order_col: pa.array(o[idx]),
+                val_col: pa.array(v[idx]),
+                out_col: pa.array(np.cumsum(v[idx]) + base),
+            }
+        )
+
+    return bucketed.groupby("__bucket").map_groups(
+        scan_bucket, batch_format="pyarrow"
+    )

@@ -2710,3 +2710,35 @@ def test_pagerank_matches_integer_replay(ray_session):
         r = 150_000 + (85 * s) // 100
     assert np.array_equal(got["node"].to_numpy(), np.arange(n_nodes))
     assert np.array_equal(got["rank_micro"].to_numpy(), r)
+
+
+def test_global_cumsum_both_paths(ray_session):
+    """Small (single-task) and distributed (bucketed two-level scan)
+    paths of global_cumsum agree with numpy on shuffled sparse ids."""
+    import numpy as np
+    import ray
+
+    from hexscape_ray.stages.agg import global_cumsum
+
+    rng = np.random.default_rng(23)
+    n = 5000
+    order = rng.permutation(n * 3)[:n].astype(np.int64)  # sparse, shuffled
+    val = rng.integers(1, 100, n).astype(np.int64)
+    ds = ray.data.from_items(
+        [{"o": int(o), "v": int(x)} for o, x in zip(order, val)]
+    ).repartition(13)
+    idx = np.argsort(order)
+    want = np.cumsum(val[idx])
+
+    for small_threshold in (None, 0):  # None → single-task; 0 → bucketed
+        got = (
+            global_cumsum(
+                ds, "o", "v", out_col="c",
+                n_rows_est=n, order_hi=int(order.max()) + 1,
+                small_threshold=small_threshold,
+            )
+            .to_pandas()
+            .sort_values("o")
+        )
+        assert np.array_equal(got["o"].to_numpy(), order[idx])
+        assert np.array_equal(got["c"].to_numpy(), want), small_threshold
