@@ -6194,6 +6194,142 @@ SQL_SHARD_ASSIGN = """
 """
 
 
+def q_source_entropy(sf_dir: str) -> Dataset:
+    """Per-source Shannon entropy of the language distribution — the
+    corpus-diversity signal behind mixture balancing (a skewed source
+    has low H).  Hash-exact by the micro-round-then-integer-sum rule:
+    each census cell contributes ``n_sl · floor(1e6·ln(n_s/n_sl)+0.5)``
+    and ``h_micro = Σ // n_s`` — float ln enters only per-cell on the
+    tiny census (numpy↔DuckDB ln bit-parity, probed round 4), never in
+    an order-dependent accumulation.  One partials-only census shuffle;
+    the (source × lang)-sized finish runs in one remote task."""
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+    census = two_phase_sum(ds, ["source", "lang"], [], count_as="n")
+
+    def finish(batch: pa.Table):
+        pdf = batch.to_pandas()
+        tot = pdf.groupby("source")["n"].transform("sum").to_numpy()
+        n = pdf["n"].to_numpy()
+        nll = np.floor(
+            1e6 * np.log(tot.astype(np.float64) / n.astype(np.float64)) + 0.5
+        ).astype(np.int64)
+        pdf["term"] = n * nll
+        g = (
+            pdf.groupby("source", sort=True)
+            .agg(n_docs=("n", "sum"), s=("term", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "source": pa.array(g["source"], type=pa.string()),
+                "n_docs": pa.array(g["n_docs"].to_numpy().astype(np.int64)),
+                "h_micro": pa.array(
+                    g["s"].to_numpy() // g["n_docs"].to_numpy().astype(np.int64)
+                ),
+            }
+        )
+
+    return census.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )
+
+
+SQL_SOURCE_ENTROPY = """
+  WITH c AS (
+    SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY 1, 2),
+  t AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs FROM c GROUP BY source)
+  SELECT t.source, t.n_docs,
+         CAST(sum(c.n * CAST(floor(1e6 * ln(CAST(t.n_docs AS DOUBLE)
+                                            / CAST(c.n AS DOUBLE)) + 0.5)
+                             AS BIGINT)) // t.n_docs AS BIGINT) AS h_micro
+  FROM c JOIN t ON c.source = t.source
+  GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+def q_pmi_bigrams(sf_dir: str) -> Dataset:
+    """Top-40 adjacent-token bigrams by count with micro-rounded PMI
+    (pointwise mutual information — the classic collocation /
+    multi-word-expression extractor).  Two partials-only census passes
+    (bigrams, unigrams — both vocab-sized, the established census
+    pattern); PMI is computed once per surviving bigram with the SQL
+    parse tree mirrored term-for-term:
+    ``ln((c12·T·T) / (B·c1·c2))`` over DOUBLE casts, micro-rounded.
+    Deterministic tie-break (c12 desc, w1, w2)."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def bigrams(batch: pa.Table) -> pa.Table:
+        w1: list[str] = []
+        w2: list[str] = []
+        for t in batch["text"].to_pylist():
+            toks = t.split(" ")
+            w1.extend(toks[:-1])
+            w2.extend(toks[1:])
+        return pa.table(
+            {
+                "w1": pa.array(w1, type=pa.string()),
+                "w2": pa.array(w2, type=pa.string()),
+            }
+        )
+
+    def unigrams(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch["text"].to_pylist():
+            toks.extend(t.split(" "))
+        return pa.table({"w": pa.array(toks, type=pa.string())})
+
+    big = two_phase_sum(
+        ds.map_batches(bigrams, batch_format="pyarrow"), ["w1", "w2"], [], count_as="c12"
+    ).to_pandas()
+    uni = two_phase_sum(
+        ds.map_batches(unigrams, batch_format="pyarrow"), ["w"], [], count_as="c"
+    ).to_pandas()
+    T = float(uni["c"].sum())
+    B = float(big["c12"].sum())
+    cnt = dict(zip(uni["w"], uni["c"]))
+    c1 = big["w1"].map(cnt).to_numpy(dtype=np.float64)
+    c2 = big["w2"].map(cnt).to_numpy(dtype=np.float64)
+    c12f = big["c12"].to_numpy(dtype=np.float64)
+    pmi = np.floor(1e6 * np.log((c12f * T * T) / (B * c1 * c2)) + 0.5).astype(np.int64)
+    big = big.assign(pmi_pml=pmi).sort_values(
+        ["c12", "w1", "w2"], ascending=[False, True, True], ignore_index=True
+    )[:40]
+    import ray
+
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(
+            big[["w1", "w2", "c12", "pmi_pml"]], preserve_index=False
+        )
+    )
+
+
+SQL_PMI_BIGRAMS = """
+  WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+  tok AS (
+    SELECT doc_id, unnest(l) AS tok,
+           unnest(range(1, len(l) + 1)) AS pos
+    FROM d),
+  uni AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+  tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM uni),
+  big AS (
+    SELECT a.tok AS w1, b.tok AS w2, CAST(count(*) AS BIGINT) AS c12
+    FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    GROUP BY 1, 2),
+  btot AS (SELECT CAST(sum(c12) AS DOUBLE) AS b FROM big)
+  SELECT big.w1, big.w2, big.c12,
+         CAST(floor(1e6 * ln((CAST(big.c12 AS DOUBLE) * tot.t * tot.t)
+                             / (btot.b * CAST(u1.c AS DOUBLE)
+                                * CAST(u2.c AS DOUBLE))) + 0.5) AS BIGINT)
+           AS pmi_pml
+  FROM big
+  JOIN uni u1 ON u1.w = big.w1
+  JOIN uni u2 ON u2.w = big.w2, tot, btot
+  ORDER BY big.c12 DESC, big.w1, big.w2
+  LIMIT 40
+"""
+
+
 RAY_QUERIES = {
     "hex_doc_counts": q_hex_doc_counts,
     "hex_lang_mix": q_hex_lang_mix,
@@ -6337,6 +6473,8 @@ RAY_QUERIES = {
     "large_volume_customers": q_large_volume_customers,
     "pagerank": q_pagerank,
     "shard_assign": q_shard_assign,
+    "source_entropy": q_source_entropy,
+    "pmi_bigrams": q_pmi_bigrams,
 }
 
 ORACLES = {
@@ -6455,6 +6593,8 @@ ORACLES = {
     "large_volume_customers": SQL_LARGE_VOLUME_CUSTOMERS,
     "pagerank": SQL_PAGERANK,
     "shard_assign": SQL_SHARD_ASSIGN,
+    "source_entropy": SQL_SOURCE_ENTROPY,
+    "pmi_bigrams": SQL_PMI_BIGRAMS,
     "curation_pipeline": SQL_CURATION_PIPELINE,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
