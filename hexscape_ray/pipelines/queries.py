@@ -5681,7 +5681,7 @@ def q_shipping_priority(sf_dir: str) -> Dataset:
     (orderkey, revenue_c100) through ONE bucketed hash join; the
     top-k is per-block partial top-10 → one-task final merge — no
     global sort of the aggregate."""
-    from hexscape_ray.stages.joins import bucketed_join
+    from hexscape_ray.stages.joins import adaptive_join
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
         lambda b: pa.table(
@@ -5713,13 +5713,13 @@ def q_shipping_priority(sf_dir: str) -> Dataset:
             ("o_orderpriority", pa.string()),
         ]
     )
-    o_filt = bucketed_join(
+    o_filt = adaptive_join(
         orders,
         cust,
         on="c_custkey",
         how="semi",
-        left_schema=o_schema,
-        right_schema=pa.schema([("c_custkey", pa.int64())]),
+        big_schema=o_schema,
+        side_schema=pa.schema([("c_custkey", pa.int64())]),
     ).map_batches(
         lambda b: b.drop_columns(["c_custkey"]), batch_format="pyarrow"
     )
@@ -5742,12 +5742,12 @@ def q_shipping_priority(sf_dir: str) -> Dataset:
     li = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
     ).map_batches(prep_l, batch_format="pyarrow")
-    joined = bucketed_join(
+    joined = adaptive_join(
         li,
         o_filt,
         on="o_orderkey",
-        left_schema=pa.schema([("o_orderkey", pa.int64()), ("revenue_c100", pa.int64())]),
-        right_schema=pa.schema(
+        big_schema=pa.schema([("o_orderkey", pa.int64()), ("revenue_c100", pa.int64())]),
+        side_schema=pa.schema(
             [("o_orderkey", pa.int64()), ("odate_us", pa.int64()), ("o_orderpriority", pa.string())]
         ),
     )
@@ -5799,7 +5799,7 @@ def q_region_supplier_volume(sf_dir: str) -> Dataset:
     lookup pushed into the final filter (broadcast, never shuffled).
     Local-supplier constraint: customer and supplier nation must
     match and lie in the chosen region."""
-    from hexscape_ray.stages.joins import bucketed_join
+    from hexscape_ray.stages.joins import adaptive_join
 
     nat = {
         r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
@@ -5829,11 +5829,11 @@ def q_region_supplier_volume(sf_dir: str) -> Dataset:
         prep_o, batch_format="pyarrow"
     )
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    o_c = bucketed_join(
+    o_c = adaptive_join(
         orders,
         cust,
         on="c_custkey",
-        left_schema=pa.schema([("o_orderkey", pa.int64()), ("c_custkey", pa.int64())]),
+        big_schema=pa.schema([("o_orderkey", pa.int64()), ("c_custkey", pa.int64())]),
     ).map_batches(lambda b: b.drop_columns(["c_custkey"]), batch_format="pyarrow")
 
     def prep_l(batch: pa.Table) -> pa.Table:
@@ -5853,23 +5853,23 @@ def q_region_supplier_volume(sf_dir: str) -> Dataset:
         prep_l, batch_format="pyarrow"
     )
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
-    l_s = bucketed_join(
+    l_s = adaptive_join(
         li,
         supp,
         on="s_suppkey",
-        left_schema=pa.schema(
+        big_schema=pa.schema(
             [("o_orderkey", pa.int64()), ("s_suppkey", pa.int64()), ("revenue_c100", pa.int64())]
         ),
     ).map_batches(lambda b: b.drop_columns(["s_suppkey"]), batch_format="pyarrow")
 
-    facts = bucketed_join(
+    facts = adaptive_join(
         l_s,
         o_c,
         on="o_orderkey",
-        left_schema=pa.schema(
+        big_schema=pa.schema(
             [("o_orderkey", pa.int64()), ("revenue_c100", pa.int64()), ("s_nationkey", pa.int32())]
         ),
-        right_schema=pa.schema([("o_orderkey", pa.int64()), ("c_nationkey", pa.int32())]),
+        side_schema=pa.schema([("o_orderkey", pa.int64()), ("c_nationkey", pa.int32())]),
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -5989,7 +5989,7 @@ def q_large_volume_customers(sf_dir: str) -> Dataset:
     customer for attribution.  The heavy-hitter set is tiny by
     construction, so both join-backs move only qualifying keys — the
     full lineitem table is touched exactly once."""
-    from hexscape_ray.stages.joins import bucketed_join
+    from hexscape_ray.stages.joins import adaptive_join
 
     def prep_l(batch: pa.Table) -> pa.Table:
         q = batch["l_quantity"].to_numpy(zero_copy_only=False)
@@ -6028,11 +6028,11 @@ def q_large_volume_customers(sf_dir: str) -> Dataset:
     orders = _read(
         sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
     ).map_batches(prep_o, batch_format="pyarrow")
-    j1 = bucketed_join(
+    j1 = adaptive_join(
         orders,
         qual,
         on="o_orderkey",
-        left_schema=pa.schema(
+        big_schema=pa.schema(
             [
                 ("o_orderkey", pa.int64()),
                 ("c_custkey", pa.int64()),
@@ -6040,16 +6040,16 @@ def q_large_volume_customers(sf_dir: str) -> Dataset:
                 ("total_cents", pa.int64()),
             ]
         ),
-        right_schema=pa.schema(
+        side_schema=pa.schema(
             [("o_orderkey", pa.int64()), ("sum_qty", pa.int64()), ("n_items", pa.int64())]
         ),
     )
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-    return bucketed_join(
+    return adaptive_join(
         j1,
         cust,
         on="c_custkey",
-        left_schema=pa.schema(
+        big_schema=pa.schema(
             [
                 ("o_orderkey", pa.int64()),
                 ("c_custkey", pa.int64()),
@@ -6092,7 +6092,7 @@ def q_pagerank(sf_dir: str) -> Dataset:
     customer = 2·custkey, supplier = 2·suppkey+1 (disjoint key
     spaces)."""
     from hexscape_ray.stages.graph import pagerank
-    from hexscape_ray.stages.joins import bucketed_join
+    from hexscape_ray.stages.joins import adaptive_join
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"]).map_batches(
@@ -6104,11 +6104,13 @@ def q_pagerank(sf_dir: str) -> Dataset:
         ),
         batch_format="pyarrow",
     )
-    trade = bucketed_join(
-        orders,
+    # lineitem is the big side; orders is the dim-sized side at bench
+    # scale (broadcast) and co-partitions past the row budget at 100x
+    trade = adaptive_join(
         li,
+        orders,
         on="o_orderkey",
-        right_schema=pa.schema([("o_orderkey", pa.int64()), ("suppnode", pa.int64())]),
+        big_schema=pa.schema([("o_orderkey", pa.int64()), ("suppnode", pa.int64())]),
     ).map_batches(
         lambda t: pa.table(
             {"u": pc.multiply(t["o_custkey"], 2), "v": t["suppnode"]}

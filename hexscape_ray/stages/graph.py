@@ -235,6 +235,7 @@ def pagerank(
     n_iter: int = 3,
     damping_pct: int = 85,
     r0_micro: int = 1_000_000,
+    local_threshold: int | None = None,
 ) -> Dataset:
     """Fixed-iteration PageRank in EXACT int64 arithmetic — every
     quantity is a micro-scaled integer and every division is a floor,
@@ -249,20 +250,48 @@ def pagerank(
 
     ``edges`` must already contain both directions for undirected
     graphs (every node must appear as ``src`` at least once — true
-    after symmetrisation).  Scale shape: each iteration is one
-    edge-partitioned bucketed join (ranks are re-keyed to the edge
-    sources), one partials-only sum by destination, and one node-sized
-    join to re-attach degrees — no all-pairs, no driver data.  The
-    node-sized rank table is materialised per iteration (iterating a
-    lazy Dataset re-executes the whole chain per consumer — the
-    round-2 recompute trap)."""
-    from hexscape_ray.stages.agg import two_phase_sum
-    from hexscape_ray.stages.joins import bucketed_join
+    after symmetrisation).  TWO-TIER like ``connected_components``:
+    below ``local_threshold`` edge rows (default ``SMALL_AGG_ROWS``)
+    the whole iteration loop runs in ONE remote task as a vectorised
+    numpy scatter — per-iteration Ray shuffle constants (~1-2 s each ×
+    3 iterations × 3 stages) would dominate a small graph.  Above it,
+    each iteration is one edge-partitioned adaptive join (ranks
+    re-keyed to the edge sources), one partials-only sum by
+    destination, and one node-sized join to re-attach degrees — no
+    all-pairs, no driver data.  The node-sized rank table is
+    materialised per iteration (iterating a lazy Dataset re-executes
+    the whole chain per consumer — the round-2 recompute trap)."""
+    from hexscape_ray.stages.agg import SMALL_AGG_ROWS, two_phase_sum
+    from hexscape_ray.stages.joins import adaptive_join
 
     e = edges.map_batches(
         lambda t: pa.table({"node": t[src], "__dst": t[dst]}),
         batch_format="pyarrow",
     ).materialize()
+
+    thr = SMALL_AGG_ROWS if local_threshold is None else local_threshold
+    if e.count() <= thr:
+        base_l = (100 - damping_pct) * r0_micro // 100
+
+        def solve_all(batch: pa.Table):
+            su = batch["node"].to_numpy(zero_copy_only=False)
+            sv = batch["__dst"].to_numpy(zero_copy_only=False)
+            nodes, inv = np.unique(su, return_inverse=True)
+            dvi = np.searchsorted(nodes, sv)  # every dst appears as a src
+            d = np.bincount(inv, minlength=nodes.size).astype(np.int64)
+            r = np.full(nodes.size, r0_micro, dtype=np.int64)
+            for _ in range(n_iter):
+                s = np.zeros(nodes.size, dtype=np.int64)
+                np.add.at(s, dvi, r[inv] // d[inv])
+                r = base_l + (damping_pct * s) // 100
+            t = pa.table({"node": pa.array(nodes), "rank_micro": pa.array(r)})
+            step = 65536
+            for i in range(0, max(t.num_rows, 1), step):
+                yield t.slice(i, step)
+
+        return e.repartition(1).map_batches(
+            solve_all, batch_format="pyarrow", batch_size=None
+        )
     deg = two_phase_sum(e.select_columns(["node"]), ["node"], [], count_as="d").materialize()
     base = (100 - damping_pct) * r0_micro // 100
 
@@ -281,8 +310,8 @@ def pagerank(
     d_schema = pa.schema([("node", pa.int64()), ("d", pa.int64())])
 
     for _ in range(n_iter):
-        joined = bucketed_join(
-            e, ranks, on="node", left_schema=e_schema, right_schema=r_schema
+        joined = adaptive_join(
+            e, ranks, on="node", big_schema=e_schema, side_schema=r_schema
         )
 
         def contrib(t: pa.Table) -> pa.Table:
@@ -308,12 +337,12 @@ def pagerank(
             )
 
         ranks = (
-            bucketed_join(
+            adaptive_join(
                 sums.select_columns(["node", "c"]),
                 deg,
                 on="node",
-                left_schema=pa.schema([("node", pa.int64()), ("c", pa.int64())]),
-                right_schema=d_schema,
+                big_schema=pa.schema([("node", pa.int64()), ("c", pa.int64())]),
+                side_schema=d_schema,
             )
             .map_batches(update, batch_format="pyarrow")
             .materialize()

@@ -1174,3 +1174,66 @@ def range_join_aggregate(
     )
     partials = tagged.groupby("__cell").map_groups(stab_agg, batch_format="pyarrow")
     return two_phase_sum(partials, group_cols, sum_cols + [count_as], count_as=None)
+
+
+BROADCAST_ROWS = int(__import__("os").environ.get("HEXRAY_BROADCAST_ROWS", "2000000"))
+
+
+def adaptive_join(
+    big: Dataset,
+    side: Dataset,
+    on,
+    how: str = "inner",
+    big_schema=None,
+    side_schema=None,
+    side_count: int | None = None,
+) -> Dataset:
+    """SIDE-PLACEMENT-ADAPTIVE equi-join — the `small_quantity_revenue`
+    adaptive pattern promoted to a helper.  When the non-big side holds
+    ≤ ``HEXRAY_BROADCAST_ROWS`` rows (default 2 M) it ships ONCE via
+    ``ray.put`` and joins inside ``map_batches`` with an Arrow-native
+    Acero join (zero shuffle; row order not preserved — callers must be
+    order-insensitive, which every aggregate consumer is); larger sides
+    co-partition through :func:`bucketed_join` unchanged.  At test /
+    bench scale dimension-sized sides broadcast and skip Ray's
+    per-shuffle constant; at 100× the SAME call sites cross the row
+    budget and co-partition — no code change, no driver data beyond
+    the bounded broadcast table.
+
+    Probing: metadata (`_safe_size_bytes`) rules out certainly-large
+    sides without executing them; otherwise the side is MATERIALIZED
+    once (count + consumption for free — the execution contract).
+    Pass ``side_count`` when the caller already knows it.
+
+    Acero constraint (round-4 trap): the broadcast path cannot carry
+    ``list<...>`` payload columns — such sides must go bucketed
+    (pass a huge ``side_count`` or call bucketed_join directly)."""
+    sz = _safe_size_bytes(side)
+    if sz is not None and sz > (1 << 30):  # certainly above the row budget
+        return bucketed_join(
+            big, side, on=on, how=how, left_schema=big_schema, right_schema=side_schema
+        )
+    if side_count is None:
+        side = side.materialize()
+        side_count = side.count()
+    if side_count > BROADCAST_ROWS:
+        return bucketed_join(
+            big, side, on=on, how=how, left_schema=big_schema, right_schema=side_schema
+        )
+    on_cols = [on] if isinstance(on, str) else list(on)
+    if how in ("semi", "anti") and len(on_cols) == 1:
+        keys = pa.concat_tables(ray.get(side.to_arrow_refs()))[on_cols[0]]
+        return broadcast_semi_anti(big, keys.to_pandas(), on=on_cols[0], how=how)
+    jt = {"inner": "inner", "left": "left outer", "semi": "left semi", "anti": "left anti"}[how]
+    side_tbl = pa.concat_tables(ray.get(side.to_arrow_refs())).combine_chunks()
+    ref = ray.put(side_tbl)
+
+    # stateless TASK, not an actor pool: iterative callers (pagerank)
+    # spin the stage up once per iteration, and an actor pool's
+    # cold-start (~1-2 s) would dominate; ray.get of a plasma-resident
+    # table is a zero-copy map, cheap per task
+    def acero_join(batch: pa.Table) -> pa.Table:
+        small: pa.Table = ray.get(ref)
+        return batch.join(small, keys=on_cols, join_type=jt)
+
+    return big.map_batches(acero_join, batch_format="pyarrow", batch_size=65536)

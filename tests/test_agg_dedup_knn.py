@@ -2697,7 +2697,6 @@ def test_pagerank_matches_integer_replay(ray_session):
     su = np.concatenate([u, v])
     sv = np.concatenate([v, u])
     ds = ray.data.from_items([{"u": int(a), "v": int(b)} for a, b in zip(su, sv)])
-    got = pagerank(ds, n_iter=3, damping_pct=85).to_pandas().sort_values("node")
 
     # integer replay
     deg = np.bincount(su, minlength=n_nodes).astype(np.int64)
@@ -2708,8 +2707,14 @@ def test_pagerank_matches_integer_replay(ray_session):
         s = np.zeros(n_nodes, dtype=np.int64)
         np.add.at(s, sv, contrib)
         r = 150_000 + (85 * s) // 100
-    assert np.array_equal(got["node"].to_numpy(), np.arange(n_nodes))
-    assert np.array_equal(got["rank_micro"].to_numpy(), r)
+    for local_threshold in (None, 0):  # None → single-task; 0 → distributed loop
+        got = (
+            pagerank(ds, n_iter=3, damping_pct=85, local_threshold=local_threshold)
+            .to_pandas()
+            .sort_values("node")
+        )
+        assert np.array_equal(got["node"].to_numpy(), np.arange(n_nodes))
+        assert np.array_equal(got["rank_micro"].to_numpy(), r), local_threshold
 
 
 def test_global_cumsum_both_paths(ray_session):
