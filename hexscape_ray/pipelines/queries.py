@@ -5423,7 +5423,7 @@ def q_curation_v2(sf_dir: str) -> Dataset:
     score and the dedup keeper mark both ride broadcast/semi-join
     passes."""
     from hexscape_ray.stages.dedup import exact_dedup
-    from hexscape_ray.stages.joins import bucketed_join
+    from hexscape_ray.stages.joins import adaptive_join
     from hexscape_ray.stages.textops import doc_unigram_logprob
 
     thr = 3_410_000  # mean_nll_pml gate — ~p90 of the corpus (drops the tail)
@@ -5451,20 +5451,20 @@ def q_curation_v2(sf_dir: str) -> Dataset:
         ]
     )
     keepers = exact_dedup(ds).select_columns(["doc_id"])
-    survivors = bucketed_join(
+    survivors = adaptive_join(
         kept_scores,
         keepers,
         on="doc_id",
         how="semi",
-        left_schema=score_schema,
-        right_schema=pa.schema([("doc_id", pa.int64())]),
+        big_schema=score_schema,
+        side_schema=pa.schema([("doc_id", pa.int64())]),
     )
     langs = _read(sf_dir, "documents", ["doc_id", "lang"])
-    out = bucketed_join(
+    out = adaptive_join(
         survivors,
         langs,
         on="doc_id",
-        left_schema=score_schema,
+        big_schema=score_schema,
     )
     res = two_phase_sum(
         out.map_batches(

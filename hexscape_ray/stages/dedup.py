@@ -86,19 +86,27 @@ def _pairs_via_groups(rows: Dataset, n_rows_est: int, pairs_block) -> Dataset:
 
 
 def exact_dedup(ds: Dataset, key_col: str = "text", id_col: str = "doc_id") -> Dataset:
-    """Keep the min-id row per identical key: hash-partition groupby on
-    a content-hash column (groups stay tiny; no skew)."""
+    """Keep the min-id row per identical key, hash-partitioned on a
+    content-hash column (groups stay tiny; no skew).  min and count
+    both commute, so this rides the ADAPTIVE two-phase aggregate
+    (per-block partials, combine placement by partial volume) instead
+    of Ray's sort groupby and its ~2-3 s shuffle constant."""
+    from hexscape_ray.stages.agg import two_phase_agg
 
     def add_hash(batch: pa.Table) -> pa.Table:
         h = fnv1a_64_str_array(batch[key_col].to_pylist()).astype(np.int64)
-        return batch.append_column("__key_hash", pa.array(h))
+        return pa.table(
+            {
+                "__key_hash": pa.array(h),
+                id_col: batch[id_col],
+                "n_copies": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
-    return (
-        hashed.groupby("__key_hash")
-        .aggregate(Min(id_col, alias_name=id_col), Count(alias_name="n_copies"))
-        .select_columns([id_col, "n_copies"])
-    )
+    return two_phase_agg(
+        hashed, ["__key_hash"], {id_col: "min", "n_copies": "sum"}
+    ).select_columns([id_col, "n_copies"])
 
 
 def _token_hashes(text: str) -> np.ndarray:

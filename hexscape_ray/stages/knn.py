@@ -12,6 +12,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -383,6 +385,43 @@ def kmeans_distributed(
     cand = vecs.map_batches(hashmin_init, batch_format="pyarrow").to_pandas()
     cand = cand.sort_values("__h", kind="stable").head(k)
     C = _normalize(np.asarray(cand["__v"].tolist(), dtype=np.float64))
+
+    # TWO-TIER like graph.pagerank: below ``local_rows`` vectors the
+    # whole Lloyd loop runs in ONE remote task over the plasma-resident
+    # blocks — 8 iterations × a streaming-pass constant (~0.4 s each on
+    # this box) would dominate a small corpus.  Float summation order
+    # differs from the per-block partial path, so cluster LABELS can
+    # differ between tiers — already true across partitionings (see
+    # semantic_dedup's docstring); keep decisions remain stable.
+    local_rows = int(os.environ.get("HEXRAY_KMEANS_LOCAL_ROWS", "131072"))
+    if vecs.count() <= local_rows:
+        refs = vecs.to_arrow_refs()
+
+        @ray.remote
+        def lloyd_all(C0: np.ndarray, *blocks: pa.Table):
+            t = pa.concat_tables(blocks)
+            X = np.asarray(t["__v"].to_numpy(zero_copy_only=False).tolist())
+            Cl = C0.copy()
+            for _ in range(n_iter):
+                assign = np.argmax(X @ Cl.T, axis=1)
+                sums = np.zeros_like(Cl)
+                np.add.at(sums, assign, X)
+                cnt = np.bincount(assign, minlength=Cl.shape[0]).astype(np.int64)
+                nonempty = cnt > 0
+                Cl[nonempty] = _normalize(sums[nonempty] / cnt[nonempty, None])
+            dots = X @ Cl.T
+            a = np.argmax(dots, axis=1)
+            at = pa.table(
+                {
+                    id_col: t[id_col],
+                    "cluster": pa.array(a.astype(np.int64)),
+                    "cos": pa.array(dots[np.arange(a.size), a]),
+                }
+            )
+            return Cl, at
+
+        C_final, at = ray.get(lloyd_all.remote(C, *refs))
+        return C_final, ray.data.from_arrow(at)
 
     def partials_fn(cref):
         def fn(batch: pa.Table) -> pa.Table:
