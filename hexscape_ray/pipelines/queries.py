@@ -6332,6 +6332,71 @@ SQL_PMI_BIGRAMS = """
 """
 
 
+def q_hex_triangles(sf_dir: str) -> Dataset:
+    """Mutual-adjacency MOTIF census on the occupied-hex lattice graph
+    (hex centres form a triangular lattice, so its adjacency graph is
+    triangle-rich): for every occupied cell, whether it anchors the
+    up-triangle {c, c+(q1,r0), c+(q0,r1)} and/or the down-triangle
+    {c, c+(q1,r0), c+(q1,r−1)} of fully-occupied cells — each lattice
+    triangle has exactly one anchor of its shape, so Σ(tri_up+tri_down)
+    IS the graph's triangle count.  Membership tests ride a sorted
+    int-key broadcast + vectorised searchsorted (per-hex tables are
+    landscape-bounded — the hex_kring precedent); the general
+    degree-oriented wedge-join formulation is only needed off-lattice."""
+    cells = q_hex_doc_counts(sf_dir).select_columns(["r", "q"])
+    kdf = cells.to_pandas()
+    OFF, SH = 1 << 20, 21
+
+    def enc(q: np.ndarray, r: np.ndarray) -> np.ndarray:
+        return (q.astype(np.int64) + OFF) * (1 << SH) + (r.astype(np.int64) + OFF)
+
+    keys = np.sort(enc(kdf["q"].to_numpy(), kdf["r"].to_numpy()))
+    kref = ray.put(keys)
+
+    def mark(batch: pa.Table) -> pa.Table:
+        arr = ray.get(kref)
+
+        def member(qq: np.ndarray, rr: np.ndarray) -> np.ndarray:
+            k = enc(qq, rr)
+            i = np.searchsorted(arr, k)
+            i_c = np.minimum(i, arr.size - 1)
+            return (i < arr.size) & (arr[i_c] == k)
+
+        r = batch["r"].to_numpy(zero_copy_only=False)
+        q = batch["q"].to_numpy(zero_copy_only=False)
+        e = member(q + 1, r)  # shared edge endpoint c+(1,0)
+        up = (e & member(q, r + 1)).astype(np.int64)
+        down = (e & member(q + 1, r - 1)).astype(np.int64)
+        return pa.table(
+            {
+                "r": batch["r"],
+                "q": batch["q"],
+                "tri_up": pa.array(up),
+                "tri_down": pa.array(down),
+            }
+        )
+
+    return cells.map_batches(mark, batch_format="pyarrow")
+
+
+SQL_HEX_TRIANGLES = (
+    _hex_cte("documents", "doc_id", "doc_id")
+    + """
+  , cells AS (SELECT DISTINCT r, q FROM hexed)
+  SELECT c.r, c.q,
+         CAST(CASE WHEN a1.r IS NOT NULL AND a2.r IS NOT NULL
+               THEN 1 ELSE 0 END AS BIGINT) AS tri_up,
+         CAST(CASE WHEN a1.r IS NOT NULL AND a3.r IS NOT NULL
+               THEN 1 ELSE 0 END AS BIGINT) AS tri_down
+  FROM cells c
+  LEFT JOIN cells a1 ON a1.q = c.q + 1 AND a1.r = c.r
+  LEFT JOIN cells a2 ON a2.q = c.q     AND a2.r = c.r + 1
+  LEFT JOIN cells a3 ON a3.q = c.q + 1 AND a3.r = c.r - 1
+  ORDER BY c.r, c.q
+"""
+)
+
+
 RAY_QUERIES = {
     "hex_doc_counts": q_hex_doc_counts,
     "hex_lang_mix": q_hex_lang_mix,
@@ -6477,6 +6542,7 @@ RAY_QUERIES = {
     "shard_assign": q_shard_assign,
     "source_entropy": q_source_entropy,
     "pmi_bigrams": q_pmi_bigrams,
+    "hex_triangles": q_hex_triangles,
 }
 
 ORACLES = {
@@ -6597,6 +6663,7 @@ ORACLES = {
     "shard_assign": SQL_SHARD_ASSIGN,
     "source_entropy": SQL_SOURCE_ENTROPY,
     "pmi_bigrams": SQL_PMI_BIGRAMS,
+    "hex_triangles": SQL_HEX_TRIANGLES,
     "curation_pipeline": SQL_CURATION_PIPELINE,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
