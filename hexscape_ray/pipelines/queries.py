@@ -6397,6 +6397,168 @@ SQL_HEX_TRIANGLES = (
 )
 
 
+_PROF_NUM = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_PROF_KMV = ["l_orderkey", "l_partkey", "l_suppkey"]
+_PROF_STR = ["l_returnflag", "l_linestatus"]
+_PROF_K = 256
+
+
+def q_profile_lineitem(sf_dir: str) -> Dataset:
+    """Distributed TABLE PROFILER — the data-quality pass a pipeline
+    runs before committing to a 100-TB read: per numeric column n /
+    n_null / min / max / sum (micro-scaled ints, exact), per key
+    column an approximate distinct count via the mergeable KMV sketch
+    (deterministic given the splitmix64 member hash, so BIT-EXACT in
+    SQL — the distinct_users_sketch machinery), per label column the
+    exact distinct count (two-level, no global set).  ONE streaming
+    pass emits all numeric+KMV partials as a long (col, metric, value)
+    table — the shuffle carries ≤ (5·num + K·kmv) rows per block
+    however wide the table; the string distincts are two extra
+    key-census passes.  Output: long-format (col_name, metric, value),
+    everything int64."""
+    from hexscape_ray.functions.hashing import splitmix64
+
+    ds = _read(sf_dir, "lineitem", _PROF_NUM + _PROF_KMV + _PROF_STR)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cols: list[str] = []
+        mets: list[str] = []
+        vals: list[int] = []
+        n = len(batch)
+        for c in _PROF_NUM:
+            arr = batch[c]
+            v = arr.to_numpy(zero_copy_only=False)
+            micro = np.floor(v * 1e6 + 0.5).astype(np.int64)
+            nn = arr.null_count
+            for m, x in (
+                ("n", n),
+                ("n_null", nn),
+                ("min_micro", int(micro.min()) if n else 0),
+                ("max_micro", int(micro.max()) if n else 0),
+                ("sum_micro", int(micro.sum())),
+            ):
+                cols.append(c)
+                mets.append(m)
+                vals.append(int(x))
+        for c in _PROF_KMV:
+            v = batch[c].to_numpy(zero_copy_only=False).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                h = np.unique(splitmix64(v))[:_PROF_K]
+            cols.extend([c] * h.size)
+            mets.extend(["kmv"] * h.size)
+            vals.extend(h.astype(np.int64).tolist())
+        return pa.table(
+            {
+                "col_name": pa.array(cols, type=pa.string()),
+                "metric": pa.array(mets, type=pa.string()),
+                "value": pa.array(np.asarray(vals, dtype=np.int64)),
+            }
+        )
+
+    long_partials = ds.map_batches(partials, batch_format="pyarrow")
+
+    def combine(batch: pa.Table):
+        pdf = batch.to_pandas()
+        out_c, out_m, out_v = [], [], []
+        for (c, m), g in pdf.groupby(["col_name", "metric"], sort=True):
+            v = g["value"].to_numpy()
+            if m == "kmv":
+                uniq = np.unique(v.astype(np.uint64))[:_PROF_K]
+                if uniq.size < _PROF_K:
+                    est = int(uniq.size) * 1_000_000
+                else:
+                    kth = uniq[-1].astype(np.float64) / 18446744073709551616.0
+                    est = int(np.floor(1e6 * (float(_PROF_K - 1) / kth) + 0.5))
+                out_c.append(c)
+                out_m.append("distinct_kmv_pml")
+                out_v.append(est)
+            elif m == "min_micro":
+                out_c.append(c); out_m.append(m); out_v.append(int(v.min()))
+            elif m == "max_micro":
+                out_c.append(c); out_m.append(m); out_v.append(int(v.max()))
+            else:
+                out_c.append(c); out_m.append(m); out_v.append(int(v.sum()))
+        return pa.table(
+            {
+                "col_name": pa.array(out_c, type=pa.string()),
+                "metric": pa.array(out_m, type=pa.string()),
+                "value": pa.array(np.asarray(out_v, dtype=np.int64)),
+            }
+        )
+
+    prof = long_partials.repartition(1).map_batches(
+        combine, batch_format="pyarrow", batch_size=None
+    )
+    # string distincts: exact two-level census count, one per column
+    extras = []
+    for c in _PROF_STR:
+        lvl1 = two_phase_sum(
+            ds.select_columns([c]), [c], [], count_as="__n"
+        ).select_columns([c])
+        cnt = two_phase_sum(
+            lvl1.map_batches(
+                lambda t, cc=c: pa.table(
+                    {
+                        "col_name": pa.array([cc] * len(t), type=pa.string()),
+                        "metric": pa.array(["distinct_exact"] * len(t), type=pa.string()),
+                        "value": pa.array(np.ones(len(t), dtype=np.int64)),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            ["col_name", "metric"],
+            ["value"],
+            count_as=None,
+        )
+        extras.append(cnt)
+    out = prof
+    for e in extras:
+        out = out.union(e)
+    return out.sort(["col_name", "metric"])
+
+
+def _prof_kmv_sql(col: str) -> str:
+    return f"""
+  SELECT '{col}' AS col_name, 'distinct_kmv_pml' AS metric,
+         CASE WHEN max(nd) < {_PROF_K} THEN CAST(max(nd) * 1000000 AS BIGINT)
+              ELSE CAST(floor(1e6 * ({_PROF_K - 1}.0 /
+                     (CAST(max(CASE WHEN rn = {_PROF_K} THEN h END) AS DOUBLE)
+                      / 18446744073709551616.0)) + 0.5) AS BIGINT)
+         END AS value
+  FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn, count(*) OVER () AS nd
+    FROM ({_splitmix64_sql("x", carry="__k",
+                           src=f"(SELECT DISTINCT 1 AS __k, CAST({col} AS HUGEINT) AS x FROM lineitem)")})
+  ) WHERE rn <= {_PROF_K}
+"""
+
+
+def _prof_num_sql(col: str) -> str:
+    micro = f"CAST(floor({col} * 1e6 + 0.5) AS BIGINT)"
+    return f"""
+  SELECT '{col}', 'n', CAST(count(*) AS BIGINT) FROM lineitem
+  UNION ALL SELECT '{col}', 'n_null',
+    CAST(count(*) - count({col}) AS BIGINT) FROM lineitem
+  UNION ALL SELECT '{col}', 'min_micro', min({micro}) FROM lineitem
+  UNION ALL SELECT '{col}', 'max_micro', max({micro}) FROM lineitem
+  UNION ALL SELECT '{col}', 'sum_micro', CAST(sum({micro}) AS BIGINT) FROM lineitem
+"""
+
+
+SQL_PROFILE_LINEITEM = (
+    "SELECT col_name, metric, value FROM (\n"
+    + "\nUNION ALL".join(
+        [_prof_num_sql(c) for c in _PROF_NUM]
+        + [_prof_kmv_sql(c) for c in _PROF_KMV]
+        + [
+            f"\n  SELECT '{c}', 'distinct_exact', CAST(count(DISTINCT {c}) AS BIGINT) FROM lineitem"
+            for c in _PROF_STR
+        ]
+    )
+    + "\n) t(col_name, metric, value) ORDER BY col_name, metric"
+)
+
+
 RAY_QUERIES = {
     "hex_doc_counts": q_hex_doc_counts,
     "hex_lang_mix": q_hex_lang_mix,
@@ -6543,6 +6705,7 @@ RAY_QUERIES = {
     "source_entropy": q_source_entropy,
     "pmi_bigrams": q_pmi_bigrams,
     "hex_triangles": q_hex_triangles,
+    "profile_lineitem": q_profile_lineitem,
 }
 
 ORACLES = {
@@ -6664,6 +6827,7 @@ ORACLES = {
     "source_entropy": SQL_SOURCE_ENTROPY,
     "pmi_bigrams": SQL_PMI_BIGRAMS,
     "hex_triangles": SQL_HEX_TRIANGLES,
+    "profile_lineitem": SQL_PROFILE_LINEITEM,
     "curation_pipeline": SQL_CURATION_PIPELINE,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
