@@ -6559,6 +6559,128 @@ SQL_PROFILE_LINEITEM = (
 )
 
 
+def q_kfold_split(sf_dir: str, k: int = 5) -> Dataset:
+    """Deterministic K-FOLD cross-validation assignment — the
+    companion to train_val_test_split: fold = a second splitmix-free
+    Knuth hash of the doc id modulo k (stable under any partitioning;
+    disjoint from the 80/10/10 hash by a different stream: the id is
+    offset before multiplying so fold and split assignments are
+    decorrelated).  Per-fold census (docs, chars) proves balance;
+    per-doc assignment is a pure function of the corpus."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((did + np.uint64(7)) * np.uint64(2246822519)) % np.uint64(4294967296)
+        f = (h % np.uint64(k)).astype(np.int64)
+        return pa.table({"fold": pa.array(f), "n_chars": batch["n_chars"]})
+
+    return (
+        two_phase_sum(
+            ds.map_batches(fold, batch_format="pyarrow"),
+            ["fold"],
+            ["n_chars"],
+            count_as="n_docs",
+        )
+        .rename_columns({"n_chars": "len_sum"})
+        .sort("fold")
+    )
+
+
+SQL_KFOLD_SPLIT = """
+  WITH s AS (
+    SELECT n_chars,
+      CAST((((CAST(doc_id AS HUGEINT) + 7) * 2246822519) % 4294967296) % 5
+           AS BIGINT) AS fold
+    FROM documents
+  )
+  SELECT fold, CAST(sum(n_chars) AS BIGINT) AS len_sum, count(*) AS n_docs
+  FROM s GROUP BY fold ORDER BY fold
+"""
+
+
+def q_region_monthly_growth(sf_dir: str) -> Dataset:
+    """Calendar-bucketed revenue with a LAG window — month-over-month
+    delta per order priority: epoch-month census (partials-only
+    shuffle, one row per (priority, month)), then the lag/delta runs
+    over the tiny census in one remote task (the window never touches
+    the fact table).  Month id = year·12 + (month−1) computed from
+    epoch DAYS in pure integer civil-calendar arithmetic (Howard
+    Hinnant's public algorithm) — bit-identical to SQL date_part."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        days = us // 86_400_000_000
+        # civil-from-days (public domain algorithm): year/month from epoch days
+        z = days + 719_468
+        era = z // 146_097
+        doe = z - era * 146_097
+        yoe = (doe - doe // 1460 + doe // 36_524 - doe // 146_096) // 365
+        y = yoe + era * 400
+        doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+        mp = (5 * doy + 2) // 153
+        m = mp + np.where(mp < 10, 3, -9)
+        y = y + (m <= 2)
+        month_id = y * 12 + (m - 1)
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "month_id": pa.array(month_id.astype(np.int64)),
+                "cents": pa.array(np.floor(p * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    census = two_phase_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["o_orderpriority", "month_id"],
+        ["cents"],
+        count_as="n_orders",
+    )
+
+    def lagged(batch: pa.Table) -> pa.Table:
+        pdf = batch.to_pandas().sort_values(
+            ["o_orderpriority", "month_id"], ignore_index=True
+        )
+        prev = pdf.groupby("o_orderpriority")["cents"].shift(1)
+        delta = (pdf["cents"] - prev).fillna(0).astype(np.int64)
+        has_prev = prev.notna().astype(np.int64)
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(pdf["o_orderpriority"], type=pa.string()),
+                "month_id": pa.array(pdf["month_id"].to_numpy(np.int64)),
+                "cents": pa.array(pdf["cents"].to_numpy(np.int64)),
+                "n_orders": pa.array(pdf["n_orders"].to_numpy(np.int64)),
+                "delta_cents": pa.array(delta.to_numpy()),
+                "has_prev": pa.array(has_prev.to_numpy()),
+            }
+        )
+
+    return census.repartition(1).map_batches(
+        lagged, batch_format="pyarrow", batch_size=None
+    )
+
+
+SQL_REGION_MONTHLY_GROWTH = """
+  WITH c AS (
+    SELECT o_orderpriority,
+           CAST(date_part('year', o_orderdate) * 12
+                + date_part('month', o_orderdate) - 1 AS BIGINT) AS month_id,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents,
+           count(*) AS n_orders
+    FROM orders GROUP BY 1, 2
+  )
+  SELECT o_orderpriority, month_id, cents, n_orders,
+         CAST(coalesce(cents - lag(cents) OVER w, 0) AS BIGINT) AS delta_cents,
+         CAST(CASE WHEN lag(cents) OVER w IS NULL THEN 0 ELSE 1 END AS BIGINT)
+           AS has_prev
+  FROM c
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month_id)
+"""
+
+
 RAY_QUERIES = {
     "hex_doc_counts": q_hex_doc_counts,
     "hex_lang_mix": q_hex_lang_mix,
@@ -6706,6 +6828,8 @@ RAY_QUERIES = {
     "pmi_bigrams": q_pmi_bigrams,
     "hex_triangles": q_hex_triangles,
     "profile_lineitem": q_profile_lineitem,
+    "kfold_split": q_kfold_split,
+    "region_monthly_growth": q_region_monthly_growth,
 }
 
 ORACLES = {
@@ -6828,6 +6952,8 @@ ORACLES = {
     "pmi_bigrams": SQL_PMI_BIGRAMS,
     "hex_triangles": SQL_HEX_TRIANGLES,
     "profile_lineitem": SQL_PROFILE_LINEITEM,
+    "kfold_split": SQL_KFOLD_SPLIT,
+    "region_monthly_growth": SQL_REGION_MONTHLY_GROWTH,
     "curation_pipeline": SQL_CURATION_PIPELINE,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
