@@ -2747,3 +2747,46 @@ def test_global_cumsum_both_paths(ray_session):
         )
         assert np.array_equal(got["o"].to_numpy(), order[idx])
         assert np.array_equal(got["c"].to_numpy(), want), small_threshold
+
+
+def test_adaptive_join_both_placements_match(ray_session):
+    """adaptive_join broadcast (Acero) and bucketed placements produce
+    identical multisets for inner and semi joins, including duplicate
+    keys and unmatched rows on either side."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from hexscape_ray.stages.joins import adaptive_join
+
+    rng = np.random.default_rng(31)
+    big = pd.DataFrame(
+        {
+            "k": rng.integers(0, 50, 400).astype(np.int64),
+            "x": np.arange(400, dtype=np.int64),
+        }
+    )
+    side = pd.DataFrame(
+        {
+            "k": np.repeat(np.arange(0, 60, 2, dtype=np.int64), 2),  # dups + misses
+            "y": np.arange(60, dtype=np.int64),
+        }
+    )
+    big_ds = ray.data.from_pandas(big).repartition(5)
+    side_ds = ray.data.from_pandas(side).repartition(3)
+
+    def canon(df):
+        df = df[sorted(df.columns)]
+        return df.sort_values(list(df.columns), ignore_index=True)
+
+    for how in ("inner", "semi"):
+        out_b = adaptive_join(big_ds, side_ds, on="k", how=how).to_pandas()
+        # force the bucketed path with a huge side_count
+        out_p = adaptive_join(
+            big_ds, side_ds, on="k", how=how, side_count=10**9
+        ).to_pandas()
+        a, b = canon(out_b), canon(out_p)
+        assert sorted(a.columns) == sorted(b.columns), how
+        assert len(a) == len(b), how
+        for c in a.columns:
+            assert np.array_equal(a[c].to_numpy(), b[c].to_numpy()), (how, c)
