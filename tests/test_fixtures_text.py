@@ -250,3 +250,20 @@ def test_pack_sequences_invariants(ray_session):
     got3 = pack_sequences(ds, max_len=max_len).to_pandas()
     assert got3["n_tokens"].sum() == sum(want_tokens.values())
     assert (got3["n_tokens"] <= max_len).all()
+
+
+def test_api_facade_exports_and_adapters():
+    """Every reference-named export binds; the two thin adapters
+    (all_nuts_codes, discretise_grid) behave."""
+    import hexscape_ray.api as api
+    from hexscape_ray.sources.fixtures import gen_admin
+
+    assert not [n for n in api.__all__ if not hasattr(api, n)]
+    adm = gen_admin()
+    codes = api.all_nuts_codes(adm)
+    assert codes == sorted(set(adm.column("code").to_pylist()))
+    lvl0 = api.all_nuts_codes(adm, level=0)
+    assert all(len(c) <= min(len(x) for x in codes) for c in lvl0) and lvl0
+    # read_map invariant: exactly one level-0 row per country
+    rm = api.read_map(adm, codes[0][:1])
+    assert rm.num_rows > 0
