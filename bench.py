@@ -209,6 +209,10 @@ def run_queries() -> dict:
         "gopher_filter",
         "large_volume_customers",
         "pagerank",
+        "profile_lineitem",
+        "region_monthly_growth",
+        "hex_triangles",
+        "shard_assign",
     ]
     out = {}
     for name in names:

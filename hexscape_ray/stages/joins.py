@@ -1203,7 +1203,11 @@ def adaptive_join(
     Probing: metadata (`_safe_size_bytes`) rules out certainly-large
     sides without executing them; otherwise the side is MATERIALIZED
     once (count + consumption for free — the execution contract).
-    Pass ``side_count`` when the caller already knows it.
+    Pass ``side_count`` when the caller already knows it.  The
+    materialisation is NOT wasted on the bucketed fallback: the join
+    consumes the side exactly once either way, so the only scale cost
+    of an unprobeable corpus-sized side is its (spillable) object-store
+    residency — the same bytes the shuffle would move.
 
     Acero constraint (round-4 trap): the broadcast path cannot carry
     ``list<...>`` payload columns — such sides must go bucketed
