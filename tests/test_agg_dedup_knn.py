@@ -434,8 +434,19 @@ def test_kmeans_distributed_matches_driver_lloyd(ray_session):
     ).repartition(7)
 
     seed, n_iter = 11, 6
-    C, assign_ds = kmeans_distributed(ds, k=k, n_iter=n_iter, seed=seed)
-    got = assign_ds.to_pandas().sort_values("vec_id", ignore_index=True)
+    # exercise BOTH tiers: local single-task Lloyd (default at this
+    # size) and the distributed moment-partial loop (forced via env)
+    import os
+
+    results = []
+    for local_rows in ("131072", "0"):
+        os.environ["HEXRAY_KMEANS_LOCAL_ROWS"] = local_rows
+        try:
+            C, assign_ds = kmeans_distributed(ds, k=k, n_iter=n_iter, seed=seed)
+        finally:
+            os.environ.pop("HEXRAY_KMEANS_LOCAL_ROWS", None)
+        results.append((C, assign_ds.to_pandas().sort_values("vec_id", ignore_index=True)))
+    C, got = results[-1]
 
     # driver reference: same init rule, same spherical Lloyd updates
     Xn = _normalize(np.asarray(X, dtype=np.float32).astype(np.float64))
@@ -449,8 +460,9 @@ def test_kmeans_distributed_matches_driver_lloyd(ray_session):
         Cr = _normalize(Cr)
     a_ref = np.argmax(Xn @ Cr.T, axis=1)
     order = np.argsort(ids)
-    assert (got["cluster"].to_numpy() == a_ref[order]).all()
-    assert np.allclose(C, Cr, atol=1e-8)
+    for C_t, got_t in results:
+        assert (got_t["cluster"].to_numpy() == a_ref[order]).all()
+        assert np.allclose(C_t, Cr, atol=1e-8)
     # ground truth recovered: each k-means cluster is one true cluster
     df = pd.DataFrame({"km": a_ref, "truth": truth})
     assert (df.groupby("km")["truth"].nunique() == 1).all()
