@@ -1,0 +1,121 @@
+"""Force the DISTRIBUTED tier of every two-tier operator at sf0.1 and
+time it — insurance that the 100×-scale code paths (the ones the
+small-scale gate never exercises because the adaptive thresholds route
+around them) still run clean end-to-end.
+
+Run: python tools/scale_probe.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("RAY_DEDUP_LOGS", "1")
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hexscape_ray.pipelines import queries as Q
+    from hexscape_ray.stages.agg import global_cumsum
+    from hexscape_ray.stages.graph import pagerank
+    from hexscape_ray.stages.joins import adaptive_join
+
+    results = {}
+
+    # 1. pagerank: distributed iteration loop (local_threshold=0)
+    t0 = time.perf_counter()
+    orders = Q._read(sf, "orders", ["o_orderkey", "o_custkey"])
+    li = Q._read(sf, "lineitem", ["l_orderkey", "l_suppkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "suppnode": pc.add(pc.multiply(t["l_suppkey"], 2), 1),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    trade = adaptive_join(
+        li,
+        orders,
+        on="o_orderkey",
+        big_schema=pa.schema([("o_orderkey", pa.int64()), ("suppnode", pa.int64())]),
+        side_count=10**12,  # force the bucketed path too
+    ).map_batches(
+        lambda t: pa.table({"u": pc.multiply(t["o_custkey"], 2), "v": t["suppnode"]}),
+        batch_format="pyarrow",
+    )
+    from hexscape_ray.stages.agg import two_phase_sum
+
+    pairs = two_phase_sum(trade, ["u", "v"], [], count_as="__n")
+    edges = pairs.select_columns(["u", "v"]).map_batches(
+        lambda t: pa.table(
+            {
+                "u": pa.concat_arrays([t["u"].combine_chunks(), t["v"].combine_chunks()]),
+                "v": pa.concat_arrays([t["v"].combine_chunks(), t["u"].combine_chunks()]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    n_pr = pagerank(edges, n_iter=3, local_threshold=0).count()
+    results["pagerank_distributed"] = (round(time.perf_counter() - t0, 2), n_pr)
+
+    # 2. global_cumsum: bucketed two-level scan (small_threshold=0)
+    t0 = time.perf_counter()
+    docs = Q._read(sf, "documents", ["doc_id", "n_chars"])
+    n_docs = docs.count()
+    n_cs = global_cumsum(
+        docs, "doc_id", "n_chars", n_rows_est=n_docs, order_hi=n_docs, small_threshold=0
+    ).count()
+    results["global_cumsum_distributed"] = (round(time.perf_counter() - t0, 2), n_cs)
+
+    # 3. kmeans: distributed moment-partial loop (env knob)
+    t0 = time.perf_counter()
+    os.environ["HEXRAY_KMEANS_LOCAL_ROWS"] = "0"
+    try:
+        from hexscape_ray.stages.knn import kmeans_distributed
+
+        emb = Q._read(sf, "embeddings", ["vec_id", "embedding"])
+        _, assign = kmeans_distributed(emb, k=8, n_iter=4)
+        n_km = assign.count()
+    finally:
+        os.environ.pop("HEXRAY_KMEANS_LOCAL_ROWS", None)
+    results["kmeans_distributed"] = (round(time.perf_counter() - t0, 2), n_km)
+
+    # 4. adaptive_join forced-bucketed parity vs broadcast on a real query pair
+    t0 = time.perf_counter()
+    cust = Q._read(sf, "customer", ["c_custkey", "c_nationkey"])
+    ords = Q._read(sf, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: pa.table({"o_orderkey": t["o_orderkey"], "c_custkey": t["o_custkey"]}),
+        batch_format="pyarrow",
+    )
+    big_schema = pa.schema([("o_orderkey", pa.int64()), ("c_custkey", pa.int64())])
+    a = adaptive_join(ords, cust, on="c_custkey", big_schema=big_schema).count()
+    b = adaptive_join(
+        ords, cust, on="c_custkey", big_schema=big_schema, side_count=10**12
+    ).count()
+    assert a == b, (a, b)
+    results["adaptive_join_bucketed_parity"] = (round(time.perf_counter() - t0, 2), a)
+
+    for k, (sec, n) in results.items():
+        print(f"OK {k}: {sec} s, {n} rows")
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
