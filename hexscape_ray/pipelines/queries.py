@@ -6681,6 +6681,20 @@ SQL_REGION_MONTHLY_GROWTH = """
 """
 
 
+def q_hex_counts_stream(sf_dir: str):
+    """STREAMING flagship aggregate
+    (stages/streaming.py::streaming_hex_counts): incremental per-shard
+    (r,q)→(n_docs,len_sum) state fed by parallel router tasks running
+    the SAME geocode+hex kernels as the batch query — shares
+    SQL_HEX_DOC_COUNTS, extending streaming parity to the flagship
+    census (sums commute → no sequencing)."""
+    from hexscape_ray.stages.streaming import streaming_hex_counts
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    pdf = streaming_hex_counts(docs)
+    return ray.data.from_arrow(pa.Table.from_pandas(pdf, preserve_index=False))
+
+
 RAY_QUERIES = {
     "hex_doc_counts": q_hex_doc_counts,
     "hex_lang_mix": q_hex_lang_mix,
@@ -6830,6 +6844,7 @@ RAY_QUERIES = {
     "profile_lineitem": q_profile_lineitem,
     "kfold_split": q_kfold_split,
     "region_monthly_growth": q_region_monthly_growth,
+    "hex_counts_stream": q_hex_counts_stream,
 }
 
 ORACLES = {
@@ -6954,6 +6969,7 @@ ORACLES = {
     "profile_lineitem": SQL_PROFILE_LINEITEM,
     "kfold_split": SQL_KFOLD_SPLIT,
     "region_monthly_growth": SQL_REGION_MONTHLY_GROWTH,
+    "hex_counts_stream": SQL_HEX_DOC_COUNTS,
     "curation_pipeline": SQL_CURATION_PIPELINE,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);

@@ -428,3 +428,121 @@ def streaming_lsh_pairs(
         .rename(columns={"size": "n_bands_hit"})
         .sort_values(["a", "b"], ignore_index=True)
     )
+
+
+@ray.remote
+class HexCountShard:
+    """One shard of the STREAMING per-hex census: (r, q) → (n_docs,
+    len_sum).  Both aggregates are commutative sums — routers need no
+    sequencing (the :class:`DedupShard` argument).  ``occupied()``
+    answers the mid-stream coverage probe: which of these cells has the
+    stream already touched."""
+
+    def __init__(self):
+        self.state: dict[tuple[int, int], list[int]] = {}
+
+    def feed(
+        self, r: np.ndarray, q: np.ndarray, n: np.ndarray, s: np.ndarray
+    ) -> int:
+        st = self.state
+        for rr, qq, nn, ss in zip(r.tolist(), q.tolist(), n.tolist(), s.tolist()):
+            cur = st.get((rr, qq))
+            if cur is None:
+                st[(rr, qq)] = [nn, ss]
+            else:
+                cur[0] += nn
+                cur[1] += ss
+        return len(st)
+
+    def occupied(self, r: np.ndarray, q: np.ndarray) -> np.ndarray:
+        return np.fromiter(
+            ((rr, qq) in self.state for rr, qq in zip(r.tolist(), q.tolist())),
+            dtype=bool,
+            count=len(r),
+        )
+
+    def flush(self) -> pa.Table:
+        if not self.state:
+            return pa.table(
+                {
+                    "r": pa.array([], pa.int64()),
+                    "q": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "len_sum": pa.array([], pa.int64()),
+                }
+            )
+        keys = sorted(self.state)
+        vals = np.asarray([self.state[k] for k in keys], dtype=np.int64)
+        karr = np.asarray(keys, dtype=np.int64)
+        return pa.table(
+            {
+                "r": pa.array(karr[:, 0]),
+                "q": pa.array(karr[:, 1]),
+                "n_docs": pa.array(vals[:, 0]),
+                "len_sum": pa.array(vals[:, 1]),
+            }
+        )
+
+
+@ray.remote
+def _route_hex_block(block, shards: list) -> int:
+    """Router task: geocode + hex-encode one block with the SAME
+    vectorised kernels as the batch query (grid.point_to_axial parity
+    → shared SQL oracle), pre-aggregate per cell inside the block, and
+    deliver each shard its cell slice (shard = cell-hash % n)."""
+    from hexscape_ray.config import DEFAULT_GRID
+    from hexscape_ray.stages.encode import geocode_ids_batch, hex_encode_batch
+
+    if isinstance(block, pd.DataFrame):
+        block = pa.Table.from_pandas(block, preserve_index=False)
+    t = geocode_ids_batch(block, "doc_id")
+    t = hex_encode_batch(t, DEFAULT_GRID, resolutions=(0,))
+    r = t["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+    q = t["q"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nch = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+    code = (q + (1 << 20)) * (1 << 21) + (r + (1 << 20))
+    uniq, inv = np.unique(code, return_inverse=True)
+    n = np.bincount(inv, minlength=uniq.size).astype(np.int64)
+    s = np.zeros(uniq.size, dtype=np.int64)
+    np.add.at(s, inv, nch)
+    ur = uniq % (1 << 21) - (1 << 20)
+    uq = uniq // (1 << 21) - (1 << 20)
+    n_shards = len(shards)
+    shard = (uniq % n_shards).astype(np.int64)
+    refs = []
+    for sh in range(n_shards):
+        m = shard == sh
+        if m.any():
+            refs.append(shards[sh].feed.remote(ur[m], uq[m], n[m], s[m]))
+    ray.get(refs)
+    return len(r)
+
+
+def streaming_hex_counts(
+    docs: Dataset, n_shards: int = 8, max_inflight: int = 32
+) -> pd.DataFrame:
+    """STREAMING flagship aggregate: per-hex (n_docs, len_sum) built
+    incrementally by shard actors fed from parallel router tasks over
+    the document stream's block refs — bit-identical to the batch
+    ``hex_doc_counts`` / the axial SQL oracle (sums commute; no
+    ordering machinery).  The driver never touches a row; shard keying
+    by cell hash keeps flush outputs disjoint (plain concat, no final
+    reduce)."""
+    shards = [HexCountShard.remote() for _ in range(n_shards)]
+    stream = docs.materialize()
+    block_refs: list = []
+    for bundle in stream.iter_internal_ref_bundles():
+        block_refs.extend(bundle.block_refs)
+
+    inflight: list = []
+    for bref in block_refs:
+        inflight.append(_route_hex_block.remote(bref, shards))
+        if len(inflight) > max_inflight:
+            done, inflight = ray.wait(
+                inflight, num_returns=len(inflight) - max_inflight
+            )
+            ray.get(done)
+    ray.get(inflight)
+    tables = ray.get([s.flush.remote() for s in shards])
+    out = pa.concat_tables([t for t in tables if len(t)])
+    return out.to_pandas().sort_values(["r", "q"], ignore_index=True)

@@ -2802,3 +2802,28 @@ def test_adaptive_join_both_placements_match(ray_session):
         assert len(a) == len(b), how
         for c in a.columns:
             assert np.array_equal(a[c].to_numpy(), b[c].to_numpy()), (how, c)
+
+
+def test_streaming_hex_counts_matches_batch_and_probe(ray_session):
+    """streaming_hex_counts == the batch per-hex census under shuffled
+    block order; occupied() answers the mid-stream coverage probe."""
+    import numpy as np
+    import ray
+
+    from hexscape_ray.pipelines.queries import q_hex_doc_counts
+    from hexscape_ray.stages.streaming import streaming_hex_counts
+    from tests.conftest import SF_SMOKE
+
+    docs = ray.data.read_parquet(
+        f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).random_shuffle(seed=5)
+    got = streaming_hex_counts(docs, n_shards=3)
+    want = (
+        q_hex_doc_counts(SF_SMOKE)
+        .to_pandas()
+        .sort_values(["r", "q"], ignore_index=True)
+    )
+    assert np.array_equal(got["r"].to_numpy(), want["r"].to_numpy())
+    assert np.array_equal(got["q"].to_numpy(), want["q"].to_numpy())
+    assert np.array_equal(got["n_docs"].to_numpy(), want["n_docs"].to_numpy())
+    assert np.array_equal(got["len_sum"].to_numpy(), want["len_sum"].to_numpy())
