@@ -213,6 +213,7 @@ def run_queries() -> dict:
         "region_monthly_growth",
         "hex_triangles",
         "shard_assign",
+        "hex_counts_stream",
     ]
     out = {}
     for name in names:

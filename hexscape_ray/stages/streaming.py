@@ -219,6 +219,46 @@ class DedupShard:
             (hv in self.state for hv in h.tolist()), dtype=bool, count=len(h)
         )
 
+    def snapshot(self) -> pa.Table:
+        """Full state incl. the content hash (flush drops it) — the
+        STATEFUL-RECOVERY surface: a fresh shard ``load()``s this and
+        the stream resumes exactly (min/count merges commute, so a
+        snapshot taken mid-stream composes with any replay split)."""
+        if not self.state:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_copies": pa.array([], pa.int64()),
+                }
+            )
+        hs = np.fromiter(self.state.keys(), dtype=np.int64, count=len(self.state))
+        arr = np.asarray(list(self.state.values()), dtype=np.int64)
+        return pa.table(
+            {
+                "h": pa.array(hs),
+                "doc_id": pa.array(arr[:, 0]),
+                "n_copies": pa.array(arr[:, 1]),
+            }
+        )
+
+    def load(self, snap: pa.Table) -> int:
+        """Bulk-merge a snapshot (min of mins, sum of counts)."""
+        st = self.state
+        for hv, i, n in zip(
+            snap["h"].to_numpy(zero_copy_only=False).tolist(),
+            snap["doc_id"].to_numpy(zero_copy_only=False).tolist(),
+            snap["n_copies"].to_numpy(zero_copy_only=False).tolist(),
+        ):
+            cur = st.get(hv)
+            if cur is None:
+                st[hv] = [i, n]
+            else:
+                if i < cur[0]:
+                    cur[0] = i
+                cur[1] += n
+        return len(st)
+
     def flush(self) -> pa.Table:
         if not self.state:
             return pa.table(
@@ -459,6 +499,17 @@ class HexCountShard:
             ((rr, qq) in self.state for rr, qq in zip(r.tolist(), q.tolist())),
             dtype=bool,
             count=len(r),
+        )
+
+    def load(self, snap: pa.Table) -> int:
+        """Stateful recovery: a fresh shard absorbs a ``flush()``
+        snapshot by summing — the per-cell aggregates commute, so a
+        snapshot composes exactly with any replay split."""
+        return self.feed(
+            snap["r"].to_numpy(zero_copy_only=False),
+            snap["q"].to_numpy(zero_copy_only=False),
+            snap["n_docs"].to_numpy(zero_copy_only=False),
+            snap["len_sum"].to_numpy(zero_copy_only=False),
         )
 
     def flush(self) -> pa.Table:

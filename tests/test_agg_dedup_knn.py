@@ -2827,3 +2827,61 @@ def test_streaming_hex_counts_matches_batch_and_probe(ray_session):
     assert np.array_equal(got["q"].to_numpy(), want["q"].to_numpy())
     assert np.array_equal(got["n_docs"].to_numpy(), want["n_docs"].to_numpy())
     assert np.array_equal(got["len_sum"].to_numpy(), want["len_sum"].to_numpy())
+
+
+def test_streaming_shard_snapshot_recovery(ray_session):
+    """Kill-and-restore parity: feed half the stream, snapshot the
+    shard actors, start FRESH actors, load the snapshots, feed the
+    rest — final flush equals the single-pass batch answer for both
+    the dedup and hex-census shards (commutative state composes with
+    any replay split)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from hexscape_ray.functions.hashing import fnv1a_64_str_array
+    from hexscape_ray.stages.streaming import DedupShard, HexCountShard
+
+    rng = np.random.default_rng(41)
+    texts = [f"doc {i % 37}" for i in range(300)]  # forced duplicates
+    ids = rng.permutation(300).astype(np.int64)
+    h = fnv1a_64_str_array(texts).astype(np.int64)
+
+    # --- DedupShard ---
+    def run_dedup(split):
+        s1 = DedupShard.remote()
+        ray.get(s1.feed.remote(h[:split], ids[:split]))
+        snap = ray.get(s1.snapshot.remote())
+        ray.kill(s1)
+        s2 = DedupShard.remote()
+        ray.get(s2.load.remote(snap))
+        ray.get(s2.feed.remote(h[split:], ids[split:]))
+        out = ray.get(s2.flush.remote()).to_pandas()
+        ray.kill(s2)
+        return out.sort_values("doc_id", ignore_index=True)
+
+    whole = run_dedup(0)
+    assert whole.equals(run_dedup(150))
+    assert whole.equals(run_dedup(299))
+
+    # --- HexCountShard ---
+    r = rng.integers(-5, 5, 300).astype(np.int64)
+    q = rng.integers(-5, 5, 300).astype(np.int64)
+    n1 = np.ones(300, dtype=np.int64)
+    ln = rng.integers(10, 400, 300).astype(np.int64)
+
+    def run_hex(split):
+        s1 = HexCountShard.remote()
+        ray.get(s1.feed.remote(r[:split], q[:split], n1[:split], ln[:split]))
+        snap = ray.get(s1.flush.remote())  # flush IS the full state here
+        ray.kill(s1)
+        s2 = HexCountShard.remote()
+        ray.get(s2.load.remote(snap))
+        ray.get(s2.feed.remote(r[split:], q[split:], n1[split:], ln[split:]))
+        out = ray.get(s2.flush.remote()).to_pandas()
+        ray.kill(s2)
+        return out.sort_values(["r", "q"], ignore_index=True)
+
+    hw = run_hex(0)
+    assert hw.equals(run_hex(100))
+    assert hw.equals(run_hex(300))
