@@ -1225,11 +1225,19 @@ def adaptive_join(
             big, side, on=on, how=how, left_schema=big_schema, right_schema=side_schema
         )
     on_cols = [on] if isinstance(on, str) else list(on)
+    # a tiny side read can yield ZERO-COLUMN empty blocks (Ray emits
+    # schema-less bundles for empty read tasks) — drop them before the
+    # concat or pa.concat_tables raises on the schema mismatch; an
+    # all-empty side falls back to side_schema (required then)
+    side_blocks = [t for t in ray.get(side.to_arrow_refs()) if t.num_columns > 0]
+    if not side_blocks:
+        assert side_schema is not None, "empty side needs side_schema"
+        side_blocks = [side_schema.empty_table()]
     if how in ("semi", "anti") and len(on_cols) == 1:
-        keys = pa.concat_tables(ray.get(side.to_arrow_refs()))[on_cols[0]]
+        keys = pa.concat_tables(side_blocks)[on_cols[0]]
         return broadcast_semi_anti(big, keys.to_pandas(), on=on_cols[0], how=how)
     jt = {"inner": "inner", "left": "left outer", "semi": "left semi", "anti": "left anti"}[how]
-    side_tbl = pa.concat_tables(ray.get(side.to_arrow_refs())).combine_chunks()
+    side_tbl = pa.concat_tables(side_blocks).combine_chunks()
     ref = ray.put(side_tbl)
 
     # stateless TASK, not an actor pool: iterative callers (pagerank)

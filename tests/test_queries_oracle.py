@@ -41,6 +41,11 @@ ORACLE_NAMES = [
     "region_customer_counts", "top_customers", "order_priority",
     "events_tumbling", "user_activity", "top_parts", "dedup_exact",
     "token_counts",
+    # TPC-H family pack (round-4 continuation): the remaining classic
+    # join shapes, all integer-exact
+    "nation_trade_volume", "nation_year_profit", "custorder_distribution",
+    "promo_revenue_share", "top_supplier_revenue", "sole_late_suppliers",
+    "rich_inactive_customers", "cheapest_supplier_per_brand",
 ]
 
 
