@@ -214,6 +214,15 @@ def run_queries() -> dict:
         "hex_triangles",
         "shard_assign",
         "hex_counts_stream",
+        # round-4 TPC-H family pack
+        "nation_trade_volume",
+        "nation_year_profit",
+        "custorder_distribution",
+        "promo_revenue_share",
+        "top_supplier_revenue",
+        "sole_late_suppliers",
+        "rich_inactive_customers",
+        "cheapest_supplier_per_brand",
     ]
     out = {}
     for name in names:
