@@ -223,6 +223,8 @@ def run_queries() -> dict:
         "sole_late_suppliers",
         "rich_inactive_customers",
         "cheapest_supplier_per_brand",
+        "hex_adaptive_tiles",
+        "zorder_layout",
     ]
     out = {}
     for name in names:

@@ -46,6 +46,8 @@ ORACLE_NAMES = [
     "nation_trade_volume", "nation_year_profit", "custorder_distribution",
     "promo_revenue_share", "top_supplier_revenue", "sole_late_suppliers",
     "rich_inactive_customers", "cheapest_supplier_per_brand",
+    # data-layout operators
+    "hex_adaptive_tiles", "zorder_layout",
 ]
 
 
