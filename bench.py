@@ -225,6 +225,8 @@ def run_queries() -> dict:
         "cheapest_supplier_per_brand",
         "hex_adaptive_tiles",
         "zorder_layout",
+        "near_dup_pairs",
+        "near_dup_clusters",
     ]
     out = {}
     for name in names:

@@ -7799,6 +7799,150 @@ SQL_ZORDER_LAYOUT = (
 )
 
 
+# ---------------------------------------------------------------------------
+# SQL-exact near-dup pipeline: MinHash-LSH candidate pairs with exact
+# set-Jaccard counts, and the thresholded cluster labels — both
+# hash-graded end to end (stages/dedup.py::ndx_*).  The SQL replays
+# the ENTIRE pipeline: FNV-1a-64 per distinct token (simhash's
+# recursive CTE), the splitmix-chained trigram combine, 16 xor-seeded
+# splitmix permutations with per-doc MIN, 8×2 banding, the bucket
+# self-join, exact intersection counts, and a recursive-closure
+# component labelling (group_union's pattern).
+# ---------------------------------------------------------------------------
+
+
+def _ndx_sql(tail: str) -> str:
+    from hexscape_ray.stages.dedup import NDX_PERM_C
+
+    def xor64(a: str, b: str) -> str:
+        return f"CAST(xor(CAST({a} AS UBIGINT), CAST({b} AS UBIGINT)) AS HUGEINT)"
+
+    def sm(name: str, src: str, carry: str) -> str:
+        return f"{name} AS ({_splitmix64_sql('h', carry=carry, src=src)})"
+
+    perm_vals = ", ".join(
+        f"({j}, CAST({int(c)} AS HUGEINT))" for j, c in enumerate(NDX_PERM_C)
+    )
+    return f"""
+WITH RECURSIVE
+d AS (SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+      FROM documents),
+dt AS (SELECT doc_id, unnest(l) AS tok,
+              unnest(range(1, len(l) + 1)) AS pos
+       FROM d),
+toks AS (SELECT DISTINCT tok FROM dt),
+fnv AS (
+  SELECT tok, 0 AS p, CAST(14695981039346656037 AS HUGEINT) AS h FROM toks
+  UNION ALL
+  SELECT f.tok, f.p + 1,
+         ((((f.h // 256) * 256
+            + xor(f.h % 256, CAST(ascii(substr(f.tok, f.p + 1, 1)) AS HUGEINT)))
+           * 1099511628211) % 18446744073709551616)
+  FROM fnv f WHERE f.p < length(f.tok)
+),
+hfinal AS (
+  SELECT f.tok, f.h FROM fnv f
+  JOIN (SELECT tok, max(p) AS mp FROM fnv GROUP BY tok) m
+    ON m.tok = f.tok AND m.mp = f.p
+),
+dth AS (SELECT dt.doc_id, dt.pos, f.h FROM dt JOIN hfinal f USING (tok)),
+{sm('sm0', 'dth', 'doc_id, pos')},
+x1 AS (SELECT a.doc_id, a.pos, {xor64('a.h', 'b.h')} AS h
+       FROM sm0 a JOIN dth b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+{sm('sm1', 'x1', 'doc_id, pos')},
+x2 AS (SELECT a.doc_id, a.pos, {xor64('a.h', 'b.h')} AS h
+       FROM sm1 a JOIN dth b ON b.doc_id = a.doc_id AND b.pos = a.pos + 2),
+{sm('sm2', 'x2', 'doc_id, pos')},
+grams AS (SELECT DISTINCT doc_id, h AS g FROM sm2),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng FROM grams GROUP BY 1),
+perms(j, c) AS (VALUES {perm_vals}),
+px AS (SELECT doc_id, j, {xor64('g', 'c')} AS h FROM grams, perms),
+{sm('pm', 'px', 'doc_id, j')},
+sig AS (SELECT doc_id, j, min(h) AS s FROM pm GROUP BY 1, 2),
+bands AS (SELECT e.doc_id, CAST(e.j // 2 AS BIGINT) AS band, e.s AS s0, o.s AS s1
+          FROM sig e JOIN sig o ON o.doc_id = e.doc_id AND o.j = e.j + 1
+          WHERE e.j % 2 = 0),
+cand AS (SELECT x.doc_id AS a, y.doc_id AS b, x.band
+         FROM bands x JOIN bands y
+           ON y.band = x.band AND y.s0 = x.s0 AND y.s1 = x.s1
+              AND x.doc_id < y.doc_id),
+pairs AS (SELECT a, b, count(*) AS n_bands_hit FROM cand GROUP BY 1, 2),
+ix AS (SELECT p.a, p.b, CAST(count(*) AS BIGINT) AS inter_grams
+       FROM pairs p
+       JOIN grams ga ON ga.doc_id = p.a
+       JOIN grams gb ON gb.doc_id = p.b AND gb.g = ga.g
+       GROUP BY 1, 2),
+verified AS (
+  SELECT p.a, p.b, p.n_bands_hit,
+         coalesce(i.inter_grams, 0) AS inter_grams,
+         sa.ng + sb.ng - coalesce(i.inter_grams, 0) AS union_grams
+  FROM pairs p
+  LEFT JOIN ix i ON i.a = p.a AND i.b = p.b
+  JOIN sizes sa ON sa.doc_id = p.a
+  JOIN sizes sb ON sb.doc_id = p.b)
+{tail}
+"""
+
+
+def q_near_dup_pairs(sf_dir: str) -> Dataset:
+    """Hash-exact MinHash-LSH near-dup: candidate pairs with their LSH
+    band-hit counts AND exact trigram-set intersection/union sizes
+    (stages/dedup.py::ndx_verified_pairs).  The gram table
+    materialises once and feeds both the signature and the verify
+    stage; only the LSH-bounded pair list reaches the driver."""
+    from hexscape_ray.stages.dedup import ndx_verified_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ray.data.from_arrow(ndx_verified_pairs(ds)).sort(["a", "b"])
+
+
+SQL_NEAR_DUP_PAIRS = _ndx_sql(
+    "SELECT a, b, n_bands_hit, inter_grams, union_grams FROM verified ORDER BY a, b"
+)
+
+
+def q_near_dup_clusters(sf_dir: str) -> Dataset:
+    """Hash-exact dedup clusters: near-dup pairs with trigram-set
+    Jaccard ≥ 0.5 (integer predicate 2·inter ≥ union) become edges;
+    components labelled by min reachable doc id via the two-tier
+    connected_components stage.  The SQL oracle runs the IDENTICAL
+    pipeline and closes the edges with a recursive CTE — an iterative
+    graph algorithm graded bit-exactly."""
+    from hexscape_ray.stages.dedup import ndx_verified_pairs
+    from hexscape_ray.stages.graph import connected_components
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    vt = ndx_verified_pairs(ds)
+    ig = vt["inter_grams"].to_numpy()
+    ug = vt["union_grams"].to_numpy()
+    et = vt.filter(pa.array(2 * ig >= ug)).select(["a", "b"])
+    if len(et) == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([], pa.int64()), "root": pa.array([], pa.int64())}
+            )
+        )
+    comps = connected_components(ray.data.from_arrow(et))
+    return comps.rename_columns({"node": "doc_id", "component": "root"}).sort(
+        "doc_id"
+    )
+
+
+SQL_NEAR_DUP_CLUSTERS = _ndx_sql(
+    """,
+edges AS (SELECT a, b FROM verified WHERE 2 * inter_grams >= union_grams),
+nodes AS (SELECT a AS id FROM edges UNION SELECT b FROM edges),
+sym AS (SELECT a AS src, b AS dst FROM edges UNION SELECT b, a FROM edges),
+reach(a, b) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.a, s.dst FROM reach r JOIN sym s ON s.src = r.b)
+SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS root
+FROM reach GROUP BY a ORDER BY doc_id"""
+)
+
+
 RAY_QUERIES = {
     "hex_doc_counts": q_hex_doc_counts,
     "hex_lang_mix": q_hex_lang_mix,
@@ -7959,6 +8103,8 @@ RAY_QUERIES = {
     "cheapest_supplier_per_brand": q_cheapest_supplier_per_brand,
     "hex_adaptive_tiles": q_hex_adaptive_tiles,
     "zorder_layout": q_zorder_layout,
+    "near_dup_pairs": q_near_dup_pairs,
+    "near_dup_clusters": q_near_dup_clusters,
 }
 
 ORACLES = {
@@ -8095,6 +8241,8 @@ ORACLES = {
     "cheapest_supplier_per_brand": SQL_CHEAPEST_SUPPLIER_PER_BRAND,
     "hex_adaptive_tiles": SQL_HEX_ADAPTIVE_TILES,
     "zorder_layout": SQL_ZORDER_LAYOUT,
+    "near_dup_pairs": SQL_NEAR_DUP_PAIRS,
+    "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

@@ -1579,3 +1579,272 @@ def segment_dedup(
         count_as="n_kept",
     )
     return kept.sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# SQL-exact near-dup pipeline (round-4 continuation): every stage —
+# trigram shingling, MinHash, LSH banding, exact set-Jaccard verify,
+# cluster closure — built ONLY from primitives this repo already
+# replays bit-exactly in DuckDB SQL (FNV-1a-64 per token via the
+# simhash recursive CTE, splitmix64 via HUGEINT limb arithmetic,
+# recursive-closure components via the group_union pattern).  This is
+# the hash-exact twin of the production MinHasher family: the tuned
+# crc32-based kernel stays the throughput path (crc32 has no SQL
+# replay), this one is the CORRECTNESS path the driver can grade end
+# to end.
+# ---------------------------------------------------------------------------
+
+NDX_N_PERM = 16
+NDX_BAND_R = 2  # 8 bands × 2 rows
+NDX_K = 3  # token trigrams
+_NDX_BIAS = np.uint64(1) << np.uint64(63)
+# per-permutation xor seeds — deterministic, embedded as literals in
+# the SQL oracle (pipelines/queries.py::_ndx_sql)
+NDX_PERM_C = splitmix64(np.arange(201, 201 + NDX_N_PERM, dtype=np.uint64))
+
+
+def ndx_gram_rows(
+    ds: Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> Dataset:
+    """documents → DISTINCT-per-doc trigram hashes ``(doc_id, g)``.
+
+    g = sm(sm(sm(fnv(t0)) ^ fnv(t1)) ^ fnv(t2)) over lower().split()
+    token windows (sm = splitmix64, fnv = FNV-1a-64): the per-TOKEN
+    hash means the SQL oracle folds FNV over DISTINCT TOKENS only
+    (vocab-sized recursive CTE, the simhash trick) and the per-gram
+    combine is pure modular arithmetic.  Stored as the int64 two's-
+    complement reinterpret (equality semantics only — order never
+    consulted).  Docs shorter than NDX_K tokens emit nothing (the SQL
+    pos+2 join drops them identically)."""
+
+    def enc(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_id: list[np.ndarray] = []
+        out_g: list[np.ndarray] = []
+        for i, t in zip(ids, batch[text_col].to_pylist()):
+            toks = t.lower().split()
+            if len(toks) < NDX_K:
+                continue
+            h = fnv1a_64_str_array(toks)
+            with np.errstate(over="ignore"):
+                g = splitmix64(h)[: len(h) - 2]
+                g = splitmix64(g ^ h[1:-1])
+                g = splitmix64(g ^ h[2:])
+            g = np.unique(g)
+            out_id.append(np.full(g.size, i, dtype=np.int64))
+            out_g.append(g.view(np.int64))
+        if not out_id:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "g": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id)),
+                "g": pa.array(np.concatenate(out_g)),
+            }
+        )
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def ndx_band_rows(grams: Dataset) -> Dataset:
+    """gram rows → 16-perm MinHash signatures → (doc_id, band, s0, s1)
+    band rows.  Per-perm value = splitmix64(g ^ C_j); the per-doc MIN
+    rides the adaptive two-phase aggregate over BIASED int64 (x ^ 2^63
+    reinterpreted — int64 order ≡ uint64 order), so the exchange only
+    ever sees one partial row per (block, doc)."""
+    from hexscape_ray.stages.agg import two_phase_agg
+
+    def perms(batch: pa.Table) -> pa.Table:
+        g = batch["g"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        cols: dict = {"doc_id": batch["doc_id"]}
+        with np.errstate(over="ignore"):
+            for j in range(NDX_N_PERM):
+                s = splitmix64(g ^ NDX_PERM_C[j])
+                cols[f"s{j}"] = pa.array((s ^ _NDX_BIAS).view(np.int64))
+        return pa.table(cols)
+
+    sig = two_phase_agg(
+        grams.map_batches(perms, batch_format="pyarrow"),
+        ["doc_id"],
+        {f"s{j}": "min" for j in range(NDX_N_PERM)},
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        parts = []
+        for b in range(NDX_N_PERM // NDX_BAND_R):
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": batch["doc_id"],
+                        "band": pa.array(np.full(len(batch), b, dtype=np.int64)),
+                        "s0": batch[f"s{2 * b}"],
+                        "s1": batch[f"s{2 * b + 1}"],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return sig.map_batches(explode, batch_format="pyarrow")
+
+
+def ndx_candidate_pairs(grams: Dataset, n_rows_est: int) -> Dataset:
+    """band rows → (a, b, n_bands_hit) candidate pairs.  Same
+    count-scaled coarse-group shuffle + in-group lexsort as
+    minhash_candidate_pairs, but FULL cliques (no star-edge cap): the
+    SQL oracle's bucket self-join emits every pair, so the exact twin
+    must too.  Production corpora with pathological boilerplate
+    buckets should use minhash_candidate_pairs (capped) for the
+    throughput path."""
+    bands = ndx_band_rows(grams)
+    n_est = n_rows_est * (NDX_N_PERM // NDX_BAND_R)
+    n_coarse = coarse_width(n_est)
+    mask = np.int64(n_coarse - 1)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        s0 = batch["s0"].to_numpy(zero_copy_only=False)
+        s1 = batch["s1"].to_numpy(zero_copy_only=False)
+        bd = batch["band"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__coarse", pa.array(np.bitwise_and(s0 ^ s1 ^ bd, mask))
+        )
+
+    def pairs_block(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)}
+            )
+        bd = g["band"].to_numpy()
+        s0 = g["s0"].to_numpy()
+        s1 = g["s1"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        order = np.lexsort((ids, s1, s0, bd))
+        bd, s0, s1, ids = bd[order], s0[order], s1[order], ids[order]
+        new = np.empty(bd.shape[0], dtype=bool)
+        new[0] = True
+        new[1:] = (bd[1:] != bd[:-1]) | (s0[1:] != s0[:-1]) | (s1[1:] != s1[:-1])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, bd.shape[0]))
+        out_a, out_b = [], []
+        for s, m in zip(starts[lens >= 2], lens[lens >= 2]):
+            run = ids[s : s + m]
+            i, j = np.triu_indices(int(m), 1)
+            out_a.append(run[i])
+            out_b.append(run[j])
+        if not out_a:
+            return pd.DataFrame(
+                {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)}
+            )
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        )
+
+    from hexscape_ray.stages.agg import two_phase_sum
+
+    pair_rows = _pairs_via_groups(
+        bands.map_batches(add_bucket, batch_format="pyarrow"), n_est, pairs_block
+    )
+    return two_phase_sum(pair_rows, ["a", "b"], [], count_as="n_bands_hit")
+
+
+def ndx_verified_pairs(ds: Dataset) -> pa.Table:
+    """documents → LSH candidate pairs with EXACT set-Jaccard counts:
+    (a, b, n_bands_hit, inter_grams, union_grams), sorted.
+
+    Distributed shape: the gram table materialises ONCE and feeds both
+    the signature stage and the verify stage (the two-consumer
+    recompute trap); the verify never collects the corpus — gram rows
+    filter by a broadcast involved-doc set (np.isin), explode to
+    (pair, g, side) hits, and intersections reduce via two two-phase
+    aggregates (MAX per (pair, gram) then SUM per pair).  Only the
+    LSH-bounded pair list itself ever reaches the driver."""
+    from hexscape_ray.stages.agg import two_phase_agg, two_phase_sum
+
+    n_docs = ds.count()
+    grams = ndx_gram_rows(ds).materialize()
+    pairs = ndx_candidate_pairs(grams, n_docs).take_all()
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "n_bands_hit": pa.array([], pa.int64()),
+            "inter_grams": pa.array([], pa.int64()),
+            "union_grams": pa.array([], pa.int64()),
+        }
+    )
+    if not pairs:
+        return empty
+    pairs.sort(key=lambda r: (r["a"], r["b"]))
+    side_of: dict[int, list[tuple[int, int]]] = {}
+    for pid, r in enumerate(pairs):
+        side_of.setdefault(int(r["a"]), []).append((pid, 0))
+        side_of.setdefault(int(r["b"]), []).append((pid, 1))
+    involved = np.array(sorted(side_of), dtype=np.int64)
+
+    def hits(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.isin(d, involved)
+        t = batch.filter(pa.array(keep))
+        dd = t["doc_id"].to_numpy(zero_copy_only=False)
+        gg = t["g"].to_numpy(zero_copy_only=False)
+        pid_l, g_l, a_l, b_l = [], [], [], []
+        for doc, g in zip(dd, gg):
+            for pid, side in side_of[int(doc)]:
+                pid_l.append(pid)
+                g_l.append(g)
+                a_l.append(1 - side)
+                b_l.append(side)
+        return pa.table(
+            {
+                "pid": pa.array(np.asarray(pid_l, dtype=np.int64)),
+                "g": pa.array(np.asarray(g_l, dtype=np.int64)),
+                "a_bit": pa.array(np.asarray(a_l, dtype=np.int64)),
+                "b_bit": pa.array(np.asarray(b_l, dtype=np.int64)),
+            }
+        )
+
+    per_gram = two_phase_agg(
+        grams.map_batches(hits, batch_format="pyarrow"),
+        ["pid", "g"],
+        {"a_bit": "max", "b_bit": "max"},
+    )
+
+    def both(batch: pa.Table) -> pa.Table:
+        a = batch["a_bit"].to_numpy(zero_copy_only=False)
+        b = batch["b_bit"].to_numpy(zero_copy_only=False)
+        return pa.table({"pid": batch["pid"], "both": pa.array(a & b)})
+
+    inter_rows = two_phase_sum(
+        per_gram.map_batches(both, batch_format="pyarrow"), ["pid"], ["both"],
+        count_as=None,
+    ).take_all()
+    inter = {int(r["pid"]): int(r["both"]) for r in inter_rows}
+
+    def ng_rows(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(d, involved)))
+
+    sizes = two_phase_sum(
+        grams.map_batches(ng_rows, batch_format="pyarrow"),
+        ["doc_id"],
+        [],
+        count_as="ng",
+    ).take_all()
+    ng = {int(r["doc_id"]): int(r["ng"]) for r in sizes}
+
+    a = np.array([r["a"] for r in pairs], dtype=np.int64)
+    b = np.array([r["b"] for r in pairs], dtype=np.int64)
+    nb = np.array([r["n_bands_hit"] for r in pairs], dtype=np.int64)
+    ig = np.array([inter.get(i, 0) for i in range(len(pairs))], dtype=np.int64)
+    ug = np.array(
+        [ng[int(x)] + ng[int(y)] for x, y in zip(a, b)], dtype=np.int64
+    ) - ig
+    return pa.table(
+        {
+            "a": pa.array(a),
+            "b": pa.array(b),
+            "n_bands_hit": pa.array(nb),
+            "inter_grams": pa.array(ig),
+            "union_grams": pa.array(ug),
+        }
+    )

@@ -48,6 +48,8 @@ ORACLE_NAMES = [
     "rich_inactive_customers", "cheapest_supplier_per_brand",
     # data-layout operators
     "hex_adaptive_tiles", "zorder_layout",
+    # SQL-exact near-dup pipeline (MinHash-LSH + Jaccard + closure)
+    "near_dup_pairs", "near_dup_clusters",
 ]
 
 
