@@ -227,6 +227,7 @@ def run_queries() -> dict:
         "zorder_layout",
         "near_dup_pairs",
         "near_dup_clusters",
+        "winnow_exact",
     ]
     out = {}
     for name in names:

@@ -7811,18 +7811,20 @@ SQL_ZORDER_LAYOUT = (
 # ---------------------------------------------------------------------------
 
 
-def _ndx_sql(tail: str) -> str:
-    from hexscape_ray.stages.dedup import NDX_PERM_C
+def _xor64_sql(a: str, b: str) -> str:
+    return f"CAST(xor(CAST({a} AS UBIGINT), CAST({b} AS UBIGINT)) AS HUGEINT)"
 
-    def xor64(a: str, b: str) -> str:
-        return f"CAST(xor(CAST({a} AS UBIGINT), CAST({b} AS UBIGINT)) AS HUGEINT)"
+
+def _ndx_gram_prefix() -> str:
+    """Shared WITH-prefix of the SQL-exact near-dup family: per-doc
+    POSITIONAL trigram hashes in CTE ``sm2`` (columns doc_id, pos, h
+    — h the splitmix-chained FNV trigram hash as HUGEINT in
+    [0, 2^64))."""
 
     def sm(name: str, src: str, carry: str) -> str:
         return f"{name} AS ({_splitmix64_sql('h', carry=carry, src=src)})"
 
-    perm_vals = ", ".join(
-        f"({j}, CAST({int(c)} AS HUGEINT))" for j, c in enumerate(NDX_PERM_C)
-    )
+    xor64 = _xor64_sql
     return f"""
 WITH RECURSIVE
 d AS (SELECT doc_id,
@@ -7853,7 +7855,20 @@ x1 AS (SELECT a.doc_id, a.pos, {xor64('a.h', 'b.h')} AS h
 {sm('sm1', 'x1', 'doc_id, pos')},
 x2 AS (SELECT a.doc_id, a.pos, {xor64('a.h', 'b.h')} AS h
        FROM sm1 a JOIN dth b ON b.doc_id = a.doc_id AND b.pos = a.pos + 2),
-{sm('sm2', 'x2', 'doc_id, pos')},
+{sm('sm2', 'x2', 'doc_id, pos')}"""
+
+
+def _ndx_sql(tail: str) -> str:
+    from hexscape_ray.stages.dedup import NDX_PERM_C
+
+    def sm(name: str, src: str, carry: str) -> str:
+        return f"{name} AS ({_splitmix64_sql('h', carry=carry, src=src)})"
+
+    perm_vals = ", ".join(
+        f"({j}, CAST({int(c)} AS HUGEINT))" for j, c in enumerate(NDX_PERM_C)
+    )
+    xor64 = _xor64_sql
+    return _ndx_gram_prefix() + f""",
 grams AS (SELECT DISTINCT doc_id, h AS g FROM sm2),
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng FROM grams GROUP BY 1),
 perms(j, c) AS (VALUES {perm_vals}),
@@ -7941,6 +7956,44 @@ reach(a, b) AS (
 SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS root
 FROM reach GROUP BY a ORDER BY doc_id"""
 )
+
+
+def q_winnow_exact(sf_dir: str) -> Dataset:
+    """Hash-exact winnowing fingerprints (the MOSS sketch) over the
+    SQL-replayable trigram hashes (stages/dedup.py::ndx_winnow_rows):
+    window-of-4 minima, rightmost on ties, distinct (doc, pos, fp)
+    rows.  Complements near_dup_pairs with the ORDER-SENSITIVE
+    near-dup family — any shared run of ≥ w + k − 1 tokens shares a
+    fingerprint — graded bit-exactly (the production crc32 Winnower
+    stays the throughput path)."""
+    from hexscape_ray.stages.dedup import ndx_winnow_rows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ndx_winnow_rows(ds).sort(["doc_id", "pos"])
+
+
+SQL_WINNOW_EXACT = _ndx_gram_prefix() + """,
+gp AS (SELECT doc_id, pos, h AS g FROM sm2),
+ng AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM gp GROUP BY 1),
+wins AS (
+  SELECT a.doc_id, a.pos AS ws, min(b.g) AS m
+  FROM gp a
+  JOIN ng ON ng.doc_id = a.doc_id
+  JOIN gp b ON b.doc_id = a.doc_id AND b.pos BETWEEN a.pos AND a.pos + 3
+  WHERE a.pos <= greatest(1, ng.n - 3)
+  GROUP BY 1, 2),
+picks AS (
+  SELECT w.doc_id, max(b.pos) AS pos, w.m
+  FROM wins w
+  JOIN gp b ON b.doc_id = w.doc_id AND b.g = w.m
+       AND b.pos BETWEEN w.ws AND w.ws + 3
+  GROUP BY w.doc_id, w.ws, w.m),
+fps AS (SELECT DISTINCT doc_id, pos, m FROM picks)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       CAST(CASE WHEN m >= 9223372036854775808
+                 THEN m - 18446744073709551616 ELSE m END AS BIGINT) AS fp
+FROM fps ORDER BY doc_id, pos
+"""
 
 
 RAY_QUERIES = {
@@ -8105,6 +8158,7 @@ RAY_QUERIES = {
     "zorder_layout": q_zorder_layout,
     "near_dup_pairs": q_near_dup_pairs,
     "near_dup_clusters": q_near_dup_clusters,
+    "winnow_exact": q_winnow_exact,
 }
 
 ORACLES = {
@@ -8243,6 +8297,7 @@ ORACLES = {
     "zorder_layout": SQL_ZORDER_LAYOUT,
     "near_dup_pairs": SQL_NEAR_DUP_PAIRS,
     "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
+    "winnow_exact": SQL_WINNOW_EXACT,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

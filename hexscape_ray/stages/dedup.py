@@ -1848,3 +1848,58 @@ def ndx_verified_pairs(ds: Dataset) -> pa.Table:
             "union_grams": pa.array(ug),
         }
     )
+
+
+def ndx_winnow_rows(ds: Dataset, w: int = 4) -> Dataset:
+    """SQL-exact winnowing fingerprints (Schleimer et al. 2003) over
+    the ndx trigram hashes: from every window of ``w`` consecutive
+    POSITIONAL gram hashes keep the minimum (RIGHTMOST on ties,
+    everywhere — including docs shorter than one window), emitting the
+    DISTINCT (doc_id, pos, fp) set.  Set semantics (vs the production
+    Winnower's consecutive-only dedupe) make both the numpy and the
+    SQL side one DISTINCT — same guarantee: any shared run of
+    ≥ w + k − 1 tokens shares a fingerprint.  fp is the int64 two's-
+    complement reinterpret of the uint64 hash; minima are taken in
+    UNSIGNED order on both sides (SQL HUGEINT is already unsigned in
+    [0, 2^64))."""
+
+    def enc(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_id, out_pos, out_fp = [], [], []
+        for i, t in zip(ids, batch["text"].to_pylist()):
+            toks = t.lower().split()
+            if len(toks) < NDX_K:
+                continue
+            h = fnv1a_64_str_array(toks)
+            with np.errstate(over="ignore"):
+                g = splitmix64(h)[: len(h) - 2]
+                g = splitmix64(g ^ h[1:-1])
+                g = splitmix64(g ^ h[2:])
+            n = g.size
+            if n <= w:
+                m = g.min()
+                pos = np.array([np.flatnonzero(g == m)[-1]], dtype=np.int64)
+            else:
+                win = np.lib.stride_tricks.sliding_window_view(g, w)
+                pick = (w - 1) - np.argmin(win[:, ::-1], axis=1)
+                pos = np.unique(pick + np.arange(win.shape[0]))
+            out_id.append(np.full(pos.size, i, dtype=np.int64))
+            out_pos.append(pos + 1)  # SQL gram positions are 1-based
+            out_fp.append(g[pos].view(np.int64))
+        if not out_id:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "fp": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id)),
+                "pos": pa.array(np.concatenate(out_pos)),
+                "fp": pa.array(np.concatenate(out_fp)),
+            }
+        )
+
+    return ds.map_batches(enc, batch_format="pyarrow")

@@ -49,7 +49,7 @@ ORACLE_NAMES = [
     # data-layout operators
     "hex_adaptive_tiles", "zorder_layout",
     # SQL-exact near-dup pipeline (MinHash-LSH + Jaccard + closure)
-    "near_dup_pairs", "near_dup_clusters",
+    "near_dup_pairs", "near_dup_clusters", "winnow_exact",
 ]
 
 
