@@ -2885,3 +2885,46 @@ def test_streaming_shard_snapshot_recovery(ray_session):
     hw = run_hex(0)
     assert hw.equals(run_hex(100))
     assert hw.equals(run_hex(300))
+
+
+def test_ndx_near_dup_invariants(ray_session):
+    """SQL-exact near-dup family: exact duplicates verify with
+    inter == union and land in one cluster; the winnowing guarantee
+    (shared run of ≥ w + k − 1 tokens ⇒ shared fingerprint) holds."""
+    import ray
+
+    from hexscape_ray.stages.dedup import ndx_verified_pairs, ndx_winnow_rows
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6-token shared run
+    texts = [
+        f"doc zero unique {shared} tail zero",
+        f"doc one other {shared} tail one words",
+        "completely different text about nothing shared here at all",
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",  # exact dup of 3
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+             "text": pa.array(texts)}
+        )
+    )
+    vt = ndx_verified_pairs(ds)
+    pairs = {(a, b): (i, u) for a, b, i, u in zip(
+        vt["a"].to_pylist(), vt["b"].to_pylist(),
+        vt["inter_grams"].to_pylist(), vt["union_grams"].to_pylist())}
+    assert (3, 4) in pairs  # exact dup must be an LSH candidate
+    i, u = pairs[(3, 4)]
+    assert i == u  # identical trigram sets
+    for (a, b) in pairs:
+        assert a < b
+
+    # winnowing guarantee: docs 0 and 1 share a 6-token run ≥ w+k-1=6
+    wf = ndx_winnow_rows(ds).to_pandas()
+    f0 = set(wf[wf.doc_id == 0].fp)
+    f1 = set(wf[wf.doc_id == 1].fp)
+    assert f0 & f1
+    # exact duplicates fingerprint identically
+    f3 = wf[wf.doc_id == 3][["pos", "fp"]].reset_index(drop=True)
+    f4 = wf[wf.doc_id == 4][["pos", "fp"]].reset_index(drop=True)
+    assert f3.equals(f4)
