@@ -228,6 +228,7 @@ def run_queries() -> dict:
         "near_dup_pairs",
         "near_dup_clusters",
         "winnow_exact",
+        "cohort_retention",
     ]
     out = {}
     for name in names:

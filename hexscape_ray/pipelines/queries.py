@@ -7900,6 +7900,68 @@ verified AS (
 """
 
 
+def q_cohort_retention(sf_dir: str) -> Dataset:
+    """Cohort retention matrix: users grouped by their FIRST active
+    DAY (the cohort), counted on every day they were active —
+    n_users at day_id == cohort_day is the cohort size, later days are
+    retention.  Scale shape: the event log reduces to distinct
+    (user, day) rows via a two-phase count (partials only); first-day
+    via a two-phase MIN over the already-reduced table; one user-keyed
+    adaptive join (bucketed past the broadcast budget); the matrix
+    census is days² rows.  Day id = epoch microseconds // 86.4e9,
+    exactly epoch_us(ts) // 86400000000 in the SQL."""
+    from hexscape_ray.stages.agg import two_phase_agg
+    from hexscape_ray.stages.joins import adaptive_join
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "day_id": pa.array((us // _US_PER_DAY).astype(np.int64)),
+            }
+        )
+
+    um = two_phase_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id", "day_id"],
+        [],
+        count_as="n_ev",
+    ).map_batches(
+        lambda b: b.drop_columns(["n_ev"]), batch_format="pyarrow"
+    ).materialize()
+    fm = two_phase_agg(um, ["user_id"], {"day_id": "min"}).rename_columns(
+        {"day_id": "cohort_day"}
+    )
+    joined = adaptive_join(
+        um,
+        fm,
+        on="user_id",
+        big_schema=pa.schema([("user_id", pa.int64()), ("day_id", pa.int64())]),
+        side_schema=pa.schema([("user_id", pa.int64()), ("cohort_day", pa.int64())]),
+    )
+    return two_phase_sum(
+        joined.select_columns(["cohort_day", "day_id"]),
+        ["cohort_day", "day_id"],
+        [],
+        count_as="n_users",
+    ).sort(["cohort_day", "day_id"])
+
+
+SQL_COHORT_RETENTION = """
+  WITH um AS (
+    SELECT DISTINCT user_id,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_id
+    FROM events),
+  fm AS (SELECT user_id, min(day_id) AS cohort_day FROM um GROUP BY 1)
+  SELECT f.cohort_day, u.day_id, count(*) AS n_users
+  FROM um u JOIN fm f USING (user_id)
+  GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_near_dup_pairs(sf_dir: str) -> Dataset:
     """Hash-exact MinHash-LSH near-dup: candidate pairs with their LSH
     band-hit counts AND exact trigram-set intersection/union sizes
@@ -8159,6 +8221,7 @@ RAY_QUERIES = {
     "near_dup_pairs": q_near_dup_pairs,
     "near_dup_clusters": q_near_dup_clusters,
     "winnow_exact": q_winnow_exact,
+    "cohort_retention": q_cohort_retention,
 }
 
 ORACLES = {
@@ -8298,6 +8361,7 @@ ORACLES = {
     "near_dup_pairs": SQL_NEAR_DUP_PAIRS,
     "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
     "winnow_exact": SQL_WINNOW_EXACT,
+    "cohort_retention": SQL_COHORT_RETENTION,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,
