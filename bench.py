@@ -229,6 +229,8 @@ def run_queries() -> dict:
         "near_dup_clusters",
         "winnow_exact",
         "cohort_retention",
+        "pareto_lineitem",
+        "copurchase_triangles",
     ]
     out = {}
     for name in names:

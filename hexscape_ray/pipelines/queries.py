@@ -7962,6 +7962,210 @@ SQL_COHORT_RETENTION = """
 """
 
 
+def _skyline_scan(price: np.ndarray, qty: np.ndarray, n: np.ndarray):
+    """2-D Pareto skyline over DISTINCT (price, qty) value pairs with
+    occurrence counts: lexsort by (price, qty); a pair is dominated iff
+    the running min of qty over strictly-earlier rows ≤ its qty
+    (identical pairs are pre-merged, so equality always witnesses a
+    strict dominator).  Returns the surviving triple arrays, sorted."""
+    order = np.lexsort((qty, price))
+    price, qty, n = price[order], qty[order], n[order]
+    runmin = np.minimum.accumulate(qty)
+    keep = np.empty(qty.size, dtype=bool)
+    keep[0] = True
+    keep[1:] = runmin[:-1] > qty[1:]
+    return price[keep], qty[keep], n[keep]
+
+
+def q_pareto_lineitem(sf_dir: str) -> Dataset:
+    """Distributed 2-D Pareto SKYLINE: the (price, quantity) value
+    pairs of lineitem minimal in both dimensions, with their row
+    counts.  Skyline is a MERGEABLE reduction (any dominator chain
+    ends at a survivor, so block-local skylines lose only globally-
+    dominated pairs, and a global-skyline pair survives EVERY block
+    with its full local count) — so this rides the two-phase shape:
+    per-block value census + local skyline scan emit partials, one
+    remote task merges counts and re-scans.  The SQL oracle replays
+    the same running-min rule as a window function — no quadratic
+    NOT EXISTS."""
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price = _cents(batch["l_extendedprice"])
+        qty = np.floor(
+            batch["l_quantity"].to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        key = price << np.int64(6)  # qty < 64 in TPC-H-shaped data
+        assert qty.max(initial=0) < 64
+        u, inv = np.unique(key | qty, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        p, q, n = _skyline_scan(u >> np.int64(6), u & np.int64(63), n)
+        return pa.table(
+            {"price_c": pa.array(p), "qty": pa.array(q), "n_rows": pa.array(n)}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        price = batch["price_c"].to_numpy(zero_copy_only=False)
+        qty = batch["qty"].to_numpy(zero_copy_only=False)
+        n = batch["n_rows"].to_numpy(zero_copy_only=False)
+        key = (price << np.int64(6)) | qty
+        u, inv = np.unique(key, return_inverse=True)
+        ns = np.zeros(u.size, dtype=np.int64)
+        np.add.at(ns, inv, n)
+        p, q, ns = _skyline_scan(u >> np.int64(6), u & np.int64(63), ns)
+        return pa.table(
+            {"price_c": pa.array(p), "qty": pa.array(q), "n_rows": pa.array(ns)}
+        )
+
+    return partials.repartition(1).map_batches(
+        final, batch_format="pyarrow", batch_size=None
+    ).sort("price_c")
+
+
+SQL_PARETO_LINEITEM = """
+  WITH v AS (
+    SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS price_c,
+           CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY 1, 2),
+  s AS (
+    SELECT price_c, qty, n_rows,
+           min(qty) OVER (ORDER BY price_c, qty
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+    FROM v)
+  SELECT price_c, qty, n_rows FROM s
+  WHERE pm IS NULL OR pm > qty
+  ORDER BY price_c
+"""
+
+
+def q_copurchase_triangles(sf_dir: str) -> Dataset:
+    """TRIANGLE COUNTING on the part co-purchase graph: distinct
+    (order, part) rows → per-order part-pair cliques (the count-scaled
+    coarse-group pair shuffle from the dedup family) → distinct edges
+    a<b → per-node triangle counts.  Counting uses the forward-
+    adjacency rule (triangle a<b<c found once, at edge (a,b), as
+    |N⁺(a) ∩ N⁺(b)|) over a broadcast CSR of the deduped edge list —
+    sound while the edge list fits the broadcast budget (part-pair
+    bounded); corpora beyond it need the edge-partitioned neighbor
+    join, documented here as the scale path.  The SQL oracle is the
+    classic three-way edge self-join."""
+    from hexscape_ray.stages.dedup import _pairs_via_groups, coarse_width
+
+    op = two_phase_sum(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]),
+        ["l_orderkey", "l_partkey"],
+        [],
+        count_as="n_li",
+    ).map_batches(lambda b: b.drop_columns(["n_li"]), batch_format="pyarrow")
+    n_est = _read(sf_dir, "lineitem", ["l_orderkey"]).count()
+    mask = np.int64(coarse_width(n_est) - 1)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        return batch.append_column("__coarse", pa.array(np.bitwise_and(ok, mask)))
+
+    def pairs_block(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)}
+            )
+        ok = g["l_orderkey"].to_numpy()
+        pk = g["l_partkey"].to_numpy()
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        new = np.empty(ok.shape[0], dtype=bool)
+        new[0] = True
+        new[1:] = ok[1:] != ok[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, ok.shape[0]))
+        out_a, out_b = [], []
+        for s, m in zip(starts[lens >= 2], lens[lens >= 2]):
+            run = pk[s : s + m]
+            i, j = np.triu_indices(int(m), 1)
+            out_a.append(run[i])
+            out_b.append(run[j])
+        if not out_a:
+            return pd.DataFrame(
+                {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)}
+            )
+        return pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
+
+    pair_rows = _pairs_via_groups(
+        op.map_batches(add_bucket, batch_format="pyarrow"), n_est, pairs_block
+    )
+    edges = two_phase_sum(pair_rows, ["a", "b"], [], count_as="n_orders").materialize()
+
+    et = pa.concat_tables(ray.get(edges.to_arrow_refs()))
+    ea = et["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    eb = et["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((eb, ea))
+    ea, eb = ea[order], eb[order]
+    nodes, starts_idx = np.unique(ea, return_index=True)
+    bounds = np.append(starts_idx, ea.size)
+    csr = {
+        int(n): eb[s:e] for n, s, e in zip(nodes, bounds[:-1], bounds[1:])
+    }  # forward adjacency, targets sorted
+    cref = ray.put(csr)
+
+    def tri(batch: pa.Table) -> pa.Table:
+        adj = ray.get(cref)
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        node_l, cnt_l = [], []
+        empty = np.empty(0, dtype=np.int64)
+        for x, y in zip(a, b):
+            cs = np.intersect1d(
+                adj.get(int(x), empty), adj.get(int(y), empty), assume_unique=True
+            )
+            if cs.size == 0:
+                continue
+            node_l.append(np.array([x, y], dtype=np.int64))
+            cnt_l.append(np.array([cs.size, cs.size], dtype=np.int64))
+            node_l.append(cs)
+            cnt_l.append(np.ones(cs.size, dtype=np.int64))
+        if not node_l:
+            return pa.table(
+                {
+                    "p_partkey": pa.array([], pa.int64()),
+                    "n_triangles": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "p_partkey": pa.array(np.concatenate(node_l)),
+                "n_triangles": pa.array(np.concatenate(cnt_l)),
+            }
+        )
+
+    return two_phase_sum(
+        edges.map_batches(tri, batch_format="pyarrow"),
+        ["p_partkey"],
+        ["n_triangles"],
+        count_as=None,
+    ).sort("p_partkey")
+
+
+SQL_COPURCHASE_TRIANGLES = """
+  WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+  e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM op a JOIN op b
+          ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey),
+  t AS (SELECT e1.a, e1.b, e2.b AS c
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+  n AS (SELECT a AS p FROM t
+        UNION ALL SELECT b FROM t
+        UNION ALL SELECT c FROM t)
+  SELECT p AS p_partkey, count(*) AS n_triangles FROM n GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_near_dup_pairs(sf_dir: str) -> Dataset:
     """Hash-exact MinHash-LSH near-dup: candidate pairs with their LSH
     band-hit counts AND exact trigram-set intersection/union sizes
@@ -8222,6 +8426,8 @@ RAY_QUERIES = {
     "near_dup_clusters": q_near_dup_clusters,
     "winnow_exact": q_winnow_exact,
     "cohort_retention": q_cohort_retention,
+    "pareto_lineitem": q_pareto_lineitem,
+    "copurchase_triangles": q_copurchase_triangles,
 }
 
 ORACLES = {
@@ -8362,6 +8568,8 @@ ORACLES = {
     "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
     "winnow_exact": SQL_WINNOW_EXACT,
     "cohort_retention": SQL_COHORT_RETENTION,
+    "pareto_lineitem": SQL_PARETO_LINEITEM,
+    "copurchase_triangles": SQL_COPURCHASE_TRIANGLES,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

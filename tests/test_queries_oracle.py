@@ -50,7 +50,7 @@ ORACLE_NAMES = [
     "hex_adaptive_tiles", "zorder_layout",
     # SQL-exact near-dup pipeline (MinHash-LSH + Jaccard + closure)
     "near_dup_pairs", "near_dup_clusters", "winnow_exact",
-    "cohort_retention",
+    "cohort_retention", "pareto_lineitem", "copurchase_triangles",
 ]
 
 
