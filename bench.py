@@ -231,6 +231,8 @@ def run_queries() -> dict:
         "cohort_retention",
         "pareto_lineitem",
         "copurchase_triangles",
+        "event_transitions",
+        "events_latest_state",
     ]
     out = {}
     for name in names:

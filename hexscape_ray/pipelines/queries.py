@@ -8167,6 +8167,154 @@ SQL_COPURCHASE_TRIANGLES = """
 """
 
 
+def q_event_transitions(sf_dir: str) -> Dataset:
+    """First-order Markov TRANSITION MATRIX over per-user event
+    sequences: counts of (previous type → type) for consecutive events
+    of the same user, ordered by (ts, event_id).  Scale shape: events
+    co-partition by a count-scaled user-hash coarse group; each group
+    sessionises in ONE lexsort pass and pre-aggregates its transition
+    counts, so the final exchange carries (types² × groups) partial
+    rows."""
+    from hexscape_ray.stages.dedup import _pairs_via_groups, coarse_width
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    n_est = ev.count()
+    mask = np.int64(coarse_width(n_est) - 1)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "us": batch["ts"].cast(pa.int64()),
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "__coarse": pa.array(np.bitwise_and(uid, mask)),
+            }
+        )
+
+    def transitions_block(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"prev_type": [], "event_type": [], "n": np.empty(0, np.int64)}
+            )
+        uid = g["user_id"].to_numpy()
+        us = g["us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        et, codes = np.unique(g["event_type"].to_numpy(), return_inverse=True)
+        order = np.lexsort((eid, us, uid))
+        uid, codes = uid[order], codes[order]
+        same = uid[1:] == uid[:-1]
+        k = et.size
+        pair_code = codes[:-1][same] * k + codes[1:][same]
+        cnt = np.bincount(pair_code, minlength=k * k).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame(
+            {
+                "prev_type": et[nz // k],
+                "event_type": et[nz % k],
+                "n": cnt[nz],
+            }
+        )
+
+    partials = _pairs_via_groups(
+        ev.map_batches(prep, batch_format="pyarrow"), n_est, transitions_block
+    )
+    return two_phase_sum(
+        partials, ["prev_type", "event_type"], ["n"], count_as=None
+    ).sort(["prev_type", "event_type"])
+
+
+SQL_EVENT_TRANSITIONS = """
+  WITH t AS (
+    SELECT event_type,
+           lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events)
+  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM t WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_events_latest_state(sf_dir: str) -> Dataset:
+    """CDC-style LATEST-STATE materialisation (merge-on-read upsert
+    view): one row per user holding their most recent event by
+    (ts, event_id) — the lakehouse "current table" primitive.
+    Row-argmax is SELF-COMBINING: every block keeps its best row per
+    user, partials re-reduce with the same comparator, and placement
+    is adaptive via the coarse-group router (single task below the
+    partial budget, count-scaled user-hash groups above)."""
+    from hexscape_ray.stages.dedup import _pairs_via_groups, coarse_width
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+    n_est = ev.count()
+    mask = np.int64(coarse_width(n_est) - 1)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "last_us": batch["ts"].cast(pa.int64()),
+                "last_event_id": batch["event_id"],
+                "last_type": batch["event_type"],
+                "last_value_micro": pa.array(
+                    np.floor(v * 1e6 + 0.5).astype(np.int64)
+                ),
+                "__coarse": pa.array(np.bitwise_and(uid, mask)),
+            }
+        )
+
+    def best_block(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return g.drop(columns=["__coarse"], errors="ignore")
+        uid = g["user_id"].to_numpy()
+        us = g["last_us"].to_numpy()
+        eid = g["last_event_id"].to_numpy()
+        order = np.lexsort((eid, us, uid))
+        uid_s = uid[order]
+        last = np.empty(uid_s.shape[0], dtype=bool)
+        last[-1] = True
+        last[:-1] = uid_s[1:] != uid_s[:-1]
+        take = order[last]
+        out = g.iloc[take][
+            ["user_id", "last_type", "last_us", "last_value_micro", "last_event_id"]
+        ]
+        return out.reset_index(drop=True)
+
+    # per-block partial argmax first, so the router only moves one row
+    # per (block, user)
+    partials = ev.map_batches(prep, batch_format="pyarrow").map_batches(
+        lambda b: pa.Table.from_pandas(
+            best_block(b.to_pandas()).assign(
+                __coarse=lambda d: np.bitwise_and(
+                    d["user_id"].to_numpy(np.int64), mask
+                )
+            ),
+            preserve_index=False,
+        ),
+        batch_format="pyarrow",
+    )
+    out = _pairs_via_groups(partials, n_est, best_block)
+    return out.sort("user_id")
+
+
+SQL_EVENTS_LATEST_STATE = """
+  WITH r AS (
+    SELECT user_id, event_type, value, ts, event_id,
+           row_number() OVER (
+             PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events)
+  SELECT user_id, event_type AS last_type,
+         CAST(epoch_us(ts) AS BIGINT) AS last_us,
+         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS last_value_micro,
+         event_id AS last_event_id
+  FROM r WHERE rn = 1 ORDER BY user_id
+"""
+
+
 def q_near_dup_pairs(sf_dir: str) -> Dataset:
     """Hash-exact MinHash-LSH near-dup: candidate pairs with their LSH
     band-hit counts AND exact trigram-set intersection/union sizes
@@ -8429,6 +8577,8 @@ RAY_QUERIES = {
     "cohort_retention": q_cohort_retention,
     "pareto_lineitem": q_pareto_lineitem,
     "copurchase_triangles": q_copurchase_triangles,
+    "event_transitions": q_event_transitions,
+    "events_latest_state": q_events_latest_state,
 }
 
 ORACLES = {
@@ -8571,6 +8721,8 @@ ORACLES = {
     "cohort_retention": SQL_COHORT_RETENTION,
     "pareto_lineitem": SQL_PARETO_LINEITEM,
     "copurchase_triangles": SQL_COPURCHASE_TRIANGLES,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
+    "events_latest_state": SQL_EVENTS_LATEST_STATE,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,
