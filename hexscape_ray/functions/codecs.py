@@ -1255,3 +1255,213 @@ def parse_avi_mjpeg(data: bytes) -> tuple[list[bytes], int, int, int]:
     if not frames:
         raise ValueError("AVI stream holds no video frames")
     return frames, fps, w, h
+
+
+# ---------------------------------------------------------------------------
+# BMP (24-bit BI_RGB) — the simplest real web image container: fixed
+# 54-byte header, bottom-up BGR rows padded to 4 bytes.  Public format
+# (Windows BITMAPINFOHEADER).
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → 24-bit uncompressed BMP bytes."""
+    h, w = arr.shape[:2]
+    row = w * 3
+    pad = (-row) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += arr[y, :, ::-1].tobytes()  # BGR
+        body += b"\x00" * pad
+    import struct
+
+    off = 14 + 40
+    size = off + len(body)
+    head = struct.pack("<2sIHHI", b"BM", size, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return bytes(head + info + body)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """24-bit BI_RGB BMP bytes → (H, W, 3) uint8 RGB (top-down and
+    bottom-up rows both handled)."""
+    import struct
+
+    if data[:2] != b"BM":
+        raise ValueError("not BMP")
+    off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP header")
+    w, h = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    comp = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError("only 24-bit BI_RGB supported")
+    flip = h > 0
+    h = abs(h)
+    row = w * 3
+    stride = row + ((-row) % 4)
+    buf = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=off)
+    img = buf.reshape(h, stride)[:, :row].reshape(h, w, 3)[:, :, ::-1]
+    return (img[::-1] if flip else img).copy()
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a, non-interlaced) — pure-Python LZW from the public spec.
+# The encoder palettises through a deterministic 6×6×6 colour cube and
+# writes root-code LZW with periodic CLEARs (the classic
+# "uncompressed GIF" construction — valid for every decoder); the
+# decoder implements full growing-code LZW so it reads real-world
+# single-frame GIFs, not just our own.
+# ---------------------------------------------------------------------------
+
+_GIF_CUBE = np.array(
+    [(r * 51, g * 51, b * 51) for r in range(6) for g in range(6) for b in range(6)]
+    + [(0, 0, 0)] * 40,
+    dtype=np.uint8,
+)  # 216-entry web cube padded to 256
+
+
+def encode_gif(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → single-frame GIF89a (6×6×6 palettised)."""
+    h, w = arr.shape[:2]
+    q = np.minimum(arr.astype(np.int64) * 6 // 256, 5)
+    idx = (q[:, :, 0] * 36 + q[:, :, 1] * 6 + q[:, :, 2]).astype(np.uint16).ravel()
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0xF7, 0, 0])  # global table, 256 entries, 8-bit colour
+    out += _GIF_CUBE.tobytes()
+    out += b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += b"\x00"  # no local table, not interlaced
+    mcs = 8
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out += bytes([mcs])
+    # root-code LZW: every pixel emitted as its own 9-bit code; a CLEAR
+    # every 254 codes keeps the decoder's dictionary below the 10-bit
+    # growth point
+    bits = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += 9
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear)
+    for i, px in enumerate(idx):
+        if i and i % 254 == 0:
+            put(clear)
+        put(int(px))
+    put(eoi)
+    if nbits:
+        bits.append(acc & 0xFF)
+    for s in range(0, len(bits), 255):
+        chunk = bits[s : s + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """Single-frame non-interlaced GIF → (H, W, 3) uint8 RGB (full
+    growing-code LZW; 89a extension blocks skipped)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not GIF")
+    pos = 6
+    sw = int.from_bytes(data[pos : pos + 2], "little")
+    sh = int.from_bytes(data[pos + 2 : pos + 4], "little")
+    flags = data[pos + 4]
+    pos += 7
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(data):
+        b0 = data[pos]
+        pos += 1
+        if b0 == 0x3B:
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        w = int.from_bytes(data[pos + 4 : pos + 6], "little")
+        h = int.from_bytes(data[pos + 6 : pos + 8], "little")
+        lflags = data[pos + 8]
+        pos += 9
+        if lflags & 0x40:
+            raise ValueError("interlaced GIF unsupported")
+        table = gct
+        if lflags & 0x80:
+            n = 2 << (lflags & 7)
+            table = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if table is None:
+            raise ValueError("GIF without colour table")
+        mcs = data[pos]
+        pos += 1
+        stream = bytearray()
+        while data[pos]:
+            ln = data[pos]
+            stream += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        clear, eoi = 1 << mcs, (1 << mcs) + 1
+        # LZW decode
+        base = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+        dic = list(base)
+        width = mcs + 1
+        acc = nbits = bitpos = 0
+        out = bytearray()
+        prev: bytes | None = None
+        n_pix = w * h
+        data_b = bytes(stream)
+        while True:
+            while nbits < width:
+                if bitpos >= len(data_b):
+                    raise ValueError("truncated GIF stream")
+                acc |= data_b[bitpos] << nbits
+                nbits += 8
+                bitpos += 1
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                dic = list(base)
+                width = mcs + 1
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if prev is None:
+                entry = dic[code]
+            elif code < len(dic):
+                entry = dic[code]
+                if len(dic) < 4096:  # dict caps at 12-bit codes
+                    dic.append(prev + entry[:1])
+            elif code == len(dic):
+                entry = prev + prev[:1]
+                if len(dic) < 4096:
+                    dic.append(entry)
+            else:
+                raise ValueError("corrupt LZW code")
+            out += entry
+            prev = entry
+            if len(dic) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= n_pix:
+                break
+        idx = np.frombuffer(bytes(out[:n_pix]), np.uint8)
+        return table[idx].reshape(h, w, 3).copy()
+    raise ValueError("no image block in GIF")

@@ -29,12 +29,16 @@ import numpy as np
 import pyarrow as pa
 
 from hexscape_ray.functions.codecs import (
+    decode_bmp,
     decode_flac,
+    decode_gif,
     decode_jpeg,
     decode_png,
     decode_wav,
     encode_avi_mjpeg,
+    encode_bmp,
     encode_flac,
+    encode_gif,
     encode_jpeg,
     encode_png,
     encode_wav,
@@ -86,9 +90,10 @@ def _img_features(arr: np.ndarray) -> np.ndarray:
 class ImageDecoder:
     """image payload → (mean_r, mean_g, mean_b, sharpness) features.
 
-    PNG and baseline JPEG payloads decode for REAL (pure-numpy codecs,
-    ``functions/codecs.py``); progressive JPEG and other codecs fall
-    back to the labelled fake.  Actor pool with SMALL batches: payload
+    PNG, baseline JPEG, GIF (LZW) and 24-bit BMP payloads decode for
+    REAL (pure-numpy/stdlib codecs, ``functions/codecs.py``);
+    progressive JPEG, interlaced GIF and other codecs fall back to the
+    labelled fake.  Actor pool with SMALL batches: payload
     rows are wide, so batch_size × concurrency must fit the worker
     heap (SURVEY §4 memory pressure; use batch_size≈256 at 1 MB
     payloads).
@@ -104,6 +109,16 @@ class ImageDecoder:
             try:
                 return _img_features(decode_jpeg(payload)), "native-jpeg"
             except ValueError:  # progressive / 12-bit / arithmetic
+                pass
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            try:
+                return _img_features(decode_gif(payload)), "native-gif"
+            except ValueError:  # interlaced / exotic blocks
+                pass
+        if payload[:2] == b"BM":
+            try:
+                return _img_features(decode_bmp(payload)), "native-bmp"
+            except ValueError:  # non-24-bit / RLE
                 pass
         return _fake_stats(payload, 4), "fake"
 
@@ -156,6 +171,16 @@ class ImageResizer:
         elif payload[:2] == b"\xff\xd8":
             try:
                 arr = decode_jpeg(payload)
+            except ValueError:
+                arr = None
+        elif payload[:6] in (b"GIF87a", b"GIF89a"):
+            try:
+                arr = decode_gif(payload)
+            except ValueError:
+                arr = None
+        elif payload[:2] == b"BM":
+            try:
+                arr = decode_bmp(payload)
             except ValueError:
                 arr = None
         if arr is None:  # metadata-only fallback (labelled)
@@ -299,9 +324,9 @@ class VideoFrameSampler:
 
 def gen_media(n: int = 200, seed: int = 7) -> pa.Table:
     """Seeded media fixture table in the schema convention.  Image and
-    audio payloads are GENUINE bytes (PNG via the stdlib codec and
-    baseline JFIF via the numpy JPEG encoder, 16–48 px RGB gradients;
-    WAV PCM16 mono 8 kHz sine+noise) so the decode stages run real
+    audio payloads are GENUINE bytes (PNG / baseline JFIF / GIF89a /
+    24-bit BMP rotating per image, 16–48 px RGB gradients; WAV PCM16
+    and FLAC mono 8 kHz sine+noise) so the decode stages run real
     kernels; video payloads mix GENUINE MJPEG-in-AVI streams (every
     third video — real RIFF container of baseline JPEG frames) with
     opaque pseudo-h264 (no pure-numpy h264 decoder is feasible)."""
@@ -324,9 +349,15 @@ def gen_media(n: int = 200, seed: int = 7) -> pa.Table:
             img = np.clip(
                 base + rng.normal(0, 12, (h, w, 3)) + 20, 0, 255
             ).astype(np.uint8)
-            if i % 3 == 0:  # genuine baseline JFIF via the numpy encoder
-                payloads.append(encode_jpeg(img, quality=90, subsample=i % 6 == 0))
+            if i % 4 == 0:  # genuine baseline JFIF via the numpy encoder
+                payloads.append(encode_jpeg(img, quality=90, subsample=i % 8 == 0))
                 codec = "jpeg"
+            elif i % 4 == 1:  # genuine GIF89a (palettised LZW)
+                payloads.append(encode_gif(img))
+                codec = "gif"
+            elif i % 4 == 2:  # genuine 24-bit BMP
+                payloads.append(encode_bmp(img))
+                codec = "bmp"
             else:
                 payloads.append(encode_png(img))
                 codec = "png"

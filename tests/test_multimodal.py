@@ -53,7 +53,9 @@ def test_image_features_real_decode(media_ds):
     assert "payload" not in df.columns  # wide binary dropped after decode
     # fixture images are real PNG and real baseline JFIF — both decode
     # natively, nothing falls to the fake
-    assert set(df["decode_backend"]) == {"native-png", "native-jpeg"}
+    assert set(df["decode_backend"]) == {
+        "native-png", "native-jpeg", "native-gif", "native-bmp"
+    }
     # cross-check one row against a direct decode of the source payload
     from hexscape_ray.functions.codecs import decode_jpeg, decode_png
 
@@ -367,3 +369,90 @@ def test_video_frame_features_end_to_end(media_ds):
     assert native["sharpness"].gt(0).all()
     # per-video frame count preserved through the feature stage
     assert (feats.groupby("media_id").size() == 3).all()
+
+
+def test_gif_bmp_codecs_roundtrip():
+    from hexscape_ray.functions.codecs import (
+        _GIF_CUBE, decode_bmp, decode_gif, encode_bmp, encode_gif,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (21, 33, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+    q = np.minimum(img.astype(np.int64) * 6 // 256, 5)
+    expect = _GIF_CUBE[
+        (q[:, :, 0] * 36 + q[:, :, 1] * 6 + q[:, :, 2]).ravel()
+    ].reshape(21, 33, 3)
+    assert np.array_equal(decode_gif(encode_gif(img)), expect)
+
+
+def test_gif_decoder_reads_real_lzw():
+    """The decoder's GROWING-CODE path (dictionary-building LZW, code
+    width 9→10→…, the code==len(dic) self-reference case) against a
+    real compressing encoder written here — our production encoder
+    emits root codes only, so this is the coverage for foreign GIFs."""
+    from hexscape_ray.functions.codecs import _GIF_CUBE, decode_gif
+
+    rng = np.random.default_rng(5)
+    # low-entropy indices → long LZW matches → dictionary growth
+    idx = rng.integers(0, 4, 64 * 64).astype(np.uint8)
+    idx[1000:3000] = 2  # a long run to force self-referencing codes
+    w = h = 64
+    mcs = 8
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    # real LZW: build the dictionary exactly as a decoder expects
+    out_codes = [clear]
+    dic = {bytes([i]): i for i in range(1 << mcs)}
+    nxt = eoi + 1
+    cur = b""
+    for px in idx.tobytes():
+        cand = cur + bytes([px])
+        if cand in dic:
+            cur = cand
+        else:
+            out_codes.append(dic[cur])
+            if nxt < 4096:
+                dic[cand] = nxt
+                nxt += 1
+            cur = bytes([px])
+    out_codes.append(dic[cur])
+    out_codes.append(eoi)
+    # serialise with growing code width, SYNCHRONISED to the decoder's
+    # dictionary: the decoder adds no entry for the first code after a
+    # CLEAR, and the dictionary caps at 4096 entries
+    bits = bytearray()
+    acc = nbits = 0
+    width = mcs + 1
+    size = eoi + 1
+    first = True
+    for code in out_codes:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if code == clear:
+            size = eoi + 1
+            width = mcs + 1
+            first = True
+        elif code != eoi:
+            if first:
+                first = False
+            elif size < 4096:
+                size += 1
+                if size == (1 << width) and width < 12:
+                    width += 1
+    if nbits:
+        bits.append(acc & 0xFF)
+    gif = bytearray(b"GIF89a")
+    gif += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    gif += bytes([0xF7, 0, 0]) + _GIF_CUBE.tobytes()
+    gif += b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    gif += b"\x00" + bytes([mcs])
+    for s in range(0, len(bits), 255):
+        chunk = bits[s : s + 255]
+        gif += bytes([len(chunk)]) + chunk
+    gif += b"\x00\x3b"
+    got = decode_gif(bytes(gif))
+    assert np.array_equal(got, _GIF_CUBE[idx].reshape(h, w, 3))
