@@ -112,6 +112,37 @@ def main() -> None:
     assert a == b, (a, b)
     results["adaptive_join_bucketed_parity"] = (round(time.perf_counter() - t0, 2), a)
 
+    # 5. round-4 continuation ops: force the DISTRIBUTED tier of every
+    # _pairs_via_groups / two_phase combine by zeroing SMALL_AGG_ROWS
+    # (read at call time from the module attr) and assert full-frame
+    # parity with the small tier
+    import hexscape_ray.stages.agg as agg_mod
+
+    def run_df(name):
+        df = Q.RAY_QUERIES[name](sf).to_pandas()
+        return df.sort_values(list(df.columns), ignore_index=True)
+
+    for name in (
+        "event_transitions",
+        "events_latest_state",
+        "near_dup_pairs",
+        "copurchase_triangles",
+        "pareto_lineitem",
+    ):
+        t0 = time.perf_counter()
+        small = run_df(name)
+        saved = agg_mod.SMALL_AGG_ROWS
+        agg_mod.SMALL_AGG_ROWS = 0
+        try:
+            dist = run_df(name)
+        finally:
+            agg_mod.SMALL_AGG_ROWS = saved
+        assert small.equals(dist), name
+        results[f"{name}_two_tier_parity"] = (
+            round(time.perf_counter() - t0, 2),
+            len(small),
+        )
+
     for k, (sec, n) in results.items():
         print(f"OK {k}: {sec} s, {n} rows")
     ray.shutdown()
