@@ -233,6 +233,7 @@ def run_queries() -> dict:
         "copurchase_triangles",
         "event_transitions",
         "events_latest_state",
+        "keyword_match",
     ]
     out = {}
     for name in names:

@@ -8315,6 +8315,50 @@ SQL_EVENTS_LATEST_STATE = """
 """
 
 
+_KEYWORDS = ("data", "model", "learn", "web", "test")
+
+
+def q_keyword_match(sf_dir: str) -> Dataset:
+    """Multi-pattern SUBSTRING content filter: per keyword, how many
+    documents contain it anywhere in the text (the
+    blocklist/allowlist primitive of a curation pipeline).  One
+    vectorised Arrow ``match_substring`` pass per keyword inside the
+    same map stage (K small here; a large dictionary would swap in an
+    Aho–Corasick actor — same stage shape); per-keyword hits
+    pre-aggregate per block so the exchange carries K rows per block."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def hits(batch: pa.Table) -> pa.Table:
+        ns = [
+            int(pc.sum(pc.match_substring(batch["text"], kw)).as_py() or 0)
+            for kw in _KEYWORDS
+        ]
+        return pa.table(
+            {
+                "keyword": pa.array(list(_KEYWORDS), type=pa.string()),
+                "n_docs": pa.array(np.asarray(ns, dtype=np.int64)),
+            }
+        )
+
+    return two_phase_sum(
+        ds.map_batches(hits, batch_format="pyarrow"), ["keyword"], ["n_docs"],
+        count_as=None,
+    ).sort("keyword")
+
+
+SQL_KEYWORD_MATCH = (
+    "  WITH kw(keyword) AS (VALUES "
+    + ", ".join(f"('{k}')" for k in _KEYWORDS)
+    + """)
+  SELECT kw.keyword,
+         CAST(sum(CASE WHEN position(kw.keyword IN d.text) > 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+  FROM kw, documents d
+  GROUP BY 1 ORDER BY 1
+"""
+)
+
+
 def q_near_dup_pairs(sf_dir: str) -> Dataset:
     """Hash-exact MinHash-LSH near-dup: candidate pairs with their LSH
     band-hit counts AND exact trigram-set intersection/union sizes
@@ -8579,6 +8623,7 @@ RAY_QUERIES = {
     "copurchase_triangles": q_copurchase_triangles,
     "event_transitions": q_event_transitions,
     "events_latest_state": q_events_latest_state,
+    "keyword_match": q_keyword_match,
 }
 
 ORACLES = {
@@ -8723,6 +8768,7 @@ ORACLES = {
     "copurchase_triangles": SQL_COPURCHASE_TRIANGLES,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "events_latest_state": SQL_EVENTS_LATEST_STATE,
+    "keyword_match": SQL_KEYWORD_MATCH,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

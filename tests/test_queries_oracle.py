@@ -51,7 +51,7 @@ ORACLE_NAMES = [
     # SQL-exact near-dup pipeline (MinHash-LSH + Jaccard + closure)
     "near_dup_pairs", "near_dup_clusters", "winnow_exact",
     "cohort_retention", "pareto_lineitem", "copurchase_triangles",
-    "event_transitions", "events_latest_state",
+    "event_transitions", "events_latest_state", "keyword_match",
 ]
 
 
