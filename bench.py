@@ -234,6 +234,7 @@ def run_queries() -> dict:
         "event_transitions",
         "events_latest_state",
         "keyword_match",
+        "customer_period_shift",
     ]
     out = {}
     for name in names:

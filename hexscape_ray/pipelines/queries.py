@@ -8359,6 +8359,100 @@ SQL_KEYWORD_MATCH = (
 )
 
 
+_PERIOD_CUT_US = int(np.datetime64("1998-01-01", "us").astype(np.int64))
+
+
+def q_customer_period_shift(sf_dir: str) -> Dataset:
+    """FULL OUTER join at customer scale: each customer's order count
+    and spend in the early period (< 1998) vs the late period, with
+    customers active in only one period kept by the outer padding
+    (zero-coalesced counts + presence flags).  Exercises the one
+    equi-join mode the rest of the registry didn't: full outer CANNOT
+    broadcast (an unmatched broadcast-side row would emit once per
+    probe batch), so adaptive_join routes it to the co-partitioned
+    bucketed join unconditionally."""
+    from hexscape_ray.stages.joins import adaptive_join
+
+    def split(before: bool):
+        def prep(batch: pa.Table) -> pa.Table:
+            us = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            keep = us < _PERIOD_CUT_US if before else us >= _PERIOD_CUT_US
+            t = batch.filter(pa.array(keep))
+            return pa.table(
+                {
+                    "c_custkey": t["o_custkey"],
+                    "cents": pa.array(_cents(t["o_totalprice"])),
+                }
+            )
+
+        ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+        return two_phase_sum(
+            ds.map_batches(prep, batch_format="pyarrow"),
+            ["c_custkey"],
+            ["cents"],
+            count_as="n",
+        )
+
+    early = split(True).rename_columns({"cents": "early_c", "n": "n_early"})
+    late = split(False).rename_columns({"cents": "late_c", "n": "n_late"})
+    joined = adaptive_join(
+        early,
+        late,
+        on="c_custkey",
+        how="outer",
+        big_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("early_c", pa.int64()), ("n_early", pa.int64())]
+        ),
+        side_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("late_c", pa.int64()), ("n_late", pa.int64())]
+        ),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        def col(name):
+            return batch[name].fill_null(0).cast(pa.int64())
+
+        ne, nl = col("n_early"), col("n_late")
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "n_early": ne,
+                "early_c": col("early_c"),
+                "n_late": nl,
+                "late_c": col("late_c"),
+                "has_early": pc.cast(pc.greater(ne, 0), pa.int64()),
+                "has_late": pc.cast(pc.greater(nl, 0), pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow").sort("c_custkey")
+
+
+SQL_CUSTOMER_PERIOD_SHIFT = """
+  WITH e AS (
+    SELECT o_custkey AS c_custkey,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS early_c,
+           count(*) AS n_early
+    FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1),
+  l AS (
+    SELECT o_custkey AS c_custkey,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS late_c,
+           count(*) AS n_late
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1)
+  SELECT coalesce(e.c_custkey, l.c_custkey) AS c_custkey,
+         CAST(coalesce(n_early, 0) AS BIGINT) AS n_early,
+         CAST(coalesce(early_c, 0) AS BIGINT) AS early_c,
+         CAST(coalesce(n_late, 0) AS BIGINT) AS n_late,
+         CAST(coalesce(late_c, 0) AS BIGINT) AS late_c,
+         CAST(CASE WHEN n_early > 0 THEN 1 ELSE 0 END AS BIGINT) AS has_early,
+         CAST(CASE WHEN n_late > 0 THEN 1 ELSE 0 END AS BIGINT) AS has_late
+  FROM e FULL OUTER JOIN l USING (c_custkey)
+  ORDER BY c_custkey
+"""
+
+
 def q_near_dup_pairs(sf_dir: str) -> Dataset:
     """Hash-exact MinHash-LSH near-dup: candidate pairs with their LSH
     band-hit counts AND exact trigram-set intersection/union sizes
@@ -8624,6 +8718,7 @@ RAY_QUERIES = {
     "event_transitions": q_event_transitions,
     "events_latest_state": q_events_latest_state,
     "keyword_match": q_keyword_match,
+    "customer_period_shift": q_customer_period_shift,
 }
 
 ORACLES = {
@@ -8769,6 +8864,7 @@ ORACLES = {
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "events_latest_state": SQL_EVENTS_LATEST_STATE,
     "keyword_match": SQL_KEYWORD_MATCH,
+    "customer_period_shift": SQL_CUSTOMER_PERIOD_SHIFT,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

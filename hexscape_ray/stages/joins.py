@@ -1212,6 +1212,12 @@ def adaptive_join(
     Acero constraint (round-4 trap): the broadcast path cannot carry
     ``list<...>`` payload columns — such sides must go bucketed
     (pass a huge ``side_count`` or call bucketed_join directly)."""
+    if how in ("outer", "right"):
+        # full/right outer CANNOT broadcast: an unmatched broadcast-side
+        # row would be emitted once per probe batch — co-partition only
+        return bucketed_join(
+            big, side, on=on, how=how, left_schema=big_schema, right_schema=side_schema
+        )
     sz = _safe_size_bytes(side)
     if sz is not None and sz > (1 << 30):  # certainly above the row budget
         return bucketed_join(
