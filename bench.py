@@ -235,6 +235,7 @@ def run_queries() -> dict:
         "events_latest_state",
         "keyword_match",
         "customer_period_shift",
+        "events_latest_state_stream",
     ]
     out = {}
     for name in names:

@@ -8453,6 +8453,18 @@ SQL_CUSTOMER_PERIOD_SHIFT = """
 """
 
 
+def q_events_latest_state_stream(sf_dir: str):
+    """STREAMING twin of events_latest_state
+    (stages/streaming.py::streaming_latest_state): incremental
+    per-shard argmax state, router-fed; shares
+    SQL_EVENTS_LATEST_STATE (argmax commutes)."""
+    from hexscape_ray.stages.streaming import streaming_latest_state
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+    pdf = streaming_latest_state(ev)
+    return ray.data.from_arrow(pa.Table.from_pandas(pdf, preserve_index=False))
+
+
 def q_near_dup_pairs(sf_dir: str) -> Dataset:
     """Hash-exact MinHash-LSH near-dup: candidate pairs with their LSH
     band-hit counts AND exact trigram-set intersection/union sizes
@@ -8719,6 +8731,7 @@ RAY_QUERIES = {
     "events_latest_state": q_events_latest_state,
     "keyword_match": q_keyword_match,
     "customer_period_shift": q_customer_period_shift,
+    "events_latest_state_stream": q_events_latest_state_stream,
 }
 
 ORACLES = {
@@ -8865,6 +8878,7 @@ ORACLES = {
     "events_latest_state": SQL_EVENTS_LATEST_STATE,
     "keyword_match": SQL_KEYWORD_MATCH,
     "customer_period_shift": SQL_CUSTOMER_PERIOD_SHIFT,
+    "events_latest_state_stream": SQL_EVENTS_LATEST_STATE,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

@@ -597,3 +597,129 @@ def streaming_hex_counts(
     tables = ray.get([s.flush.remote() for s in shards])
     out = pa.concat_tables([t for t in tables if len(t)])
     return out.to_pandas().sort_values(["r", "q"], ignore_index=True)
+
+
+@ray.remote
+class LatestStateShard:
+    """One shard of the STREAMING CDC latest-state view: user_id → the
+    (ts, event_id)-max event row.  Row-argmax COMMUTES (max of maxes),
+    so routers need no sequencing and a ``flush()`` snapshot composes
+    with any replay split (``load``) — the same recovery contract as
+    the census shards."""
+
+    def __init__(self):
+        self.state: dict[int, tuple[int, int, str, int]] = {}
+
+    def feed(
+        self,
+        uid: np.ndarray,
+        us: np.ndarray,
+        eid: np.ndarray,
+        etype: list,
+        vmic: np.ndarray,
+    ) -> int:
+        st = self.state
+        for u, t, e, ty, v in zip(
+            uid.tolist(), us.tolist(), eid.tolist(), etype, vmic.tolist()
+        ):
+            cur = st.get(u)
+            if cur is None or (t, e) > (cur[0], cur[1]):
+                st[u] = (t, e, ty, v)
+        return len(st)
+
+    def load(self, snap: pa.Table) -> int:
+        return self.feed(
+            snap["user_id"].to_numpy(zero_copy_only=False),
+            snap["last_us"].to_numpy(zero_copy_only=False),
+            snap["last_event_id"].to_numpy(zero_copy_only=False),
+            snap["last_type"].to_pylist(),
+            snap["last_value_micro"].to_numpy(zero_copy_only=False),
+        )
+
+    def flush(self) -> pa.Table:
+        if not self.state:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "last_type": pa.array([], pa.string()),
+                    "last_us": pa.array([], pa.int64()),
+                    "last_value_micro": pa.array([], pa.int64()),
+                    "last_event_id": pa.array([], pa.int64()),
+                }
+            )
+        keys = sorted(self.state)
+        rows = [self.state[k] for k in keys]
+        return pa.table(
+            {
+                "user_id": pa.array(np.asarray(keys, dtype=np.int64)),
+                "last_type": pa.array([r[2] for r in rows], type=pa.string()),
+                "last_us": pa.array(np.asarray([r[0] for r in rows], dtype=np.int64)),
+                "last_value_micro": pa.array(
+                    np.asarray([r[3] for r in rows], dtype=np.int64)
+                ),
+                "last_event_id": pa.array(
+                    np.asarray([r[1] for r in rows], dtype=np.int64)
+                ),
+            }
+        )
+
+
+@ray.remote
+def _route_latest_block(block, shards: list) -> int:
+    """Router task: per-block argmax partial (one candidate row per
+    user per block) then shard delivery by user hash."""
+    if isinstance(block, pd.DataFrame):
+        block = pa.Table.from_pandas(block, preserve_index=False)
+    uid = block["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    us = block["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    eid = block["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = block["value"].to_numpy(zero_copy_only=False)
+    vmic = np.floor(v * 1e6 + 0.5).astype(np.int64)
+    etype = block["event_type"].to_pylist()
+    order = np.lexsort((eid, us, uid))
+    uid_s = uid[order]
+    last = np.empty(uid_s.shape[0], dtype=bool)
+    if last.size:
+        last[-1] = True
+        last[:-1] = uid_s[1:] != uid_s[:-1]
+    take = order[last]
+    n_shards = len(shards)
+    shard = uid[take] % n_shards
+    refs = []
+    for sh in range(n_shards):
+        m = shard == sh
+        if m.any():
+            t = take[m]
+            refs.append(
+                shards[sh].feed.remote(
+                    uid[t], us[t], eid[t], [etype[i] for i in t], vmic[t]
+                )
+            )
+    ray.get(refs)
+    return len(uid)
+
+
+def streaming_latest_state(
+    events: Dataset, n_shards: int = 8, max_inflight: int = 32
+) -> pd.DataFrame:
+    """STREAMING CDC latest-state view — incremental per-shard argmax
+    state fed by parallel router tasks; bit-identical to the batch
+    ``events_latest_state`` (shares SQL_EVENTS_LATEST_STATE: argmax
+    commutes, so no ordering machinery)."""
+    shards = [LatestStateShard.remote() for _ in range(n_shards)]
+    stream = events.materialize()
+    block_refs: list = []
+    for bundle in stream.iter_internal_ref_bundles():
+        block_refs.extend(bundle.block_refs)
+    inflight: list = []
+    for bref in block_refs:
+        inflight.append(_route_latest_block.remote(bref, shards))
+        if len(inflight) > max_inflight:
+            done, inflight = ray.wait(
+                inflight, num_returns=len(inflight) - max_inflight
+            )
+            ray.get(done)
+    ray.get(inflight)
+    tables = ray.get([s.flush.remote() for s in shards])
+    out = pa.concat_tables([t for t in tables if len(t)])
+    return out.to_pandas().sort_values("user_id", ignore_index=True)

@@ -2928,3 +2928,39 @@ def test_ndx_near_dup_invariants(ray_session):
     f3 = wf[wf.doc_id == 3][["pos", "fp"]].reset_index(drop=True)
     f4 = wf[wf.doc_id == 4][["pos", "fp"]].reset_index(drop=True)
     assert f3.equals(f4)
+
+
+def test_latest_state_shard_recovery(ray_session):
+    """Argmax shard state composes with any replay split: feed → kill
+    → load(snapshot) → feed(rest) equals one continuous feed."""
+    import ray
+
+    from hexscape_ray.stages.streaming import LatestStateShard
+
+    rng = np.random.default_rng(9)
+    n = 400
+    uid = rng.integers(0, 40, n).astype(np.int64)
+    us = rng.integers(0, 10**9, n).astype(np.int64)
+    eid = np.arange(n, dtype=np.int64)
+    etype = [f"t{int(x) % 3}" for x in rng.integers(0, 3, n)]
+    vmic = rng.integers(-10**6, 10**6, n).astype(np.int64)
+
+    def run(split):
+        s1 = LatestStateShard.remote()
+        ray.get(
+            s1.feed.remote(uid[:split], us[:split], eid[:split], etype[:split], vmic[:split])
+        )
+        snap = ray.get(s1.flush.remote())
+        ray.kill(s1)
+        s2 = LatestStateShard.remote()
+        ray.get(s2.load.remote(snap))
+        ray.get(
+            s2.feed.remote(uid[split:], us[split:], eid[split:], etype[split:], vmic[split:])
+        )
+        out = ray.get(s2.flush.remote()).to_pandas()
+        ray.kill(s2)
+        return out
+
+    base = run(0)
+    assert base.equals(run(137))
+    assert base.equals(run(400))

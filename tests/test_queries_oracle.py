@@ -52,7 +52,7 @@ ORACLE_NAMES = [
     "near_dup_pairs", "near_dup_clusters", "winnow_exact",
     "cohort_retention", "pareto_lineitem", "copurchase_triangles",
     "event_transitions", "events_latest_state", "keyword_match",
-    "customer_period_shift",
+    "customer_period_shift", "events_latest_state_stream",
 ]
 
 
