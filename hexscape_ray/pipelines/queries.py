@@ -8124,12 +8124,17 @@ def q_copurchase_triangles(sf_dir: str) -> Dataset:
         a = batch["a"].to_numpy(zero_copy_only=False)
         b = batch["b"].to_numpy(zero_copy_only=False)
         ai = np.searchsorted(nodes_, a)  # a has a forward edge ⇒ present
-        lo, hi = indptr_[ai], indptr_[ai + 1]
+        # only c > b can complete a triangle at this edge (the third
+        # edge is tested in canonical (b, c) form), and the edge's own
+        # slot in the packed array marks exactly where N⁺(a) passes b —
+        # start the wedge suffix there (halves the expansion)
+        lo = np.searchsorted(keys, (a << np.int64(32)) | b) + 1
+        hi = indptr_[ai + 1]
         deg = hi - lo
         eidx = np.repeat(np.arange(a.size), deg)
         offs = np.concatenate([[0], np.cumsum(deg)[:-1]])
         pos = np.arange(int(deg.sum())) - np.repeat(offs, deg) + np.repeat(lo, deg)
-        c = tgt[pos]  # wedge apexes: c ∈ N⁺(a), one row per (edge, c)
+        c = tgt[pos]  # wedge apexes: c ∈ N⁺(a), c > b, one row per (edge, c)
         q = (b[eidx] << np.int64(32)) | c
         j = np.searchsorted(keys, q)
         hit = (j < keys.size) & (keys[np.minimum(j, keys.size - 1)] == q)
