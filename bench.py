@@ -236,6 +236,7 @@ def run_queries() -> dict:
         "keyword_match",
         "customer_period_shift",
         "events_latest_state_stream",
+        "audience_overlap_sketch",
     ]
     out = {}
     for name in names:

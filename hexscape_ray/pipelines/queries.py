@@ -8470,6 +8470,104 @@ def q_events_latest_state_stream(sf_dir: str):
     return ray.data.from_arrow(pa.Table.from_pandas(pdf, preserve_index=False))
 
 
+def q_audience_overlap_sketch(sf_dir: str) -> Dataset:
+    """KMV SET ALGEBRA (theta-sketch style): estimate the overlap of
+    two audiences — users who viewed vs users who purchased — from two
+    fixed-size bottom-k sketches, never materialising either set.
+    τ = kth smallest hash of the sketch union; every union-bottom-k
+    element ≤ τ is guaranteed present in its side's sketch (τ ≤ both
+    kth values), so the common count is exact over the sample and
+    Jaccard/intersection estimates follow.  All DETERMINISTIC given
+    splitmix64 (a uint64 bijection), so the SQL oracle reproduces the
+    sketch bit-exactly — including the small-set exact path (m < k).
+    Scale shape: per-block unique bottom-k partials (k ints per
+    block), one coordinator merge of two k-sized arrays."""
+    from hexscape_ray.stages.sketch import kmv_bottomk
+
+    K = 256
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def side(tp: str) -> Dataset:
+        return ev.map_batches(
+            lambda b, tp=tp: b.filter(pc.equal(b["event_type"], tp)).select(
+                ["user_id"]
+            ),
+            batch_format="pyarrow",
+        )
+
+    ska = kmv_bottomk(side("view"), "user_id", k=K)
+    skb = kmv_bottomk(side("purchase"), "user_id", k=K)
+    uni = np.unique(np.concatenate([ska, skb]))[:K]
+    m = int(uni.size)
+    kth = np.uint64(uni[-1]) if m else np.uint64(0)
+    common = int(np.sum(np.isin(uni, ska) & np.isin(uni, skb)))
+    if m < K:
+        union_est = float(m)
+        jacc = common / m if m else 0.0
+    else:
+        union_est = (K - 1) / (np.float64(kth) / 18446744073709551616.0)
+        jacc = common / float(K)
+    inter_est = jacc * union_est
+    kv = int(kth)
+    kth_i64 = kv - (1 << 64) if kv >= (1 << 63) else kv
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "m": pa.array([m], type=pa.int64()),
+                "kth_hash": pa.array([kth_i64], type=pa.int64()),
+                "n_common": pa.array([common], type=pa.int64()),
+                "union_est_pml": pa.array(
+                    [int(np.floor(1e6 * union_est + 0.5))], type=pa.int64()
+                ),
+                "jacc_pml": pa.array(
+                    [int(np.floor(1e6 * jacc + 0.5))], type=pa.int64()
+                ),
+                "inter_est_pml": pa.array(
+                    [int(np.floor(1e6 * inter_est + 0.5))], type=pa.int64()
+                ),
+            }
+        )
+    )
+
+
+def _sql_audience_overlap() -> str:
+    K = 256
+    M = "18446744073709551616.0"
+    sma = _splitmix64_sql("user_id", carry="user_id", src="va")
+    smb = _splitmix64_sql("user_id", carry="user_id", src="vb")
+    return f"""
+  WITH va AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+  vb AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+  ua AS (SELECT DISTINCT h FROM ({sma})),
+  ub AS (SELECT DISTINCT h FROM ({smb})),
+  uni AS (SELECT h FROM (SELECT h FROM ua UNION SELECT h FROM ub)
+          ORDER BY h LIMIT {K}),
+  st AS (SELECT CAST(count(*) AS BIGINT) AS m, max(h) AS kth FROM uni),
+  cm AS (SELECT CAST(count(*) AS BIGINT) AS c
+         FROM uni JOIN ua USING (h) JOIN ub USING (h)),
+  es AS (
+    SELECT st.m, st.kth, cm.c,
+           CASE WHEN st.m < {K} THEN CAST(st.m AS DOUBLE)
+                ELSE ({K} - 1) / (CAST(st.kth AS DOUBLE) / {M}) END AS union_est,
+           CASE WHEN st.m < {K} THEN
+                  CASE WHEN st.m > 0 THEN CAST(cm.c AS DOUBLE) / st.m ELSE 0.0 END
+                ELSE CAST(cm.c AS DOUBLE) / {K}.0 END AS jacc
+    FROM st, cm)
+  SELECT m,
+         CAST(CASE WHEN kth >= 9223372036854775808
+                   THEN kth - 18446744073709551616 ELSE kth END AS BIGINT)
+           AS kth_hash,
+         c AS n_common,
+         CAST(floor(1e6 * union_est + 0.5) AS BIGINT) AS union_est_pml,
+         CAST(floor(1e6 * jacc + 0.5) AS BIGINT) AS jacc_pml,
+         CAST(floor(1e6 * (jacc * union_est) + 0.5) AS BIGINT) AS inter_est_pml
+  FROM es
+"""
+
+
+SQL_AUDIENCE_OVERLAP_SKETCH = _sql_audience_overlap()
+
+
 def q_near_dup_pairs(sf_dir: str) -> Dataset:
     """Hash-exact MinHash-LSH near-dup: candidate pairs with their LSH
     band-hit counts AND exact trigram-set intersection/union sizes
@@ -8737,6 +8835,7 @@ RAY_QUERIES = {
     "keyword_match": q_keyword_match,
     "customer_period_shift": q_customer_period_shift,
     "events_latest_state_stream": q_events_latest_state_stream,
+    "audience_overlap_sketch": q_audience_overlap_sketch,
 }
 
 ORACLES = {
@@ -8884,6 +8983,7 @@ ORACLES = {
     "keyword_match": SQL_KEYWORD_MATCH,
     "customer_period_shift": SQL_CUSTOMER_PERIOD_SHIFT,
     "events_latest_state_stream": SQL_EVENTS_LATEST_STATE,
+    "audience_overlap_sketch": SQL_AUDIENCE_OVERLAP_SKETCH,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

@@ -172,3 +172,27 @@ def misra_gries_heavy_hitters(
         return batch.filter(pa.array(n * support_den > support_num * total))
 
     return exact.map_batches(final, batch_format="pyarrow")
+
+
+def kmv_bottomk(ds: Dataset, member: str, k: int = 256) -> np.ndarray:
+    """GLOBAL bottom-k member-hash sketch: per-block unique bottom-k
+    partials (one k-sized list row per block — bottom-k is a mergeable
+    reduction) combined on the coordinator.  Returns the ascending
+    uint64 bottom-k of the distinct member hashes — the building block
+    for KMV SET ALGEBRA (union/intersection/Jaccard estimates)."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        h = _hash_members(batch[member].to_numpy(zero_copy_only=False))
+        uniq = np.unique(h)[:k]
+        return pa.table({"kmv": pa.array([uniq.astype(np.int64).tolist()],
+                                         type=pa.list_(pa.int64()))})
+
+    rows = ds.map_batches(part, batch_format="pyarrow").take_all()
+    allh = np.unique(
+        np.concatenate(
+            [np.asarray(r["kmv"], dtype=np.int64).view(np.uint64) for r in rows]
+        )
+        if rows
+        else [np.empty(0, dtype=np.uint64)]
+    )
+    return allh[:k]

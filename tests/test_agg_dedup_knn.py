@@ -2964,3 +2964,28 @@ def test_latest_state_shard_recovery(ray_session):
     base = run(0)
     assert base.equals(run(137))
     assert base.equals(run(400))
+
+
+def test_kmv_overlap_estimate_accuracy(ray_session):
+    """KMV theta-sketch overlap vs ground truth on synthetic sets with
+    known intersection: estimates within ~3/sqrt(k)."""
+    import ray
+
+    from hexscape_ray.stages.sketch import kmv_bottomk
+
+    k = 256
+    a_ids = np.arange(0, 6000, dtype=np.int64)
+    b_ids = np.arange(4000, 10000, dtype=np.int64)  # overlap 2000, union 10000
+    dsa = ray.data.from_arrow(pa.table({"user_id": pa.array(a_ids)})).repartition(5)
+    dsb = ray.data.from_arrow(pa.table({"user_id": pa.array(b_ids)})).repartition(3)
+    ska = kmv_bottomk(dsa, "user_id", k=k)
+    skb = kmv_bottomk(dsb, "user_id", k=k)
+    uni = np.unique(np.concatenate([ska, skb]))[:k]
+    kth = np.float64(uni[-1]) / 18446744073709551616.0
+    union_est = (k - 1) / kth
+    common = int(np.sum(np.isin(uni, ska) & np.isin(uni, skb)))
+    inter_est = (common / k) * union_est
+    assert abs(union_est - 10000) / 10000 < 3 / np.sqrt(k)
+    assert abs(inter_est - 2000) / 10000 < 3 / np.sqrt(k)
+    # partition-invariance: sketches are pure functions of the set
+    assert np.array_equal(ska, kmv_bottomk(dsa.repartition(11), "user_id", k=k))
