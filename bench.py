@@ -237,6 +237,8 @@ def run_queries() -> dict:
         "customer_period_shift",
         "events_latest_state_stream",
         "audience_overlap_sketch",
+        "daily_revenue_gapfill",
+        "nation_revenue_share",
     ]
     out = {}
     for name in names:

@@ -8568,6 +8568,179 @@ def _sql_audience_overlap() -> str:
 SQL_AUDIENCE_OVERLAP_SKETCH = _sql_audience_overlap()
 
 
+def q_daily_revenue_gapfill(sf_dir: str) -> Dataset:
+    """DENSE time series with GAP FILLING: order revenue per epoch
+    day over the full [min, max] day range, zero rows generated for
+    days with no orders (the grid-completion pattern applied to time —
+    dashboards and window functions need dense series).  The day
+    census reduces two-phase; the dense axis generates DISTRIBUTED
+    (``ray.data.range``) and each range block fills from the broadcast
+    census — no driver loop, no join shuffle (census is day-scale)."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "day_id": pa.array((us // _US_PER_DAY).astype(np.int64)),
+                "cents": pa.array(_cents(batch["o_totalprice"])),
+            }
+        )
+
+    census = two_phase_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["day_id"],
+        ["cents"],
+        count_as="n_orders",
+    ).take_all()
+    cmap = {int(r["day_id"]): (int(r["cents"]), int(r["n_orders"])) for r in census}
+    lo, hi = min(cmap), max(cmap)
+    cref = ray.put(cmap)
+
+    def fill(batch: pa.Table) -> pa.Table:
+        m = ray.get(cref)
+        days = batch["id"].to_numpy(zero_copy_only=False) + lo
+        cents = np.zeros(days.size, dtype=np.int64)
+        n = np.zeros(days.size, dtype=np.int64)
+        for i, d in enumerate(days):
+            v = m.get(int(d))
+            if v is not None:
+                cents[i], n[i] = v
+        return pa.table(
+            {
+                "day_id": pa.array(days),
+                "cents": pa.array(cents),
+                "n_orders": pa.array(n),
+                "has_orders": pa.array((n > 0).astype(np.int64)),
+            }
+        )
+
+    return (
+        ray.data.range(hi - lo + 1)
+        .map_batches(fill, batch_format="pyarrow")
+        .sort("day_id")
+    )
+
+
+SQL_DAILY_REVENUE_GAPFILL = """
+  WITH c AS (
+    SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day_id,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents,
+           count(*) AS n_orders
+    FROM orders GROUP BY 1),
+  axis AS (
+    SELECT unnest(range((SELECT min(day_id) FROM c),
+                        (SELECT max(day_id) FROM c) + 1)) AS day_id)
+  SELECT a.day_id,
+         CAST(coalesce(c.cents, 0) AS BIGINT) AS cents,
+         CAST(coalesce(c.n_orders, 0) AS BIGINT) AS n_orders,
+         CAST(CASE WHEN c.day_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS has_orders
+  FROM axis a LEFT JOIN c USING (day_id)
+  ORDER BY a.day_id
+"""
+
+
+def q_nation_revenue_share(sf_dir: str) -> Dataset:
+    """SHARE-OF-PARENT contribution analysis: each nation's customer
+    order revenue as a fraction of its region's total.  Two-level
+    census (nation, then region roll-up from the already-reduced
+    table); the share is the one float — a final division of exact
+    integer sums, micro-rounded.  Nation→region is a 25-row driver
+    lookup pushed into the map (never shuffled)."""
+    from hexscape_ray.stages.joins import adaptive_join
+
+    nat = {
+        r["n_nationkey"]: r["n_regionkey"]
+        for r in _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).take_all()
+    }
+
+    def cust_prep(batch: pa.Table) -> pa.Table:
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = np.array(sorted(nat), dtype=np.int64)
+        regs = np.array([nat[int(k)] for k in sorted(nat)], dtype=np.int64)
+        idx = np.searchsorted(keys, nk)
+        return pa.table(
+            {
+                "o_custkey": batch["c_custkey"],
+                "n_nationkey": pa.array(nk),
+                "n_regionkey": pa.array(regs[idx]),
+            }
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust_prep, batch_format="pyarrow"
+    )
+
+    def ord_prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "cents": pa.array(_cents(batch["o_totalprice"])),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        ord_prep, batch_format="pyarrow"
+    )
+    joined = adaptive_join(
+        orders,
+        cust,
+        on="o_custkey",
+        big_schema=pa.schema([("o_custkey", pa.int64()), ("cents", pa.int64())]),
+        side_schema=pa.schema(
+            [
+                ("o_custkey", pa.int64()),
+                ("n_nationkey", pa.int64()),
+                ("n_regionkey", pa.int64()),
+            ]
+        ),
+    )
+    per_nation = two_phase_sum(
+        joined.select_columns(["n_regionkey", "n_nationkey", "cents"]),
+        ["n_regionkey", "n_nationkey"],
+        ["cents"],
+        count_as="n_orders",
+    ).materialize()
+    per_region = {
+        int(r["n_regionkey"]): int(r["cents"])
+        for r in two_phase_sum(
+            per_nation, ["n_regionkey"], ["cents"], count_as=None
+        ).take_all()
+    }
+
+    def share(batch: pa.Table) -> pa.Table:
+        reg = batch["n_regionkey"].to_numpy(zero_copy_only=False)
+        c = batch["cents"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tot = np.array([per_region[int(r)] for r in reg], dtype=np.float64)
+        pml = np.floor(1e6 * (c / tot) + 0.5).astype(np.int64)
+        return batch.append_column("share_pml", pa.array(pml))
+
+    return per_nation.map_batches(share, batch_format="pyarrow").sort(
+        ["n_regionkey", "n_nationkey"]
+    )
+
+
+SQL_NATION_REVENUE_SHARE = """
+  WITH n AS (
+    SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           CAST(c.c_nationkey AS BIGINT) AS n_nationkey,
+           CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation nn ON nn.n_nationkey = c.c_nationkey
+    GROUP BY 1, 2),
+  r AS (SELECT n_regionkey, CAST(sum(cents) AS BIGINT) AS rtot FROM n GROUP BY 1)
+  SELECT n.n_regionkey, n.n_nationkey, n.cents, n.n_orders,
+         CAST(floor(1e6 * (CAST(n.cents AS DOUBLE) / CAST(r.rtot AS DOUBLE))
+                    + 0.5) AS BIGINT) AS share_pml
+  FROM n JOIN r USING (n_regionkey)
+  ORDER BY n.n_regionkey, n.n_nationkey
+"""
+
+
 def q_near_dup_pairs(sf_dir: str) -> Dataset:
     """Hash-exact MinHash-LSH near-dup: candidate pairs with their LSH
     band-hit counts AND exact trigram-set intersection/union sizes
@@ -8836,6 +9009,8 @@ RAY_QUERIES = {
     "customer_period_shift": q_customer_period_shift,
     "events_latest_state_stream": q_events_latest_state_stream,
     "audience_overlap_sketch": q_audience_overlap_sketch,
+    "daily_revenue_gapfill": q_daily_revenue_gapfill,
+    "nation_revenue_share": q_nation_revenue_share,
 }
 
 ORACLES = {
@@ -8984,6 +9159,8 @@ ORACLES = {
     "customer_period_shift": SQL_CUSTOMER_PERIOD_SHIFT,
     "events_latest_state_stream": SQL_EVENTS_LATEST_STATE,
     "audience_overlap_sketch": SQL_AUDIENCE_OVERLAP_SKETCH,
+    "daily_revenue_gapfill": SQL_DAILY_REVENUE_GAPFILL,
+    "nation_revenue_share": SQL_NATION_REVENUE_SHARE,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

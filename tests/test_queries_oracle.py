@@ -53,7 +53,8 @@ ORACLE_NAMES = [
     "cohort_retention", "pareto_lineitem", "copurchase_triangles",
     "event_transitions", "events_latest_state", "keyword_match",
     "customer_period_shift", "events_latest_state_stream",
-    "audience_overlap_sketch",
+    "audience_overlap_sketch", "daily_revenue_gapfill",
+    "nation_revenue_share",
 ]
 
 
