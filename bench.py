@@ -239,6 +239,7 @@ def run_queries() -> dict:
         "audience_overlap_sketch",
         "daily_revenue_gapfill",
         "nation_revenue_share",
+        "sink_merge_roundtrip",
     ]
     out = {}
     for name in names:

@@ -8741,6 +8741,99 @@ SQL_NATION_REVENUE_SHARE = """
 """
 
 
+_MERGE_CUT_US = int(np.datetime64("2024-01-20", "us").astype(np.int64))
+
+
+def q_sink_merge_roundtrip(sf_dir: str) -> Dataset:
+    """Lakehouse MERGE round trip: the latest-state view of events
+    BEFORE a cutoff is written to parquet (the base snapshot), read
+    back, and upserted with the post-cutoff delta through the same
+    self-combining argmax — the merged table must equal the one-shot
+    view over ALL events (shares SQL_EVENTS_LATEST_STATE).  Proves the
+    upsert state survives a parquet round trip: snapshot + any delta
+    replay converges to the full-history answer, which is exactly the
+    checkpoint-resume contract for CDC state."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from hexscape_ray.stages.dedup import _pairs_via_groups, coarse_width
+    from hexscape_ray.stages.joins import adaptive_join  # noqa: F401  (doc link)
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+    n_est = ev.count()
+    mask = np.int64(coarse_width(n_est) - 1)
+
+    def prep(before: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            keep = us < _MERGE_CUT_US if before else us >= _MERGE_CUT_US
+            t = batch.filter(pa.array(keep))
+            uid = t["user_id"].to_numpy(zero_copy_only=False)
+            v = t["value"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "last_us": t["ts"].cast(pa.int64()),
+                    "last_event_id": t["event_id"],
+                    "last_type": t["event_type"],
+                    "last_value_micro": pa.array(
+                        np.floor(v * 1e6 + 0.5).astype(np.int64)
+                    ),
+                    "__coarse": pa.array(np.bitwise_and(uid, mask)),
+                }
+            )
+
+        return fn
+
+    def best_block(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return g.drop(columns=["__coarse"], errors="ignore")
+        uid = g["user_id"].to_numpy()
+        us = g["last_us"].to_numpy()
+        eid = g["last_event_id"].to_numpy()
+        order = np.lexsort((eid, us, uid))
+        uid_s = uid[order]
+        last = np.empty(uid_s.shape[0], dtype=bool)
+        last[-1] = True
+        last[:-1] = uid_s[1:] != uid_s[:-1]
+        out = g.iloc[order[last]][
+            ["user_id", "last_type", "last_us", "last_value_micro", "last_event_id"]
+        ]
+        return out.reset_index(drop=True)
+
+    base = _pairs_via_groups(
+        ev.map_batches(prep(True), batch_format="pyarrow"), n_est, best_block
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    out_dir = f"/tmp/hexray_merge/{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    base.write_parquet(out_dir)
+
+    snapshot = rd.read_parquet(out_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "last_type": b["last_type"].cast(pa.string()),
+                "last_us": b["last_us"].cast(pa.int64()),
+                "last_value_micro": b["last_value_micro"].cast(pa.int64()),
+                "last_event_id": b["last_event_id"].cast(pa.int64()),
+                "__coarse": pa.array(
+                    np.bitwise_and(
+                        b["user_id"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+                        mask,
+                    )
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    delta = ev.map_batches(prep(False), batch_format="pyarrow")
+    merged = _pairs_via_groups(snapshot.union(delta), n_est, best_block)
+    return merged.sort("user_id")
+
+
 def q_near_dup_pairs(sf_dir: str) -> Dataset:
     """Hash-exact MinHash-LSH near-dup: candidate pairs with their LSH
     band-hit counts AND exact trigram-set intersection/union sizes
@@ -9011,6 +9104,7 @@ RAY_QUERIES = {
     "audience_overlap_sketch": q_audience_overlap_sketch,
     "daily_revenue_gapfill": q_daily_revenue_gapfill,
     "nation_revenue_share": q_nation_revenue_share,
+    "sink_merge_roundtrip": q_sink_merge_roundtrip,
 }
 
 ORACLES = {
@@ -9161,6 +9255,7 @@ ORACLES = {
     "audience_overlap_sketch": SQL_AUDIENCE_OVERLAP_SKETCH,
     "daily_revenue_gapfill": SQL_DAILY_REVENUE_GAPFILL,
     "nation_revenue_share": SQL_NATION_REVENUE_SHARE,
+    "sink_merge_roundtrip": SQL_EVENTS_LATEST_STATE,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

@@ -54,7 +54,7 @@ ORACLE_NAMES = [
     "event_transitions", "events_latest_state", "keyword_match",
     "customer_period_shift", "events_latest_state_stream",
     "audience_overlap_sketch", "daily_revenue_gapfill",
-    "nation_revenue_share",
+    "nation_revenue_share", "sink_merge_roundtrip",
 ]
 
 
