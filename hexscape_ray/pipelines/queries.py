@@ -8593,19 +8593,21 @@ def q_daily_revenue_gapfill(sf_dir: str) -> Dataset:
         ["cents"],
         count_as="n_orders",
     ).take_all()
-    cmap = {int(r["day_id"]): (int(r["cents"]), int(r["n_orders"])) for r in census}
-    lo, hi = min(cmap), max(cmap)
-    cref = ray.put(cmap)
+    cd = np.array(sorted(int(r["day_id"]) for r in census), dtype=np.int64)
+    by = {int(r["day_id"]): (int(r["cents"]), int(r["n_orders"])) for r in census}
+    cc = np.array([by[int(d)][0] for d in cd], dtype=np.int64)
+    cn = np.array([by[int(d)][1] for d in cd], dtype=np.int64)
+    lo, hi = int(cd[0]), int(cd[-1])
+    cref = ray.put((cd, cc, cn))
 
     def fill(batch: pa.Table) -> pa.Table:
-        m = ray.get(cref)
+        cd_, cc_, cn_ = ray.get(cref)
         days = batch["id"].to_numpy(zero_copy_only=False) + lo
-        cents = np.zeros(days.size, dtype=np.int64)
-        n = np.zeros(days.size, dtype=np.int64)
-        for i, d in enumerate(days):
-            v = m.get(int(d))
-            if v is not None:
-                cents[i], n[i] = v
+        idx = np.searchsorted(cd_, days)
+        idx = np.minimum(idx, cd_.size - 1)
+        hit = cd_[idx] == days
+        cents = np.where(hit, cc_[idx], 0)
+        n = np.where(hit, cn_[idx], 0)
         return pa.table(
             {
                 "day_id": pa.array(days),
