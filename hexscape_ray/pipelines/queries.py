@@ -7167,7 +7167,18 @@ def q_top_supplier_revenue(sf_dir: str) -> Dataset:
     rev = two_phase_sum(
         li, ["s_suppkey"], ["revenue_c100"], count_as="n_items"
     ).materialize()
-    mx = rev.max("revenue_c100")
+    mx = rev.max("revenue_c100") if rev.count() else None
+    if mx is None:  # empty ship window → empty result, typed
+        return ray.data.from_arrow(
+            pa.schema(
+                [
+                    ("s_suppkey", pa.int64()),
+                    ("revenue_c100", pa.int64()),
+                    ("n_items", pa.int64()),
+                    ("s_name", pa.string()),
+                ]
+            ).empty_table()
+        )
 
     def keep_max(batch: pa.Table) -> pa.Table:
         r = batch["revenue_c100"].to_numpy(zero_copy_only=False)
@@ -7963,6 +7974,8 @@ SQL_COHORT_RETENTION = """
 
 
 def _skyline_scan(price: np.ndarray, qty: np.ndarray, n: np.ndarray):
+    if price.size == 0:
+        return price, qty, n
     """2-D Pareto skyline over DISTINCT (price, qty) value pairs with
     occurrence counts: lexsort by (price, qty); a pair is dominated iff
     the running min of qty over strictly-earlier rows ≤ its qty
