@@ -79,3 +79,95 @@ def test_minhash_jaccard_estimation(seed, overlap):
     B = set(_shingle_hashes(_token_hashes_from_tokens(other), 5).tolist())
     true_j = len(A & B) / max(len(A | B), 1)
     assert abs(est - true_j) < 0.3
+
+
+# ---------------------------------------------------------------------------
+# round-4 continuation kernels
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 50), st.integers(0, 63)),
+                min_size=1, max_size=120))
+def test_skyline_scan_matches_bruteforce(pairs):
+    from hexscape_ray.pipelines.queries import _skyline_scan
+
+    arr = np.array(sorted(set(pairs)), dtype=np.int64)
+    price, qty = arr[:, 0], arr[:, 1]
+    n = np.ones(price.size, dtype=np.int64)
+    p, q, _ = _skyline_scan(price.copy(), qty.copy(), n)
+    got = set(zip(p.tolist(), q.tolist()))
+    expect = set()
+    for i in range(price.size):
+        dominated = any(
+            (price[j] <= price[i] and qty[j] <= qty[i]
+             and (price[j] < price[i] or qty[j] < qty[i]))
+            for j in range(price.size)
+        )
+        if not dominated:
+            expect.add((int(price[i]), int(qty[i])))
+    assert got == expect
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(0, 255), min_size=2, max_size=200))
+def test_morton_interleave_bijective(vals):
+    from hexscape_ray.pipelines.queries import _morton_spread8
+
+    v = np.array(vals, dtype=np.int64)
+    x, y = v[: len(v) // 2], v[len(v) // 2: 2 * (len(v) // 2)]
+    z = _morton_spread8(x) | (_morton_spread8(y) << 1)
+    # de-interleave inverts exactly
+    def unspread(s):
+        s = s & 0x5555
+        s = (s | (s >> 1)) & 0x3333
+        s = (s | (s >> 2)) & 0x0F0F
+        return (s | (s >> 4)) & 0x00FF
+    assert np.array_equal(unspread(z), x)
+    assert np.array_equal(unspread(z >> 1), y)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2_000_000_000))
+def test_civil_year_matches_datetime64(us_seconds):
+    from hexscape_ray.pipelines.queries import _civil_year_from_us
+
+    us = np.array([us_seconds * 1_000_000], dtype=np.int64)
+    got = _civil_year_from_us(us)[0]
+    expect = np.datetime64(us_seconds * 1_000_000, "us").astype("datetime64[Y]")
+    assert got == int(str(expect))
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**32 - 1))
+def test_gif_roundtrip_random_shapes(h, w, seed):
+    from hexscape_ray.functions.codecs import _GIF_CUBE, decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    q = np.minimum(img.astype(np.int64) * 6 // 256, 5)
+    expect = _GIF_CUBE[
+        (q[:, :, 0] * 36 + q[:, :, 1] * 6 + q[:, :, 2]).ravel()
+    ].reshape(h, w, 3)
+    assert np.array_equal(decode_gif(encode_gif(img)), expect)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(0, 2**63 - 1), min_size=1, max_size=60),
+       st.integers(2, 6))
+def test_winnow_guarantee_property(hashes, w):
+    """Every gram position is covered by ≥1 fingerprint within w-1
+    positions (the winnowing coverage guarantee), and all picks are
+    window minima."""
+    g = np.array(hashes, dtype=np.int64).view(np.uint64)
+    n = g.size
+    if n <= w:
+        m = g.min()
+        pos = np.array([np.flatnonzero(g == m)[-1]])
+    else:
+        win = np.lib.stride_tricks.sliding_window_view(g, w)
+        pick = (w - 1) - np.argmin(win[:, ::-1], axis=1)
+        pos = np.unique(pick + np.arange(win.shape[0]))
+    # coverage: every window [i, i+w) contains a pick
+    for i in range(max(1, n - w + 1)):
+        assert any((p >= i) and (p < i + w) for p in pos)
