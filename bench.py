@@ -240,6 +240,8 @@ def run_queries() -> dict:
         "daily_revenue_gapfill",
         "nation_revenue_share",
         "sink_merge_roundtrip",
+        "winsorized_value_stats",
+        "sink_orc_roundtrip",
     ]
     out = {}
     for name in names:

@@ -8849,6 +8849,137 @@ def q_sink_merge_roundtrip(sf_dir: str) -> Dataset:
     return merged.sort("user_id")
 
 
+def q_winsorized_value_stats(sf_dir: str) -> Dataset:
+    """WINSORIZED robust statistics: per event type, clip the value
+    column at its exact [p05, p95] discrete quantiles and report the
+    clipped sum plus how many rows were clipped.  Composition shape:
+    the exact grouped quantiles ride the value-compressed two-phase
+    (one row per distinct value per key through the exchange), the
+    tiny quantile table broadcasts back into a second streaming pass —
+    quantile-then-reaggregate without ever sorting the fact table."""
+    from hexscape_ray.stages.agg import grouped_quantiles_disc
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "v": pa.array(np.floor(v * 1e6 + 0.5).astype(np.int64)),
+            }
+        )
+
+    pv = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    qt = grouped_quantiles_disc(pv, ["event_type"], "v", {"p05": 0.05, "p95": 0.95})
+    bounds = {
+        r["event_type"]: (int(r["p05"]), int(r["p95"])) for r in qt.take_all()
+    }
+    types = sorted(bounds)
+    lo_arr = np.array([bounds[t][0] for t in types], dtype=np.int64)
+    hi_arr = np.array([bounds[t][1] for t in types], dtype=np.int64)
+    tset = pa.array(types)
+
+    def clip(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch["event_type"], value_set=tset).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        lo, hi = lo_arr[idx], hi_arr[idx]
+        vc = np.minimum(np.maximum(v, lo), hi)
+        clipped = ((v < lo) | (v > hi)).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "p05": pa.array(lo),
+                "p95": pa.array(hi),
+                "vw": pa.array(vc),
+                "clipped": pa.array(clipped),
+            }
+        )
+
+    return two_phase_sum(
+        pv.map_batches(clip, batch_format="pyarrow"),
+        ["event_type", "p05", "p95"],
+        ["vw", "clipped"],
+        count_as="n",
+    ).rename_columns({"vw": "sum_winsor", "clipped": "n_clipped"}).sort("event_type")
+
+
+SQL_WINSORIZED_VALUE_STATS = """
+  WITH v AS (
+    SELECT event_type, CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v
+    FROM events),
+  q AS (
+    SELECT event_type,
+           quantile_disc(v, 0.05) AS p05, quantile_disc(v, 0.95) AS p95
+    FROM v GROUP BY 1)
+  SELECT v.event_type, q.p05, q.p95,
+         CAST(sum(LEAST(GREATEST(v.v, q.p05), q.p95)) AS BIGINT) AS sum_winsor,
+         CAST(sum(CASE WHEN v.v < q.p05 OR v.v > q.p95 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_clipped,
+         count(*) AS n
+  FROM v JOIN q USING (event_type)
+  GROUP BY 1, 2, 3 ORDER BY 1
+"""
+
+
+def q_sink_orc_roundtrip(sf_dir: str) -> Dataset:
+    """CUSTOM FORMAT sink/source pair: the per-source census written
+    as ORC (one file per block via a map-stage sink — the pattern for
+    any format Ray lacks a native writer for), re-read distributed
+    (file-list dataset → per-file ``pyarrow.orc`` reads), and
+    re-aggregated to the per-lang census — hash-identical to the
+    direct SQL.  Proves schema/dtype survival through a THIRD columnar
+    container beyond parquet and the text formats."""
+    import os
+    import shutil
+    import uuid
+
+    import pyarrow.orc  # noqa: F401  (import check at build time)
+
+    docs = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+    fine = two_phase_sum(docs, ["source", "lang"], ["n_chars"], count_as="n_docs")
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    out = f"/tmp/hexray_orc/{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        from pyarrow import orc as _orc
+
+        path = os.path.join(out, f"part-{uuid.uuid4().hex}.orc")
+        _orc.write_table(batch, path)
+        return pa.table(
+            {
+                "path": pa.array([path], type=pa.string()),
+                "rows": pa.array([len(batch)], type=pa.int64()),
+            }
+        )
+
+    manifest = fine.map_batches(write_block, batch_format="pyarrow").take_all()
+
+    def read_file(batch: pa.Table) -> pa.Table:
+        from pyarrow import orc as _orc
+
+        tables = [_orc.read_table(p.as_py()) for p in batch["path"]]
+        return pa.concat_tables(tables)
+
+    files = ray.data.from_arrow(
+        pa.table({"path": pa.array([r["path"] for r in manifest], type=pa.string())})
+    )
+    back = files.map_batches(read_file, batch_format="pyarrow", batch_size=1)
+    out_ds = two_phase_sum(back, ["lang"], ["n_chars", "n_docs"], count_as=None)
+    return out_ds.rename_columns({"n_chars": "len_sum"}).sort("lang")
+
+
+SQL_SINK_ORC_ROUNDTRIP = """
+  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS len_sum,
+         count(*) AS n_docs
+  FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def q_near_dup_pairs(sf_dir: str) -> Dataset:
     """Hash-exact MinHash-LSH near-dup: candidate pairs with their LSH
     band-hit counts AND exact trigram-set intersection/union sizes
@@ -9120,6 +9251,8 @@ RAY_QUERIES = {
     "daily_revenue_gapfill": q_daily_revenue_gapfill,
     "nation_revenue_share": q_nation_revenue_share,
     "sink_merge_roundtrip": q_sink_merge_roundtrip,
+    "winsorized_value_stats": q_winsorized_value_stats,
+    "sink_orc_roundtrip": q_sink_orc_roundtrip,
 }
 
 ORACLES = {
@@ -9271,6 +9404,8 @@ ORACLES = {
     "daily_revenue_gapfill": SQL_DAILY_REVENUE_GAPFILL,
     "nation_revenue_share": SQL_NATION_REVENUE_SHARE,
     "sink_merge_roundtrip": SQL_EVENTS_LATEST_STATE,
+    "winsorized_value_stats": SQL_WINSORIZED_VALUE_STATS,
+    "sink_orc_roundtrip": SQL_SINK_ORC_ROUNDTRIP,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

@@ -55,6 +55,7 @@ ORACLE_NAMES = [
     "customer_period_shift", "events_latest_state_stream",
     "audience_overlap_sketch", "daily_revenue_gapfill",
     "nation_revenue_share", "sink_merge_roundtrip",
+    "winsorized_value_stats", "sink_orc_roundtrip",
 ]
 
 
