@@ -242,6 +242,7 @@ def run_queries() -> dict:
         "sink_merge_roundtrip",
         "winsorized_value_stats",
         "sink_orc_roundtrip",
+        "exact_price_quantiles",
     ]
     out = {}
     for name in names:

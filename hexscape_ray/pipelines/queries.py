@@ -8980,6 +8980,52 @@ SQL_SINK_ORC_ROUNDTRIP = """
 """
 
 
+def q_exact_price_quantiles(sf_dir: str) -> Dataset:
+    """EXACT quartiles of an unbounded-cardinality column WITHOUT
+    sorting: radix select (stages/agg.py::radix_select) walks the
+    target rank down 8 byte-level histograms — every pass is map-only
+    and ships 256 counters per block, so at 100 TB the exchange is
+    constant-size regardless of value cardinality (the case the
+    value-compressed grouped_quantiles_disc cannot assume).  The
+    prepped column materialises once and feeds all 24 passes
+    (3 quantiles × 8 bytes; a shared-prefix multi-rank walk would cut
+    that to ~8–10 and is the noted refinement)."""
+    from hexscape_ray.stages.agg import radix_select
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"cents": pa.array(_cents(batch["l_extendedprice"]))})
+
+    pv = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    n = pv.count()
+    p25, _ = radix_select(pv, "cents", q=0.25, n_rows=n)
+    p50, _ = radix_select(pv, "cents", q=0.50, n_rows=n)
+    p75, _ = radix_select(pv, "cents", q=0.75, n_rows=n)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([n], type=pa.int64()),
+                "p25_c": pa.array([p25], type=pa.int64()),
+                "p50_c": pa.array([p50], type=pa.int64()),
+                "p75_c": pa.array([p75], type=pa.int64()),
+            }
+        )
+    )
+
+
+SQL_EXACT_PRICE_QUANTILES = """
+  WITH v AS (
+    SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+    FROM lineitem)
+  SELECT count(*) AS n,
+         quantile_disc(cents, 0.25) AS p25_c,
+         quantile_disc(cents, 0.50) AS p50_c,
+         quantile_disc(cents, 0.75) AS p75_c
+  FROM v
+"""
+
+
 def q_near_dup_pairs(sf_dir: str) -> Dataset:
     """Hash-exact MinHash-LSH near-dup: candidate pairs with their LSH
     band-hit counts AND exact trigram-set intersection/union sizes
@@ -9253,6 +9299,7 @@ RAY_QUERIES = {
     "sink_merge_roundtrip": q_sink_merge_roundtrip,
     "winsorized_value_stats": q_winsorized_value_stats,
     "sink_orc_roundtrip": q_sink_orc_roundtrip,
+    "exact_price_quantiles": q_exact_price_quantiles,
 }
 
 ORACLES = {
@@ -9406,6 +9453,7 @@ ORACLES = {
     "sink_merge_roundtrip": SQL_EVENTS_LATEST_STATE,
     "winsorized_value_stats": SQL_WINSORIZED_VALUE_STATS,
     "sink_orc_roundtrip": SQL_SINK_ORC_ROUNDTRIP,
+    "exact_price_quantiles": SQL_EXACT_PRICE_QUANTILES,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

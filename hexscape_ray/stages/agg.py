@@ -781,3 +781,70 @@ def global_cumsum(
     return bucketed.groupby("__bucket").map_groups(
         scan_bucket, batch_format="pyarrow"
     )
+
+
+def radix_select(
+    ds: Dataset,
+    col: str,
+    q: float = 0.5,
+    n_rows: int | None = None,
+) -> tuple[int, int]:
+    """EXACT discrete quantile of an int64 column WITHOUT sorting and
+    WITHOUT the value-compression assumption of
+    :func:`grouped_quantiles_disc` — the unbounded-cardinality exact
+    path.  Radix select: 8 passes (one per byte, high to low), each a
+    map-only 256-bin histogram of the rows still matching the chosen
+    prefix, combined on the coordinator (256 ints per block); the
+    target rank (DuckDB ``quantile_disc``: ceil(q·n), 1-based) walks
+    down the histogram.  Every pass streams; nothing ever shuffles
+    more than 256 counters per block.  Values are biased to unsigned
+    (x ^ 2^63) so byte-lexicographic order equals numeric order.
+    Returns ``(value, n_rows)``."""
+    import math
+
+    biased = np.uint64(1) << np.uint64(63)
+
+    if n_rows is None:
+        n_rows = ds.count()
+    assert n_rows > 0
+    rank = max(math.ceil(q * n_rows), 1)  # 1-based
+
+    prefix = 0
+    for byte_i in range(7, -1, -1):
+
+        def hist(
+            batch: pa.Table,
+            byte_i=byte_i,
+            pref=np.uint64(prefix),
+            shift=np.uint64(8 * (byte_i + 1)),
+            bshift=np.uint64(8 * byte_i),
+        ) -> pa.Table:
+            v = (
+                batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+                .view(np.uint64)
+                ^ biased
+            )
+            if byte_i < 7:
+                v = v[(v >> shift) == pref]
+            b = ((v >> bshift) & np.uint64(0xFF)).astype(np.int64)
+            cnt = np.bincount(b, minlength=256).astype(np.int64)
+            return pa.table(
+                {
+                    "bin": pa.array(np.arange(256, dtype=np.int64)),
+                    "n": pa.array(cnt),
+                }
+            )
+
+        parts = ds.map_batches(hist, batch_format="pyarrow").take_all()
+        total = np.zeros(256, dtype=np.int64)
+        for r in parts:
+            total[r["bin"]] += r["n"]
+        cum = np.cumsum(total)
+        sel = int(np.searchsorted(cum, rank))
+        rank -= int(cum[sel - 1]) if sel else 0
+        prefix = (prefix << 8) | sel
+
+    v = prefix ^ (1 << 63)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v, n_rows

@@ -2989,3 +2989,28 @@ def test_kmv_overlap_estimate_accuracy(ray_session):
     assert abs(inter_est - 2000) / 10000 < 3 / np.sqrt(k)
     # partition-invariance: sketches are pure functions of the set
     assert np.array_equal(ska, kmv_bottomk(dsa.repartition(11), "user_id", k=k))
+
+
+def test_radix_select_matches_numpy(ray_session):
+    """Radix select == quantile_disc rule (sorted[ceil(q·n)−1]) on
+    random int64 values INCLUDING negatives (biased-order trap) and
+    duplicates, across partitionings."""
+    import math
+
+    import ray
+
+    from hexscape_ray.stages.agg import radix_select
+
+    rng = np.random.default_rng(17)
+    vals = np.concatenate(
+        [
+            rng.integers(-(10**12), 10**12, 3000),
+            rng.integers(-5, 5, 500),  # heavy duplicates
+        ]
+    ).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)})).repartition(7)
+    sv = np.sort(vals)
+    for q in (0.01, 0.25, 0.5, 0.9, 0.999):
+        got, n = radix_select(ds, "v", q=q)
+        assert n == vals.size
+        assert got == int(sv[max(math.ceil(q * vals.size), 1) - 1]), q
