@@ -243,6 +243,7 @@ def run_queries() -> dict:
         "winsorized_value_stats",
         "sink_orc_roundtrip",
         "exact_price_quantiles",
+        "purchase_attribution",
     ]
     out = {}
     for name in names:

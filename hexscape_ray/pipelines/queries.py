@@ -9026,6 +9026,88 @@ SQL_EXACT_PRICE_QUANTILES = """
 """
 
 
+def q_purchase_attribution(sf_dir: str) -> Dataset:
+    """LAST-TOUCH ATTRIBUTION: every purchase aligned with the same
+    user's most recent view within one hour (the conversion-funnel
+    primitive), reported per day as purchase / attributed counts and
+    the total view→purchase lag.  One LEFT as-of join with tolerance
+    (unattributed purchases survive as nulls) — the backward match +
+    window drop are exactly pandas merge_asof semantics, mirrored in
+    SQL by a max() over the bounded window."""
+    from hexscape_ray.stages.joins import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def side(tp: str, tcol: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch["event_type"], tp))
+            cols = {"user_id": t["user_id"], tcol: t["ts"].cast(pa.int64())}
+            if tp == "purchase":
+                cols["event_id"] = t["event_id"]
+            return pa.table(cols)
+
+        return ev.map_batches(fn, batch_format="pyarrow")
+
+    joined = asof_join(
+        side("purchase", "us"),
+        side("view", "vus"),
+        on="user_id",
+        left_time="us",
+        right_time="vus",
+        how="left",
+        tolerance=3_600_000_000,
+        left_schema=pa.schema(
+            [("user_id", pa.int64()), ("us", pa.int64()), ("event_id", pa.int64())]
+        ),
+        right_schema=pa.schema([("user_id", pa.int64()), ("vus", pa.int64())]),
+    )
+
+    def census(batch: pa.Table) -> pa.Table:
+        us = batch["us"].to_numpy(zero_copy_only=False)
+        valid = pc.is_valid(batch["vus"]).to_numpy(zero_copy_only=False)
+        vus = (
+            batch["vus"].combine_chunks().fill_null(0).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        lag = np.where(valid, us - vus, 0).astype(np.int64)
+        return pa.table(
+            {
+                "day_id": pa.array((us // _US_PER_DAY).astype(np.int64)),
+                "n_attributed": pa.array(valid.astype(np.int64)),
+                "sum_lag_us": pa.array(lag),
+            }
+        )
+
+    return two_phase_sum(
+        joined.map_batches(census, batch_format="pyarrow"),
+        ["day_id"],
+        ["n_attributed", "sum_lag_us"],
+        count_as="n_purchases",
+    ).sort("day_id")
+
+
+SQL_PURCHASE_ATTRIBUTION = """
+  WITH p AS (
+    SELECT event_id, user_id, epoch_us(ts) AS us
+    FROM events WHERE event_type = 'purchase'),
+  v AS (
+    SELECT user_id, epoch_us(ts) AS vus
+    FROM events WHERE event_type = 'view'),
+  m AS (
+    SELECT p.event_id, p.us, max(v.vus) AS vus
+    FROM p LEFT JOIN v
+      ON v.user_id = p.user_id AND v.vus <= p.us
+         AND v.vus >= p.us - 3600000000
+    GROUP BY 1, 2)
+  SELECT CAST(us // 86400000000 AS BIGINT) AS day_id,
+         CAST(sum(CASE WHEN vus IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_attributed,
+         CAST(coalesce(sum(us - vus), 0) AS BIGINT) AS sum_lag_us,
+         count(*) AS n_purchases
+  FROM m GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_near_dup_pairs(sf_dir: str) -> Dataset:
     """Hash-exact MinHash-LSH near-dup: candidate pairs with their LSH
     band-hit counts AND exact trigram-set intersection/union sizes
@@ -9300,6 +9382,7 @@ RAY_QUERIES = {
     "winsorized_value_stats": q_winsorized_value_stats,
     "sink_orc_roundtrip": q_sink_orc_roundtrip,
     "exact_price_quantiles": q_exact_price_quantiles,
+    "purchase_attribution": q_purchase_attribution,
 }
 
 ORACLES = {
@@ -9454,6 +9537,7 @@ ORACLES = {
     "winsorized_value_stats": SQL_WINSORIZED_VALUE_STATS,
     "sink_orc_roundtrip": SQL_SINK_ORC_ROUNDTRIP,
     "exact_price_quantiles": SQL_EXACT_PRICE_QUANTILES,
+    "purchase_attribution": SQL_PURCHASE_ATTRIBUTION,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

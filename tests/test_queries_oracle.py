@@ -56,7 +56,7 @@ ORACLE_NAMES = [
     "audience_overlap_sketch", "daily_revenue_gapfill",
     "nation_revenue_share", "sink_merge_roundtrip",
     "winsorized_value_stats", "sink_orc_roundtrip",
-    "exact_price_quantiles",
+    "exact_price_quantiles", "purchase_attribution",
 ]
 
 
