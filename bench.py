@@ -244,6 +244,7 @@ def run_queries() -> dict:
         "sink_orc_roundtrip",
         "exact_price_quantiles",
         "purchase_attribution",
+        "weighted_reservoir",
     ]
     out = {}
     for name in names:

@@ -9108,6 +9108,88 @@ SQL_PURCHASE_ATTRIBUTION = """
 """
 
 
+_RESERVOIR_K = 64
+
+
+def q_weighted_reservoir(sf_dir: str) -> Dataset:
+    """Efraimidis–Spirakis weighted reservoir sample (A-ES): exactly k
+    documents drawn with probability ∝ n_chars, deterministically —
+    key = ln(u)/w with u = (splitmix64(doc_id)+1)/2^64, keep the k
+    LARGEST keys.  The per-row key is a pure hash function, so the
+    sample is identical under any partitioning/resume AND the SQL
+    oracle recomputes it exactly (numpy and DuckDB ln agree
+    bit-for-bit over this domain — probed in round 4; splitmix64 via
+    the limb-exact SQL).  Scale shape: top-k is a mergeable reduction
+    — each block keeps its local k, one task merges k·blocks rows."""
+    from hexscape_ray.functions.hashing import splitmix64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = splitmix64(did.view(np.uint64)).astype(np.float64)
+        u = (h + 1) / 18446744073709551616.0
+        k = np.log(u) / w
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": batch["n_chars"],
+                "k": pa.array(k),
+            }
+        )
+
+    def topk(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        kk = batch["k"].to_numpy(zero_copy_only=False)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, -kk))[:_RESERVOIR_K]
+        return batch.take(pa.array(order))
+
+    sel = (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .map_batches(topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(topk, batch_format="pyarrow", batch_size=None)
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        kk = batch["k"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": batch["n_chars"],
+                "key_nano": pa.array(
+                    np.floor(1e9 * kk + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    return sel.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+def _sql_weighted_reservoir() -> str:
+    sm = _splitmix64_sql("doc_id", carry="doc_id, n_chars", src="documents")
+    return f"""
+  WITH keyed AS (
+    SELECT doc_id, n_chars,
+           -- (CAST(h AS DOUBLE) + 1), NOT CAST(h+1 AS DOUBLE): the two
+           -- differ by one ulp when h+1 crosses a float64 rounding
+           -- midpoint, and the numpy side computes float64(h) + 1.0
+           ln((CAST(h AS DOUBLE) + 1) / 18446744073709551616.0)
+             / n_chars AS k
+    FROM ({sm})),
+  sel AS (SELECT * FROM keyed ORDER BY k DESC, doc_id LIMIT {_RESERVOIR_K})
+  SELECT doc_id, n_chars,
+         CAST(floor(1e9 * k + 0.5) AS BIGINT) AS key_nano
+  FROM sel ORDER BY doc_id
+"""
+
+
+SQL_WEIGHTED_RESERVOIR = _sql_weighted_reservoir()
+
+
 def q_near_dup_pairs(sf_dir: str) -> Dataset:
     """Hash-exact MinHash-LSH near-dup: candidate pairs with their LSH
     band-hit counts AND exact trigram-set intersection/union sizes
@@ -9383,6 +9465,7 @@ RAY_QUERIES = {
     "sink_orc_roundtrip": q_sink_orc_roundtrip,
     "exact_price_quantiles": q_exact_price_quantiles,
     "purchase_attribution": q_purchase_attribution,
+    "weighted_reservoir": q_weighted_reservoir,
 }
 
 ORACLES = {
@@ -9538,6 +9621,7 @@ ORACLES = {
     "sink_orc_roundtrip": SQL_SINK_ORC_ROUNDTRIP,
     "exact_price_quantiles": SQL_EXACT_PRICE_QUANTILES,
     "purchase_attribution": SQL_PURCHASE_ATTRIBUTION,
+    "weighted_reservoir": SQL_WEIGHTED_RESERVOIR,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,
