@@ -245,6 +245,7 @@ def run_queries() -> dict:
         "exact_price_quantiles",
         "purchase_attribution",
         "weighted_reservoir",
+        "parquet_footer_stats",
     ]
     out = {}
     for name in names:

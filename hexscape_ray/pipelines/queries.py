@@ -9190,6 +9190,92 @@ def _sql_weighted_reservoir() -> str:
 SQL_WEIGHTED_RESERVOIR = _sql_weighted_reservoir()
 
 
+def q_parquet_footer_stats(sf_dir: str) -> Dataset:
+    """METADATA-ONLY statistics: per parquet file of the lineitem
+    table, row count and l_orderkey / l_quantity min/max read from the
+    FOOTER (row-group statistics), never touching data pages — the
+    planning primitive behind row-group pruning (a query with a
+    selective range predicate schedules only matching groups).  The
+    file list fans out as a dataset so footers parse distributed; the
+    oracle recomputes the same stats from the data, proving the
+    footers tell the truth."""
+    import glob as _glob
+    import os
+
+    paths = sorted(_glob.glob(os.path.join(sf_dir, "lineitem.parquet"))) or sorted(
+        _glob.glob(os.path.join(sf_dir, "lineitem", "*.parquet"))
+    )
+    files = ray.data.from_arrow(
+        pa.table({"path": pa.array(paths, type=pa.string())})
+    )
+
+    def footer(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        rows_l, okmin, okmax, qmin, qmax = [], [], [], [], []
+        for p in batch["path"].to_pylist():
+            md = pq.ParquetFile(p).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            n = md.num_rows
+            o_lo = q_lo = None
+            o_hi = q_hi = None
+            for rg in range(md.num_row_groups):
+                so = md.row_group(rg).column(names["l_orderkey"]).statistics
+                sq = md.row_group(rg).column(names["l_quantity"]).statistics
+                o_lo = so.min if o_lo is None else min(o_lo, so.min)
+                o_hi = so.max if o_hi is None else max(o_hi, so.max)
+                q_lo = sq.min if q_lo is None else min(q_lo, sq.min)
+                q_hi = sq.max if q_hi is None else max(q_hi, sq.max)
+            rows_l.append(n)
+            okmin.append(int(o_lo))
+            okmax.append(int(o_hi))
+            qmin.append(int(np.floor(q_lo + 0.5)))
+            qmax.append(int(np.floor(q_hi + 0.5)))
+        return pa.table(
+            {
+                "n_rows": pa.array(rows_l, type=pa.int64()),
+                "ok_min": pa.array(okmin, type=pa.int64()),
+                "ok_max": pa.array(okmax, type=pa.int64()),
+                "qty_min": pa.array(qmin, type=pa.int64()),
+                "qty_max": pa.array(qmax, type=pa.int64()),
+            }
+        )
+
+    per_file = files.map_batches(footer, batch_format="pyarrow")
+    # one summary row (tables may split into many files at scale)
+    from hexscape_ray.stages.agg import two_phase_agg
+
+    out = two_phase_agg(
+        per_file.map_batches(
+            lambda b: b.append_column(
+                "one", pa.array(np.zeros(len(b), dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        ),
+        ["one"],
+        {
+            "n_rows": "sum",
+            "ok_min": "min",
+            "ok_max": "max",
+            "qty_min": "min",
+            "qty_max": "max",
+        },
+    )
+    return out.map_batches(
+        lambda b: b.drop_columns(["one"]), batch_format="pyarrow"
+    )
+
+
+SQL_PARQUET_FOOTER_STATS = """
+  SELECT count(*) AS n_rows,
+         CAST(min(l_orderkey) AS BIGINT) AS ok_min,
+         CAST(max(l_orderkey) AS BIGINT) AS ok_max,
+         CAST(min(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS qty_min,
+         CAST(max(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS qty_max
+  FROM lineitem
+"""
+
+
 def q_near_dup_pairs(sf_dir: str) -> Dataset:
     """Hash-exact MinHash-LSH near-dup: candidate pairs with their LSH
     band-hit counts AND exact trigram-set intersection/union sizes
@@ -9466,6 +9552,7 @@ RAY_QUERIES = {
     "exact_price_quantiles": q_exact_price_quantiles,
     "purchase_attribution": q_purchase_attribution,
     "weighted_reservoir": q_weighted_reservoir,
+    "parquet_footer_stats": q_parquet_footer_stats,
 }
 
 ORACLES = {
@@ -9622,6 +9709,7 @@ ORACLES = {
     "exact_price_quantiles": SQL_EXACT_PRICE_QUANTILES,
     "purchase_attribution": SQL_PURCHASE_ATTRIBUTION,
     "weighted_reservoir": SQL_WEIGHTED_RESERVOIR,
+    "parquet_footer_stats": SQL_PARQUET_FOOTER_STATS,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

@@ -57,7 +57,7 @@ ORACLE_NAMES = [
     "nation_revenue_share", "sink_merge_roundtrip",
     "winsorized_value_stats", "sink_orc_roundtrip",
     "exact_price_quantiles", "purchase_attribution",
-    "weighted_reservoir",
+    "weighted_reservoir", "parquet_footer_stats",
 ]
 
 
