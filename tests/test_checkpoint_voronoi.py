@@ -257,3 +257,52 @@ def test_randomise_voronoi_strict_hard_fail(ray_session):
     out = randomise_voronoi(pts, randomise_size=2, max_tries=1, seed=2)
     assert len(out) == 8
     assert out["assigned_cell"].is_unique
+
+
+def test_map_stage_survives_worker_crash(ray_session):
+    """Ray-level fault tolerance (below the engine's checkpoint
+    layer): a map task hard-kills its own worker process the FIRST
+    time it sees the marker block; Ray restarts the task on a fresh
+    worker and the aggregate comes out exactly right — the lineage
+    retry a multi-node run leans on when a node dies mid-stage."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from hexscape_ray.stages.agg import two_phase_sum
+
+    flag = os.path.join(tempfile.gettempdir(), "hexray_crash_once_flag")
+    if os.path.exists(flag):
+        os.remove(flag)
+
+    n = 20_000
+    ds = ray.data.range(n, override_num_blocks=16)
+
+    def enc(batch, flag=flag):
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        if 7_777 in ids and not os.path.exists(flag):
+            open(flag, "w").close()  # crash exactly once, then recover
+            os._exit(1)
+        return pa.table(
+            {
+                "k": pa.array((ids % 7).astype(np.int64)),
+                "v": pa.array(ids.astype(np.int64)),
+            }
+        )
+
+    out = (
+        two_phase_sum(
+            ds.map_batches(enc, batch_format="pyarrow"), ["k"], ["v"], count_as="n"
+        )
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    ids = np.arange(n, dtype=np.int64)
+    expect_v = np.bincount(ids % 7, weights=ids).astype(np.int64)
+    assert np.array_equal(out["v"].to_numpy(), expect_v)
+    assert int(out["n"].sum()) == n
+    assert os.path.exists(flag)  # the crash really happened
+    os.remove(flag)
