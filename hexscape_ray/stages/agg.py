@@ -848,3 +848,75 @@ def radix_select(
     if v >= 1 << 63:
         v -= 1 << 64
     return v, n_rows
+
+
+def radix_select_multi(
+    ds: Dataset,
+    col: str,
+    qs: dict[str, float],
+    n_rows: int | None = None,
+) -> dict[str, int]:
+    """Multi-quantile :func:`radix_select` in FOUR shared passes:
+    16-bit digits (65536 sparse bins) instead of bytes, and every
+    pass histograms ALL still-active prefixes at once (quantile ranks
+    share passes even after their prefixes diverge — each block
+    filters per distinct prefix, ≤ len(qs) of them).  Exchange per
+    pass: the nonzero bins per (prefix, block) — sparse, so bounded
+    by distinct values per block, never 65536·blocks."""
+    import math
+
+    biased = np.uint64(1) << np.uint64(63)
+    if n_rows is None:
+        n_rows = ds.count()
+    assert n_rows > 0
+    ranks = {name: max(math.ceil(q * n_rows), 1) for name, q in qs.items()}
+    prefixes = {name: 0 for name in qs}
+
+    for digit_i in range(3, -1, -1):
+        active = sorted(set(prefixes.values()))
+        pref_arr = np.array(active, dtype=np.uint64)
+
+        def hist(
+            batch: pa.Table,
+            digit_i=digit_i,
+            pref_arr=pref_arr,
+            shift=np.uint64(16 * (digit_i + 1)),
+            dshift=np.uint64(16 * digit_i),
+        ) -> pa.Table:
+            v = (
+                batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+                .view(np.uint64)
+                ^ biased
+            )
+            out_p, out_b, out_n = [], [], []
+            for p in pref_arr:
+                vv = v if digit_i == 3 else v[(v >> shift) == p]
+                d = ((vv >> dshift) & np.uint64(0xFFFF)).astype(np.int64)
+                cnt = np.bincount(d, minlength=1)
+                nz = np.flatnonzero(cnt)
+                out_p.append(np.full(nz.size, int(p), dtype=np.int64))
+                out_b.append(nz.astype(np.int64))
+                out_n.append(cnt[nz].astype(np.int64))
+            return pa.table(
+                {
+                    "pref": pa.array(np.concatenate(out_p) if out_p else []),
+                    "bin": pa.array(np.concatenate(out_b) if out_b else []),
+                    "n": pa.array(np.concatenate(out_n) if out_n else []),
+                }
+            )
+
+        parts = ds.map_batches(hist, batch_format="pyarrow").take_all()
+        totals: dict[int, np.ndarray] = {int(p): np.zeros(65536, np.int64) for p in active}
+        for r in parts:
+            totals[int(r["pref"])][int(r["bin"])] += int(r["n"])
+        for name in qs:
+            cum = np.cumsum(totals[prefixes[name]])
+            sel = int(np.searchsorted(cum, ranks[name]))
+            ranks[name] -= int(cum[sel - 1]) if sel else 0
+            prefixes[name] = (prefixes[name] << 16) | sel
+
+    out = {}
+    for name, p in prefixes.items():
+        v = p ^ (1 << 63)
+        out[name] = v - (1 << 64) if v >= 1 << 63 else v
+    return out

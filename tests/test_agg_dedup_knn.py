@@ -3014,3 +3014,21 @@ def test_radix_select_matches_numpy(ray_session):
         got, n = radix_select(ds, "v", q=q)
         assert n == vals.size
         assert got == int(sv[max(math.ceil(q * vals.size), 1) - 1]), q
+
+
+def test_radix_select_multi_matches_single(ray_session):
+    """The shared-pass 16-bit multi-rank walk returns exactly what the
+    byte-wise single-rank primitive does, rank by rank."""
+    import ray
+
+    from hexscape_ray.stages.agg import radix_select, radix_select_multi
+
+    rng = np.random.default_rng(23)
+    vals = np.concatenate(
+        [rng.integers(-(10**12), 10**12, 4000), rng.integers(-3, 3, 400)]
+    ).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)})).repartition(5)
+    multi = radix_select_multi(ds, "v", {"a": 0.1, "b": 0.5, "c": 0.93})
+    for name, q in (("a", 0.1), ("b", 0.5), ("c", 0.93)):
+        single, _ = radix_select(ds, "v", q=q)
+        assert multi[name] == single, name
