@@ -148,9 +148,16 @@ def main():
         workers = int(os.environ.get("HEXRAY_ORACLE_THREADS", "4"))
         with ThreadPoolExecutor(max_workers=workers) as pool:
             results = list(pool.map(check_one, names))
+    n_pass = n_rows = 0
     for msg, failed in results:
         print(msg)
         n_fail += int(failed)
+        n_pass += msg.startswith("PASS")
+        n_rows += msg.startswith("ok")
+    print(
+        f"SUMMARY: {n_pass} hash-exact PASS, {n_rows} rows-only ok, "
+        f"{n_fail} FAIL ({len(results)} queries, {sf_dir})"
+    )
     ray.shutdown()
     sys.exit(1 if n_fail else 0)
 
