@@ -246,6 +246,7 @@ def run_queries() -> dict:
         "purchase_attribution",
         "weighted_reservoir",
         "parquet_footer_stats",
+        "user_longest_streak",
     ]
     out = {}
     for name in names:

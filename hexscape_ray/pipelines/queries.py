@@ -9276,6 +9276,102 @@ SQL_PARQUET_FOOTER_STATS = """
 """
 
 
+def q_user_longest_streak(sf_dir: str) -> Dataset:
+    """GAPS-AND-ISLANDS per user: longest run of CONSECUTIVE active
+    days (the retention-streak metric).  Events reduce to distinct
+    (user, day) rows two-phase; the streak kernel runs per count-scaled
+    user-hash coarse group in ONE lexsort pass (islands = runs where
+    day − rank is constant, the dup_spans diagonal trick applied to
+    time).  SQL mirrors with day − row_number() islands."""
+    from hexscape_ray.stages.dedup import _pairs_via_groups, coarse_width
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    n_est = ev.count()
+    mask = np.int64(coarse_width(n_est) - 1)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "day_id": pa.array((us // _US_PER_DAY).astype(np.int64)),
+                "__coarse": pa.array(np.bitwise_and(uid, mask)),
+            }
+        )
+
+    def streaks(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": np.empty(0, np.int64),
+                    "n_active_days": np.empty(0, np.int64),
+                    "longest_streak": np.empty(0, np.int64),
+                }
+            )
+        uid = g["user_id"].to_numpy()
+        day = g["day_id"].to_numpy()
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        uniq = np.empty(uid.shape[0], dtype=bool)  # distinct (user, day)
+        uniq[0] = True
+        uniq[1:] = (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])
+        uid, day = uid[uniq], day[uniq]
+        # island id = day − per-user rank (constant within a run)
+        new_user = np.empty(uid.shape[0], dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new_user)
+        rank = np.arange(uid.shape[0]) - np.repeat(starts, np.diff(np.append(starts, uid.shape[0])))
+        isl = day - rank
+        # run lengths per (user, island)
+        brk = np.empty(uid.shape[0], dtype=bool)
+        brk[0] = True
+        brk[1:] = new_user[1:] | (isl[1:] != isl[:-1])
+        run_starts = np.flatnonzero(brk)
+        run_lens = np.diff(np.append(run_starts, uid.shape[0]))
+        run_uid = uid[run_starts]
+        out_u, out_active, out_best = [], [], []
+        u_starts = np.flatnonzero(np.r_[True, run_uid[1:] != run_uid[:-1]])
+        u_ends = np.r_[u_starts[1:], run_uid.size]
+        for s, e in zip(u_starts, u_ends):
+            out_u.append(run_uid[s])
+            out_active.append(int(run_lens[s:e].sum()))
+            out_best.append(int(run_lens[s:e].max()))
+        return pd.DataFrame(
+            {
+                "user_id": np.asarray(out_u, dtype=np.int64),
+                "n_active_days": np.asarray(out_active, dtype=np.int64),
+                "longest_streak": np.asarray(out_best, dtype=np.int64),
+            }
+        )
+
+    out = _pairs_via_groups(
+        ev.map_batches(prep, batch_format="pyarrow"), n_est, streaks
+    )
+    return out.sort("user_id")
+
+
+SQL_USER_LONGEST_STREAK = """
+  WITH ud AS (
+    SELECT DISTINCT user_id,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_id
+    FROM events),
+  isl AS (
+    SELECT user_id, day_id,
+           day_id - row_number() OVER (
+             PARTITION BY user_id ORDER BY day_id) AS island
+    FROM ud),
+  runs AS (
+    SELECT user_id, island, CAST(count(*) AS BIGINT) AS run_len
+    FROM isl GROUP BY 1, 2)
+  SELECT user_id,
+         CAST(sum(run_len) AS BIGINT) AS n_active_days,
+         CAST(max(run_len) AS BIGINT) AS longest_streak
+  FROM runs GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_near_dup_pairs(sf_dir: str) -> Dataset:
     """Hash-exact MinHash-LSH near-dup: candidate pairs with their LSH
     band-hit counts AND exact trigram-set intersection/union sizes
@@ -9553,6 +9649,7 @@ RAY_QUERIES = {
     "purchase_attribution": q_purchase_attribution,
     "weighted_reservoir": q_weighted_reservoir,
     "parquet_footer_stats": q_parquet_footer_stats,
+    "user_longest_streak": q_user_longest_streak,
 }
 
 ORACLES = {
@@ -9710,6 +9807,7 @@ ORACLES = {
     "purchase_attribution": SQL_PURCHASE_ATTRIBUTION,
     "weighted_reservoir": SQL_WEIGHTED_RESERVOIR,
     "parquet_footer_stats": SQL_PARQUET_FOOTER_STATS,
+    "user_longest_streak": SQL_USER_LONGEST_STREAK,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,
