@@ -247,6 +247,7 @@ def run_queries() -> dict:
         "weighted_reservoir",
         "parquet_footer_stats",
         "user_longest_streak",
+        "conversion_lag",
     ]
     out = {}
     for name in names:

@@ -9372,6 +9372,101 @@ SQL_USER_LONGEST_STREAK = """
 """
 
 
+def q_conversion_lag(sf_dir: str) -> Dataset:
+    """TIME-TO-CONVERT distribution: for every user with a view, the
+    lag in whole hours from their FIRST view to their first purchase
+    AFTER it, histogrammed (lag −1 = never converted).  Fully
+    distributed: first-view mins (two-phase), purchases qualify
+    against them through a user-keyed adaptive join (bucketed past the
+    broadcast budget — no driver-side user map), first qualifying
+    purchase via a second two-phase MIN, one LEFT join back, then the
+    hour-bucket census."""
+    from hexscape_ray.stages.agg import two_phase_agg
+    from hexscape_ray.stages.joins import adaptive_join
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def side(tp: str):
+        return ev.map_batches(
+            lambda b, tp=tp: pa.table(
+                {
+                    "user_id": b.filter(pc.equal(b["event_type"], tp))["user_id"],
+                    "us": b.filter(pc.equal(b["event_type"], tp))["ts"].cast(
+                        pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    fvd = two_phase_agg(side("view"), ["user_id"], {"us": "min"}).rename_columns(
+        {"us": "vus"}
+    ).materialize()
+    cand = adaptive_join(
+        side("purchase"),
+        fvd,
+        on="user_id",
+        big_schema=pa.schema([("user_id", pa.int64()), ("us", pa.int64())]),
+        side_schema=pa.schema([("user_id", pa.int64()), ("vus", pa.int64())]),
+    )
+
+    def qualify(batch: pa.Table) -> pa.Table:
+        us = batch["us"].to_numpy(zero_copy_only=False)
+        vus = batch["vus"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(us >= vus)).select(["user_id", "us"])
+
+    fpd = two_phase_agg(
+        cand.map_batches(qualify, batch_format="pyarrow"),
+        ["user_id"],
+        {"us": "min"},
+    ).rename_columns({"us": "pus"})
+    lagged = adaptive_join(
+        fvd,
+        fpd,
+        on="user_id",
+        how="left",
+        big_schema=pa.schema([("user_id", pa.int64()), ("vus", pa.int64())]),
+        side_schema=pa.schema([("user_id", pa.int64()), ("pus", pa.int64())]),
+    )
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        vus = batch["vus"].to_numpy(zero_copy_only=False)
+        valid = pc.is_valid(batch["pus"]).to_numpy(zero_copy_only=False)
+        pus = (
+            batch["pus"].combine_chunks().fill_null(0).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        lag = np.where(valid, (pus - vus) // 3_600_000_000, -1).astype(np.int64)
+        return pa.table({"lag_hours": pa.array(lag)})
+
+    return two_phase_sum(
+        lagged.map_batches(bucket, batch_format="pyarrow"),
+        ["lag_hours"],
+        [],
+        count_as="n_users",
+    ).sort("lag_hours")
+
+
+SQL_CONVERSION_LAG = """
+  WITH fv AS (
+    SELECT user_id, min(epoch_us(ts)) AS vus
+    FROM events WHERE event_type = 'view' GROUP BY 1),
+  fp AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS pus
+    FROM events e JOIN fv ON fv.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= fv.vus
+    GROUP BY 1),
+  lag AS (
+    SELECT fv.user_id,
+           CAST(CASE WHEN fp.pus IS NULL THEN -1
+                     ELSE (fp.pus - fv.vus) // 3600000000 END AS BIGINT)
+             AS lag_hours
+    FROM fv LEFT JOIN fp USING (user_id))
+  SELECT lag_hours, count(*) AS n_users
+  FROM lag GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_near_dup_pairs(sf_dir: str) -> Dataset:
     """Hash-exact MinHash-LSH near-dup: candidate pairs with their LSH
     band-hit counts AND exact trigram-set intersection/union sizes
@@ -9650,6 +9745,7 @@ RAY_QUERIES = {
     "weighted_reservoir": q_weighted_reservoir,
     "parquet_footer_stats": q_parquet_footer_stats,
     "user_longest_streak": q_user_longest_streak,
+    "conversion_lag": q_conversion_lag,
 }
 
 ORACLES = {
@@ -9808,6 +9904,7 @@ ORACLES = {
     "weighted_reservoir": SQL_WEIGHTED_RESERVOIR,
     "parquet_footer_stats": SQL_PARQUET_FOOTER_STATS,
     "user_longest_streak": SQL_USER_LONGEST_STREAK,
+    "conversion_lag": SQL_CONVERSION_LAG,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,
