@@ -174,3 +174,14 @@ def test_weighted_sample_partition_invariant(ray_session):
     kept_frac_long = keep[tbl["n_chars"].to_numpy() > med].mean()
     kept_frac_short = keep[tbl["n_chars"].to_numpy() <= med].mean()
     assert kept_frac_long > kept_frac_short
+
+
+def test_sink_queries_rerun_idempotent(registry):
+    """The sink round-trip queries clean and rebuild their /tmp output
+    dirs — running twice back-to-back must give identical results
+    (rerun/resume safety for the fixed-path sinks)."""
+    qs, _ = registry
+    for name in ("sink_roundtrip", "sink_orc_roundtrip", "sink_merge_roundtrip"):
+        a = qs[name](SF_SMOKE).to_pandas()
+        b = qs[name](SF_SMOKE).to_pandas()
+        assert a.equals(b), name
