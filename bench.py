@@ -248,6 +248,7 @@ def run_queries() -> dict:
         "parquet_footer_stats",
         "user_longest_streak",
         "conversion_lag",
+        "basket_lift",
     ]
     out = {}
     for name in names:

@@ -9467,6 +9467,146 @@ SQL_CONVERSION_LAG = """
 """
 
 
+def q_basket_lift(sf_dir: str) -> Dataset:
+    """MARKET-BASKET LIFT: the top-20 co-purchased part pairs by
+    support, with lift = P(a,b) / (P(a)·P(b)) as a micro-rounded final
+    division of exact integer products.  Pair counts ride the same
+    coarse-group clique kernel as the triangle census; per-part
+    supports are a two-phase count; the distributed top-k is
+    per-block partial top-20 + one merge task (no global sort)."""
+    from hexscape_ray.stages.dedup import _pairs_via_groups, coarse_width
+
+    op = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    n_est = op.count()
+    mask = np.int64(coarse_width(n_est) - 1)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        return batch.append_column("__coarse", pa.array(np.bitwise_and(ok, mask)))
+
+    def pairs_block(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)}
+            )
+        ok = g["l_orderkey"].to_numpy()
+        pk = g["l_partkey"].to_numpy()
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        uniq = np.empty(ok.shape[0], dtype=bool)
+        uniq[0] = True
+        uniq[1:] = (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])
+        ok, pk = ok[uniq], pk[uniq]
+        new = np.empty(ok.shape[0], dtype=bool)
+        new[0] = True
+        new[1:] = ok[1:] != ok[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, ok.shape[0]))
+        out_a, out_b = [], []
+        for m in np.unique(lens[lens >= 2]):
+            s = starts[lens == m]
+            mat = pk[s[:, None] + np.arange(int(m))]
+            i, j = np.triu_indices(int(m), 1)
+            out_a.append(mat[:, i].ravel())
+            out_b.append(mat[:, j].ravel())
+        if not out_a:
+            return pd.DataFrame(
+                {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)}
+            )
+        return pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
+
+    pair_rows = _pairs_via_groups(
+        op.map_batches(add_bucket, batch_format="pyarrow"), n_est, pairs_block
+    )
+    pr = two_phase_sum(pair_rows, ["a", "b"], [], count_as="n_ab")
+
+    def topk(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        n_ab = batch["n_ab"].to_numpy(zero_copy_only=False)
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a, -n_ab))[:20]
+        return batch.take(pa.array(order))
+
+    sel = (
+        pr.map_batches(topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(topk, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+
+    # per-order distinct part rows → supports + total baskets
+    def dedup_op(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        uniq = np.empty(ok.shape[0], dtype=bool)
+        uniq[0] = len(ok) > 0
+        uniq[1:] = (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])
+        return pa.table(
+            {"l_orderkey": pa.array(ok[uniq]), "l_partkey": pa.array(pk[uniq])}
+        )
+
+    opd = two_phase_sum(
+        op.map_batches(dedup_op, batch_format="pyarrow"),
+        ["l_orderkey", "l_partkey"],
+        [],
+        count_as="__c",
+    ).materialize()
+    supports = {
+        int(r["l_partkey"]): int(r["n_p"])
+        for r in two_phase_sum(
+            opd, ["l_partkey"], [], count_as="n_p"
+        ).take_all()
+    }
+    n_tot = two_phase_sum(opd, ["l_orderkey"], [], count_as="__o").count()
+
+    a = np.array([r["a"] for r in sel], dtype=np.int64)
+    b = np.array([r["b"] for r in sel], dtype=np.int64)
+    n_ab = np.array([r["n_ab"] for r in sel], dtype=np.int64)
+    n_a = np.array([supports[int(x)] for x in a], dtype=np.int64)
+    n_b = np.array([supports[int(x)] for x in b], dtype=np.int64)
+    lift = np.floor(
+        1e6 * ((n_ab * n_tot).astype(np.float64) / (n_a * n_b).astype(np.float64))
+        + 0.5
+    ).astype(np.int64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "n_ab": pa.array(n_ab),
+                "n_a": pa.array(n_a),
+                "n_b": pa.array(n_b),
+                "lift_pml": pa.array(lift),
+            }
+        )
+    ).sort(["a", "b"])
+
+
+SQL_BASKET_LIFT = """
+  WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+  tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM op),
+  sup AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_p FROM op GROUP BY 1),
+  pr AS (
+    SELECT x.l_partkey AS a, y.l_partkey AS b, CAST(count(*) AS BIGINT) AS n_ab
+    FROM op x JOIN op y
+      ON y.l_orderkey = x.l_orderkey AND y.l_partkey > x.l_partkey
+    GROUP BY 1, 2),
+  sel AS (SELECT * FROM pr ORDER BY n_ab DESC, a, b LIMIT 20)
+  SELECT s.a, s.b, s.n_ab, sa.n_p AS n_a, sb.n_p AS n_b,
+         CAST(floor(1e6 * (CAST(s.n_ab * tot.n AS DOUBLE)
+                           / CAST(sa.n_p * sb.n_p AS DOUBLE)) + 0.5) AS BIGINT)
+           AS lift_pml
+  FROM sel s
+  JOIN sup sa ON sa.l_partkey = s.a
+  JOIN sup sb ON sb.l_partkey = s.b, tot
+  ORDER BY s.a, s.b
+"""
+
+
 def q_near_dup_pairs(sf_dir: str) -> Dataset:
     """Hash-exact MinHash-LSH near-dup: candidate pairs with their LSH
     band-hit counts AND exact trigram-set intersection/union sizes
@@ -9746,6 +9886,7 @@ RAY_QUERIES = {
     "parquet_footer_stats": q_parquet_footer_stats,
     "user_longest_streak": q_user_longest_streak,
     "conversion_lag": q_conversion_lag,
+    "basket_lift": q_basket_lift,
 }
 
 ORACLES = {
@@ -9905,6 +10046,7 @@ ORACLES = {
     "parquet_footer_stats": SQL_PARQUET_FOOTER_STATS,
     "user_longest_streak": SQL_USER_LONGEST_STREAK,
     "conversion_lag": SQL_CONVERSION_LAG,
+    "basket_lift": SQL_BASKET_LIFT,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

@@ -58,7 +58,7 @@ ORACLE_NAMES = [
     "winsorized_value_stats", "sink_orc_roundtrip",
     "exact_price_quantiles", "purchase_attribution",
     "weighted_reservoir", "parquet_footer_stats",
-    "user_longest_streak", "conversion_lag",
+    "user_longest_streak", "conversion_lag", "basket_lift",
 ]
 
 
