@@ -249,6 +249,8 @@ def run_queries() -> dict:
         "user_longest_streak",
         "conversion_lag",
         "basket_lift",
+        "supplier_concentration",
+        "events_dow_hour",
     ]
     out = {}
     for name in names:

@@ -9607,6 +9607,124 @@ SQL_BASKET_LIFT = """
 """
 
 
+def q_supplier_concentration(sf_dir: str) -> Dataset:
+    """HERFINDAHL–HIRSCHMAN concentration per brand: how concentrated
+    each brand's supply is across its suppliers, HHI = Σ (nᵢ/N)² over
+    distinct (part, supplier) supply pairs — the market-structure
+    aggregate.  Distinct pairs reduce two-phase, brand rides one
+    adaptive dimension join, per-(brand, supplier) counts reduce
+    again, and HHI is one float division of exact integer sums
+    (Σ nᵢ² / N²), micro-rounded."""
+    from hexscape_ray.stages.joins import adaptive_join
+
+    pairs = two_phase_sum(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]),
+        ["l_partkey", "l_suppkey"],
+        [],
+        count_as="__c",
+    ).map_batches(lambda b: b.drop_columns(["__c"]), batch_format="pyarrow")
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        lambda b: pa.table({"l_partkey": b["p_partkey"], "p_brand": b["p_brand"]}),
+        batch_format="pyarrow",
+    )
+    wb = adaptive_join(
+        pairs,
+        part,
+        on="l_partkey",
+        big_schema=pa.schema([("l_partkey", pa.int64()), ("l_suppkey", pa.int64())]),
+        side_schema=pa.schema([("l_partkey", pa.int64()), ("p_brand", pa.string())]),
+    )
+    bs = two_phase_sum(
+        wb.select_columns(["p_brand", "l_suppkey"]),
+        ["p_brand", "l_suppkey"],
+        [],
+        count_as="n_i",
+    )
+
+    def sq(batch: pa.Table) -> pa.Table:
+        n = batch["n_i"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "p_brand": batch["p_brand"],
+                "sum_sq": pa.array(n * n),
+                "n_pairs": pa.array(n),
+                "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+
+    agg = two_phase_sum(
+        bs.map_batches(sq, batch_format="pyarrow"),
+        ["p_brand"],
+        ["sum_sq", "n_pairs", "one"],
+        count_as=None,
+    ).rename_columns({"one": "n_suppliers"})
+
+    def hhi(batch: pa.Table) -> pa.Table:
+        ss = batch["sum_sq"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = batch["n_pairs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pml = np.floor(1e6 * (ss / (n * n)) + 0.5).astype(np.int64)
+        return batch.append_column("hhi_pml", pa.array(pml))
+
+    return agg.map_batches(hhi, batch_format="pyarrow").sort("p_brand")
+
+
+SQL_SUPPLIER_CONCENTRATION = """
+  WITH sp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+  bs AS (
+    SELECT p_brand, l_suppkey, CAST(count(*) AS BIGINT) AS n_i
+    FROM sp JOIN part ON p_partkey = l_partkey
+    GROUP BY 1, 2),
+  agg AS (
+    SELECT p_brand,
+           CAST(sum(n_i * n_i) AS BIGINT) AS sum_sq,
+           CAST(sum(n_i) AS BIGINT) AS n_pairs,
+           count(*) AS n_suppliers
+    FROM bs GROUP BY 1)
+  SELECT p_brand, sum_sq, n_pairs, n_suppliers,
+         CAST(floor(1e6 * (CAST(sum_sq AS DOUBLE)
+                           / (CAST(n_pairs AS DOUBLE) * CAST(n_pairs AS DOUBLE)))
+                    + 0.5) AS BIGINT) AS hhi_pml
+  FROM agg ORDER BY p_brand
+"""
+
+
+def q_events_dow_hour(sf_dir: str) -> Dataset:
+    """Day-of-week × hour-of-day activity HEATMAP census (the ops
+    dashboard staple): dow = (epoch_days + 4) % 7 (day 0 was a
+    Thursday; matches DuckDB date_part('dow'), Sunday = 0), hour in
+    UTC — both pure integer math, one two-phase census."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        days = us // _US_PER_DAY
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "dow": pa.array(((days + 4) % 7).astype(np.int64)),
+                "hour": pa.array(((us // 3_600_000_000) % 24).astype(np.int64)),
+                "value_micro": pa.array(np.floor(v * 1e6 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return two_phase_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["dow", "hour"],
+        ["value_micro"],
+        count_as="n_events",
+    ).sort(["dow", "hour"])
+
+
+SQL_EVENTS_DOW_HOUR = """
+  SELECT CAST(date_part('dow', ts) AS BIGINT) AS dow,
+         CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour,
+         CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+           AS value_micro,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_near_dup_pairs(sf_dir: str) -> Dataset:
     """Hash-exact MinHash-LSH near-dup: candidate pairs with their LSH
     band-hit counts AND exact trigram-set intersection/union sizes
@@ -9887,6 +10005,8 @@ RAY_QUERIES = {
     "user_longest_streak": q_user_longest_streak,
     "conversion_lag": q_conversion_lag,
     "basket_lift": q_basket_lift,
+    "supplier_concentration": q_supplier_concentration,
+    "events_dow_hour": q_events_dow_hour,
 }
 
 ORACLES = {
@@ -10047,6 +10167,8 @@ ORACLES = {
     "user_longest_streak": SQL_USER_LONGEST_STREAK,
     "conversion_lag": SQL_CONVERSION_LAG,
     "basket_lift": SQL_BASKET_LIFT,
+    "supplier_concentration": SQL_SUPPLIER_CONCENTRATION,
+    "events_dow_hour": SQL_EVENTS_DOW_HOUR,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

@@ -59,6 +59,7 @@ ORACLE_NAMES = [
     "exact_price_quantiles", "purchase_attribution",
     "weighted_reservoir", "parquet_footer_stats",
     "user_longest_streak", "conversion_lag", "basket_lift",
+    "supplier_concentration", "events_dow_hour",
 ]
 
 
