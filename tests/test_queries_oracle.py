@@ -60,6 +60,10 @@ ORACLE_NAMES = [
     "weighted_reservoir", "parquet_footer_stats",
     "user_longest_streak", "conversion_lag", "basket_lift",
     "supplier_concentration", "events_dow_hour",
+    # TPC-H completion pack (Q6/Q8/Q10/Q11/Q16/Q19/Q20 shapes)
+    "forecast_revenue", "nation_market_share", "returned_item_revenue",
+    "important_parts", "supplier_part_counts", "disjunctive_revenue",
+    "excess_shipped_suppliers",
 ]
 
 
