@@ -10648,6 +10648,51 @@ SQL_EXCESS_SHIPPED_SUPPLIERS = """
 """
 
 
+def q_hex_bfs_distance(sf_dir: str) -> Dataset:
+    """Hex-grid BFS geodesic distance (stages/graph.py::
+    hex_bfs_distance): hop distance from the busiest hex to every
+    occupied hex reachable through occupied cells — the graph is the
+    IMPLICIT six-offset axial adjacency (reference k-ring semantics,
+    R/patches.R neighbour join), so no edge table is built.  Seed =
+    argmax n_docs, ties to min (r, q).  SQL oracle = recursive CTE
+    over the same axial CTE chain with a 255-step cap (mirrored by the
+    engine's max_steps assert)."""
+    from hexscape_ray.stages.graph import hex_bfs_distance
+
+    counts = q_hex_doc_counts(sf_dir).select_columns(["r", "q", "n_docs"])
+    # per-hex tables are landscape-bounded → correct small collect
+    pdf = counts.to_pandas()
+    pdf = pdf.sort_values(["n_docs", "r", "q"], ascending=[False, True, True])
+    seed = (int(pdf.iloc[0]["r"]), int(pdf.iloc[0]["q"]))
+    return hex_bfs_distance(counts.select_columns(["r", "q"]), seed)
+
+
+SQL_HEX_BFS_DISTANCE = (
+    _hex_cte("documents", "doc_id", "doc_id").replace(
+        "WITH ", "WITH RECURSIVE ", 1
+    )
+    + """,
+  wt AS (SELECT r, q, count(*) AS n FROM hexed GROUP BY 1, 2),
+  cells AS (SELECT r, q FROM wt),
+  seed AS (SELECT r, q FROM wt ORDER BY n DESC, r, q LIMIT 1),
+  reach(rr, rq, d) AS (
+    SELECT r, q, 0 FROM seed
+    UNION
+    SELECT c.r, c.q, reach.d + 1
+    FROM reach JOIN cells c ON
+         (c.r = reach.rr     AND c.q = reach.rq + 1)
+      OR (c.r = reach.rr     AND c.q = reach.rq - 1)
+      OR (c.r = reach.rr + 1 AND c.q = reach.rq)
+      OR (c.r = reach.rr - 1 AND c.q = reach.rq)
+      OR (c.r = reach.rr + 1 AND c.q = reach.rq - 1)
+      OR (c.r = reach.rr - 1 AND c.q = reach.rq + 1)
+    WHERE reach.d < 255)
+  SELECT rr AS r, rq AS q, CAST(min(d) AS BIGINT) AS dist
+  FROM reach GROUP BY 1, 2 ORDER BY r, q
+"""
+)
+
+
 RAY_QUERIES = {
     "hex_doc_counts": q_hex_doc_counts,
     "hex_lang_mix": q_hex_lang_mix,
@@ -10841,6 +10886,7 @@ RAY_QUERIES = {
     "supplier_part_counts": q_supplier_part_counts,
     "disjunctive_revenue": q_disjunctive_revenue,
     "excess_shipped_suppliers": q_excess_shipped_suppliers,
+    "hex_bfs_distance": q_hex_bfs_distance,
 }
 
 ORACLES = {
@@ -11010,6 +11056,7 @@ ORACLES = {
     "supplier_part_counts": SQL_SUPPLIER_PART_COUNTS,
     "disjunctive_revenue": SQL_DISJUNCTIVE_REVENUE,
     "excess_shipped_suppliers": SQL_EXCESS_SHIPPED_SUPPLIERS,
+    "hex_bfs_distance": SQL_HEX_BFS_DISTANCE,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

@@ -352,3 +352,198 @@ def pagerank(
         lambda t: pa.table({"node": t["node"], "rank_micro": t["r"]}),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Hex-grid BFS geodesic distance
+# ---------------------------------------------------------------------------
+
+_BFS_OFF = 1 << 20
+_BFS_SHIFT = 1 << 21
+# axial neighbour directions as (dr, dq) — the same six offsets
+# grid.grid_disk_axial expands (reference semantics: hexscape's
+# neighbour join, R/patches.R k-ring family)
+_HEX_DIRS = ((0, 1), (0, -1), (1, 0), (-1, 0), (1, -1), (-1, 1))
+
+
+def _bfs_pack(r: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(r, q) → one sortable int64 code; fields carry ±2^20 safely."""
+    return (r.astype(np.int64) + _BFS_OFF) * _BFS_SHIFT + (
+        q.astype(np.int64) + _BFS_OFF
+    )
+
+
+def hex_bfs_distance(
+    cells: Dataset,
+    seed: tuple[int, int],
+    max_steps: int = 255,
+    local_cells: int | None = None,
+) -> Dataset:
+    """BFS geodesic distance over the hex-grid adjacency graph: every
+    (r, q) cell reachable from ``seed`` through occupied cells gets its
+    hop distance.  The graph is IMPLICIT — neighbours are the six
+    axial offsets, so no edge table is ever built or shuffled.
+
+    Two-tier like :func:`connected_components`: a cell set below
+    ``local_cells`` (env ``HEXRAY_BFS_LOCAL_CELLS``, default 2 M —
+    per-hex tables are landscape-bounded, so this is the common case)
+    solves in ONE remote numpy task (sorted-code searchsorted frontier
+    expansion, no Python per-cell loop); larger sets run frontier
+    supersteps where each round is one offset expansion (map-side ×6)
+    + a membership semi-join + an anti-join against settled cells —
+    Θ(diameter) rounds, the BFS lower bound.  Distances are capped at
+    ``max_steps`` (mirrors the SQL oracle's recursion cap; asserted
+    not to truncate)."""
+    import os
+
+    from hexscape_ray.stages.agg import two_phase_sum
+    from hexscape_ray.stages.joins import adaptive_join
+
+    if local_cells is None:
+        local_cells = int(os.environ.get("HEXRAY_BFS_LOCAL_CELLS", "2000000"))
+    seed_r, seed_q = int(seed[0]), int(seed[1])
+    dirs = np.array([dr * _BFS_SHIFT + dq for dr, dq in _HEX_DIRS], dtype=np.int64)
+
+    cells = cells.materialize()
+    if cells.count() <= local_cells:
+
+        def solve(batch: pa.Table) -> pa.Table:
+            r = batch["r"].to_numpy(zero_copy_only=False)
+            q = batch["q"].to_numpy(zero_copy_only=False)
+            codes = np.unique(_bfs_pack(r, q))
+            n = codes.shape[0]
+            dist = np.full(n, -1, dtype=np.int64)
+            s = np.searchsorted(codes, _bfs_pack(np.array([seed_r]), np.array([seed_q])))
+            s = s[(s < n)]
+            if s.size and codes[s[0]] == _bfs_pack(
+                np.array([seed_r]), np.array([seed_q])
+            ):
+                frontier = s[:1]
+                dist[frontier] = 0
+                d = 0
+                while frontier.size and d < max_steps:
+                    neigh = (codes[frontier][:, None] + dirs[None, :]).ravel()
+                    idx = np.searchsorted(codes, neigh)
+                    np.clip(idx, 0, n - 1, out=idx)
+                    hit = codes[idx] == neigh
+                    cand = np.unique(idx[hit])
+                    cand = cand[dist[cand] < 0]
+                    d += 1
+                    dist[cand] = d
+                    frontier = cand
+                assert not frontier.size or d < max_steps, "BFS cap truncated"
+            keep = dist >= 0
+            ck = codes[keep]
+            return pa.table(
+                {
+                    "r": pa.array(ck // _BFS_SHIFT - _BFS_OFF),
+                    "q": pa.array(ck % _BFS_SHIFT - _BFS_OFF),
+                    "dist": pa.array(dist[keep]),
+                }
+            )
+
+        return (
+            cells.repartition(1)
+            .map_batches(solve, batch_format="pyarrow", batch_size=None)
+            .sort(["r", "q"])
+        )
+
+    # distributed tier: frontier supersteps over packed cell codes
+    packed = cells.map_batches(
+        lambda b: pa.table(
+            {
+                "cell": pa.array(
+                    np.unique(
+                        _bfs_pack(
+                            b["r"].to_numpy(zero_copy_only=False),
+                            b["q"].to_numpy(zero_copy_only=False),
+                        )
+                    )
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    cell_schema = pa.schema([("cell", pa.int64())])
+    seed_code = int(_bfs_pack(np.array([seed_r]), np.array([seed_q]))[0])
+    seed_tbl = pa.table(
+        {"cell": pa.array([seed_code], pa.int64()), "dist": pa.array([0], pa.int64())}
+    )
+    import ray as _ray
+
+    # seed must itself be occupied
+    if (
+        adaptive_join(
+            _ray.data.from_arrow(seed_tbl),
+            packed,
+            on="cell",
+            how="semi",
+            big_schema=pa.schema([("cell", pa.int64()), ("dist", pa.int64())]),
+            side_schema=cell_schema,
+        ).count()
+        == 0
+    ):
+        return _ray.data.from_arrow(
+            pa.table(
+                {
+                    "r": pa.array([], pa.int64()),
+                    "q": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.int64()),
+                }
+            )
+        )
+    settled = _ray.data.from_arrow(seed_tbl).materialize()
+    frontier = settled
+    for step in range(1, max_steps + 1):
+
+        def expand(batch: pa.Table, _d: int = step) -> pa.Table:
+            c = batch["cell"].to_numpy(zero_copy_only=False)
+            out = (c[:, None] + dirs[None, :]).ravel()
+            return pa.table(
+                {
+                    "cell": pa.array(out),
+                    "dist": pa.array(np.full(out.shape[0], _d, dtype=np.int64)),
+                }
+            )
+
+        cand = frontier.map_batches(expand, batch_format="pyarrow")
+        cand = two_phase_sum(cand, ["cell", "dist"], [], count_as="__n").select_columns(
+            ["cell", "dist"]
+        )
+        cd_schema = pa.schema([("cell", pa.int64()), ("dist", pa.int64())])
+        cand = adaptive_join(
+            cand, packed, on="cell", how="semi",
+            big_schema=cd_schema, side_schema=cell_schema,
+        )
+        fresh = adaptive_join(
+            cand,
+            settled.select_columns(["cell"]),
+            on="cell",
+            how="anti",
+            big_schema=cd_schema,
+            side_schema=cell_schema,
+        ).materialize()
+        if fresh.count() == 0:
+            break
+        # iterated union doubles block counts (round-2 lesson):
+        # repartition each superstep to a width the cell set justifies
+        settled = (
+            settled.union(fresh)
+            .repartition(max(8, settled.num_blocks() // 2))
+            .materialize()
+        )
+        frontier = fresh
+    else:
+        raise AssertionError("BFS cap truncated")
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        c = batch["cell"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "r": pa.array(c // _BFS_SHIFT - _BFS_OFF),
+                "q": pa.array(c % _BFS_SHIFT - _BFS_OFF),
+                "dist": batch["dist"],
+            }
+        )
+
+    return settled.map_batches(unpack, batch_format="pyarrow").sort(["r", "q"])

@@ -3032,3 +3032,34 @@ def test_radix_select_multi_matches_single(ray_session):
     for name, q in (("a", 0.1), ("b", 0.5), ("c", 0.93)):
         single, _ = radix_select(ds, "v", q=q)
         assert multi[name] == single, name
+
+
+def test_hex_bfs_distance_tiers(ray_session):
+    """BFS over an explicit hex blob: known distances; the forced
+    distributed tier (local_cells=0) must agree with the single-task
+    solver bit-for-bit."""
+    import pyarrow as pa
+    import ray
+
+    from hexscape_ray.stages.graph import hex_bfs_distance
+
+    # a radius-2 axial disk around (0,0) plus a detached cell
+    cells = [(r, q) for r in range(-2, 3) for q in range(-2, 3)
+             if abs(r + q) <= 2] + [(10, 10)]
+    t = pa.table({
+        "r": pa.array([c[0] for c in cells], pa.int64()),
+        "q": pa.array([c[1] for c in cells], pa.int64()),
+    })
+    ds = ray.data.from_arrow(t)
+    out = hex_bfs_distance(ds, (0, 0)).to_pandas()
+    # the detached cell is unreachable; the disk is fully reachable
+    assert len(out) == len(cells) - 1
+    got = {(int(a), int(b)): int(d) for a, b, d in out.itertuples(index=False)}
+    # hex distance = (|q| + |r| + |q+r|) / 2 within the disk
+    for (r, q), d in got.items():
+        assert d == (abs(q) + abs(r) + abs(q + r)) // 2
+    far = hex_bfs_distance(ray.data.from_arrow(t), (0, 0), local_cells=0).to_pandas()
+    assert out.reset_index(drop=True).equals(far.reset_index(drop=True))
+    # unoccupied seed → empty result on both tiers
+    assert hex_bfs_distance(ds, (99, 99)).count() == 0
+    assert hex_bfs_distance(ds, (99, 99), local_cells=0).count() == 0

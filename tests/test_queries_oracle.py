@@ -64,6 +64,8 @@ ORACLE_NAMES = [
     "forecast_revenue", "nation_market_share", "returned_item_revenue",
     "important_parts", "supplier_part_counts", "disjunctive_revenue",
     "excess_shipped_suppliers",
+    # implicit-adjacency hex graph (BFS geodesic, recursive-CTE oracle)
+    "hex_bfs_distance",
 ]
 
 
