@@ -10693,6 +10693,67 @@ SQL_HEX_BFS_DISTANCE = (
 )
 
 
+def q_distinct_users_hll(sf_dir: str) -> Dataset:
+    """Per-event-type approximate COUNT(DISTINCT user) via
+    HyperLogLog (stages/sketch.py::hll_distinct) — the second
+    mergeable-sketch family next to KMV: the shuffle carries ≤256
+    (key, bucket, rho) register rows per block, merged with plain MAX.
+    ORACLE-CHECKED bit-exactly: splitmix64 is SQL-replayable, the
+    register set is integer-exact, the harmonic denominator rides as
+    the exact integer A = Σ 2^(57-ρ) split into 32-bit limbs, and the
+    float estimate (incl. the linear-counting branch) mirrors the SQL
+    parse tree term-for-term."""
+    from hexscape_ray.stages.sketch import hll_distinct
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return hll_distinct(ds, "event_type", "user_id").rename_columns(
+        {"__k": "event_type"}
+    )
+
+
+SQL_DISTINCT_USERS_HLL = f"""
+  WITH __kmv_in AS (
+    SELECT DISTINCT event_type AS __k, CAST(user_id AS HUGEINT) AS x
+    FROM events
+  ), hashed AS ({_splitmix64_sql("x")}),
+  rb AS (
+    SELECT __k,
+           CAST(h // 72057594037927936 AS BIGINT) AS bucket,
+           CAST(h % 72057594037927936 AS BIGINT) AS w
+    FROM hashed
+  ),
+  regs AS (
+    SELECT __k, bucket,
+           max(CASE WHEN w = 0 THEN 57
+                    ELSE 57 - length(format('{{:b}}', w)) END) AS rho
+    FROM rb GROUP BY 1, 2
+  ),
+  agg AS (
+    SELECT __k,
+           CAST(count(*) AS BIGINT) AS n_present,
+           CAST(256 - count(*) AS BIGINT) AS zero_regs,
+           CAST(256 - count(*) AS HUGEINT)
+             * CAST(144115188075855872 AS HUGEINT)
+             + sum(CAST(CAST(1 AS BIGINT) << (57 - rho) AS HUGEINT)) AS a
+    FROM regs GROUP BY 1
+  ),
+  est AS (
+    SELECT *,
+           (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 144115188075855872.0
+             / CAST(a AS DOUBLE) AS raw
+    FROM agg
+  )
+  SELECT __k AS event_type, n_present, zero_regs,
+         CAST(a // 4294967296 AS BIGINT) AS a_hi,
+         CAST(a % 4294967296 AS BIGINT) AS a_lo,
+         CAST(floor((CASE WHEN raw <= 640.0 AND zero_regs > 0
+                          THEN 256.0 * ln(256.0 / CAST(zero_regs AS DOUBLE))
+                          ELSE raw END) * 1000000.0 + 0.5) AS BIGINT)
+           AS est_micro
+  FROM est ORDER BY event_type
+"""
+
+
 RAY_QUERIES = {
     "hex_doc_counts": q_hex_doc_counts,
     "hex_lang_mix": q_hex_lang_mix,
@@ -10887,6 +10948,7 @@ RAY_QUERIES = {
     "disjunctive_revenue": q_disjunctive_revenue,
     "excess_shipped_suppliers": q_excess_shipped_suppliers,
     "hex_bfs_distance": q_hex_bfs_distance,
+    "distinct_users_hll": q_distinct_users_hll,
 }
 
 ORACLES = {
@@ -11057,6 +11119,7 @@ ORACLES = {
     "disjunctive_revenue": SQL_DISJUNCTIVE_REVENUE,
     "excess_shipped_suppliers": SQL_EXCESS_SHIPPED_SUPPLIERS,
     "hex_bfs_distance": SQL_HEX_BFS_DISTANCE,
+    "distinct_users_hll": SQL_DISTINCT_USERS_HLL,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

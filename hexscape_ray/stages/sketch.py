@@ -196,3 +196,115 @@ def kmv_bottomk(ds: Dataset, member: str, k: int = 256) -> np.ndarray:
         else [np.empty(0, dtype=np.uint64)]
     )
     return allh[:k]
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007) — register-exact, SQL-replayable
+# ---------------------------------------------------------------------------
+
+_HLL_P = 8  # 256 registers; the SQL oracle is generated for this p
+_HLL_M = 1 << _HLL_P
+_HLL_WBITS = 64 - _HLL_P  # 56 low bits feed rho
+_HLL_RHO_MAX = _HLL_WBITS + 1  # 57 (w == 0)
+
+
+def hll_partial_batches(key: str, member: str):
+    """map_batches fn: rows → one (key, bucket, rho) max-partial per
+    batch.  All uint64 shift/mask/compare — no 64-bit multiply in the
+    hot path beyond the splitmix finaliser (SIMD-safe lesson)."""
+    from hexscape_ray.functions.hashing import splitmix64
+
+    def fn(batch: pa.Table) -> pa.Table:
+        h = splitmix64(
+            batch[member].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        )
+        bucket = (h >> np.uint64(_HLL_WBITS)).astype(np.int64)
+        w = h & np.uint64((1 << _HLL_WBITS) - 1)
+        # vectorised bit_length(w) via the shift ladder (exact for the
+        # full 56-bit domain — float tricks are not)
+        bl = np.zeros(w.shape[0], dtype=np.int64)
+        v = w.copy()
+        for s in (32, 16, 8, 4, 2, 1):
+            big = v >= np.uint64(1 << s)
+            bl[big] += s
+            v[big] >>= np.uint64(s)
+        bl += (v > 0).astype(np.int64)
+        rho = _HLL_RHO_MAX - bl
+        t = pa.table(
+            {"__k": batch[key], "bucket": pa.array(bucket), "rho": pa.array(rho)}
+        )
+        out = t.group_by(["__k", "bucket"]).aggregate([("rho", "max")])
+        return out.rename_columns(["__k", "bucket", "rho"])
+
+    return fn
+
+
+def hll_distinct(ds, key: str, member: str):
+    """Per-``key`` approximate COUNT(DISTINCT member) via HyperLogLog:
+    the shuffle moves ≤ 256 (key, bucket, rho) register rows per key
+    per block — mergeable with plain MAX, so :func:`two_phase_agg`
+    gives the exact global registers with partials-only exchange.
+
+    The estimate is DETERMINISTIC given the registers and is
+    reproduced BIT-EXACTLY by the SQL oracle: the harmonic-mean
+    denominator Σ 2^-M_j is carried as the exact integer
+    A = Σ 2^(57-M_j) (Python ints — A can reach m·2^57 = 2^65, past
+    int64), split into (a_hi, a_lo) 32-bit limbs for the output; the
+    float estimate mirrors the SQL parse tree term-for-term, with the
+    small-range linear-counting branch (raw ≤ 2.5 m and empty
+    registers exist → m·ln(m/V))."""
+    import math
+
+    from hexscape_ray.stages.agg import two_phase_agg
+
+    regs = two_phase_agg(
+        ds.map_batches(hll_partial_batches(key, member), batch_format="pyarrow"),
+        ["__k", "bucket"],
+        {"rho": "max"},
+    )
+
+    def finish(batch: pa.Table):
+        pdf = batch.to_pandas()
+        rows = []
+        for k, g in pdf.groupby("__k", sort=True, dropna=False):
+            rhos = g["rho"].to_numpy()
+            n_present = int(rhos.shape[0])
+            zeros = _HLL_M - n_present
+            a = zeros * (1 << _HLL_RHO_MAX) + sum(
+                1 << (_HLL_RHO_MAX - int(r)) for r in rhos
+            )
+            raw = (
+                (0.7213 / (1.0 + 1.079 / 256.0))
+                * 65536.0
+                * 144115188075855872.0
+                / float(a)
+            )
+            if raw <= 640.0 and zeros > 0:
+                est = 256.0 * math.log(256.0 / float(zeros))
+            else:
+                est = raw
+            rows.append(
+                {
+                    "__k": k,
+                    "n_present": n_present,
+                    "zero_regs": zeros,
+                    "a_hi": a >> 32,
+                    "a_lo": a & 0xFFFFFFFF,
+                    "est_micro": int(math.floor(est * 1000000.0 + 0.5)),
+                }
+            )
+        yield pa.Table.from_pylist(rows) if rows else pa.table(
+            {
+                "__k": pa.array([], pa.string()),
+                "n_present": pa.array([], pa.int64()),
+                "zero_regs": pa.array([], pa.int64()),
+                "a_hi": pa.array([], pa.int64()),
+                "a_lo": pa.array([], pa.int64()),
+                "est_micro": pa.array([], pa.int64()),
+            }
+        )
+
+    # registers are ≤ 256·n_keys rows — one remote task finishes
+    return regs.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )

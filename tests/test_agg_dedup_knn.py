@@ -3063,3 +3063,29 @@ def test_hex_bfs_distance_tiers(ray_session):
     # unoccupied seed → empty result on both tiers
     assert hex_bfs_distance(ds, (99, 99)).count() == 0
     assert hex_bfs_distance(ds, (99, 99), local_cells=0).count() == 0
+
+
+def test_hll_distinct_accuracy(ray_session):
+    """HLL estimate within ~3 sigma (1.04/sqrt(256) ~ 6.5%) of the exact
+    distinct count, and invariant to input partitioning (register MAX
+    is mergeable)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from hexscape_ray.stages.sketch import hll_distinct
+
+    rng = np.random.default_rng(7)
+    members = rng.integers(0, 5000, size=20000, dtype=np.int64)
+    t = pa.table({
+        "k": pa.array(["a"] * 20000),
+        "m": pa.array(members),
+    })
+    exact = len(np.unique(members))
+    one = hll_distinct(ray.data.from_arrow(t), "k", "m").to_pandas()
+    est = one["est_micro"].iloc[0] / 1e6
+    assert abs(est - exact) / exact < 0.20  # 3 sigma at p=8
+    many = hll_distinct(
+        ray.data.from_arrow(t).repartition(13), "k", "m"
+    ).to_pandas()
+    assert one.equals(many)

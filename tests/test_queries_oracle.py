@@ -66,6 +66,8 @@ ORACLE_NAMES = [
     "excess_shipped_suppliers",
     # implicit-adjacency hex graph (BFS geodesic, recursive-CTE oracle)
     "hex_bfs_distance",
+    # HyperLogLog registers + estimate, bit-exact
+    "distinct_users_hll",
 ]
 
 
