@@ -10754,6 +10754,108 @@ SQL_DISTINCT_USERS_HLL = f"""
 """
 
 
+def _hilbert_xy2d8(ux: np.ndarray, uy: np.ndarray) -> np.ndarray:
+    """Hilbert curve d-index on the 256×256 grid — the standard xy→d
+    rotation walk (public domain, e.g. Wikipedia "Hilbert curve"),
+    vectorised over 8 unrolled levels; every op is exact int64."""
+    x = ux.astype(np.int64).copy()
+    y = uy.astype(np.int64).copy()
+    d = np.zeros(x.shape[0], dtype=np.int64)
+    s = 128
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        m = ry == 0
+        flip = m & (rx == 1)
+        x_f = np.where(flip, s - 1 - x, x)
+        y_f = np.where(flip, s - 1 - y, y)
+        x, y = np.where(m, y_f, x), np.where(m, x_f, y)
+        s >>= 1
+    return d
+
+
+def q_hilbert_layout(sf_dir: str) -> Dataset:
+    """Hilbert-curve layout keys — the locality-optimal sibling of
+    q_zorder_layout: unlike Morton, consecutive Hilbert indices are
+    ALWAYS grid-adjacent, so range-partitioning by h gives strictly
+    better bounding-box pruning (no Z-jump seams) for the same 1024
+    shards.  Same census shape; the 8-level rotation walk is mirrored
+    in SQL as an unrolled CTE chain of exact BIGINT &, <<, xor ops
+    (the pagerank unrolled-iteration precedent)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def enc(batch: pa.Table) -> pa.Table:
+        batch = geocode_ids_batch(batch, "doc_id")
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        ux = np.floor(x / 100000.0 * 256.0).astype(np.int64)
+        uy = np.floor(y / 100000.0 * 256.0).astype(np.int64)
+        return pa.table(
+            {"h": pa.array(_hilbert_xy2d8(ux, uy)), "n_chars": batch["n_chars"]}
+        )
+
+    census = two_phase_sum(
+        ds.map_batches(enc, batch_format="pyarrow"),
+        ["h"],
+        ["n_chars"],
+        count_as="n_docs",
+    )
+
+    def shard(batch: pa.Table) -> pa.Table:
+        h = batch["h"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "shard": pa.array(h >> 6),
+                "h": batch["h"],
+                "len_sum": batch["n_chars"],
+                "n_docs": batch["n_docs"],
+            }
+        )
+
+    return census.map_batches(shard, batch_format="pyarrow").sort("h")
+
+
+def _hilbert_sql_chain() -> str:
+    """The 8 unrolled Hilbert levels as a CTE chain (generated, like
+    hex_rasterize's SQL, so the constants cannot drift from the numpy
+    kernel)."""
+    sql, prev = "", "qz"
+    for i, s in enumerate((128, 64, 32, 16, 8, 4, 2, 1)):
+        cur = f"hl{i}"
+        sql += f""",
+  {cur} AS (
+    SELECT n_chars,
+      d + {s * s} * xor(3 * (CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END),
+                        (CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)) AS d,
+      CASE WHEN (y & {s}) = 0
+           THEN (CASE WHEN (x & {s}) > 0 THEN {s - 1} - y ELSE y END)
+           ELSE x END AS x,
+      CASE WHEN (y & {s}) = 0
+           THEN (CASE WHEN (x & {s}) > 0 THEN {s - 1} - x ELSE x END)
+           ELSE y END AS y
+    FROM {prev})"""
+        prev = cur
+    return sql
+
+
+SQL_HILBERT_LAYOUT = (
+    f"WITH pts AS (SELECT doc_id, n_chars, {_GEO_SQL.format(key='doc_id')} FROM documents),\n"
+    + """
+  qz AS (
+    SELECT n_chars, CAST(0 AS BIGINT) AS d,
+           CAST(floor(x / 100000.0 * 256.0) AS BIGINT) AS x,
+           CAST(floor(y / 100000.0 * 256.0) AS BIGINT) AS y
+    FROM pts)"""
+    + _hilbert_sql_chain()
+    + """
+  SELECT CAST(d // 64 AS BIGINT) AS shard, d AS h,
+         CAST(sum(n_chars) AS BIGINT) AS len_sum, count(*) AS n_docs
+  FROM hl7 GROUP BY d ORDER BY h
+"""
+)
+
+
 RAY_QUERIES = {
     "hex_doc_counts": q_hex_doc_counts,
     "hex_lang_mix": q_hex_lang_mix,
@@ -10949,6 +11051,7 @@ RAY_QUERIES = {
     "excess_shipped_suppliers": q_excess_shipped_suppliers,
     "hex_bfs_distance": q_hex_bfs_distance,
     "distinct_users_hll": q_distinct_users_hll,
+    "hilbert_layout": q_hilbert_layout,
 }
 
 ORACLES = {
@@ -11120,6 +11223,7 @@ ORACLES = {
     "excess_shipped_suppliers": SQL_EXCESS_SHIPPED_SUPPLIERS,
     "hex_bfs_distance": SQL_HEX_BFS_DISTANCE,
     "distinct_users_hll": SQL_DISTINCT_USERS_HLL,
+    "hilbert_layout": SQL_HILBERT_LAYOUT,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

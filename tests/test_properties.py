@@ -171,3 +171,21 @@ def test_winnow_guarantee_property(hashes, w):
     # coverage: every window [i, i+w) contains a pick
     for i in range(max(1, n - w + 1)):
         assert any((p >= i) and (p < i + w) for p in pos)
+
+
+def test_hilbert_bijective_and_adjacent():
+    """The 8-level Hilbert index is a bijection on the 256x256 grid and
+    consecutive indices are ALWAYS 4-adjacent — the locality property
+    Morton lacks (and the reason hilbert_layout exists)."""
+    import numpy as np
+
+    from hexscape_ray.pipelines.queries import _hilbert_xy2d8
+
+    g = np.arange(256, dtype=np.int64)
+    ux, uy = np.meshgrid(g, g, indexing="ij")
+    d = _hilbert_xy2d8(ux.ravel(), uy.ravel())
+    assert np.array_equal(np.sort(d), np.arange(65536))
+    order = np.argsort(d)
+    xs, ys = ux.ravel()[order], uy.ravel()[order]
+    step = np.abs(np.diff(xs)) + np.abs(np.diff(ys))
+    assert np.all(step == 1)

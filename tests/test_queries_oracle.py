@@ -68,6 +68,8 @@ ORACLE_NAMES = [
     "hex_bfs_distance",
     # HyperLogLog registers + estimate, bit-exact
     "distinct_users_hll",
+    # Hilbert space-filling-curve layout (unrolled-CTE oracle)
+    "hilbert_layout",
 ]
 
 
