@@ -10856,6 +10856,270 @@ SQL_HILBERT_LAYOUT = (
 )
 
 
+def q_peak_concurrency(sf_dir: str) -> Dataset:
+    """Sweep-line peak concurrency: the maximum number of user
+    sessions (30-min-gap windows, the events_sessions definition)
+    open at the same instant, plus the first instant it is reached.
+    Scale shape: sessionisation is the coarse-bucket numpy pass; each
+    session emits two endpoint deltas (+1 at start, −1 at end+1 — the
+    inclusive-end convention); deltas reduce per-instant through
+    two_phase_sum, the running count is ONE distributed prefix sum
+    (stages/agg.py::global_cumsum — its first interval-sweep
+    consumer), and peak/argmin reduce as self-combining partials.
+    Everything is exact int64."""
+    from hexscape_ray.stages.agg import global_cumsum, two_phase_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "us": batch["ts"].cast(pa.int64()),
+                "__b": pa.array((uid % 64).astype(np.int64)),
+            }
+        )
+
+    def sess_intervals(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        t = g["us"].to_numpy()
+        o = np.lexsort((t, u))
+        u, t = u[o], t[o]
+        new_user = np.empty(u.size, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        gap = np.empty(t.size, dtype=np.int64)
+        gap[0] = np.int64(1) << 62
+        gap[1:] = t[1:] - t[:-1]
+        new_s = new_user | (gap > 1_800_000_000)
+        starts = np.flatnonzero(new_s)
+        ends = np.concatenate([starts[1:], [t.size]])
+        return pd.DataFrame({"s_us": t[starts], "e_us": t[ends - 1]})
+
+    sess = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(sess_intervals)
+    )
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        s = batch["s_us"].to_numpy(zero_copy_only=False)
+        e = batch["e_us"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "t": pa.array(np.concatenate([s, e + 1])),
+                "delta": pa.array(
+                    np.concatenate(
+                        [
+                            np.ones(s.shape[0], dtype=np.int64),
+                            -np.ones(e.shape[0], dtype=np.int64),
+                        ]
+                    )
+                ),
+                "one": pa.array(np.zeros(2 * s.shape[0], dtype=np.int64)),
+            }
+        )
+
+    pts = sess.map_batches(endpoints, batch_format="pyarrow").materialize()
+    n_sessions = pts.count() // 2
+    deltas = two_phase_sum(
+        pts.select_columns(["t", "delta"]), ["t"], ["delta"], count_as=None
+    ).materialize()
+    hi = int(
+        two_phase_agg(deltas, [], {"t": "max"}).take_all()[0]["t"]
+    ) + 2
+    conc = global_cumsum(
+        deltas, "t", "delta", out_col="conc", order_hi=hi
+    ).materialize()
+    peak = int(two_phase_agg(conc, [], {"conc": "max"}).take_all()[0]["conc"])
+    at_peak = conc.map_batches(
+        lambda b: b.filter(
+            pa.array(b["conc"].to_numpy(zero_copy_only=False) == peak)
+        ).select(["t"]),
+        batch_format="pyarrow",
+    )
+    first_t = int(two_phase_agg(at_peak, [], {"t": "min"}).take_all()[0]["t"])
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "peak": pa.array([peak], pa.int64()),
+                "first_t_us": pa.array([first_t], pa.int64()),
+                "n_sessions": pa.array([n_sessions], pa.int64()),
+            }
+        )
+    )
+
+
+SQL_PEAK_CONCURRENCY = """
+  WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+  d AS (
+    SELECT user_id, us,
+      CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+           THEN 1 ELSE 0 END AS new_s
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+  ),
+  s AS (
+    SELECT user_id, us,
+      SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM d
+  ),
+  sess AS (
+    SELECT user_id, session_id, min(us) AS s_us, max(us) AS e_us
+    FROM s GROUP BY 1, 2
+  ),
+  pts AS (
+    SELECT s_us AS t, 1 AS delta FROM sess
+    UNION ALL
+    SELECT e_us + 1, -1 FROM sess
+  ),
+  ag AS (SELECT t, CAST(sum(delta) AS BIGINT) AS delta FROM pts GROUP BY t),
+  c AS (
+    SELECT t, sum(delta) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS conc
+    FROM ag
+  ),
+  p AS (SELECT CAST(max(conc) AS BIGINT) AS peak FROM c)
+  SELECT p.peak,
+         (SELECT CAST(min(t) AS BIGINT) FROM c WHERE conc = p.peak)
+           AS first_t_us,
+         (SELECT count(*) FROM sess) AS n_sessions
+  FROM p
+"""
+
+
+_CMS_D = 4
+_CMS_W = 1024
+_CMS_SEEDS = (
+    0xA5A5A5A5DEADBEEF,
+    0x0123456789ABCDEF,
+    0x5DEECE66D1CE4E5B,
+    0x9E3779B97F4A7C15,
+)
+
+
+def q_cms_user_counts(sf_dir: str) -> Dataset:
+    """Count-Min sketch (Cormode–Muthukrishnan 2005) — the third
+    mergeable-sketch family (KMV, HLL, CMS): per-user event-count
+    estimates from a 4×1024 integer counter matrix, checked against
+    the exact counts (``overcount = est − exact ≥ 0`` is the CMS
+    guarantee).  Scale shape: each event expands to 4 (row, col)
+    cells map-side; the sketch reduces via two_phase_sum to ≤4096
+    exact int64 counters — the shuffle moves counters, never events;
+    the probe set (user_id < 16) reads the collected sketch as a
+    bounded broadcast.  Hash family = splitmix64(x ⊕ seed_j), the
+    SQL-replayable chain."""
+    from hexscape_ray.functions.hashing import splitmix64
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    seeds = np.array(_CMS_SEEDS, dtype=np.uint64)
+
+    def cells(batch: pa.Table) -> pa.Table:
+        u = (
+            batch["user_id"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
+        )
+        js, cols = [], []
+        for j in range(_CMS_D):
+            h = splitmix64(u ^ seeds[j])
+            js.append(np.full(u.shape[0], j, dtype=np.int64))
+            cols.append((h % np.uint64(_CMS_W)).astype(np.int64))
+        return pa.table(
+            {"j": pa.array(np.concatenate(js)), "col": pa.array(np.concatenate(cols))}
+        )
+
+    cms = two_phase_sum(
+        ds.map_batches(cells, batch_format="pyarrow"), ["j", "col"], [], count_as="c"
+    )
+    # the sketch is 4×1024 counters by construction — a correct small collect
+    arr = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+    for r in cms.take_all():
+        arr[int(r["j"]), int(r["col"])] = int(r["c"])
+    arr_ref = ray.put(arr)
+
+    exact = two_phase_sum(
+        ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "user_id": b.filter(
+                        pc.less(b["user_id"], 16)
+                    )["user_id"]
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["user_id"],
+        [],
+        count_as="exact",
+    )
+
+    def estimate(batch: pa.Table) -> pa.Table:
+        a = ray.get(arr_ref)
+        u = (
+            batch["user_id"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
+        )
+        est = np.full(u.shape[0], np.iinfo(np.int64).max, dtype=np.int64)
+        for j in range(_CMS_D):
+            h = splitmix64(u ^ seeds[j])
+            est = np.minimum(est, a[j, (h % np.uint64(_CMS_W)).astype(np.int64)])
+        ex = batch["exact"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "est": pa.array(est),
+                "exact": batch["exact"],
+                "overcount": pa.array(est - ex),
+            }
+        )
+
+    return exact.map_batches(estimate, batch_format="pyarrow").sort("user_id")
+
+
+def _cms_sql() -> str:
+    chains, unions, probes = [], [], []
+    for j, seed in enumerate(_CMS_SEEDS):
+        x = (
+            f"CAST(xor(CAST(user_id AS UBIGINT), CAST({seed} AS UBIGINT))"
+            " AS HUGEINT)"
+        )
+        chains.append(f"x{j} AS ({_splitmix64_sql(x, carry='user_id', src='ev')})")
+        unions.append(
+            f"SELECT {j} AS j, CAST(h % {_CMS_W} AS BIGINT) AS col, "
+            f"count(*) AS c FROM x{j} GROUP BY 2"
+        )
+        probes.append(
+            f"SELECT user_id, {j} AS j, CAST(h % {_CMS_W} AS BIGINT) AS col "
+            f"FROM x{j} WHERE user_id < 16"
+        )
+    chain_sql = ",\n  ".join(chains)
+    return f"""
+  WITH ev AS (SELECT user_id FROM events),
+  {chain_sql},
+  cms AS ({" UNION ALL ".join(unions)}),
+  probe AS ({" UNION ALL ".join(probes)}),
+  est AS (
+    SELECT p.user_id, CAST(min(cms.c) AS BIGINT) AS est
+    FROM probe p JOIN cms ON cms.j = p.j AND cms.col = p.col
+    GROUP BY 1
+  ),
+  exact AS (
+    SELECT user_id, count(*) AS exact
+    FROM events WHERE user_id < 16 GROUP BY 1
+  )
+  SELECT e.user_id, est, exact, est - exact AS overcount
+  FROM est e JOIN exact x ON x.user_id = e.user_id
+  ORDER BY e.user_id
+"""
+
+
+SQL_CMS_USER_COUNTS = _cms_sql()
+
+
 RAY_QUERIES = {
     "hex_doc_counts": q_hex_doc_counts,
     "hex_lang_mix": q_hex_lang_mix,
@@ -11052,6 +11316,8 @@ RAY_QUERIES = {
     "hex_bfs_distance": q_hex_bfs_distance,
     "distinct_users_hll": q_distinct_users_hll,
     "hilbert_layout": q_hilbert_layout,
+    "peak_concurrency": q_peak_concurrency,
+    "cms_user_counts": q_cms_user_counts,
 }
 
 ORACLES = {
@@ -11224,6 +11490,8 @@ ORACLES = {
     "hex_bfs_distance": SQL_HEX_BFS_DISTANCE,
     "distinct_users_hll": SQL_DISTINCT_USERS_HLL,
     "hilbert_layout": SQL_HILBERT_LAYOUT,
+    "peak_concurrency": SQL_PEAK_CONCURRENCY,
+    "cms_user_counts": SQL_CMS_USER_COUNTS,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

@@ -70,6 +70,10 @@ ORACLE_NAMES = [
     "distinct_users_hll",
     # Hilbert space-filling-curve layout (unrolled-CTE oracle)
     "hilbert_layout",
+    # sweep-line over session intervals (global_cumsum consumer)
+    "peak_concurrency",
+    # Count-Min sketch estimates vs exact counts
+    "cms_user_counts",
 ]
 
 
