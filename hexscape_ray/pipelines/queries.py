@@ -11120,6 +11120,96 @@ def _cms_sql() -> str:
 SQL_CMS_USER_COUNTS = _cms_sql()
 
 
+def q_ols_price_quantity(sf_dir: str) -> Dataset:
+    """Distributed ordinary least squares (price-on-quantity per
+    returnflag) via the normal equations: the five moments (n, Σx,
+    Σy, Σx², Σxy) are exact int64 partials through one two_phase_sum —
+    the regression itself never shuffles; the closed-form solve is a
+    final map whose float expression mirrors the SQL parse tree
+    term-for-term (big-product cancellation is deterministic when both
+    engines run the identical double ops).  The PCA/covariance
+    moment-partial pattern completing the stats family with a fitted
+    model."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        qx = np.floor(
+            batch["l_quantity"].to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        cy = _cents(batch["l_extendedprice"])
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "sx": pa.array(qx),
+                "sy": pa.array(cy),
+                "sxx": pa.array(qx * qx),
+                "sxy": pa.array(qx * cy),
+            }
+        )
+
+    m = two_phase_sum(
+        ds.map_batches(moments, batch_format="pyarrow"),
+        ["l_returnflag"],
+        ["sx", "sy", "sxx", "sxy"],
+        count_as="n",
+    )
+
+    def solve(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = batch["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = batch["sy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = batch["sxx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = batch["sxy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "n": batch["n"],
+                "sx": batch["sx"],
+                "sy": batch["sy"],
+                "sxx": batch["sxx"],
+                "sxy": batch["sxy"],
+                "slope_micro": pa.array(
+                    np.floor(slope * 1000000.0 + 0.5).astype(np.int64)
+                ),
+                "intercept_micro": pa.array(
+                    np.floor(intercept * 1000000.0 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    return m.map_batches(solve, batch_format="pyarrow").sort("l_returnflag")
+
+
+SQL_OLS_PRICE_QUANTITY = """
+  WITH b AS (
+    SELECT l_returnflag,
+           CAST(floor(l_quantity + 0.5) AS BIGINT) AS qx,
+           CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cy
+    FROM lineitem),
+  m AS (
+    SELECT l_returnflag, count(*) AS n,
+           CAST(sum(qx) AS BIGINT) AS sx, CAST(sum(cy) AS BIGINT) AS sy,
+           CAST(sum(qx * qx) AS BIGINT) AS sxx,
+           CAST(sum(qx * cy) AS BIGINT) AS sxy
+    FROM b GROUP BY 1),
+  s AS (
+    SELECT *,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+    FROM m)
+  SELECT l_returnflag, n, sx, sy, sxx, sxy,
+         CAST(floor(slope * 1000000.0 + 0.5) AS BIGINT) AS slope_micro,
+         CAST(floor(((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+           AS intercept_micro
+  FROM s ORDER BY l_returnflag
+"""
+
+
 RAY_QUERIES = {
     "hex_doc_counts": q_hex_doc_counts,
     "hex_lang_mix": q_hex_lang_mix,
@@ -11318,6 +11408,7 @@ RAY_QUERIES = {
     "hilbert_layout": q_hilbert_layout,
     "peak_concurrency": q_peak_concurrency,
     "cms_user_counts": q_cms_user_counts,
+    "ols_price_quantity": q_ols_price_quantity,
 }
 
 ORACLES = {
@@ -11492,6 +11583,7 @@ ORACLES = {
     "hilbert_layout": SQL_HILBERT_LAYOUT,
     "peak_concurrency": SQL_PEAK_CONCURRENCY,
     "cms_user_counts": SQL_CMS_USER_COUNTS,
+    "ols_price_quantity": SQL_OLS_PRICE_QUANTITY,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

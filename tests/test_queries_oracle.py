@@ -74,6 +74,8 @@ ORACLE_NAMES = [
     "peak_concurrency",
     # Count-Min sketch estimates vs exact counts
     "cms_user_counts",
+    # distributed OLS via exact moment partials
+    "ols_price_quantity",
 ]
 
 
