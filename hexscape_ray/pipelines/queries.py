@@ -11210,6 +11210,75 @@ SQL_OLS_PRICE_QUANTITY = """
 """
 
 
+def q_top1pct_revenue_share(sf_dir: str) -> Dataset:
+    """Revenue-concentration probe: the exact 99th-percentile order
+    value (radix select — constant-size exchange, no sort, no value-
+    cardinality assumption) broadcast as one scalar cut, then a single
+    conditional two-phase census splits total revenue into the
+    at-or-above-p99 tail vs the rest; share_pml is the one final float
+    division.  Composition pattern: SELECT-then-AGGREGATE with the
+    selected rank as the broadcast threshold."""
+    from hexscape_ray.stages.agg import radix_select
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"cents": pa.array(_cents(batch["o_totalprice"]))})
+
+    pv = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    n = pv.count()
+    thr = int(radix_select(pv, "cents", q=0.99, n_rows=n)[0])
+
+    def split(batch: pa.Table) -> pa.Table:
+        c = batch["cents"].to_numpy(zero_copy_only=False)
+        top = (c >= thr).astype(np.int64)
+        return pa.table(
+            {
+                "one": pa.array(np.zeros(c.shape[0], dtype=np.int64)),
+                "top_c100": pa.array(c * top),
+                "total_c100": pa.array(c),
+                "n_top": pa.array(top),
+            }
+        )
+
+    agg = two_phase_sum(
+        pv.map_batches(split, batch_format="pyarrow"),
+        ["one"],
+        ["top_c100", "total_c100", "n_top"],
+        count_as="n_orders",
+    ).drop_columns(["one"])
+
+    def share(batch: pa.Table) -> pa.Table:
+        t = batch["top_c100"].to_numpy(zero_copy_only=False).astype(np.float64)
+        a = batch["total_c100"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pml = np.floor(1e6 * (t / a) + 0.5).astype(np.int64)
+        return (
+            batch.append_column("p99_c", pa.array(np.full(len(batch), thr, dtype=np.int64)))
+            .append_column("share_pml", pa.array(pml))
+        )
+
+    return agg.map_batches(share, batch_format="pyarrow")
+
+
+SQL_TOP1PCT_REVENUE_SHARE = """
+  WITH v AS (
+    SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+    FROM orders),
+  t AS (SELECT quantile_disc(cents, 0.99) AS p99 FROM v)
+  SELECT CAST(sum(CASE WHEN cents >= p99 THEN cents ELSE 0 END) AS BIGINT)
+           AS top_c100,
+         CAST(sum(cents) AS BIGINT) AS total_c100,
+         CAST(sum(CASE WHEN cents >= p99 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_top,
+         count(*) AS n_orders,
+         CAST(max(p99) AS BIGINT) AS p99_c,
+         CAST(floor(1e6 * (CAST(sum(CASE WHEN cents >= p99 THEN cents ELSE 0 END) AS DOUBLE)
+                           / CAST(sum(cents) AS DOUBLE)) + 0.5) AS BIGINT)
+           AS share_pml
+  FROM v, t
+"""
+
+
 RAY_QUERIES = {
     "hex_doc_counts": q_hex_doc_counts,
     "hex_lang_mix": q_hex_lang_mix,
@@ -11409,6 +11478,7 @@ RAY_QUERIES = {
     "peak_concurrency": q_peak_concurrency,
     "cms_user_counts": q_cms_user_counts,
     "ols_price_quantity": q_ols_price_quantity,
+    "top1pct_revenue_share": q_top1pct_revenue_share,
 }
 
 ORACLES = {
@@ -11584,6 +11654,7 @@ ORACLES = {
     "peak_concurrency": SQL_PEAK_CONCURRENCY,
     "cms_user_counts": SQL_CMS_USER_COUNTS,
     "ols_price_quantity": SQL_OLS_PRICE_QUANTITY,
+    "top1pct_revenue_share": SQL_TOP1PCT_REVENUE_SHARE,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

@@ -76,6 +76,8 @@ ORACLE_NAMES = [
     "cms_user_counts",
     # distributed OLS via exact moment partials
     "ols_price_quantity",
+    # radix-selected p99 threshold -> conditional census
+    "top1pct_revenue_share",
 ]
 
 
