@@ -11279,6 +11279,63 @@ SQL_TOP1PCT_REVENUE_SHARE = """
 """
 
 
+def q_mad_order_value(sf_dir: str) -> Dataset:
+    """Median absolute deviation of order value — the robust-stats
+    completion: TWO chained radix selects (stages/agg.py::radix_select),
+    the first yielding the exact median as a broadcast scalar, the
+    second running over the derived |x − m| column; neither pass sorts
+    or assumes value cardinality, and each ships only 256 counters per
+    block.  Everything int64; the MAD/median ratio (a scale-free
+    dispersion signal) is the one micro-rounded float."""
+    from hexscape_ray.stages.agg import radix_select
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    pv = ds.map_batches(
+        lambda b: pa.table({"cents": pa.array(_cents(b["o_totalprice"]))}),
+        batch_format="pyarrow",
+    ).materialize()
+    n = pv.count()
+    med = int(radix_select(pv, "cents", q=0.5, n_rows=n)[0])
+    dev = pv.map_batches(
+        lambda b: pa.table(
+            {
+                "cents": pa.array(
+                    np.abs(b["cents"].to_numpy(zero_copy_only=False) - med)
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    mad = int(radix_select(dev, "cents", q=0.5, n_rows=n)[0])
+    ratio_pml = int(np.floor(1e6 * (float(mad) / float(med)) + 0.5))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "median_c": pa.array([med], pa.int64()),
+                "mad_c": pa.array([mad], pa.int64()),
+                "ratio_pml": pa.array([ratio_pml], pa.int64()),
+            }
+        )
+    )
+
+
+SQL_MAD_ORDER_VALUE = """
+  WITH v AS (
+    SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+    FROM orders),
+  m AS (SELECT quantile_disc(cents, 0.5) AS med FROM v),
+  d AS (SELECT abs(cents - med) AS dev FROM v, m)
+  SELECT (SELECT count(*) FROM v) AS n,
+         (SELECT CAST(med AS BIGINT) FROM m) AS median_c,
+         CAST(quantile_disc(dev, 0.5) AS BIGINT) AS mad_c,
+         CAST(floor(1e6 * (CAST(quantile_disc(dev, 0.5) AS DOUBLE)
+                           / CAST((SELECT med FROM m) AS DOUBLE)) + 0.5)
+              AS BIGINT) AS ratio_pml
+  FROM d
+"""
+
+
 RAY_QUERIES = {
     "hex_doc_counts": q_hex_doc_counts,
     "hex_lang_mix": q_hex_lang_mix,
@@ -11479,6 +11536,7 @@ RAY_QUERIES = {
     "cms_user_counts": q_cms_user_counts,
     "ols_price_quantity": q_ols_price_quantity,
     "top1pct_revenue_share": q_top1pct_revenue_share,
+    "mad_order_value": q_mad_order_value,
 }
 
 ORACLES = {
@@ -11655,6 +11713,7 @@ ORACLES = {
     "cms_user_counts": SQL_CMS_USER_COUNTS,
     "ols_price_quantity": SQL_OLS_PRICE_QUANTITY,
     "top1pct_revenue_share": SQL_TOP1PCT_REVENUE_SHARE,
+    "mad_order_value": SQL_MAD_ORDER_VALUE,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

@@ -78,6 +78,8 @@ ORACLE_NAMES = [
     "ols_price_quantity",
     # radix-selected p99 threshold -> conditional census
     "top1pct_revenue_share",
+    # robust dispersion: two chained radix selects
+    "mad_order_value",
 ]
 
 
