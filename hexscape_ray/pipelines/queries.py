@@ -11336,6 +11336,100 @@ SQL_MAD_ORDER_VALUE = """
 """
 
 
+def q_nation_value_gini(sf_dir: str) -> Dataset:
+    """Per-nation Gini coefficient of order value — inequality over a
+    VALUE-COMPRESSED census, never a global sort: the (nation, cents)
+    distinct-value counts reduce through two_phase_sum, each nation's
+    ordered scan runs once over its own census rows (map_groups —
+    dimension-bounded groups), and the rank sum uses the TIE-INVARIANT
+    closed form Σ v·c·(2L + c − n) (L = count of strictly smaller
+    values), so no row_number() tie-order leaks into the result.
+    All int64 (bound: n²·max_cents per nation < 2^63, satisfied
+    through sf1); gini_pml = T/(n·S) micro-rounded."""
+    from hexscape_ray.stages.joins import adaptive_join
+
+    keys, names = _nation_name_map(sf_dir)
+
+    def cust_prep(batch: pa.Table) -> pa.Table:
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": batch["c_custkey"],
+                "n_name": pa.array(
+                    names[np.searchsorted(keys, nk)], type=pa.string()
+                ),
+            }
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust_prep, batch_format="pyarrow"
+    )
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda b: pa.table(
+            {"o_custkey": b["o_custkey"], "v": pa.array(_cents(b["o_totalprice"]))}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = adaptive_join(
+        orders,
+        cust,
+        on="o_custkey",
+        big_schema=pa.schema([("o_custkey", pa.int64()), ("v", pa.int64())]),
+        side_schema=pa.schema([("o_custkey", pa.int64()), ("n_name", pa.string())]),
+    )
+    census = two_phase_sum(
+        joined.select_columns(["n_name", "v"]), ["n_name", "v"], [], count_as="c"
+    )
+
+    def gini(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["v"].to_numpy()
+        c = g["c"].to_numpy()
+        o = np.argsort(v, kind="stable")
+        v, c = v[o], c[o]
+        n = int(c.sum())
+        ell = np.concatenate([[0], np.cumsum(c)[:-1]])
+        tnum = int(np.sum(v * c * (2 * ell + c - n)))
+        s = int(np.sum(v * c))
+        pml = int(np.floor(1e6 * (float(tnum) / (float(n) * float(s))) + 0.5))
+        return pd.DataFrame(
+            {
+                "n_name": [g["n_name"].iloc[0]],
+                "n": [n],
+                "s": [s],
+                "tnum": [tnum],
+                "gini_pml": [pml],
+            }
+        )
+
+    return census.groupby("n_name").map_groups(gini).sort("n_name")
+
+
+SQL_NATION_VALUE_GINI = """
+  WITH j AS (
+    SELECT n_name, CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey),
+  cen AS (SELECT n_name, v, count(*) AS c FROM j GROUP BY 1, 2),
+  cum AS (
+    SELECT n_name, v, c,
+           sum(c) OVER (PARTITION BY n_name ORDER BY v) - c AS l,
+           sum(c) OVER (PARTITION BY n_name) AS n
+    FROM cen),
+  t AS (
+    SELECT n_name,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(sum(v * c) AS BIGINT) AS s,
+           CAST(sum(v * c * (2 * l + c - n)) AS BIGINT) AS tnum
+    FROM cum GROUP BY 1)
+  SELECT n_name, n, s, tnum,
+         CAST(floor(1e6 * (CAST(tnum AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))) + 0.5)
+              AS BIGINT) AS gini_pml
+  FROM t ORDER BY n_name
+"""
+
+
 RAY_QUERIES = {
     "hex_doc_counts": q_hex_doc_counts,
     "hex_lang_mix": q_hex_lang_mix,
@@ -11537,6 +11631,7 @@ RAY_QUERIES = {
     "ols_price_quantity": q_ols_price_quantity,
     "top1pct_revenue_share": q_top1pct_revenue_share,
     "mad_order_value": q_mad_order_value,
+    "nation_value_gini": q_nation_value_gini,
 }
 
 ORACLES = {
@@ -11714,6 +11809,7 @@ ORACLES = {
     "ols_price_quantity": SQL_OLS_PRICE_QUANTITY,
     "top1pct_revenue_share": SQL_TOP1PCT_REVENUE_SHARE,
     "mad_order_value": SQL_MAD_ORDER_VALUE,
+    "nation_value_gini": SQL_NATION_VALUE_GINI,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

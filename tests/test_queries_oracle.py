@@ -80,6 +80,8 @@ ORACLE_NAMES = [
     "top1pct_revenue_share",
     # robust dispersion: two chained radix selects
     "mad_order_value",
+    # tie-invariant Gini over the value-compressed census
+    "nation_value_gini",
 ]
 
 
