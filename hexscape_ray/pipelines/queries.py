@@ -11430,6 +11430,72 @@ SQL_NATION_VALUE_GINI = """
 """
 
 
+def q_lang_source_chi2(sf_dir: str) -> Dataset:
+    """Chi-square test of independence between document language and
+    source — the statistical-test primitive over a contingency census:
+    observed counts reduce through one two_phase_sum (the census is
+    bounded by the category product, not the corpus), margins and the
+    statistic compute in ONE remote task.  Float discipline: each
+    cell's (O−E)²/E micro-rounds to int64 FIRST, then integer-sums —
+    order-invariant, so the result is partition-independent and
+    bit-exact against SQL."""
+    census = two_phase_sum(
+        _read(sf_dir, "documents", ["lang", "source"]),
+        ["lang", "source"],
+        [],
+        count_as="o",
+    )
+
+    def chi2(batch: pa.Table):
+        pdf = batch.to_pandas()
+        t = int(pdf["o"].sum())
+        rm = pdf.groupby("lang")["o"].sum()
+        cm = pdf.groupby("source")["o"].sum()
+        cells = 0
+        for _, row in pdf.iterrows():
+            e = (float(int(rm[row["lang"]])) * float(int(cm[row["source"]]))) / float(t)
+            d = float(int(row["o"])) - e
+            cells += int(np.floor((d * d / e) * 1000000.0 + 0.5))
+        n_langs, n_sources = len(rm), len(cm)
+        yield pa.table(
+            {
+                "n_docs": pa.array([t], pa.int64()),
+                "n_langs": pa.array([n_langs], pa.int64()),
+                "n_sources": pa.array([n_sources], pa.int64()),
+                "dof": pa.array([(n_langs - 1) * (n_sources - 1)], pa.int64()),
+                "chi2_micro": pa.array([cells], pa.int64()),
+            }
+        )
+
+    return census.repartition(1).map_batches(
+        chi2, batch_format="pyarrow", batch_size=None
+    )
+
+
+SQL_LANG_SOURCE_CHI2 = """
+  WITH cen AS (
+    SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+  rm AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rn FROM cen GROUP BY 1),
+  cm AS (SELECT source, CAST(sum(o) AS BIGINT) AS cn FROM cen GROUP BY 1),
+  tot AS (SELECT CAST(sum(o) AS BIGINT) AS t FROM cen),
+  cells AS (
+    SELECT CAST(floor((
+             (CAST(o AS DOUBLE)
+                - (CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE)) / CAST(t AS DOUBLE))
+             * (CAST(o AS DOUBLE)
+                - (CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE)) / CAST(t AS DOUBLE))
+             / ((CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE)) / CAST(t AS DOUBLE))
+           ) * 1000000.0 + 0.5) AS BIGINT) AS cell_micro
+    FROM cen JOIN rm USING (lang) JOIN cm USING (source), tot)
+  SELECT (SELECT t FROM tot) AS n_docs,
+         (SELECT count(*) FROM rm) AS n_langs,
+         (SELECT count(*) FROM cm) AS n_sources,
+         ((SELECT count(*) FROM rm) - 1) * ((SELECT count(*) FROM cm) - 1) AS dof,
+         CAST(sum(cell_micro) AS BIGINT) AS chi2_micro
+  FROM cells
+"""
+
+
 RAY_QUERIES = {
     "hex_doc_counts": q_hex_doc_counts,
     "hex_lang_mix": q_hex_lang_mix,
@@ -11632,6 +11698,7 @@ RAY_QUERIES = {
     "top1pct_revenue_share": q_top1pct_revenue_share,
     "mad_order_value": q_mad_order_value,
     "nation_value_gini": q_nation_value_gini,
+    "lang_source_chi2": q_lang_source_chi2,
 }
 
 ORACLES = {
@@ -11810,6 +11877,7 @@ ORACLES = {
     "top1pct_revenue_share": SQL_TOP1PCT_REVENUE_SHARE,
     "mad_order_value": SQL_MAD_ORDER_VALUE,
     "nation_value_gini": SQL_NATION_VALUE_GINI,
+    "lang_source_chi2": SQL_LANG_SOURCE_CHI2,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

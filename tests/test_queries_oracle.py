@@ -82,6 +82,8 @@ ORACLE_NAMES = [
     "mad_order_value",
     # tie-invariant Gini over the value-compressed census
     "nation_value_gini",
+    # chi-square independence test (per-cell micro-round, int sum)
+    "lang_source_chi2",
 ]
 
 
