@@ -251,6 +251,24 @@ def run_queries() -> dict:
         "basket_lift",
         "supplier_concentration",
         "events_dow_hour",
+        # round-4 session-4 ops
+        "forecast_revenue",
+        "nation_market_share",
+        "returned_item_revenue",
+        "important_parts",
+        "supplier_part_counts",
+        "disjunctive_revenue",
+        "excess_shipped_suppliers",
+        "hex_bfs_distance",
+        "distinct_users_hll",
+        "hilbert_layout",
+        "peak_concurrency",
+        "cms_user_counts",
+        "ols_price_quantity",
+        "top1pct_revenue_share",
+        "mad_order_value",
+        "nation_value_gini",
+        "lang_source_chi2",
     ]
     out = {}
     for name in names:

@@ -11281,13 +11281,14 @@ SQL_TOP1PCT_REVENUE_SHARE = """
 
 def q_mad_order_value(sf_dir: str) -> Dataset:
     """Median absolute deviation of order value — the robust-stats
-    completion: TWO chained radix selects (stages/agg.py::radix_select),
+    completion: TWO chained radix selects (16-bit shared-pass
+    radix_select_multi — 8 total passes, not 16 byte-wise),
     the first yielding the exact median as a broadcast scalar, the
     second running over the derived |x − m| column; neither pass sorts
     or assumes value cardinality, and each ships only 256 counters per
     block.  Everything int64; the MAD/median ratio (a scale-free
     dispersion signal) is the one micro-rounded float."""
-    from hexscape_ray.stages.agg import radix_select
+    from hexscape_ray.stages.agg import radix_select_multi
 
     ds = _read(sf_dir, "orders", ["o_totalprice"])
     pv = ds.map_batches(
@@ -11295,7 +11296,7 @@ def q_mad_order_value(sf_dir: str) -> Dataset:
         batch_format="pyarrow",
     ).materialize()
     n = pv.count()
-    med = int(radix_select(pv, "cents", q=0.5, n_rows=n)[0])
+    med = int(radix_select_multi(pv, "cents", {"p50": 0.5}, n_rows=n)["p50"])
     dev = pv.map_batches(
         lambda b: pa.table(
             {
@@ -11306,7 +11307,7 @@ def q_mad_order_value(sf_dir: str) -> Dataset:
         ),
         batch_format="pyarrow",
     ).materialize()
-    mad = int(radix_select(dev, "cents", q=0.5, n_rows=n)[0])
+    mad = int(radix_select_multi(dev, "cents", {"p50": 0.5}, n_rows=n)["p50"])
     ratio_pml = int(np.floor(1e6 * (float(mad) / float(med)) + 0.5))
     return ray.data.from_arrow(
         pa.table(
