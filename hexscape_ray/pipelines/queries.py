@@ -11497,6 +11497,66 @@ SQL_LANG_SOURCE_CHI2 = """
 """
 
 
+_POI_KEYS = np.array([7777 + 101 * i for i in range(16)], dtype=np.int64)
+
+
+def q_nearest_poi(sf_dir: str) -> Dataset:
+    """Nearest-site point assignment (the voronoi J6 shape, upgraded
+    to a HASH-EXACT oracle): each document's geocoded point assigns to
+    the closest of 16 deterministic POI sites (same knuth-hash geocode,
+    keys 7777+101·i), tie-broken by site id; output is the per-site
+    census.  Scale shape: the 16 sites broadcast as two float vectors;
+    distance² is one vectorised (n×16) broadcast in the fast
+    big[:,None]−small[None,:] direction and never shuffles — only the
+    16-row census partials do.  Float discipline: d² is the identical
+    IEEE expression on both engines, and the (d², poi_id) lexicographic
+    argmin makes ties deterministic."""
+    from hexscape_ray.functions.geocode import geocode_ids
+
+    px, py = geocode_ids(_POI_KEYS)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        b = geocode_ids_batch(batch, "doc_id")
+        x = b["x"].to_numpy(zero_copy_only=False)
+        y = b["y"].to_numpy(zero_copy_only=False)
+        dx = x[:, None] - px[None, :]
+        dy = y[:, None] - py[None, :]
+        d2 = dx * dx + dy * dy
+        poi = np.argmin(d2, axis=1).astype(np.int64)  # first min = min poi_id
+        return pa.table({"poi_id": pa.array(poi), "n_chars": batch["n_chars"]})
+
+    census = two_phase_sum(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        ["poi_id"],
+        ["n_chars"],
+        count_as="n_docs",
+    )
+    return census.rename_columns({"n_chars": "len_sum"}).sort("poi_id")
+
+
+_POI_VALUES_SQL = ", ".join(f"({i})" for i in range(16))
+SQL_NEAREST_POI = f"""
+  WITH pts AS (SELECT doc_id, n_chars, {_GEO_SQL.format(key='doc_id')} FROM documents),
+  poi AS (
+    SELECT i AS poi_id, x AS px, y AS py FROM (
+      SELECT i, {_GEO_SQL.format(key='(7777 + 101 * i)')}
+      FROM (VALUES {_POI_VALUES_SQL}) t(i))),
+  d AS (
+    SELECT doc_id, n_chars, poi_id,
+           (x - px) * (x - px) + (y - py) * (y - py) AS d2
+    FROM pts, poi),
+  pick AS (
+    SELECT doc_id, n_chars, poi_id,
+           row_number() OVER (PARTITION BY doc_id ORDER BY d2, poi_id) AS rn
+    FROM d)
+  SELECT CAST(poi_id AS BIGINT) AS poi_id,
+         CAST(sum(n_chars) AS BIGINT) AS len_sum, count(*) AS n_docs
+  FROM pick WHERE rn = 1 GROUP BY 1 ORDER BY poi_id
+"""
+
+
 RAY_QUERIES = {
     "hex_doc_counts": q_hex_doc_counts,
     "hex_lang_mix": q_hex_lang_mix,
@@ -11700,6 +11760,7 @@ RAY_QUERIES = {
     "mad_order_value": q_mad_order_value,
     "nation_value_gini": q_nation_value_gini,
     "lang_source_chi2": q_lang_source_chi2,
+    "nearest_poi": q_nearest_poi,
 }
 
 ORACLES = {
@@ -11879,6 +11940,7 @@ ORACLES = {
     "mad_order_value": SQL_MAD_ORDER_VALUE,
     "nation_value_gini": SQL_NATION_VALUE_GINI,
     "lang_source_chi2": SQL_LANG_SOURCE_CHI2,
+    "nearest_poi": SQL_NEAREST_POI,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

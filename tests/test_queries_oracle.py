@@ -84,6 +84,8 @@ ORACLE_NAMES = [
     "nation_value_gini",
     # chi-square independence test (per-cell micro-round, int sum)
     "lang_source_chi2",
+    # nearest-site assignment (voronoi J6 shape, hash-exact)
+    "nearest_poi",
 ]
 
 
