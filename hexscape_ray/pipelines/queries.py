@@ -11557,6 +11557,87 @@ SQL_NEAREST_POI = f"""
 """
 
 
+def q_near_dup_canonical(sf_dir: str) -> Dataset:
+    """Canonical-record selection — the LAST step of the dedup story
+    (pairs → clusters → survivor): per near-dup cluster, keep the
+    longest document (ties → smallest doc_id).  Scale shape: cluster
+    labels ride one adaptive join against the corpus (label payload
+    only); the per-cluster argmax is a SELF-COMBINING composite-score
+    max (score = n_chars·2^32 + (2^32−1−doc_id), asserts doc_id and
+    n_chars < 2^31) through two_phase_agg — no per-group Python, no
+    sort.  SQL oracle = the recursive closure + a window argmax."""
+    from hexscape_ray.stages.agg import two_phase_agg
+    from hexscape_ray.stages.joins import adaptive_join
+
+    clusters = q_near_dup_clusters(sf_dir)
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    j = adaptive_join(
+        docs,
+        clusters,
+        on="doc_id",
+        big_schema=pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64())]),
+        side_schema=pa.schema([("doc_id", pa.int64()), ("root", pa.int64())]),
+    )
+
+    def encode(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False)
+        assert (did < (1 << 31)).all() and (nc < (1 << 31)).all()
+        score = nc * (np.int64(1) << 32) + ((np.int64(1) << 32) - 1 - did)
+        return pa.table(
+            {
+                "root": batch["root"],
+                "score": pa.array(score),
+                "one": pa.array(np.ones(did.shape[0], dtype=np.int64)),
+            }
+        )
+
+    agg = two_phase_agg(
+        j.map_batches(encode, batch_format="pyarrow"),
+        ["root"],
+        {"score": "max", "one": "sum"},
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        sc = batch["score"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "root": batch["root"],
+                "keep_doc": pa.array(((np.int64(1) << 32) - 1) - (sc % (np.int64(1) << 32))),
+                "n_members": batch["one"],
+                "max_chars": pa.array(sc >> np.int64(32)),
+            }
+        )
+
+    return agg.map_batches(decode, batch_format="pyarrow").sort("root")
+
+
+SQL_NEAR_DUP_CANONICAL = _ndx_sql(
+    """,
+edges AS (SELECT a, b FROM verified WHERE 2 * inter_grams >= union_grams),
+nodes AS (SELECT a AS id FROM edges UNION SELECT b FROM edges),
+sym AS (SELECT a AS src, b AS dst FROM edges UNION SELECT b, a FROM edges),
+reach(a, b) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.a, s.dst FROM reach r JOIN sym s ON s.src = r.b),
+clus AS (SELECT a AS doc_id, min(b) AS root FROM reach GROUP BY a),
+jj AS (
+  SELECT c.root, c.doc_id, d.n_chars
+  FROM clus c JOIN documents d USING (doc_id)),
+rr AS (
+  SELECT root, doc_id, n_chars,
+         row_number() OVER (PARTITION BY root
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY root) AS n_members
+  FROM jj)
+SELECT CAST(root AS BIGINT) AS root, CAST(doc_id AS BIGINT) AS keep_doc,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(n_chars AS BIGINT) AS max_chars
+FROM rr WHERE rn = 1 ORDER BY root"""
+)
+
+
 RAY_QUERIES = {
     "hex_doc_counts": q_hex_doc_counts,
     "hex_lang_mix": q_hex_lang_mix,
@@ -11761,6 +11842,7 @@ RAY_QUERIES = {
     "nation_value_gini": q_nation_value_gini,
     "lang_source_chi2": q_lang_source_chi2,
     "nearest_poi": q_nearest_poi,
+    "near_dup_canonical": q_near_dup_canonical,
 }
 
 ORACLES = {
@@ -11941,6 +12023,7 @@ ORACLES = {
     "nation_value_gini": SQL_NATION_VALUE_GINI,
     "lang_source_chi2": SQL_LANG_SOURCE_CHI2,
     "nearest_poi": SQL_NEAREST_POI,
+    "near_dup_canonical": SQL_NEAR_DUP_CANONICAL,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

@@ -86,6 +86,8 @@ ORACLE_NAMES = [
     "lang_source_chi2",
     # nearest-site assignment (voronoi J6 shape, hash-exact)
     "nearest_poi",
+    # dedup endgame: per-cluster canonical survivor
+    "near_dup_canonical",
 ]
 
 
