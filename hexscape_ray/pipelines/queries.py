@@ -11638,6 +11638,98 @@ FROM rr WHERE rn = 1 ORDER BY root"""
 )
 
 
+def q_rfm_segments(sf_dir: str) -> Dataset:
+    """RFM segmentation — the classic customer-curation op as pure
+    composition: per-customer recency/frequency/monetary reduce in ONE
+    two_phase_agg pass (max day, count, sum cents); the nine quartile
+    fences come from three 16-bit radix selects over the per-customer
+    census (map-only passes, no sort); scoring + the 64-cell segment
+    census is one more map + two_phase_sum.  Everything int64; fences
+    follow the quantile_disc rank rule so the SQL oracle is exact."""
+    from hexscape_ray.stages.agg import radix_select_multi, two_phase_agg
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "day": pa.array(us // 86400000000),
+                "m": pa.array(_cents(batch["o_totalprice"])),
+                "f": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+
+    cen = two_phase_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["o_custkey"],
+        {"day": "max", "m": "sum", "f": "sum"},
+    ).materialize()
+    n = cen.count()
+    fences = {}
+    for col in ("day", "f", "m"):
+        fences[col] = radix_select_multi(
+            cen, col, {"q1": 0.25, "q2": 0.50, "q3": 0.75}, n_rows=n
+        )
+
+    def score(batch: pa.Table) -> pa.Table:
+        seg = np.zeros(len(batch), dtype=np.int64)
+        for col, mult in (("day", 100), ("f", 10), ("m", 1)):
+            v = batch[col].to_numpy(zero_copy_only=False)
+            s = (
+                1
+                + (v > fences[col]["q1"]).astype(np.int64)
+                + (v > fences[col]["q2"]).astype(np.int64)
+                + (v > fences[col]["q3"]).astype(np.int64)
+            )
+            seg += mult * s
+        return pa.table({"segment": pa.array(seg), "m": batch["m"]})
+
+    out = two_phase_sum(
+        cen.map_batches(score, batch_format="pyarrow"),
+        ["segment"],
+        ["m"],
+        count_as="n_customers",
+    )
+    return out.rename_columns({"m": "monetary_c100"}).sort("segment")
+
+
+SQL_RFM_SEGMENTS = """
+  WITH c AS (
+    SELECT o_custkey,
+           CAST(max(epoch_us(o_orderdate) // 86400000000) AS BIGINT) AS day,
+           count(*) AS f,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS m
+    FROM orders GROUP BY 1),
+  q AS (
+    SELECT quantile_disc(day, 0.25) AS d1, quantile_disc(day, 0.50) AS d2,
+           quantile_disc(day, 0.75) AS d3,
+           quantile_disc(f, 0.25) AS f1, quantile_disc(f, 0.50) AS f2,
+           quantile_disc(f, 0.75) AS f3,
+           quantile_disc(m, 0.25) AS m1, quantile_disc(m, 0.50) AS m2,
+           quantile_disc(m, 0.75) AS m3
+    FROM c),
+  s AS (
+    SELECT m,
+           100 * (1 + CASE WHEN day > d1 THEN 1 ELSE 0 END
+                    + CASE WHEN day > d2 THEN 1 ELSE 0 END
+                    + CASE WHEN day > d3 THEN 1 ELSE 0 END)
+           + 10 * (1 + CASE WHEN f > f1 THEN 1 ELSE 0 END
+                     + CASE WHEN f > f2 THEN 1 ELSE 0 END
+                     + CASE WHEN f > f3 THEN 1 ELSE 0 END)
+           + (1 + CASE WHEN m > m1 THEN 1 ELSE 0 END
+                + CASE WHEN m > m2 THEN 1 ELSE 0 END
+                + CASE WHEN m > m3 THEN 1 ELSE 0 END) AS segment
+    FROM c, q)
+  SELECT CAST(segment AS BIGINT) AS segment,
+         CAST(sum(m) AS BIGINT) AS monetary_c100,
+         count(*) AS n_customers
+  FROM s GROUP BY 1 ORDER BY 1
+"""
+
+
 RAY_QUERIES = {
     "hex_doc_counts": q_hex_doc_counts,
     "hex_lang_mix": q_hex_lang_mix,
@@ -11843,6 +11935,7 @@ RAY_QUERIES = {
     "lang_source_chi2": q_lang_source_chi2,
     "nearest_poi": q_nearest_poi,
     "near_dup_canonical": q_near_dup_canonical,
+    "rfm_segments": q_rfm_segments,
 }
 
 ORACLES = {
@@ -12024,6 +12117,7 @@ ORACLES = {
     "lang_source_chi2": SQL_LANG_SOURCE_CHI2,
     "nearest_poi": SQL_NEAREST_POI,
     "near_dup_canonical": SQL_NEAR_DUP_CANONICAL,
+    "rfm_segments": SQL_RFM_SEGMENTS,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

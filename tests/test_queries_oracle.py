@@ -88,6 +88,8 @@ ORACLE_NAMES = [
     "nearest_poi",
     # dedup endgame: per-cluster canonical survivor
     "near_dup_canonical",
+    # RFM segmentation: 9 radix-selected fences -> 64-cell census
+    "rfm_segments",
 ]
 
 
