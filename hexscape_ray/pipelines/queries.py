@@ -11730,6 +11730,100 @@ SQL_RFM_SEGMENTS = """
 """
 
 
+_KCORE_K = 2
+_KCORE_ROUNDS = 16
+
+
+def q_trade_kcore(sf_dir: str) -> Dataset:
+    """k-core decomposition by bounded-round peeling
+    (stages/graph.py::k_peel) over the sparse customer↔supplier trade
+    graph (distinct pairs over a sparsifying item filter — the
+    copurchase_components graph family): every node labeled with the
+    round it peels (degree < 2, isolated = degree 0), 0 = survives in
+    the 2-core.  Measured peel depth is 3–7 rounds at the tested
+    scales; the 16-round cap is asserted, which is what lets the SQL
+    oracle mirror the loop as a GENERATED unrolled CTE chain (the
+    pagerank/hilbert precedent) and grade an iterative deletion
+    algorithm bit-exactly."""
+    from hexscape_ray.stages.graph import k_peel
+    from hexscape_ray.stages.joins import adaptive_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_quantity", "l_partkey"]
+    )
+
+    def sparsify(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        p = t["l_partkey"].to_numpy(zero_copy_only=False)
+        kept = t.filter(pa.array((q <= 5.0) & (p % 9 == 0)))
+        return pa.table(
+            {
+                "o_orderkey": kept["l_orderkey"],
+                "b": pc.add(kept["l_suppkey"], 1_000_000),
+            }
+        )
+
+    pairs = adaptive_join(
+        li.map_batches(sparsify, batch_format="pyarrow"),
+        orders,
+        on="o_orderkey",
+        big_schema=pa.schema([("o_orderkey", pa.int64()), ("b", pa.int64())]),
+        side_schema=pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+    ).map_batches(
+        lambda t: pa.table({"a": t["o_custkey"], "b": t["b"]}),
+        batch_format="pyarrow",
+    )
+    edges = two_phase_sum(pairs, ["a", "b"], [], count_as="__n").select_columns(
+        ["a", "b"]
+    )
+    return k_peel(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+def _kcore_sql() -> str:
+    """The peel loop as a generated unrolled CTE chain — constants
+    derive from _KCORE_K/_KCORE_ROUNDS so SQL cannot drift from the
+    engine."""
+    parts = [
+        """e0 AS MATERIALIZED (
+    SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_quantity <= 5 AND l_partkey % 9 = 0),
+  n0 AS MATERIALIZED (SELECT a AS node FROM e0 UNION SELECT b FROM e0)"""
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+    SELECT node, count(*) AS deg FROM (
+      SELECT a AS node FROM e{r - 1} UNION ALL SELECT b FROM e{r - 1})
+    GROUP BY 1),
+  rm{r} AS MATERIALIZED (
+    SELECT n.node FROM n{r - 1} n LEFT JOIN d{r} d ON d.node = n.node
+    WHERE COALESCE(d.deg, 0) < {_KCORE_K}),
+  n{r} AS MATERIALIZED (SELECT node FROM n{r - 1}
+           WHERE node NOT IN (SELECT node FROM rm{r})),
+  e{r} AS MATERIALIZED (SELECT a, b FROM e{r - 1}
+           WHERE a IN (SELECT node FROM n{r})
+             AND b IN (SELECT node FROM n{r}))"""
+        )
+    unions = [
+        f"SELECT node, {r} AS peel_round FROM rm{r}"
+        for r in range(1, _KCORE_ROUNDS + 1)
+    ]
+    unions.append(f"SELECT node, 0 AS peel_round FROM n{_KCORE_ROUNDS}")
+    body = ",\n  ".join(parts)
+    lab = " UNION ALL ".join(unions)
+    return (
+        f"  WITH {body}\n"
+        f"  SELECT CAST(node AS BIGINT) AS node,"
+        f" CAST(peel_round AS BIGINT) AS peel_round\n"
+        f"  FROM ({lab}) ORDER BY node\n"
+    )
+
+
+SQL_TRADE_KCORE = _kcore_sql()
+
+
 RAY_QUERIES = {
     "hex_doc_counts": q_hex_doc_counts,
     "hex_lang_mix": q_hex_lang_mix,
@@ -11936,6 +12030,7 @@ RAY_QUERIES = {
     "nearest_poi": q_nearest_poi,
     "near_dup_canonical": q_near_dup_canonical,
     "rfm_segments": q_rfm_segments,
+    "trade_kcore": q_trade_kcore,
 }
 
 ORACLES = {
@@ -12118,6 +12213,7 @@ ORACLES = {
     "nearest_poi": SQL_NEAREST_POI,
     "near_dup_canonical": SQL_NEAR_DUP_CANONICAL,
     "rfm_segments": SQL_RFM_SEGMENTS,
+    "trade_kcore": SQL_TRADE_KCORE,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

@@ -547,3 +547,161 @@ def hex_bfs_distance(
         )
 
     return settled.map_batches(unpack, batch_format="pyarrow").sort(["r", "q"])
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling (bounded rounds, exact labels)
+# ---------------------------------------------------------------------------
+
+
+def k_peel(
+    edges: Dataset,
+    k: int,
+    rounds: int = 16,
+    src: str = "a",
+    dst: str = "b",
+    local_threshold: int | None = None,
+) -> Dataset:
+    """Bounded-round k-core peeling: repeatedly remove nodes of degree
+    < k (isolated nodes count as degree 0) and report, per node, the
+    round it fell (``peel_round``; 0 = survives in the k-core).  The
+    round cap makes the operator a well-defined finite computation an
+    unrolled SQL oracle can mirror; convergence within the cap is
+    ASSERTED, not assumed.
+
+    Two-tier like :func:`connected_components` / :func:`hex_bfs_distance`:
+    below ``local_threshold`` edge rows (env ``HEXRAY_KPEEL_LOCAL``,
+    default 2 M) the whole peel runs in ONE remote numpy task
+    (bincount degrees, boolean masks — no Python per-node loop); above
+    it, each round is one endpoint-census two_phase_sum + two
+    membership semi-joins + one anti-join — Θ(peel depth) rounds, the
+    peeling lower bound."""
+    import os
+
+    from hexscape_ray.stages.agg import two_phase_sum
+    from hexscape_ray.stages.joins import adaptive_join
+
+    if local_threshold is None:
+        local_threshold = int(os.environ.get("HEXRAY_KPEEL_LOCAL", "2000000"))
+
+    edges = edges.materialize()
+    if edges.count() <= local_threshold:
+
+        def solve(batch: pa.Table) -> pa.Table:
+            a = batch[src].to_numpy(zero_copy_only=False)
+            b = batch[dst].to_numpy(zero_copy_only=False)
+            nodes = np.unique(np.concatenate([a, b]))
+            n = nodes.shape[0]
+            ai = np.searchsorted(nodes, a)
+            bi = np.searchsorted(nodes, b)
+            alive_e = np.ones(a.shape[0], dtype=bool)
+            alive_n = np.ones(n, dtype=bool)
+            rnd = np.zeros(n, dtype=np.int64)
+            for r in range(1, rounds + 1):
+                deg = np.bincount(ai[alive_e], minlength=n) + np.bincount(
+                    bi[alive_e], minlength=n
+                )
+                rm = alive_n & (deg < k)
+                if not rm.any():
+                    break
+                rnd[rm] = r
+                alive_n &= ~rm
+                alive_e &= alive_n[ai] & alive_n[bi]
+            else:
+                deg = np.bincount(ai[alive_e], minlength=n) + np.bincount(
+                    bi[alive_e], minlength=n
+                )
+                assert not (alive_n & (deg < k)).any(), "k_peel cap truncated"
+            return pa.table(
+                {"node": pa.array(nodes), "peel_round": pa.array(rnd)}
+            )
+
+        return edges.repartition(1).map_batches(
+            solve, batch_format="pyarrow", batch_size=None
+        ).sort("node")
+
+    # distributed tier
+    def endpoints(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.array(
+                    np.concatenate(
+                        [
+                            batch[src].to_numpy(zero_copy_only=False),
+                            batch[dst].to_numpy(zero_copy_only=False),
+                        ]
+                    )
+                )
+            }
+        )
+
+    node_schema = pa.schema([("node", pa.int64())])
+    e_schema = pa.schema([(src, pa.int64()), (dst, pa.int64())])
+    nodes = two_phase_sum(
+        edges.map_batches(endpoints, batch_format="pyarrow"),
+        ["node"],
+        [],
+        count_as="__n",
+    ).select_columns(["node"]).materialize()
+    labels: list[Dataset] = []
+    converged = False
+    for r in range(1, rounds + 1):
+        deg = two_phase_sum(
+            edges.map_batches(endpoints, batch_format="pyarrow"),
+            ["node"],
+            [],
+            count_as="deg",
+        )
+        keep = deg.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.filter(
+                        pa.array(t["deg"].to_numpy(zero_copy_only=False) >= k)
+                    )["node"]
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        rm = adaptive_join(
+            nodes, keep, on="node", how="anti",
+            big_schema=node_schema, side_schema=node_schema,
+        ).materialize()
+        if rm.count() == 0:
+            converged = True
+            break
+        labels.append(
+            rm.map_batches(
+                lambda t, _r=r: t.append_column(
+                    "peel_round",
+                    pa.array(np.full(len(t), _r, dtype=np.int64)),
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+        )
+        nodes = keep
+        edges = adaptive_join(
+            adaptive_join(
+                edges,
+                keep.rename_columns({"node": src}),
+                on=src,
+                how="semi",
+                big_schema=e_schema,
+                side_schema=pa.schema([(src, pa.int64())]),
+            ),
+            keep.rename_columns({"node": dst}),
+            on=dst,
+            how="semi",
+            big_schema=e_schema,
+            side_schema=pa.schema([(dst, pa.int64())]),
+        ).materialize()
+    assert converged, "k_peel cap truncated"
+    out = nodes.map_batches(
+        lambda t: t.append_column(
+            "peel_round", pa.array(np.zeros(len(t), dtype=np.int64))
+        ),
+        batch_format="pyarrow",
+    )
+    for lab in labels:
+        out = out.union(lab)
+    # iterated union doubles block counts — bound them before the sort
+    return out.repartition(max(8, nodes.num_blocks())).sort("node")

@@ -3089,3 +3089,25 @@ def test_hll_distinct_accuracy(ray_session):
         ray.data.from_arrow(t).repartition(13), "k", "m"
     ).to_pandas()
     assert one.equals(many)
+
+
+def test_k_peel_tiers(ray_session):
+    """k-core peel on a known graph: a 3-clique survives 2-peeling, a
+    pendant chain peels inward round by round; forced distributed tier
+    (local_threshold=0) agrees bit-for-bit."""
+    import pyarrow as pa
+    import ray
+
+    from hexscape_ray.stages.graph import k_peel
+
+    # triangle (1,2,3) + chain 3-4-5-6
+    e = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)]
+    t = pa.table({
+        "a": pa.array([x[0] for x in e], pa.int64()),
+        "b": pa.array([x[1] for x in e], pa.int64()),
+    })
+    got = k_peel(ray.data.from_arrow(t), k=2).to_pandas()
+    exp = {1: 0, 2: 0, 3: 0, 4: 3, 5: 2, 6: 1}
+    assert {int(r.node): int(r.peel_round) for r in got.itertuples()} == exp
+    far = k_peel(ray.data.from_arrow(t), k=2, local_threshold=0).to_pandas()
+    assert got.reset_index(drop=True).equals(far.reset_index(drop=True))

@@ -90,6 +90,8 @@ ORACLE_NAMES = [
     "near_dup_canonical",
     # RFM segmentation: 9 radix-selected fences -> 64-cell census
     "rfm_segments",
+    # iterative deletion: bounded-round k-core peel, unrolled-CTE oracle
+    "trade_kcore",
 ]
 
 
