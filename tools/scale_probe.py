@@ -143,6 +143,73 @@ def main() -> None:
             len(small),
         )
 
+    # 6. session-4 two-tier ops: forced distributed tier vs small tier
+    from hexscape_ray.stages.graph import hex_bfs_distance, k_peel
+
+    t0 = time.perf_counter()
+    counts = Q.q_hex_doc_counts(sf).select_columns(["r", "q", "n_docs"])
+    pdf = counts.to_pandas().sort_values(
+        ["n_docs", "r", "q"], ascending=[False, True, True]
+    )
+    seed = (int(pdf.iloc[0]["r"]), int(pdf.iloc[0]["q"]))
+    cells = counts.select_columns(["r", "q"])
+    small = hex_bfs_distance(cells, seed).to_pandas()
+    dist = hex_bfs_distance(cells, seed, local_cells=0).to_pandas()
+    assert small.reset_index(drop=True).equals(dist.reset_index(drop=True))
+    results["hex_bfs_two_tier_parity"] = (
+        round(time.perf_counter() - t0, 2),
+        len(small),
+    )
+
+    t0 = time.perf_counter()
+    ords2 = Q._read(sf, "orders", ["o_orderkey", "o_custkey"])
+    li2 = Q._read(
+        sf, "lineitem", ["l_orderkey", "l_suppkey", "l_quantity", "l_partkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.filter(
+                    pa.array(
+                        (t["l_quantity"].to_numpy(zero_copy_only=False) <= 5.0)
+                        & (t["l_partkey"].to_numpy(zero_copy_only=False) % 9 == 0)
+                    )
+                )["l_orderkey"],
+                "b": pc.add(
+                    t.filter(
+                        pa.array(
+                            (t["l_quantity"].to_numpy(zero_copy_only=False) <= 5.0)
+                            & (t["l_partkey"].to_numpy(zero_copy_only=False) % 9 == 0)
+                        )
+                    )["l_suppkey"],
+                    1_000_000,
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    from hexscape_ray.stages.agg import two_phase_sum as _tps
+
+    pairs = adaptive_join(
+        li2,
+        ords2,
+        on="o_orderkey",
+        big_schema=pa.schema([("o_orderkey", pa.int64()), ("b", pa.int64())]),
+        side_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]
+        ),
+    ).map_batches(
+        lambda t: pa.table({"a": t["o_custkey"], "b": t["b"]}),
+        batch_format="pyarrow",
+    )
+    edges = _tps(pairs, ["a", "b"], [], count_as="__n").select_columns(["a", "b"])
+    small = k_peel(edges, k=2).to_pandas()
+    dist = k_peel(edges, k=2, local_threshold=0).to_pandas()
+    assert small.reset_index(drop=True).equals(dist.reset_index(drop=True))
+    results["k_peel_two_tier_parity"] = (
+        round(time.perf_counter() - t0, 2),
+        len(small),
+    )
+
     for k, (sec, n) in results.items():
         print(f"OK {k}: {sec} s, {n} rows")
     ray.shutdown()
