@@ -269,6 +269,11 @@ def run_queries() -> dict:
         "mad_order_value",
         "nation_value_gini",
         "lang_source_chi2",
+        "nearest_poi",
+        "near_dup_canonical",
+        "rfm_segments",
+        "trade_kcore",
+        "revenue_autocorr",
     ]
     out = {}
     for name in names:

@@ -11824,6 +11824,120 @@ def _kcore_sql() -> str:
 SQL_TRADE_KCORE = _kcore_sql()
 
 
+_ACF_LAGS = (1, 7, 30)
+
+
+def q_revenue_autocorr(sf_dir: str) -> Dataset:
+    """Lag-k autocorrelation of daily revenue (k = 1, 7, 30) — the
+    time-series diagnostic over the gap-filled dense day axis
+    (missing days count as zero revenue, the gapfill convention).
+    Scale shape: the per-day census reduces through one two_phase_sum
+    and is CALENDAR-bounded, not corpus-bounded, so the lag products
+    compute in ONE remote task with Python-int exact sums (Σxy at
+    sf0.1 exceeds int64; the SQL mirror uses HUGEINT); Pearson r is
+    the mirrored float tree over those exact integers — IEEE sqrt is
+    correctly rounded on both engines."""
+    import math
+
+    census = two_phase_sum(
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"]).map_batches(
+            lambda b: pa.table(
+                {
+                    "day_id": pa.array(
+                        b["o_orderdate"].cast(pa.int64()).to_numpy(
+                            zero_copy_only=False
+                        )
+                        // 86400000000
+                    ),
+                    "cents": pa.array(_cents(b["o_totalprice"])),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["day_id"],
+        ["cents"],
+        count_as=None,
+    )
+
+    def acf(batch: pa.Table):
+        pdf = batch.to_pandas().sort_values("day_id")
+        days = pdf["day_id"].to_numpy()
+        lo, hi = int(days.min()), int(days.max())
+        dense = np.zeros(hi - lo + 1, dtype=np.int64)
+        dense[days - lo] = pdf["cents"].to_numpy()
+        xs = [int(v) for v in dense]
+        rows = []
+        for k in _ACF_LAGS:
+            a = xs[:-k]
+            b = xs[k:]
+            n = len(a)
+            sx, sy = sum(a), sum(b)
+            sxx = sum(v * v for v in a)
+            syy = sum(v * v for v in b)
+            sxy = sum(u * v for u, v in zip(a, b))
+            num = float(n * sxy - sx * sy)
+            den = math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(
+                float(n * syy - sy * sy)
+            )
+            rows.append(
+                {
+                    "lag": k,
+                    "n_pairs": n,
+                    "r_micro": int(math.floor((num / den) * 1000000.0 + 0.5)),
+                }
+            )
+        yield pa.Table.from_pylist(rows)
+
+    return census.repartition(1).map_batches(
+        acf, batch_format="pyarrow", batch_size=None
+    )
+
+
+def _acf_sql() -> str:
+    lag_rows = []
+    for k in _ACF_LAGS:
+        lag_rows.append(
+            f"""
+  s{k} AS (
+    SELECT count(*) AS n,
+           CAST(sum(a.cents) AS HUGEINT) AS sx,
+           CAST(sum(b.cents) AS HUGEINT) AS sy,
+           sum(CAST(a.cents AS HUGEINT) * CAST(a.cents AS HUGEINT)) AS sxx,
+           sum(CAST(b.cents AS HUGEINT) * CAST(b.cents AS HUGEINT)) AS syy,
+           sum(CAST(a.cents AS HUGEINT) * CAST(b.cents AS HUGEINT)) AS sxy
+    FROM dense a JOIN dense b ON b.day_id = a.day_id + {k})"""
+        )
+    selects = [
+        f"""SELECT {k} AS lag, n AS n_pairs,
+        CAST(floor((CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) * 1000000.0 + 0.5)
+          AS BIGINT) AS r_micro FROM s{k}"""
+        for k in _ACF_LAGS
+    ]
+    lags_sql = ",".join(lag_rows)
+    sel_sql = " UNION ALL ".join(selects)
+    return f"""
+  WITH c AS (
+    SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day_id,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders GROUP BY 1),
+  axis AS (
+    SELECT unnest(range((SELECT min(day_id) FROM c),
+                        (SELECT max(day_id) FROM c) + 1)) AS day_id),
+  dense AS (
+    SELECT a.day_id, CAST(coalesce(c.cents, 0) AS BIGINT) AS cents
+    FROM axis a LEFT JOIN c USING (day_id)),{lags_sql}
+  SELECT CAST(lag AS BIGINT) AS lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+         r_micro
+  FROM ({sel_sql}) ORDER BY lag
+"""
+
+
+SQL_REVENUE_AUTOCORR = _acf_sql()
+
+
 RAY_QUERIES = {
     "hex_doc_counts": q_hex_doc_counts,
     "hex_lang_mix": q_hex_lang_mix,
@@ -12031,6 +12145,7 @@ RAY_QUERIES = {
     "near_dup_canonical": q_near_dup_canonical,
     "rfm_segments": q_rfm_segments,
     "trade_kcore": q_trade_kcore,
+    "revenue_autocorr": q_revenue_autocorr,
 }
 
 ORACLES = {
@@ -12214,6 +12329,7 @@ ORACLES = {
     "near_dup_canonical": SQL_NEAR_DUP_CANONICAL,
     "rfm_segments": SQL_RFM_SEGMENTS,
     "trade_kcore": SQL_TRADE_KCORE,
+    "revenue_autocorr": SQL_REVENUE_AUTOCORR,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

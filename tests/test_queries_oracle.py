@@ -92,6 +92,8 @@ ORACLE_NAMES = [
     "rfm_segments",
     # iterative deletion: bounded-round k-core peel, unrolled-CTE oracle
     "trade_kcore",
+    # lag-k autocorrelation over the gap-filled day axis
+    "revenue_autocorr",
 ]
 
 
