@@ -11938,6 +11938,153 @@ def _acf_sql() -> str:
 SQL_REVENUE_AUTOCORR = _acf_sql()
 
 
+def q_sliding_distinct_hll(sf_dir: str) -> Dataset:
+    """Distinct users per 7-day sliding window — the PAYOFF of
+    mergeable sketches: per-day HyperLogLog registers reduce once
+    (two_phase_agg MAX over (day, bucket)), then every window is a
+    register-table merge, so the corpus is scanned ONCE for all
+    overlapping windows (exact distinct would rescan per window).
+    The day×256 register table is calendar-bounded — the window merge
+    runs in one remote task with the same exact-integer harmonic
+    denominator and mirrored float estimate as distinct_users_hll."""
+    import math
+
+    from hexscape_ray.functions.hashing import splitmix64
+    from hexscape_ray.stages.agg import two_phase_agg
+    from hexscape_ray.stages.sketch import _HLL_M, _HLL_RHO_MAX, _HLL_WBITS
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = (
+            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86400000000
+        )
+        h = splitmix64(
+            batch["user_id"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
+        )
+        bucket = (h >> np.uint64(_HLL_WBITS)).astype(np.int64)
+        w = h & np.uint64((1 << _HLL_WBITS) - 1)
+        bl = np.zeros(w.shape[0], dtype=np.int64)
+        v = w.copy()
+        for s in (32, 16, 8, 4, 2, 1):
+            big = v >= np.uint64(1 << s)
+            bl[big] += s
+            v[big] >>= np.uint64(s)
+        bl += (v > 0).astype(np.int64)
+        return pa.table(
+            {
+                "day_id": pa.array(day),
+                "bucket": pa.array(bucket),
+                "rho": pa.array(_HLL_RHO_MAX - bl),
+            }
+        )
+
+    regs = two_phase_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["day_id", "bucket"],
+        {"rho": "max"},
+    )
+
+    def windows(batch: pa.Table):
+        pdf = batch.to_pandas()
+        days = sorted(pdf["day_id"].unique().tolist())
+        by_day = {d: g for d, g in pdf.groupby("day_id")}
+        rows = []
+        for d in days:
+            best: dict[int, int] = {}
+            for dd in range(d - 6, d + 1):
+                g = by_day.get(dd)
+                if g is None:
+                    continue
+                for bkt, rho in zip(g["bucket"].tolist(), g["rho"].tolist()):
+                    if rho > best.get(bkt, 0):
+                        best[bkt] = rho
+            n_present = len(best)
+            zeros = _HLL_M - n_present
+            a = zeros * (1 << _HLL_RHO_MAX) + sum(
+                1 << (_HLL_RHO_MAX - r) for r in best.values()
+            )
+            raw = (
+                (0.7213 / (1.0 + 1.079 / 256.0))
+                * 65536.0
+                * 144115188075855872.0
+                / float(a)
+            )
+            if raw <= 640.0 and zeros > 0:
+                est = 256.0 * math.log(256.0 / float(zeros))
+            else:
+                est = raw
+            rows.append(
+                {
+                    "day_id": int(d),
+                    "n_present": n_present,
+                    "zero_regs": zeros,
+                    "a_hi": a >> 32,
+                    "a_lo": a & 0xFFFFFFFF,
+                    "est_micro": int(math.floor(est * 1000000.0 + 0.5)),
+                }
+            )
+        yield pa.Table.from_pylist(rows)
+
+    return regs.repartition(1).map_batches(
+        windows, batch_format="pyarrow", batch_size=None
+    )
+
+
+SQL_SLIDING_DISTINCT_HLL = f"""
+  WITH __kmv_in AS (
+    SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS __k,
+           CAST(user_id AS HUGEINT) AS x
+    FROM events
+  ), hashed AS ({_splitmix64_sql("x")}),
+  rb AS (
+    SELECT __k AS day_id,
+           CAST(h // 72057594037927936 AS BIGINT) AS bucket,
+           CAST(h % 72057594037927936 AS BIGINT) AS w
+    FROM hashed
+  ),
+  regs AS (
+    SELECT day_id, bucket,
+           max(CASE WHEN w = 0 THEN 57
+                    ELSE 57 - length(format('{{:b}}', w)) END) AS rho
+    FROM rb GROUP BY 1, 2
+  ),
+  days AS (SELECT DISTINCT day_id FROM regs),
+  win AS (
+    SELECT d.day_id, r.bucket, max(r.rho) AS rho
+    FROM days d JOIN regs r ON r.day_id BETWEEN d.day_id - 6 AND d.day_id
+    GROUP BY 1, 2
+  ),
+  agg AS (
+    SELECT day_id,
+           CAST(count(*) AS BIGINT) AS n_present,
+           CAST(256 - count(*) AS BIGINT) AS zero_regs,
+           CAST(256 - count(*) AS HUGEINT)
+             * CAST(144115188075855872 AS HUGEINT)
+             + sum(CAST(CAST(1 AS BIGINT) << (57 - rho) AS HUGEINT)) AS a
+    FROM win GROUP BY 1
+  ),
+  est AS (
+    SELECT *,
+           (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 144115188075855872.0
+             / CAST(a AS DOUBLE) AS raw
+    FROM agg
+  )
+  SELECT day_id, n_present, zero_regs,
+         CAST(a // 4294967296 AS BIGINT) AS a_hi,
+         CAST(a % 4294967296 AS BIGINT) AS a_lo,
+         CAST(floor((CASE WHEN raw <= 640.0 AND zero_regs > 0
+                          THEN 256.0 * ln(256.0 / CAST(zero_regs AS DOUBLE))
+                          ELSE raw END) * 1000000.0 + 0.5) AS BIGINT)
+           AS est_micro
+  FROM est ORDER BY day_id
+"""
+
+
 RAY_QUERIES = {
     "hex_doc_counts": q_hex_doc_counts,
     "hex_lang_mix": q_hex_lang_mix,
@@ -12146,6 +12293,7 @@ RAY_QUERIES = {
     "rfm_segments": q_rfm_segments,
     "trade_kcore": q_trade_kcore,
     "revenue_autocorr": q_revenue_autocorr,
+    "sliding_distinct_hll": q_sliding_distinct_hll,
 }
 
 ORACLES = {
@@ -12330,6 +12478,7 @@ ORACLES = {
     "rfm_segments": SQL_RFM_SEGMENTS,
     "trade_kcore": SQL_TRADE_KCORE,
     "revenue_autocorr": SQL_REVENUE_AUTOCORR,
+    "sliding_distinct_hll": SQL_SLIDING_DISTINCT_HLL,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

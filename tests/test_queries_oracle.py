@@ -94,6 +94,8 @@ ORACLE_NAMES = [
     "trade_kcore",
     # lag-k autocorrelation over the gap-filled day axis
     "revenue_autocorr",
+    # sliding-window distinct via HLL register merging
+    "sliding_distinct_hll",
 ]
 
 
