@@ -12085,6 +12085,22 @@ SQL_SLIDING_DISTINCT_HLL = f"""
 """
 
 
+def q_distinct_users_hll_stream(sf_dir: str) -> Dataset:
+    """STREAMING twin of distinct_users_hll
+    (stages/streaming.py::streaming_hll_distinct): incremental
+    per-shard HLL register state fed by parallel router tasks,
+    sharded by bucket so flushes are disjoint; register MAX commutes,
+    so it shares SQL_DISTINCT_USERS_HLL bit-exactly and the shard
+    snapshot/load recovery contract."""
+    from hexscape_ray.stages.streaming import streaming_hll_distinct
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    t = streaming_hll_distinct(ev, "event_type", "user_id")
+    return ray.data.from_arrow(t).rename_columns({"__k": "event_type"}).sort(
+        "event_type"
+    )
+
+
 RAY_QUERIES = {
     "hex_doc_counts": q_hex_doc_counts,
     "hex_lang_mix": q_hex_lang_mix,
@@ -12294,6 +12310,7 @@ RAY_QUERIES = {
     "trade_kcore": q_trade_kcore,
     "revenue_autocorr": q_revenue_autocorr,
     "sliding_distinct_hll": q_sliding_distinct_hll,
+    "distinct_users_hll_stream": q_distinct_users_hll_stream,
 }
 
 ORACLES = {
@@ -12479,6 +12496,7 @@ ORACLES = {
     "trade_kcore": SQL_TRADE_KCORE,
     "revenue_autocorr": SQL_REVENUE_AUTOCORR,
     "sliding_distinct_hll": SQL_SLIDING_DISTINCT_HLL,
+    "distinct_users_hll_stream": SQL_DISTINCT_USERS_HLL,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

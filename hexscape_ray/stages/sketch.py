@@ -264,47 +264,57 @@ def hll_distinct(ds, key: str, member: str):
     )
 
     def finish(batch: pa.Table):
-        pdf = batch.to_pandas()
-        rows = []
-        for k, g in pdf.groupby("__k", sort=True, dropna=False):
-            rhos = g["rho"].to_numpy()
-            n_present = int(rhos.shape[0])
-            zeros = _HLL_M - n_present
-            a = zeros * (1 << _HLL_RHO_MAX) + sum(
-                1 << (_HLL_RHO_MAX - int(r)) for r in rhos
-            )
-            raw = (
-                (0.7213 / (1.0 + 1.079 / 256.0))
-                * 65536.0
-                * 144115188075855872.0
-                / float(a)
-            )
-            if raw <= 640.0 and zeros > 0:
-                est = 256.0 * math.log(256.0 / float(zeros))
-            else:
-                est = raw
-            rows.append(
-                {
-                    "__k": k,
-                    "n_present": n_present,
-                    "zero_regs": zeros,
-                    "a_hi": a >> 32,
-                    "a_lo": a & 0xFFFFFFFF,
-                    "est_micro": int(math.floor(est * 1000000.0 + 0.5)),
-                }
-            )
-        yield pa.Table.from_pylist(rows) if rows else pa.table(
-            {
-                "__k": pa.array([], pa.string()),
-                "n_present": pa.array([], pa.int64()),
-                "zero_regs": pa.array([], pa.int64()),
-                "a_hi": pa.array([], pa.int64()),
-                "a_lo": pa.array([], pa.int64()),
-                "est_micro": pa.array([], pa.int64()),
-            }
-        )
+        yield hll_finish_pdf(batch.to_pandas())
 
     # registers are ≤ 256·n_keys rows — one remote task finishes
     return regs.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None
+    )
+
+
+def hll_finish_pdf(pdf) -> pa.Table:
+    """(__k, bucket, rho) register rows → the finished per-key HLL
+    estimate table (shared by the batch and streaming paths — the
+    float tree is the SQL-mirrored one)."""
+    import math
+
+    rows = []
+    for k, g in pdf.groupby("__k", sort=True, dropna=False):
+        rhos = g["rho"].to_numpy()
+        n_present = int(rhos.shape[0])
+        zeros = _HLL_M - n_present
+        a = zeros * (1 << _HLL_RHO_MAX) + sum(
+            1 << (_HLL_RHO_MAX - int(r)) for r in rhos
+        )
+        raw = (
+            (0.7213 / (1.0 + 1.079 / 256.0))
+            * 65536.0
+            * 144115188075855872.0
+            / float(a)
+        )
+        if raw <= 640.0 and zeros > 0:
+            est = 256.0 * math.log(256.0 / float(zeros))
+        else:
+            est = raw
+        rows.append(
+            {
+                "__k": k,
+                "n_present": n_present,
+                "zero_regs": zeros,
+                "a_hi": a >> 32,
+                "a_lo": a & 0xFFFFFFFF,
+                "est_micro": int(math.floor(est * 1000000.0 + 0.5)),
+            }
+        )
+    if rows:
+        return pa.Table.from_pylist(rows)
+    return pa.table(
+        {
+            "__k": pa.array([], pa.string()),
+            "n_present": pa.array([], pa.int64()),
+            "zero_regs": pa.array([], pa.int64()),
+            "a_hi": pa.array([], pa.int64()),
+            "a_lo": pa.array([], pa.int64()),
+            "est_micro": pa.array([], pa.int64()),
+        }
     )

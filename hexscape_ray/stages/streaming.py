@@ -723,3 +723,107 @@ def streaming_latest_state(
     tables = ray.get([s.flush.remote() for s in shards])
     out = pa.concat_tables([t for t in tables if len(t)])
     return out.to_pandas().sort_values("user_id", ignore_index=True)
+
+
+@ray.remote
+class HllShard:
+    """One shard of the STREAMING per-key HyperLogLog registers:
+    (key, bucket) → max ρ.  Register MAX commutes, so routers need no
+    sequencing and a ``flush()`` snapshot composes with any replay
+    split (``load``) — the same recovery contract as the other census
+    shards.  Sharding is by bucket, so flushes are DISJOINT and the
+    final merge is a concat."""
+
+    def __init__(self):
+        self.state: dict[tuple, int] = {}
+
+    def feed(self, keys: list, bucket: np.ndarray, rho: np.ndarray) -> int:
+        st = self.state
+        for k, b, r in zip(keys, bucket.tolist(), rho.tolist()):
+            kk = (k, b)
+            if r > st.get(kk, 0):
+                st[kk] = r
+        return len(st)
+
+    def load(self, snap: pa.Table) -> int:
+        return self.feed(
+            snap["__k"].to_pylist(),
+            snap["bucket"].to_numpy(zero_copy_only=False),
+            snap["rho"].to_numpy(zero_copy_only=False),
+        )
+
+    def flush(self) -> pa.Table:
+        if not self.state:
+            return pa.table(
+                {
+                    "__k": pa.array([], pa.string()),
+                    "bucket": pa.array([], pa.int64()),
+                    "rho": pa.array([], pa.int64()),
+                }
+            )
+        items = sorted(self.state.items())
+        return pa.table(
+            {
+                "__k": pa.array([k for (k, _), _r in items]),
+                "bucket": pa.array(
+                    np.asarray([b for (_, b), _r in items], dtype=np.int64)
+                ),
+                "rho": pa.array(np.asarray([r for _, r in items], dtype=np.int64)),
+            }
+        )
+
+
+@ray.remote
+def _route_hll_block(block, shards: list, key_col: str, member_col: str) -> int:
+    """Router task: per-block register partial (≤ keys×256 rows) then
+    shard delivery by bucket."""
+    from hexscape_ray.stages.sketch import hll_partial_batches
+
+    if isinstance(block, pd.DataFrame):
+        block = pa.Table.from_pandas(block, preserve_index=False)
+    part = hll_partial_batches(key_col, member_col)(block)
+    bucket = part["bucket"].to_numpy(zero_copy_only=False)
+    rho = part["rho"].to_numpy(zero_copy_only=False)
+    keys = part["__k"].to_pylist()
+    n_shards = len(shards)
+    shard = bucket % n_shards
+    refs = []
+    for sh in range(n_shards):
+        m = shard == sh
+        if m.any():
+            idx = np.flatnonzero(m)
+            refs.append(
+                shards[sh].feed.remote(
+                    [keys[i] for i in idx], bucket[idx], rho[idx]
+                )
+            )
+    ray.get(refs)
+    return len(part)
+
+
+def streaming_hll_distinct(
+    events: Dataset, key: str, member: str, n_shards: int = 8, max_inflight: int = 32
+) -> pa.Table:
+    """STREAMING per-key approximate COUNT(DISTINCT) — incremental HLL
+    register shards fed by parallel router tasks; bit-identical to the
+    batch ``hll_distinct`` (register MAX commutes; shares its SQL
+    oracle).  Returns the finished estimate table."""
+    from hexscape_ray.stages.sketch import hll_finish_pdf
+
+    shards = [HllShard.remote() for _ in range(n_shards)]
+    stream = events.materialize()
+    block_refs: list = []
+    for bundle in stream.iter_internal_ref_bundles():
+        block_refs.extend(bundle.block_refs)
+    inflight: list = []
+    for bref in block_refs:
+        inflight.append(_route_hll_block.remote(bref, shards, key, member))
+        if len(inflight) > max_inflight:
+            done, inflight = ray.wait(
+                inflight, num_returns=len(inflight) - max_inflight
+            )
+            ray.get(done)
+    ray.get(inflight)
+    tables = ray.get([s.flush.remote() for s in shards])
+    regs = pa.concat_tables([t for t in tables if len(t)])
+    return hll_finish_pdf(regs.to_pandas())

@@ -3111,3 +3111,44 @@ def test_k_peel_tiers(ray_session):
     assert {int(r.node): int(r.peel_round) for r in got.itertuples()} == exp
     far = k_peel(ray.data.from_arrow(t), k=2, local_threshold=0).to_pandas()
     assert got.reset_index(drop=True).equals(far.reset_index(drop=True))
+
+
+def test_hll_shard_snapshot_recovery(ray_session):
+    """HLL shard kill-and-restore parity: feed half, flush() as the
+    snapshot, load() into a FRESH shard, feed the rest — registers
+    equal one continuous feed (MAX commutes with any replay split)."""
+    import numpy as np
+    import ray
+
+    from hexscape_ray.stages.streaming import HllShard
+    from hexscape_ray.stages.sketch import hll_partial_batches
+    import pyarrow as pa
+
+    rng = np.random.default_rng(3)
+    t = pa.table({
+        "k": pa.array(["a"] * 4000 + ["b"] * 4000),
+        "m": pa.array(rng.integers(0, 1000, size=8000, dtype=np.int64)),
+    })
+    part = hll_partial_batches("k", "m")
+    p1 = part(t.slice(0, 4000))
+    p2 = part(t.slice(4000))
+
+    def feed(shard, p):
+        ray.get(shard.feed.remote(
+            p["__k"].to_pylist(),
+            p["bucket"].to_numpy(zero_copy_only=False),
+            p["rho"].to_numpy(zero_copy_only=False),
+        ))
+
+    cont = HllShard.remote()
+    feed(cont, p1); feed(cont, p2)
+    full = ray.get(cont.flush.remote())
+
+    first = HllShard.remote()
+    feed(first, p1)
+    snap = ray.get(first.flush.remote())
+    fresh = HllShard.remote()
+    ray.get(fresh.load.remote(snap))
+    feed(fresh, p2)
+    recovered = ray.get(fresh.flush.remote())
+    assert full.equals(recovered)

@@ -96,6 +96,8 @@ ORACLE_NAMES = [
     "revenue_autocorr",
     # sliding-window distinct via HLL register merging
     "sliding_distinct_hll",
+    # streaming HLL shards (shares the batch oracle)
+    "distinct_users_hll_stream",
 ]
 
 
