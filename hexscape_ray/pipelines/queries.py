@@ -12101,6 +12101,59 @@ def q_distinct_users_hll_stream(sf_dir: str) -> Dataset:
     )
 
 
+def q_embedding_dim_stats(sf_dir: str) -> Dataset:
+    """Per-dimension statistics over the LIST<float> embedding column —
+    the list-unnest operator graded exactly: each batch reshapes the
+    Arrow list buffer to an (n, 64) matrix ZERO-COPY (fixed stride
+    asserted), micro-rounds per element (order-invariant), and emits
+    64 partial rows per block: the shuffle carries (dim, Σv, Σv²,
+    min, max) partials, never the unnested rows (corpus×64 of them).
+    SQL oracle = DuckDB's lockstep unnest + generate_subscripts."""
+    from hexscape_ray.stages.agg import two_phase_agg
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(batch)
+        assert flat.shape[0] == n * 64, "ragged embedding list"
+        v = np.floor(flat * 1000000.0 + 0.5).astype(np.int64).reshape(n, 64)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, 65, dtype=np.int64)),
+                "s": pa.array(v.sum(axis=0)),
+                "ss": pa.array((v * v).sum(axis=0)),
+                "vmin": pa.array(v.min(axis=0)),
+                "vmax": pa.array(v.max(axis=0)),
+                "n": pa.array(np.full(64, n, dtype=np.int64)),
+            }
+        )
+
+    agg = two_phase_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["dim"],
+        {"s": "sum", "ss": "sum", "vmin": "min", "vmax": "max", "n": "sum"},
+    )
+    return agg.sort("dim")
+
+
+SQL_EMBEDDING_DIM_STATS = """
+  WITH u AS (
+    SELECT generate_subscripts(embedding, 1) AS dim,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+                AS BIGINT) AS v
+    FROM embeddings)
+  SELECT CAST(dim AS BIGINT) AS dim,
+         CAST(sum(v) AS BIGINT) AS s,
+         CAST(sum(v * v) AS BIGINT) AS ss,
+         CAST(min(v) AS BIGINT) AS vmin,
+         CAST(max(v) AS BIGINT) AS vmax,
+         count(*) AS n
+  FROM u GROUP BY 1 ORDER BY dim
+"""
+
+
 RAY_QUERIES = {
     "hex_doc_counts": q_hex_doc_counts,
     "hex_lang_mix": q_hex_lang_mix,
@@ -12311,6 +12364,7 @@ RAY_QUERIES = {
     "revenue_autocorr": q_revenue_autocorr,
     "sliding_distinct_hll": q_sliding_distinct_hll,
     "distinct_users_hll_stream": q_distinct_users_hll_stream,
+    "embedding_dim_stats": q_embedding_dim_stats,
 }
 
 ORACLES = {
@@ -12497,6 +12551,7 @@ ORACLES = {
     "revenue_autocorr": SQL_REVENUE_AUTOCORR,
     "sliding_distinct_hll": SQL_SLIDING_DISTINCT_HLL,
     "distinct_users_hll_stream": SQL_DISTINCT_USERS_HLL,
+    "embedding_dim_stats": SQL_EMBEDDING_DIM_STATS,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

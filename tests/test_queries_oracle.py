@@ -98,6 +98,8 @@ ORACLE_NAMES = [
     "sliding_distinct_hll",
     # streaming HLL shards (shares the batch oracle)
     "distinct_users_hll_stream",
+    # list-column unnest: per-dimension embedding stats
+    "embedding_dim_stats",
 ]
 
 
