@@ -12154,6 +12154,167 @@ SQL_EMBEDDING_DIM_STATS = """
 """
 
 
+_FK_EDGES = (
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+
+def q_fk_orphans(sf_dir: str) -> Dataset:
+    """Referential-integrity audit — the data-quality primitive a
+    100-TB ingest needs before anything joins: for each of the six
+    foreign-key edges, the row count and the ORPHAN count (child keys
+    with no parent).  Scale shape: each edge is one distinct-key
+    two-phase reduction on the child side + an ANTI join against the
+    parent keys (adaptive: broadcast at dimension size, co-partition
+    past the budget) — the child table is scanned once per edge and
+    only distinct keys move.  Zero orphans is the expected (and
+    graded) steady state; the query exists to prove it cheaply."""
+    from hexscape_ray.stages.joins import adaptive_join
+
+    rows = []
+    for rel, child, ck, parent, pk in _FK_EDGES:
+        child_ds = _read(sf_dir, child, [ck])
+        n_checked = child_ds.count()
+        kids = two_phase_sum(child_ds, [ck], [], count_as="__n").select_columns([ck])
+        parents = _read(sf_dir, parent, [pk]).map_batches(
+            lambda t, _ck=ck, _pk=pk: pa.table(
+                {_ck: t[_pk].cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        orphan_keys = adaptive_join(
+            kids.map_batches(
+                lambda t, _ck=ck: pa.table({_ck: t[_ck].cast(pa.int64())}),
+                batch_format="pyarrow",
+            ),
+            parents,
+            on=ck,
+            how="anti",
+            big_schema=pa.schema([(ck, pa.int64())]),
+            side_schema=pa.schema([(ck, pa.int64())]),
+        ).count()
+        rows.append(
+            {"rel": rel, "n_checked": n_checked, "n_orphan_keys": orphan_keys}
+        )
+    return ray.data.from_arrow(pa.Table.from_pylist(rows)).sort("rel")
+
+
+SQL_FK_ORPHANS = " UNION ALL ".join(
+    f"""SELECT '{rel}' AS rel, (SELECT count(*) FROM {child}) AS n_checked,
+      (SELECT count(*) FROM (SELECT DISTINCT {ck} FROM {child}) c
+       WHERE {ck} NOT IN (SELECT {pk} FROM {parent})) AS n_orphan_keys"""
+    for rel, child, ck, parent, pk in _FK_EDGES
+)
+SQL_FK_ORPHANS = f"SELECT * FROM ({SQL_FK_ORPHANS}) ORDER BY rel"
+
+
+def q_lang_length_ttest(sf_dir: str) -> Dataset:
+    """Welch two-sample t-test (en vs all other langs, document
+    length): the AB-testing primitive from exact moment partials —
+    one two_phase_sum pass yields (n, Σx, Σx²) per side; t and the
+    Welch–Satterthwaite dof are the mirrored float tree over those
+    exact integers, micro-rounded.  Completes the stats-test family
+    next to lang_source_chi2."""
+    import math
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        x = batch["n_chars"].to_numpy(zero_copy_only=False)
+        is_en = (
+            batch["lang"].to_numpy(zero_copy_only=False) == "en"
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "grp": pa.array(is_en),
+                "s": pa.array(x),
+                "ss": pa.array(x * x),
+            }
+        )
+
+    m = two_phase_sum(
+        ds.map_batches(prep, batch_format="pyarrow"), ["grp"], ["s", "ss"], count_as="n"
+    )
+
+    def ttest(batch: pa.Table):
+        pdf = batch.to_pandas().set_index("grp")
+        out = {}
+        for g in (0, 1):
+            n = int(pdf.loc[g, "n"])
+            s = int(pdf.loc[g, "s"])
+            ss = int(pdf.loc[g, "ss"])
+            mean = float(s) / float(n)
+            var = (float(ss) - float(s) * float(s) / float(n)) / float(n - 1)
+            out[g] = (n, s, ss, mean, var)
+        n1, s1, ss1, m1, v1 = out[1]
+        n0, s0, ss0, m0, v0 = out[0]
+        se1 = v1 / float(n1)
+        se0 = v0 / float(n0)
+        t = (m1 - m0) / math.sqrt(se1 + se0)
+        dof = (se1 + se0) * (se1 + se0) / (
+            se1 * se1 / float(n1 - 1) + se0 * se0 / float(n0 - 1)
+        )
+        yield pa.table(
+            {
+                "n_en": pa.array([n1], pa.int64()),
+                "n_other": pa.array([n0], pa.int64()),
+                "s_en": pa.array([s1], pa.int64()),
+                "s_other": pa.array([s0], pa.int64()),
+                "ss_en": pa.array([ss1], pa.int64()),
+                "ss_other": pa.array([ss0], pa.int64()),
+                "t_micro": pa.array(
+                    [int(math.floor(t * 1000000.0 + 0.5))], pa.int64()
+                ),
+                "dof_micro": pa.array(
+                    [int(math.floor(dof * 1000000.0 + 0.5))], pa.int64()
+                ),
+            }
+        )
+
+    return m.repartition(1).map_batches(ttest, batch_format="pyarrow", batch_size=None)
+
+
+SQL_LANG_LENGTH_TTEST = """
+  WITH m AS (
+    SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS grp,
+           count(*) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS s,
+           CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+    FROM documents GROUP BY 1),
+  w AS (
+    SELECT grp, n, s, ss,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+           (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+              / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS var
+    FROM m),
+  z AS (
+    SELECT
+      (SELECT n FROM w WHERE grp = 1) AS n_en,
+      (SELECT n FROM w WHERE grp = 0) AS n_other,
+      (SELECT s FROM w WHERE grp = 1) AS s_en,
+      (SELECT s FROM w WHERE grp = 0) AS s_other,
+      (SELECT ss FROM w WHERE grp = 1) AS ss_en,
+      (SELECT ss FROM w WHERE grp = 0) AS ss_other,
+      (SELECT mean FROM w WHERE grp = 1) AS m1,
+      (SELECT mean FROM w WHERE grp = 0) AS m0,
+      (SELECT var FROM w WHERE grp = 1) / (SELECT CAST(n AS DOUBLE) FROM w WHERE grp = 1) AS se1,
+      (SELECT var FROM w WHERE grp = 0) / (SELECT CAST(n AS DOUBLE) FROM w WHERE grp = 0) AS se0)
+  SELECT n_en, n_other, s_en, s_other, ss_en, ss_other,
+         CAST(floor(((m1 - m0) / sqrt(se1 + se0)) * 1000000.0 + 0.5) AS BIGINT)
+           AS t_micro,
+         CAST(floor(((se1 + se0) * (se1 + se0)
+                     / (se1 * se1 / (SELECT CAST(n - 1 AS DOUBLE) FROM w WHERE grp = 1)
+                        + se0 * se0 / (SELECT CAST(n - 1 AS DOUBLE) FROM w WHERE grp = 0)))
+                    * 1000000.0 + 0.5) AS BIGINT) AS dof_micro
+  FROM z
+"""
+
+
 RAY_QUERIES = {
     "hex_doc_counts": q_hex_doc_counts,
     "hex_lang_mix": q_hex_lang_mix,
@@ -12365,6 +12526,8 @@ RAY_QUERIES = {
     "sliding_distinct_hll": q_sliding_distinct_hll,
     "distinct_users_hll_stream": q_distinct_users_hll_stream,
     "embedding_dim_stats": q_embedding_dim_stats,
+    "fk_orphans": q_fk_orphans,
+    "lang_length_ttest": q_lang_length_ttest,
 }
 
 ORACLES = {
@@ -12552,6 +12715,8 @@ ORACLES = {
     "sliding_distinct_hll": SQL_SLIDING_DISTINCT_HLL,
     "distinct_users_hll_stream": SQL_DISTINCT_USERS_HLL,
     "embedding_dim_stats": SQL_EMBEDDING_DIM_STATS,
+    "fk_orphans": SQL_FK_ORPHANS,
+    "lang_length_ttest": SQL_LANG_LENGTH_TTEST,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

@@ -100,6 +100,10 @@ ORACLE_NAMES = [
     "distinct_users_hll_stream",
     # list-column unnest: per-dimension embedding stats
     "embedding_dim_stats",
+    # referential-integrity audit (six FK edges, anti joins)
+    "fk_orphans",
+    # Welch two-sample t-test from exact moment partials
+    "lang_length_ttest",
 ]
 
 
