@@ -274,6 +274,12 @@ def run_queries() -> dict:
         "rfm_segments",
         "trade_kcore",
         "revenue_autocorr",
+        "sliding_distinct_hll",
+        "distinct_users_hll_stream",
+        "embedding_dim_stats",
+        "fk_orphans",
+        "lang_length_ttest",
+        "raster_to_hex",
     ]
     out = {}
     for name in names:

@@ -12315,6 +12315,75 @@ SQL_LANG_LENGTH_TTEST = """
 """
 
 
+def q_raster_to_hex(sf_dir: str, g: int = HEX_RASTER_G) -> Dataset:
+    """RASTER→HEX resample graded hash-exactly (the habitat KDE path is
+    float; this is the integer-exact twin completing the north rule's
+    raster↔vector pair in BOTH oracle directions): a deterministic
+    g×g integer raster (knuth-hash cell values — no external data)
+    generates DISTRIBUTED, each cell center assigns to its hex via the
+    oracle-parity axial math, and per-hex sum/count/mean reduce as
+    partials.  mean_micro is the one micro-rounded division."""
+    cell = 100000.0 / g
+
+    def enc(batch: pa.Table) -> pa.Table:
+        from hexscape_ray import grid as hexgrid
+
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        i = ids // g
+        j = ids % g
+        x = (i + 0.5) * cell
+        y = (j + 0.5) * cell
+        r, q = hexgrid.point_to_axial(x, y, SPEC, 0)
+        val = ((ids.astype(np.int64) * 2654435761) % 4294967296) % 1000
+        return pa.table(
+            {
+                "r": pa.array(r.astype(np.int64)),
+                "q": pa.array(q.astype(np.int64)),
+                "val": pa.array(val),
+            }
+        )
+
+    census = two_phase_sum(
+        ray.data.range(g * g, override_num_blocks=8).map_batches(
+            enc, batch_format="pyarrow"
+        ),
+        ["r", "q"],
+        ["val"],
+        count_as="n_cells",
+    )
+
+    def mean(batch: pa.Table) -> pa.Table:
+        s = batch["val"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = batch["n_cells"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return batch.append_column(
+            "mean_micro",
+            pa.array(np.floor(1e6 * (s / n) + 0.5).astype(np.int64)),
+        )
+
+    return census.map_batches(mean, batch_format="pyarrow").sort(["r", "q"])
+
+
+SQL_RASTER_TO_HEX = (
+    f"""
+WITH cells AS (
+  SELECT i.range * {HEX_RASTER_G} + j.range AS id,
+         (i.range + 0.5) * {100000.0 / HEX_RASTER_G!r} AS x,
+         (j.range + 0.5) * {100000.0 / HEX_RASTER_G!r} AS y
+  FROM range(0, {HEX_RASTER_G}) i, range(0, {HEX_RASTER_G}) j
+),
+pts AS (SELECT id, ((id * 2654435761) % 4294967296) % 1000 AS val, x, y
+        FROM cells),
+"""
+    + _AXIAL_SQL
+    + """
+SELECT r, q, CAST(sum(val) AS BIGINT) AS val, count(*) AS n_cells,
+       CAST(floor(1e6 * (CAST(sum(val) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                  + 0.5) AS BIGINT) AS mean_micro
+FROM hexed GROUP BY r, q ORDER BY r, q
+"""
+)
+
+
 RAY_QUERIES = {
     "hex_doc_counts": q_hex_doc_counts,
     "hex_lang_mix": q_hex_lang_mix,
@@ -12528,6 +12597,7 @@ RAY_QUERIES = {
     "embedding_dim_stats": q_embedding_dim_stats,
     "fk_orphans": q_fk_orphans,
     "lang_length_ttest": q_lang_length_ttest,
+    "raster_to_hex": q_raster_to_hex,
 }
 
 ORACLES = {
@@ -12717,6 +12787,7 @@ ORACLES = {
     "embedding_dim_stats": SQL_EMBEDDING_DIM_STATS,
     "fk_orphans": SQL_FK_ORPHANS,
     "lang_length_ttest": SQL_LANG_LENGTH_TTEST,
+    "raster_to_hex": SQL_RASTER_TO_HEX,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

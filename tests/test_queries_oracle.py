@@ -104,6 +104,8 @@ ORACLE_NAMES = [
     "fk_orphans",
     # Welch two-sample t-test from exact moment partials
     "lang_length_ttest",
+    # raster->hex resample, integer-exact (north-rule pair closed)
+    "raster_to_hex",
 ]
 
 
