@@ -12178,28 +12178,87 @@ def q_fk_orphans(sf_dir: str) -> Dataset:
 
     rows = []
     for rel, child, ck, parent, pk in _FK_EDGES:
-        child_ds = _read(sf_dir, child, [ck])
-        n_checked = child_ds.count()
-        kids = two_phase_sum(child_ds, [ck], [], count_as="__n").select_columns([ck])
-        parents = _read(sf_dir, parent, [pk]).map_batches(
-            lambda t, _ck=ck, _pk=pk: pa.table(
-                {_ck: t[_pk].cast(pa.int64())}
-            ),
-            batch_format="pyarrow",
-        )
-        orphan_keys = adaptive_join(
-            kids.map_batches(
-                lambda t, _ck=ck: pa.table({_ck: t[_ck].cast(pa.int64())}),
+        # one distinct-key census per edge: (key, multiplicity) — the
+        # SAME pass yields n_checked (Σ multiplicity) and the orphan
+        # count, so the child table is scanned exactly once
+        kids = two_phase_sum(
+            _read(sf_dir, child, [ck]), [ck], [], count_as="__n"
+        ).materialize()
+        if parent == "orders":
+            # the one corpus-sized parent: anti join, keys only
+            orphans = adaptive_join(
+                kids.select_columns([ck]).map_batches(
+                    lambda t, _ck=ck: pa.table({_ck: t[_ck].cast(pa.int64())}),
+                    batch_format="pyarrow",
+                ),
+                _read(sf_dir, parent, [pk]).map_batches(
+                    lambda t, _ck=ck, _pk=pk: pa.table(
+                        {_ck: t[_pk].cast(pa.int64())}
+                    ),
+                    batch_format="pyarrow",
+                ),
+                on=ck,
+                how="anti",
+                big_schema=pa.schema([(ck, pa.int64())]),
+                side_schema=pa.schema([(ck, pa.int64())]),
+            )
+
+            def tag(t: pa.Table, _ck=ck) -> pa.Table:
+                return pa.table(
+                    {
+                        "one": pa.array(np.zeros(len(t), dtype=np.int64)),
+                        "orphan": pa.array(np.ones(len(t), dtype=np.int64)),
+                        "__n": pa.array(np.zeros(len(t), dtype=np.int64)),
+                    }
+                )
+
+            o_part = orphans.map_batches(tag, batch_format="pyarrow")
+        else:
+            # dimension parent: broadcast key set folded into the scan
+            pkeys = np.sort(
+                np.asarray(
+                    [
+                        r[pk]
+                        for r in _read(sf_dir, parent, [pk]).take_all()
+                    ],
+                    dtype=np.int64,
+                )
+            )
+            pref = ray.put(pkeys)
+
+            def tag(t: pa.Table, _ck=ck) -> pa.Table:
+                keys = np.sort(ray.get(pref))
+                v = t[_ck].to_numpy(zero_copy_only=False).astype(np.int64)
+                orphan = (~np.isin(v, keys)).astype(np.int64)
+                return pa.table(
+                    {
+                        "one": pa.array(np.zeros(len(t), dtype=np.int64)),
+                        "orphan": pa.array(orphan),
+                        "__n": pa.array(np.zeros(len(t), dtype=np.int64)),
+                    }
+                )
+
+            o_part = kids.map_batches(tag, batch_format="pyarrow")
+        osum = two_phase_sum(o_part, ["one"], ["orphan"], count_as=None)
+        nsum = two_phase_sum(
+            kids.select_columns(["__n"]).map_batches(
+                lambda t: t.append_column(
+                    "one", pa.array(np.zeros(len(t), dtype=np.int64))
+                ),
                 batch_format="pyarrow",
             ),
-            parents,
-            on=ck,
-            how="anti",
-            big_schema=pa.schema([(ck, pa.int64())]),
-            side_schema=pa.schema([(ck, pa.int64())]),
-        ).count()
+            ["one"],
+            ["__n"],
+            count_as=None,
+        )
+        ot = osum.take_all()
+        nt = nsum.take_all()
         rows.append(
-            {"rel": rel, "n_checked": n_checked, "n_orphan_keys": orphan_keys}
+            {
+                "rel": rel,
+                "n_checked": int(nt[0]["__n"]) if nt else 0,
+                "n_orphan_keys": int(ot[0]["orphan"]) if ot else 0,
+            }
         )
     return ray.data.from_arrow(pa.Table.from_pylist(rows)).sort("rel")
 
