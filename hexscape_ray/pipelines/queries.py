@@ -12443,6 +12443,355 @@ FROM hexed GROUP BY r, q ORDER BY r, q
 )
 
 
+# AMS tug-of-war seeds: splitmix64((101+i) * golden) — fixed so the SQL
+# oracle replays the identical hash chain.
+_AMS_SEEDS = (
+    13503535484124022352,
+    2408493724061635637,
+    3982550404562384204,
+    13294168326748004708,
+    3261115068336139168,
+    3455560625584534064,
+    8460542522771347084,
+    6110809269160588848,
+    7913444633578496900,
+    5771536904359502584,
+    9604845809122204929,
+    11740533680882200126,
+    2941170911402311377,
+    2825475194127864941,
+    6451737577027376737,
+    14727207869371167581,
+)
+
+
+def q_selfjoin_size_ams(sf_dir: str) -> Dataset:
+    """AMS / tug-of-war sketch (Alon–Matias–Szegedy '96) — the fourth
+    mergeable-sketch family (KMV, HLL, CMS, AMS): the second frequency
+    moment F2 = Σ_u f_u² of the per-user event counts, i.e. the
+    SELF-JOIN SIZE the optimizer needs to cost an events⋈events plan.
+    Each of the 16 counters is Σ_u s_i(u)·f_u with s_i(u) = ±1 from
+    bit 0 of splitmix64(user_id ⊕ seed_i) — FULLY ADDITIVE over rows,
+    so a block contributes one 16-integer partial row and the exchange
+    is constant-size regardless of corpus. The estimate is
+    median-of-means over 4 groups of 4 squared counters, kept exact in
+    integers: est_x8 = sum of the two middle group sums (median·8).
+    The exact F2 (a user census then Σ f²) grades the guarantee
+    alongside, every value an exact int64 → hash-exact oracle."""
+    from hexscape_ray.functions.hashing import splitmix64
+    from hexscape_ray.stages.agg import combine_partials
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    seeds = np.array(_AMS_SEEDS, dtype=np.uint64)
+
+    def block_partial(batch: pa.Table) -> pa.Table:
+        u = (
+            batch["user_id"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
+        )
+        row: dict[str, list[int]] = {"one": [0]}
+        for i in range(16):
+            bit = (splitmix64(u ^ seeds[i]) & np.uint64(1)).astype(np.int64)
+            row[f"s{i}"] = [int((2 * bit - 1).sum())]
+        return pa.table(row)
+
+    cols = [f"s{i}" for i in range(16)]
+    counters_ds = combine_partials(
+        ds.map_batches(block_partial, batch_format="pyarrow"), ["one"], cols
+    )
+    crow = counters_ds.take_all()[0]
+    c = [int(crow[f"s{i}"]) for i in range(16)]
+
+    census = two_phase_sum(ds, ["user_id"], [], count_as="f")
+
+    def sq(batch: pa.Table) -> pa.Table:
+        f = batch["f"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "one": pa.array(np.zeros(len(batch), dtype=np.int64)),
+                "f2": pa.array(f * f),
+            }
+        )
+
+    f2_ds = two_phase_sum(
+        census.map_batches(sq, batch_format="pyarrow"), ["one"], ["f2"], count_as=None
+    )
+    f2_exact = int(f2_ds.take_all()[0]["f2"])
+
+    sqs = [ci * ci for ci in c]
+    groups = sorted(sum(sqs[4 * j : 4 * j + 4]) for j in range(4))
+    est_x8 = groups[1] + groups[2]
+
+    out = pa.table(
+        {
+            "counter": pa.array(np.arange(16, dtype=np.int64)),
+            "c": pa.array(np.array(c, dtype=np.int64)),
+            "c_sq": pa.array(np.array(sqs, dtype=np.int64)),
+            "f2_exact": pa.array(np.full(16, f2_exact, dtype=np.int64)),
+            "est_x8": pa.array(np.full(16, est_x8, dtype=np.int64)),
+        }
+    )
+    return ray.data.from_arrow(out).sort("counter")
+
+
+def _ams_sql() -> str:
+    chains, unions = [], []
+    for i, seed in enumerate(_AMS_SEEDS):
+        x = (
+            f"CAST(xor(CAST(user_id AS UBIGINT), CAST({seed} AS UBIGINT))"
+            " AS HUGEINT)"
+        )
+        chains.append(f"x{i} AS ({_splitmix64_sql(x, carry='user_id', src='ev')})")
+        unions.append(
+            f"SELECT {i} AS counter, CAST(sum(CASE WHEN h % 2 = 1 THEN 1 "
+            f"ELSE -1 END) AS BIGINT) AS c FROM x{i}"
+        )
+    chain_sql = ",\n  ".join(chains)
+    return f"""
+  WITH ev AS (SELECT user_id FROM events),
+  {chain_sql},
+  counters AS ({" UNION ALL ".join(unions)}),
+  ctab AS (SELECT counter, c, CAST(c * c AS BIGINT) AS c_sq FROM counters),
+  grps AS (SELECT counter // 4 AS grp, CAST(sum(c_sq) AS BIGINT) AS g
+           FROM ctab GROUP BY 1),
+  med AS (SELECT CAST(sum(g) AS BIGINT) AS est_x8
+          FROM (SELECT g FROM grps ORDER BY g LIMIT 2 OFFSET 1)),
+  f2 AS (SELECT CAST(sum(f * f) AS BIGINT) AS f2_exact
+         FROM (SELECT count(*) AS f FROM events GROUP BY user_id))
+  SELECT c.counter, c.c, c.c_sq, f2.f2_exact, m.est_x8
+  FROM ctab c, f2, med m ORDER BY c.counter
+"""
+
+
+SQL_SELFJOIN_SIZE_AMS = _ams_sql()
+
+
+def q_revenue_changepoint(sf_dir: str) -> Dataset:
+    """CUSUM change-point detection over the gap-filled daily order
+    revenue series: the split day t maximising |n·S_t − t·S_n| (the
+    scaled cumulative deviation from a constant-rate fit — multiplying
+    the classic S_t − (t/n)·S_n through by n keeps EVERY value an
+    exact integer, so the argmax and both segment means are
+    hash-exact; ties break to the earliest day, mirrored by the SQL's
+    ORDER BY stat DESC, day_id). Scale shape: the day census reduces
+    two-phase (day-scale rows through the exchange); the O(n_days)
+    scan runs once on the collected census like
+    :func:`q_daily_revenue_gapfill`. Segment means are emitted as
+    exact micro-units: floor(10^6·S/t + 0.5) = (2·10^6·S + t)//(2t)
+    in pure integer arithmetic."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "day_id": pa.array((us // _US_PER_DAY).astype(np.int64)),
+                "cents": pa.array(_cents(batch["o_totalprice"])),
+            }
+        )
+
+    census = two_phase_sum(
+        ds.map_batches(prep, batch_format="pyarrow"), ["day_id"], ["cents"], count_as=None
+    ).take_all()
+    cd = np.array(sorted(int(r["day_id"]) for r in census), dtype=np.int64)
+    by = {int(r["day_id"]): int(r["cents"]) for r in census}
+    lo, hi = int(cd[0]), int(cd[-1])
+    n = hi - lo + 1
+    rev = np.zeros(n, dtype=np.int64)
+    for d, v in by.items():
+        rev[d - lo] = v
+    s = np.cumsum(rev)
+    sn = int(s[-1])
+    # int64 bound: n·max(S) must fit (holds to ~10^5 days × 10^13 cents)
+    assert n * max(sn, 1) < 2**62, "changepoint stat would overflow int64"
+    t = np.arange(1, n + 1, dtype=np.int64)
+    stat = np.abs(n * s - t * sn)
+    idx = int(np.argmax(stat[: n - 1]))  # earliest-day tie rule
+    ti, st = idx + 1, int(s[idx])
+    out = pa.table(
+        {
+            "cp_day_id": pa.array([lo + idx], type=pa.int64()),
+            "stat": pa.array([int(stat[idx])], type=pa.int64()),
+            "mean_before_x1m": pa.array(
+                [(2_000_000 * st + ti) // (2 * ti)], type=pa.int64()
+            ),
+            "mean_after_x1m": pa.array(
+                [(2_000_000 * (sn - st) + (n - ti)) // (2 * (n - ti))],
+                type=pa.int64(),
+            ),
+        }
+    )
+    return ray.data.from_arrow(out)
+
+
+SQL_REVENUE_CHANGEPOINT = """
+  WITH c AS (
+    SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day_id,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders GROUP BY 1),
+  axis AS (
+    SELECT unnest(range((SELECT min(day_id) FROM c),
+                        (SELECT max(day_id) FROM c) + 1)) AS day_id),
+  d AS (SELECT a.day_id, CAST(coalesce(c.cents, 0) AS BIGINT) AS cents
+        FROM axis a LEFT JOIN c USING (day_id)),
+  s AS (SELECT day_id,
+               row_number() OVER (ORDER BY day_id) AS t,
+               sum(cents) OVER (ORDER BY day_id) AS st
+        FROM d),
+  tot AS (SELECT count(*) AS n, sum(cents) AS sn FROM d),
+  stat AS (
+    SELECT day_id, t, st, n, sn,
+           abs(CAST(n AS HUGEINT) * CAST(st AS HUGEINT)
+               - CAST(t AS HUGEINT) * CAST(sn AS HUGEINT)) AS stat
+    FROM s, tot WHERE t < n)
+  SELECT CAST(day_id AS BIGINT) AS cp_day_id,
+         CAST(stat AS BIGINT) AS stat,
+         CAST((2000000 * CAST(st AS HUGEINT) + t) // (2 * t) AS BIGINT)
+           AS mean_before_x1m,
+         CAST((2000000 * (CAST(sn AS HUGEINT) - CAST(st AS HUGEINT)) + (n - t))
+              // (2 * (n - t)) AS BIGINT) AS mean_after_x1m
+  FROM stat ORDER BY stat DESC, day_id LIMIT 1
+"""
+
+
+def q_chunk_documents(sf_dir: str) -> Dataset:
+    """Sliding-window DOCUMENT CHUNKING — the context-length splitter
+    every LLM training/RAG pipeline runs before packing or embedding:
+    each document becomes ceil-fit windows of 128 whitespace tokens
+    with stride 96 (32-token overlap), short docs one chunk. Chunk
+    boundaries derive from the token count in pure vectorised integer
+    math (repeat + cumsum-offset arange — no per-row Python for the
+    layout); the text slice itself is a bounded per-chunk join. Row
+    fan-out is streaming map-only: no shuffle, no driver loop, and at
+    100 TB each block fans out independently. Oracle: DuckDB
+    string_split + unnest(range(n_chunks)) + list_slice replays the
+    identical windows including the chunk text."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    W, S = 128, 96
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        docs = batch["doc_id"].to_numpy(zero_copy_only=False)
+        toks = [t.split(" ") for t in batch["text"].to_pylist()]
+        n_tok = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+        n_chunks = np.where(n_tok <= W, 1, (n_tok - W + S - 1) // S + 1)
+        rep = np.repeat(np.arange(len(toks)), n_chunks)
+        k = np.arange(int(n_chunks.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(n_chunks) - n_chunks, n_chunks
+        )
+        start = k * S
+        end = np.minimum(start + W, n_tok[rep])
+        text_out = [
+            " ".join(toks[i][s:e]) for i, s, e in zip(rep, start, end)
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(docs[rep]),
+                "chunk_id": pa.array(k),
+                "start_tok": pa.array(start),
+                "end_tok": pa.array(end),
+                "n_chunk_tokens": pa.array(end - start),
+                "chunk_text": pa.array(text_out, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(chunks, batch_format="pyarrow").sort(["doc_id", "chunk_id"])
+
+
+SQL_CHUNK_DOCUMENTS = """
+  WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok FROM t),
+  e AS (SELECT doc_id, toks, n_tok,
+               CASE WHEN n_tok <= 128 THEN 1
+                    ELSE (n_tok - 128 + 95) // 96 + 1 END AS n_chunks
+        FROM n),
+  c AS (SELECT doc_id, toks, n_tok, unnest(range(n_chunks)) AS k FROM e)
+  SELECT doc_id,
+         CAST(k AS BIGINT) AS chunk_id,
+         CAST(k * 96 AS BIGINT) AS start_tok,
+         CAST(least(k * 96 + 128, n_tok) AS BIGINT) AS end_tok,
+         CAST(least(k * 96 + 128, n_tok) - k * 96 AS BIGINT) AS n_chunk_tokens,
+         array_to_string(
+           list_slice(toks, k * 96 + 1, least(k * 96 + 128, n_tok)), ' ')
+           AS chunk_text
+  FROM c ORDER BY doc_id, chunk_id
+"""
+
+
+def q_sink_ipc_roundtrip(sf_dir: str) -> Dataset:
+    """Arrow IPC STREAM sink/source pair: the per-(returnflag,
+    linestatus) census written as raw Arrow IPC stream files (the wire
+    format shuffles and Flight speak — zero-parse re-read), one file
+    per block via the map-stage sink pattern, re-read distributed and
+    re-aggregated to the per-returnflag census — hash-identical to the
+    direct SQL. Fourth columnar container (parquet, ORC, IPC, + the
+    text formats) proving schema/dtype survival."""
+    import os
+    import shutil
+    import uuid
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_extendedprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "cents": pa.array(_cents(batch["l_extendedprice"])),
+            }
+        )
+
+    fine = two_phase_sum(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        ["cents"],
+        count_as="n_items",
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    out = f"/tmp/hexray_ipc/{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        path = os.path.join(out, f"part-{uuid.uuid4().hex}.arrows")
+        with pa.OSFile(path, "wb") as f:
+            with pa.ipc.new_stream(f, batch.schema) as w:
+                w.write_table(batch)
+        return pa.table(
+            {
+                "path": pa.array([path], type=pa.string()),
+                "rows": pa.array([len(batch)], type=pa.int64()),
+            }
+        )
+
+    manifest = fine.map_batches(write_block, batch_format="pyarrow").take_all()
+
+    def read_file(batch: pa.Table) -> pa.Table:
+        tables = []
+        for p in batch["path"]:
+            with pa.OSFile(p.as_py(), "rb") as f:
+                tables.append(pa.ipc.open_stream(f).read_all())
+        return pa.concat_tables(tables)
+
+    files = ray.data.from_arrow(
+        pa.table({"path": pa.array([r["path"] for r in manifest], type=pa.string())})
+    )
+    back = files.map_batches(read_file, batch_format="pyarrow", batch_size=1)
+    out_ds = two_phase_sum(back, ["l_returnflag"], ["cents", "n_items"], count_as=None)
+    return out_ds.sort("l_returnflag")
+
+
+SQL_SINK_IPC_ROUNDTRIP = """
+  SELECT l_returnflag,
+         CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents,
+         count(*) AS n_items
+  FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 RAY_QUERIES = {
     "hex_doc_counts": q_hex_doc_counts,
     "hex_lang_mix": q_hex_lang_mix,
@@ -12657,6 +13006,10 @@ RAY_QUERIES = {
     "fk_orphans": q_fk_orphans,
     "lang_length_ttest": q_lang_length_ttest,
     "raster_to_hex": q_raster_to_hex,
+    "selfjoin_size_ams": q_selfjoin_size_ams,
+    "revenue_changepoint": q_revenue_changepoint,
+    "chunk_documents": q_chunk_documents,
+    "sink_ipc_roundtrip": q_sink_ipc_roundtrip,
 }
 
 ORACLES = {
@@ -12847,6 +13200,10 @@ ORACLES = {
     "fk_orphans": SQL_FK_ORPHANS,
     "lang_length_ttest": SQL_LANG_LENGTH_TTEST,
     "raster_to_hex": SQL_RASTER_TO_HEX,
+    "selfjoin_size_ams": SQL_SELFJOIN_SIZE_AMS,
+    "revenue_changepoint": SQL_REVENUE_CHANGEPOINT,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
+    "sink_ipc_roundtrip": SQL_SINK_IPC_ROUNDTRIP,
     # non-SQL (geometry / sketch / ANN / iterative) ops → rows-only
     # checks — kmeans_embeddings is iterative float (Lloyd's);
     # doc_quality, minhash_bands, generate_patches,

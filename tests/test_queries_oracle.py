@@ -106,6 +106,14 @@ ORACLE_NAMES = [
     "lang_length_ttest",
     # raster->hex resample, integer-exact (north-rule pair closed)
     "raster_to_hex",
+    # AMS tug-of-war F2 / self-join-size sketch (16 additive counters)
+    "selfjoin_size_ams",
+    # CUSUM change point over the gap-filled day axis, integer-exact
+    "revenue_changepoint",
+    # sliding-window document chunking incl. chunk text slices
+    "chunk_documents",
+    # Arrow IPC stream sink/source roundtrip
+    "sink_ipc_roundtrip",
 ]
 
 
