@@ -481,3 +481,138 @@ def media_pipeline(media, frames_per_video: int = 4):
         concurrency=(1, 4),
     )
     return images, audio, frames
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing (pHash) + near-duplicate image detection
+# ---------------------------------------------------------------------------
+
+_DCT32: np.ndarray | None = None
+
+
+def _dct32() -> np.ndarray:
+    """32×32 DCT-II basis (orthonormal), built once per process —
+    phash = sign pattern of the top-left 8×8 AC coefficients."""
+    global _DCT32
+    if _DCT32 is None:
+        n = 32
+        k = np.arange(n)[:, None]
+        i = np.arange(n)[None, :]
+        d = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+        d[0] /= np.sqrt(2.0)
+        _DCT32 = d
+    return _DCT32
+
+
+def decode_image_array(payload: bytes) -> np.ndarray | None:
+    """payload → HxWx3 uint8 via the native pure-numpy codecs
+    (png/jpeg/gif/bmp), None when no real decoder applies."""
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return decode_png(payload)
+        if payload[:2] == b"\xff\xd8":
+            return decode_jpeg(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return decode_gif(payload)
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
+    except ValueError:
+        return None
+    return None
+
+
+def phash64(arr: np.ndarray) -> int:
+    """64-bit perceptual hash: grayscale → bilinear 32×32 → 2-D DCT →
+    8×8 low-frequency block; bit j = (AC coeff j > median of the 63 AC
+    coeffs). Deterministic: the median of an odd count is an order
+    statistic (no interpolation), and every step is fixed-order float64.
+    Returns a non-negative int < 2^63 (63 AC bits)."""
+    g = arr.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    g = _bilinear_resize(g[..., None], 32, 32)[..., 0]
+    d = _dct32()
+    freq = d @ g @ d.T
+    block = freq[:8, :8].ravel()[1:]  # drop DC
+    med = np.partition(block, 31)[31]  # exact middle order statistic
+    bits = block > med
+    h = 0
+    for j in np.nonzero(bits)[0]:
+        h |= 1 << int(j)
+    return h
+
+
+def phash_batch(batch: pa.Table) -> pa.Table:
+    """(media_id, payload) → (media_id, phash, decode_backend) — the
+    map-side kernel of image near-dup detection. Stateless fn with the
+    module-level DCT basis singleton (actor pools pay a pool cold-start
+    per pipeline; light state prefers task functions)."""
+    ids, hashes, backends = [], [], []
+    for mid, p in zip(
+        batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+    ):
+        arr = decode_image_array(p)
+        if arr is None:
+            continue  # undecodable → cannot be judged a visual dup
+        ids.append(mid)
+        hashes.append(phash64(arr))
+        backends.append("native")
+    return pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.int64()),
+            "phash": pa.array(hashes, type=pa.int64()),
+            "decode_backend": pa.array(backends, type=pa.string()),
+        }
+    )
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorised 64-bit popcount (SWAR) — hamming distance kernel."""
+    x = x.astype(np.uint64)
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def gen_media_dups(n: int = 200, seed: int = 7) -> tuple[pa.Table, list[tuple[int, int]]]:
+    """Media fixture + seeded VISUAL near-duplicates: every third image
+    is re-encoded (lossless PNG transcode or quality-70 JPEG re-encode,
+    alternating) under media_id = orig + 100000. Returns (table,
+    expected near-dup pairs) so tests can assert recall."""
+    base = gen_media(n=n, seed=seed)
+    kinds = base["kind"].to_pylist()
+    payloads = base["payload"].to_pylist()
+    ids = base["media_id"].to_pylist()
+    urls = base["url"].to_pylist()
+    metas = base["meta"].to_pylist()
+    rows = {c: list(base[c].to_pylist()) for c in base.column_names}
+    expected = []
+    j = 0
+    for i in range(n):
+        if kinds[i] != "image":
+            continue
+        arr = decode_image_array(payloads[i])
+        if arr is None:
+            continue
+        if j % 3 == 0:
+            dup = encode_png(arr) if j % 2 == 0 else encode_jpeg(arr, quality=70)
+            did = ids[i] + 100_000
+            rows["media_id"].append(did)
+            rows["url"].append(urls[i] + "#dup")
+            rows["kind"].append("image")
+            rows["payload"].append(dup)
+            rows["meta"].append(metas[i])
+            expected.append((ids[i], did))
+        j += 1
+    t = pa.table(
+        {
+            "media_id": pa.array(rows["media_id"], type=pa.int64()),
+            "url": pa.array(rows["url"], type=pa.string()),
+            "kind": pa.array(rows["kind"], type=pa.string()),
+            "payload": pa.array(rows["payload"], type=pa.binary()),
+            "meta": pa.array(rows["meta"]),
+        }
+    )
+    return t, expected

@@ -456,3 +456,61 @@ def test_gif_decoder_reads_real_lzw():
     gif += b"\x00\x3b"
     got = decode_gif(bytes(gif))
     assert np.array_equal(got, _GIF_CUBE[idx].reshape(h, w, 3))
+
+
+def test_phash_transcode_invariant_and_separated():
+    """pHash of a lossless transcode is identical; q70 JPEG re-encode
+    stays within hamming 10; unrelated fixture images stay >= 16."""
+    from hexscape_ray.functions.codecs import encode_jpeg, encode_png
+    from hexscape_ray.stages.multimodal import (
+        decode_image_array,
+        gen_media_dups,
+        phash64,
+        phash_batch,
+        popcount64,
+    )
+
+    t, expected = gen_media_dups(n=120)
+    ph = phash_batch(t)
+    d = dict(zip(ph["media_id"].to_pylist(), ph["phash"].to_pylist()))
+    eset = set(expected)
+    for a, b in expected:
+        ham = int(popcount64(np.array([d[a] ^ d[b]], dtype=np.int64).view(np.uint64))[0])
+        assert ham <= 10, (a, b, ham)
+    ids = sorted(d)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            if (a, b) in eset:
+                continue
+            ham = int(
+                popcount64(np.array([d[a] ^ d[b]], dtype=np.int64).view(np.uint64))[0]
+            )
+            assert ham > 10, (a, b, ham)
+    # direct kernel property: PNG round-trip of decoded pixels is bit-stable
+    arr = decode_image_array(
+        t.filter(pa.compute.equal(t["kind"], "image"))["payload"][0].as_py()
+    )
+    assert phash64(arr) == phash64(decode_image_array(encode_png(arr)))
+    ham_q70 = int(
+        popcount64(
+            np.array(
+                [phash64(arr) ^ phash64(decode_image_array(encode_jpeg(arr, quality=70)))],
+                dtype=np.int64,
+            ).view(np.uint64)
+        )[0]
+    )
+    assert ham_q70 <= 10
+
+
+def test_image_phash_dups_query_recall(ray_session):
+    """The banded pipeline finds exactly the seeded visual dup pairs."""
+    from hexscape_ray.pipelines.queries import RAY_QUERIES
+    from hexscape_ray.stages.multimodal import gen_media_dups
+
+    _, expected = gen_media_dups(n=200)
+    df = RAY_QUERIES["image_phash_dups"]("unused").to_pandas()
+    got = set(zip(df["a"].astype(int), df["b"].astype(int)))
+    assert got == set(expected)
+    assert (df["hamming"] <= 10).all()
+    assert (df["n_bands_hit"] >= 1).all()
