@@ -12265,92 +12265,129 @@ def q_fk_orphans(sf_dir: str) -> Dataset:
     past the budget) — the child table is scanned once per edge and
     only distinct keys move.  Zero orphans is the expected (and
     graded) steady state; the query exists to prove it cheaply."""
+    from hexscape_ray.stages.agg import combine_partials, partial_sum_batch
     from hexscape_ray.stages.joins import adaptive_join
 
-    rows = []
-    for rel, child, ck, parent, pk in _FK_EDGES:
-        # one distinct-key census per edge: (key, multiplicity) — the
-        # SAME pass yields n_checked (Σ multiplicity) and the orphan
-        # count, so the child table is scanned exactly once
-        kids = two_phase_sum(
-            _read(sf_dir, child, [ck]), [ck], [], count_as="__n"
-        ).materialize()
-        if parent == "orders":
-            # the one corpus-sized parent: anti join, keys only
-            orphans = adaptive_join(
-                kids.select_columns([ck]).map_batches(
-                    lambda t, _ck=ck: pa.table({_ck: t[_ck].cast(pa.int64())}),
-                    batch_format="pyarrow",
-                ),
-                _read(sf_dir, parent, [pk]).map_batches(
-                    lambda t, _ck=ck, _pk=pk: pa.table(
-                        {_ck: t[_pk].cast(pa.int64())}
-                    ),
-                    batch_format="pyarrow",
-                ),
-                on=ck,
-                how="anti",
-                big_schema=pa.schema([(ck, pa.int64())]),
-                side_schema=pa.schema([(ck, pa.int64())]),
+    # group edges by child table: ONE scan per child emits (edge_id,
+    # key) rows for every FK column at once, ONE census reduces them
+    by_child: dict[str, list[tuple[int, str]]] = {}
+    for eid, (_, child, ck, _, _) in enumerate(_FK_EDGES):
+        by_child.setdefault(child, []).append((eid, ck))
+
+    censuses = []
+    for child, edges in by_child.items():
+        cols = [ck for _, ck in edges]
+
+        def explode(t: pa.Table, _edges=tuple(edges)) -> pa.Table:
+            es, ks = [], []
+            for eid, ck in _edges:
+                v = t[ck].to_numpy(zero_copy_only=False).astype(np.int64)
+                es.append(np.full(v.shape[0], eid, dtype=np.int64))
+                ks.append(v)
+            return pa.table(
+                {
+                    "eid": pa.array(np.concatenate(es)),
+                    "key": pa.array(np.concatenate(ks)),
+                }
             )
 
-            def tag(t: pa.Table, _ck=ck) -> pa.Table:
-                return pa.table(
+        censuses.append(
+            _read(sf_dir, child, cols)
+            .map_batches(explode, batch_format="pyarrow")
+            .map_batches(
+                partial_sum_batch(["eid", "key"], [], "__n"),
+                batch_format="pyarrow",
+            )
+        )
+    # ONE combine over the union of every child's partial stream: all
+    # four reads execute under a single materialize instead of four
+    partials = censuses[0]
+    for c in censuses[1:]:
+        partials = partials.union(c)
+    census = combine_partials(partials, ["eid", "key"], ["__n"]).materialize()
+
+    # dimension parents fold into the scan as one broadcast sorted-key
+    # array per edge; the corpus-sized parent (orders) routes through
+    # an adaptive anti join on the reduced key set
+    # per-parent vectorised fetches — NOT one union read: Dataset.union
+    # of tiny reads costs ~5 s of fixed per-input operator overhead on
+    # this box vs 0.9 s for the sequential to_pandas calls (measured)
+    anti_eids = [
+        eid
+        for eid, (_, _, _, parent, _) in enumerate(_FK_EDGES)
+        if parent == "orders"
+    ]
+    pkey_refs: dict[int, object] = {}
+    for eid, (_, _, _, parent, pk) in enumerate(_FK_EDGES):
+        if eid in anti_eids:
+            continue
+        keys = _read(sf_dir, parent, [pk]).to_pandas()[pk].to_numpy(np.int64)
+        pkey_refs[eid] = ray.put(np.sort(keys))
+
+    def tag_broadcast(t: pa.Table) -> pa.Table:
+        eid = t["eid"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        mult = t["__n"].to_numpy(zero_copy_only=False)
+        orphan = np.zeros(len(t), dtype=np.int64)
+        for e, ref in pkey_refs.items():
+            m = eid == e
+            if m.any():
+                orphan[m] = ~np.isin(key[m], ray.get(ref))
+        # anti-join edges contribute __n here, orphan flag separately
+        return pa.table(
+            {
+                "eid": pa.array(eid),
+                "orphan": pa.array(orphan),
+                "__n": pa.array(mult),
+            }
+        )
+
+    parts = census.map_batches(tag_broadcast, batch_format="pyarrow")
+
+    for eid in anti_eids:
+        _, _, _, parent, pk = _FK_EDGES[eid]
+        kid_keys = census.map_batches(
+            lambda t, _e=eid: pa.table(
+                {"key": t.filter(pc.equal(t["eid"], _e))["key"]}
+            ),
+            batch_format="pyarrow",
+        )
+        orphans = adaptive_join(
+            kid_keys,
+            _read(sf_dir, parent, [pk]).map_batches(
+                lambda t, _pk=pk: pa.table({"key": t[_pk].cast(pa.int64())}),
+                batch_format="pyarrow",
+            ),
+            on="key",
+            how="anti",
+            big_schema=pa.schema([("key", pa.int64())]),
+            side_schema=pa.schema([("key", pa.int64())]),
+        )
+        parts = parts.union(
+            orphans.map_batches(
+                lambda t, _e=eid: pa.table(
                     {
-                        "one": pa.array(np.zeros(len(t), dtype=np.int64)),
+                        "eid": pa.array(np.full(len(t), _e, dtype=np.int64)),
                         "orphan": pa.array(np.ones(len(t), dtype=np.int64)),
                         "__n": pa.array(np.zeros(len(t), dtype=np.int64)),
                     }
-                )
-
-            o_part = orphans.map_batches(tag, batch_format="pyarrow")
-        else:
-            # dimension parent: broadcast key set folded into the scan
-            pkeys = np.sort(
-                np.asarray(
-                    [
-                        r[pk]
-                        for r in _read(sf_dir, parent, [pk]).take_all()
-                    ],
-                    dtype=np.int64,
-                )
-            )
-            pref = ray.put(pkeys)
-
-            def tag(t: pa.Table, _ck=ck) -> pa.Table:
-                keys = np.sort(ray.get(pref))
-                v = t[_ck].to_numpy(zero_copy_only=False).astype(np.int64)
-                orphan = (~np.isin(v, keys)).astype(np.int64)
-                return pa.table(
-                    {
-                        "one": pa.array(np.zeros(len(t), dtype=np.int64)),
-                        "orphan": pa.array(orphan),
-                        "__n": pa.array(np.zeros(len(t), dtype=np.int64)),
-                    }
-                )
-
-            o_part = kids.map_batches(tag, batch_format="pyarrow")
-        osum = two_phase_sum(o_part, ["one"], ["orphan"], count_as=None)
-        nsum = two_phase_sum(
-            kids.select_columns(["__n"]).map_batches(
-                lambda t: t.append_column(
-                    "one", pa.array(np.zeros(len(t), dtype=np.int64))
                 ),
                 batch_format="pyarrow",
-            ),
-            ["one"],
-            ["__n"],
-            count_as=None,
+            )
         )
-        ot = osum.take_all()
-        nt = nsum.take_all()
-        rows.append(
-            {
-                "rel": rel,
-                "n_checked": int(nt[0]["__n"]) if nt else 0,
-                "n_orphan_keys": int(ot[0]["orphan"]) if ot else 0,
-            }
-        )
+
+    sums = {
+        int(r["eid"]): (int(r["__n"]), int(r["orphan"]))
+        for r in two_phase_sum(parts, ["eid"], ["__n", "orphan"], count_as=None).take_all()
+    }
+    rows = [
+        {
+            "rel": rel,
+            "n_checked": sums.get(eid, (0, 0))[0],
+            "n_orphan_keys": sums.get(eid, (0, 0))[1],
+        }
+        for eid, (rel, _, _, _, _) in enumerate(_FK_EDGES)
+    ]
     return ray.data.from_arrow(pa.Table.from_pylist(rows)).sort("rel")
 
 
