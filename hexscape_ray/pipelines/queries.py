@@ -46,6 +46,17 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> Dataset:
     return ray.data.read_parquet(path, columns=columns, schema=schema)
 
 
+def _table_nrows(sf_dir: str, table: str) -> int:
+    """Row count from the parquet FOOTER (milliseconds) — a bare
+    ``_read(...).count()`` launches a Ray job (~1-1.5 s of fixed
+    latency on this box, measured in basket_lift). Only valid for
+    whole-table counts; filtered/derived datasets still count()."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
+
+
+
 # ---------------------------------------------------------------------------
 # SQL building blocks
 # ---------------------------------------------------------------------------
@@ -584,8 +595,8 @@ SQL_LANG_SOURCE_CENSUS = """
 def q_region_customer_counts(sf_dir: str) -> Dataset:
     """customer → nation → region broadcast joins + census (J5-style
     dimension lookups; small sides ship once via ray.put)."""
-    nation = _read(sf_dir, "nation").to_pandas()
-    region = _read(sf_dir, "region").to_pandas()
+    nation = pd.DataFrame(_tiny_rows(sf_dir, "nation"))
+    region = pd.DataFrame(_tiny_rows(sf_dir, "region"))
     dim = nation.merge(
         region, left_on="n_regionkey", right_on="r_regionkey"
     )[["n_nationkey", "n_name", "r_name"]].rename(columns={"n_nationkey": "c_nationkey"})
@@ -4050,7 +4061,7 @@ def q_nation_top_names(sf_dir: str) -> Dataset:
     comma-joined in (acctbal DESC, custkey) order — broadcast the tiny
     nation table, per-nation top-5 via one lexsort inside map_groups."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey", "c_acctbal"])
-    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nat = pd.DataFrame(_tiny_rows(sf_dir, "nation"))[["n_nationkey", "n_name"]]
     names = dict(zip(nat["n_nationkey"], nat["n_name"]))
 
     def top5(g: pd.DataFrame) -> pd.DataFrame:
@@ -4238,8 +4249,8 @@ def q_region_revenue(sf_dir: str) -> Dataset:
     DRIVER-side into one broadcast dict — dimensions are small by
     definition; only the fact table streams, one map + one two-phase
     sum, zero shuffle beyond the partials."""
-    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = pd.DataFrame(_tiny_rows(sf_dir, "region"))[["r_regionkey", "r_name"]]
+    nation = pd.DataFrame(_tiny_rows(sf_dir, "nation"))[["n_nationkey", "n_regionkey"]]
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
     r2name = dict(zip(region["r_regionkey"], region["r_name"]))
@@ -5894,11 +5905,11 @@ def q_region_supplier_volume(sf_dir: str) -> Dataset:
 
     nat = {
         r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
-        for r in _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).take_all()
+        for r in _tiny_rows(sf_dir, "nation")
     }
     asia = {
         r["r_regionkey"]
-        for r in _read(sf_dir, "region", ["r_regionkey", "r_name"]).take_all()
+        for r in _tiny_rows(sf_dir, "region")
         if r["r_name"] == "ASIA"
     }
     in_region = sorted(k for k, (_, rk) in nat.items() if rk in asia)
@@ -6842,7 +6853,7 @@ def q_nation_trade_volume(sf_dir: str) -> Dataset:
 
     nat = {
         r["n_nationkey"]: r["n_name"]
-        for r in _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+        for r in _tiny_rows(sf_dir, "nation")
     }
 
     def cust_prep(batch: pa.Table) -> pa.Table:
@@ -6968,7 +6979,7 @@ def q_nation_year_profit(sf_dir: str) -> Dataset:
 
     nat = {
         r["n_nationkey"]: r["n_name"]
-        for r in _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+        for r in _tiny_rows(sf_dir, "nation")
     }
 
     def part_prep(batch: pa.Table) -> pa.Table:
@@ -7114,7 +7125,7 @@ def q_custorder_distribution(sf_dir: str) -> Dataset:
         [],
         count_as="c_count",
     ).materialize()
-    n_customers = _read(sf_dir, "customer", ["c_custkey"]).count()
+    n_customers = _table_nrows(sf_dir, "customer")
     n_with_orders = counts.count()
     hist = two_phase_sum(counts, ["c_count"], [], count_as="n_customers")
     n_zero = n_customers - n_with_orders
@@ -8165,7 +8176,7 @@ def q_copurchase_triangles(sf_dir: str) -> Dataset:
     # block there, which saves the ~600k-distinct-key aggregate a
     # separate DISTINCT pass would cost (measured: 3.9 of 8.1 s)
     op = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-    n_est = op.count()
+    n_est = _table_nrows(sf_dir, "lineitem")
     mask = np.int64(coarse_width(n_est) - 1)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -8287,7 +8298,7 @@ def q_event_transitions(sf_dir: str) -> Dataset:
     from hexscape_ray.stages.dedup import _pairs_via_groups, coarse_width
 
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
-    n_est = ev.count()
+    n_est = _table_nrows(sf_dir, "events")
     mask = np.int64(coarse_width(n_est) - 1)
 
     def prep(batch: pa.Table) -> pa.Table:
@@ -8357,7 +8368,7 @@ def q_events_latest_state(sf_dir: str) -> Dataset:
     from hexscape_ray.stages.dedup import _pairs_via_groups, coarse_width
 
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
-    n_est = ev.count()
+    n_est = _table_nrows(sf_dir, "events")
     mask = np.int64(coarse_width(n_est) - 1)
 
     def prep(batch: pa.Table) -> pa.Table:
@@ -8758,7 +8769,7 @@ def q_nation_revenue_share(sf_dir: str) -> Dataset:
 
     nat = {
         r["n_nationkey"]: r["n_regionkey"]
-        for r in _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).take_all()
+        for r in _tiny_rows(sf_dir, "nation")
     }
 
     def cust_prep(batch: pa.Table) -> pa.Table:
@@ -8868,7 +8879,7 @@ def q_sink_merge_roundtrip(sf_dir: str) -> Dataset:
     from hexscape_ray.stages.joins import adaptive_join  # noqa: F401  (doc link)
 
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
-    n_est = ev.count()
+    n_est = _table_nrows(sf_dir, "events")
     mask = np.int64(coarse_width(n_est) - 1)
 
     def prep(before: bool):
@@ -9377,7 +9388,7 @@ def q_user_longest_streak(sf_dir: str) -> Dataset:
     from hexscape_ray.stages.dedup import _pairs_via_groups, coarse_width
 
     ev = _read(sf_dir, "events", ["user_id", "ts"])
-    n_est = ev.count()
+    n_est = _table_nrows(sf_dir, "events")
     mask = np.int64(coarse_width(n_est) - 1)
 
     def prep(batch: pa.Table) -> pa.Table:
@@ -9568,7 +9579,7 @@ def q_basket_lift(sf_dir: str) -> Dataset:
     from hexscape_ray.stages.dedup import _pairs_via_groups, coarse_width
 
     op = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-    n_est = op.count()
+    n_est = _table_nrows(sf_dir, "lineitem")
     mask = np.int64(coarse_width(n_est) - 1)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -9925,11 +9936,26 @@ _Q10_LO_US = int(np.datetime64("1996-07-01", "us").astype(np.int64))
 _Q10_HI_US = int(np.datetime64("1996-10-01", "us").astype(np.int64))
 
 
+
+_TINY_ROWS_CACHE: dict[tuple[str, str], list] = {}
+
+
+def _tiny_rows(sf_dir: str, table: str) -> list:
+    """Driver-cached full read of a <=25-row immutable dimension table
+    (nation / region). Several TPC-H-shaped queries hop these
+    dimensions 2-3 times each and every avoided Ray round trip is
+    ~0.2 s of fixed scheduling latency on this box."""
+    k = (sf_dir, table)
+    if k not in _TINY_ROWS_CACHE:
+        _TINY_ROWS_CACHE[k] = _read(sf_dir, table).take_all()
+    return _TINY_ROWS_CACHE[k]
+
+
 def _nation_name_map(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     """(sorted nationkeys, names aligned to them) — 25-row dimension."""
     nat = {
         r["n_nationkey"]: r["n_name"]
-        for r in _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+        for r in _tiny_rows(sf_dir, "nation")
     }
     keys = np.array(sorted(nat), dtype=np.int64)
     names = np.array([nat[int(k)] for k in keys], dtype=object)
@@ -10010,11 +10036,11 @@ def q_nation_market_share(sf_dir: str) -> Dataset:
     keys, names = _nation_name_map(sf_dir)
     region = {
         r["r_regionkey"]: r["r_name"]
-        for r in _read(sf_dir, "region", ["r_regionkey", "r_name"]).take_all()
+        for r in _tiny_rows(sf_dir, "region")
     }
     nat_region = {
         r["n_nationkey"]: region[r["n_regionkey"]]
-        for r in _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).take_all()
+        for r in _tiny_rows(sf_dir, "nation")
     }
 
     part = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
@@ -10605,11 +10631,11 @@ def q_excess_shipped_suppliers(sf_dir: str) -> Dataset:
     keys, names = _nation_name_map(sf_dir)
     region = {
         r["r_regionkey"]: r["r_name"]
-        for r in _read(sf_dir, "region", ["r_regionkey", "r_name"]).take_all()
+        for r in _tiny_rows(sf_dir, "region")
     }
     nat_region = {
         r["n_nationkey"]: region[r["n_regionkey"]]
-        for r in _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).take_all()
+        for r in _tiny_rows(sf_dir, "nation")
     }
 
     small = _read(sf_dir, "part", ["p_partkey", "p_name"]).map_batches(
