@@ -12619,6 +12619,41 @@ _AMS_SEEDS = (
 )
 
 
+def _ams_counters(ds: Dataset, col: str) -> list[int]:
+    """16 AMS tug-of-war counters of the frequency vector over ``col``
+    — one signed-sum partial row per block, one combine."""
+    from hexscape_ray.functions.hashing import splitmix64
+    from hexscape_ray.stages.agg import combine_partials
+
+    seeds = np.array(_AMS_SEEDS, dtype=np.uint64)
+
+    def block_partial(batch: pa.Table) -> pa.Table:
+        u = (
+            batch[col]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
+        )
+        row: dict[str, list[int]] = {"one": [0]}
+        for i in range(16):
+            bit = (splitmix64(u ^ seeds[i]) & np.uint64(1)).astype(np.int64)
+            row[f"s{i}"] = [int((2 * bit - 1).sum())]
+        return pa.table(row)
+
+    cols = [f"s{i}" for i in range(16)]
+    crow = combine_partials(
+        ds.map_batches(block_partial, batch_format="pyarrow"), ["one"], cols
+    ).take_all()[0]
+    return [int(crow[f"s{i}"]) for i in range(16)]
+
+
+def _ams_median_x8(per_counter: list[int]) -> int:
+    """Median-of-means over 4 groups of 4, kept exact in integers:
+    8·median = sum of the two middle group sums."""
+    groups = sorted(sum(per_counter[4 * j : 4 * j + 4]) for j in range(4))
+    return groups[1] + groups[2]
+
+
 def q_selfjoin_size_ams(sf_dir: str) -> Dataset:
     """AMS / tug-of-war sketch (Alon–Matias–Szegedy '96) — the fourth
     mergeable-sketch family (KMV, HLL, CMS, AMS): the second frequency
@@ -12632,31 +12667,8 @@ def q_selfjoin_size_ams(sf_dir: str) -> Dataset:
     integers: est_x8 = sum of the two middle group sums (median·8).
     The exact F2 (a user census then Σ f²) grades the guarantee
     alongside, every value an exact int64 → hash-exact oracle."""
-    from hexscape_ray.functions.hashing import splitmix64
-    from hexscape_ray.stages.agg import combine_partials
-
     ds = _read(sf_dir, "events", ["user_id"])
-    seeds = np.array(_AMS_SEEDS, dtype=np.uint64)
-
-    def block_partial(batch: pa.Table) -> pa.Table:
-        u = (
-            batch["user_id"]
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-            .view(np.uint64)
-        )
-        row: dict[str, list[int]] = {"one": [0]}
-        for i in range(16):
-            bit = (splitmix64(u ^ seeds[i]) & np.uint64(1)).astype(np.int64)
-            row[f"s{i}"] = [int((2 * bit - 1).sum())]
-        return pa.table(row)
-
-    cols = [f"s{i}" for i in range(16)]
-    counters_ds = combine_partials(
-        ds.map_batches(block_partial, batch_format="pyarrow"), ["one"], cols
-    )
-    crow = counters_ds.take_all()[0]
-    c = [int(crow[f"s{i}"]) for i in range(16)]
+    c = _ams_counters(ds, "user_id")
 
     census = two_phase_sum(ds, ["user_id"], [], count_as="f")
 
@@ -12675,8 +12687,7 @@ def q_selfjoin_size_ams(sf_dir: str) -> Dataset:
     f2_exact = int(f2_ds.take_all()[0]["f2"])
 
     sqs = [ci * ci for ci in c]
-    groups = sorted(sum(sqs[4 * j : 4 * j + 4]) for j in range(4))
-    est_x8 = groups[1] + groups[2]
+    est_x8 = _ams_median_x8(sqs)
 
     out = pa.table(
         {
@@ -12720,6 +12731,117 @@ def _ams_sql() -> str:
 
 
 SQL_SELFJOIN_SIZE_AMS = _ams_sql()
+
+
+def q_join_size_ams(sf_dir: str) -> Dataset:
+    """JOIN-CARDINALITY estimation via AMS inner products — the sketch
+    a distributed optimizer uses to cost a big⋈big plan WITHOUT running
+    it: |orders ⋈ events on customer| = Σ_k fO_k·fE_k, estimated by
+    the per-counter products of the two tables' tug-of-war counters
+    (each table sketched in ONE map-only pass, 16 integers through the
+    exchange; the sketches compose — c_i(A)·c_i(B) is an unbiased
+    estimator of the inner product, AMS '96 §3). Median-of-means stays
+    exact in integers (est_x8 = sum of two middle group sums, possibly
+    negative). The exact join size (census⋈census, never row pairs)
+    grades the estimate alongside — every value int64 → hash-exact."""
+    from hexscape_ray.stages.joins import adaptive_join
+
+    o = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda t: pa.table({"u": t["o_custkey"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    e = _read(sf_dir, "events", ["user_id"]).map_batches(
+        lambda t: pa.table({"u": t["user_id"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    co = _ams_counters(o, "u")
+    ce = _ams_counters(e, "u")
+
+    cen_o = two_phase_sum(o, ["u"], [], count_as="fo")
+    cen_e = two_phase_sum(e, ["u"], [], count_as="fe")
+    joined = adaptive_join(
+        cen_o,
+        cen_e,
+        on="u",
+        big_schema=pa.schema([("u", pa.int64()), ("fo", pa.int64())]),
+        side_schema=pa.schema([("u", pa.int64()), ("fe", pa.int64())]),
+    )
+
+    def prod(batch: pa.Table) -> pa.Table:
+        fo = batch["fo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fe = batch["fe"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "one": pa.array(np.zeros(len(batch), dtype=np.int64)),
+                "js": pa.array(fo * fe),
+            }
+        )
+
+    js_rows = two_phase_sum(
+        joined.map_batches(prod, batch_format="pyarrow"), ["one"], ["js"], count_as=None
+    ).take_all()
+    exact_join_size = int(js_rows[0]["js"]) if js_rows else 0
+
+    prods = [a * b for a, b in zip(co, ce)]
+    est_x8 = _ams_median_x8(prods)
+    out = pa.table(
+        {
+            "counter": pa.array(np.arange(16, dtype=np.int64)),
+            "c_orders": pa.array(np.array(co, dtype=np.int64)),
+            "c_events": pa.array(np.array(ce, dtype=np.int64)),
+            "prod": pa.array(np.array(prods, dtype=np.int64)),
+            "exact_join_size": pa.array(
+                np.full(16, exact_join_size, dtype=np.int64)
+            ),
+            "est_x8": pa.array(np.full(16, est_x8, dtype=np.int64)),
+        }
+    )
+    return ray.data.from_arrow(out).sort("counter")
+
+
+def _join_ams_sql() -> str:
+    chains, ou, eu = [], [], []
+    for i, seed in enumerate(_AMS_SEEDS):
+        xo = (
+            f"CAST(xor(CAST(u AS UBIGINT), CAST({seed} AS UBIGINT))"
+            " AS HUGEINT)"
+        )
+        chains.append(f"ox{i} AS ({_splitmix64_sql(xo, carry='u', src='o')})")
+        chains.append(f"ex{i} AS ({_splitmix64_sql(xo, carry='u', src='e')})")
+        ou.append(
+            f"SELECT {i} AS counter, CAST(sum(CASE WHEN h % 2 = 1 THEN 1 "
+            f"ELSE -1 END) AS BIGINT) AS c FROM ox{i}"
+        )
+        eu.append(
+            f"SELECT {i} AS counter, CAST(sum(CASE WHEN h % 2 = 1 THEN 1 "
+            f"ELSE -1 END) AS BIGINT) AS c FROM ex{i}"
+        )
+    chain_sql = ",\n  ".join(chains)
+    return f"""
+  WITH o AS (SELECT o_custkey AS u FROM orders),
+  e AS (SELECT user_id AS u FROM events),
+  {chain_sql},
+  oc AS ({" UNION ALL ".join(ou)}),
+  ec AS ({" UNION ALL ".join(eu)}),
+  prods AS (
+    SELECT oc.counter, oc.c AS c_orders, ec.c AS c_events,
+           CAST(oc.c * ec.c AS BIGINT) AS prod
+    FROM oc JOIN ec USING (counter)),
+  grps AS (SELECT counter // 4 AS grp, CAST(sum(prod) AS BIGINT) AS g
+           FROM prods GROUP BY 1),
+  med AS (SELECT CAST(sum(g) AS BIGINT) AS est_x8
+          FROM (SELECT g FROM grps ORDER BY g LIMIT 2 OFFSET 1)),
+  exact AS (
+    SELECT CAST(sum(fo * fe) AS BIGINT) AS exact_join_size
+    FROM (SELECT u, count(*) AS fo FROM o GROUP BY 1) a
+    JOIN (SELECT u, count(*) AS fe FROM e GROUP BY 1) b USING (u))
+  SELECT p.counter, p.c_orders, p.c_events, p.prod,
+         x.exact_join_size, m.est_x8
+  FROM prods p, exact x, med m ORDER BY p.counter
+"""
+
+
+SQL_JOIN_SIZE_AMS = _join_ams_sql()
 
 
 def q_revenue_changepoint(sf_dir: str) -> Dataset:
@@ -12808,6 +12930,119 @@ SQL_REVENUE_CHANGEPOINT = """
          CAST((2000000 * (CAST(sn AS HUGEINT) - CAST(st AS HUGEINT)) + (n - t))
               // (2 * (n - t)) AS BIGINT) AS mean_after_x1m
   FROM stat ORDER BY stat DESC, day_id LIMIT 1
+"""
+
+
+def q_snapshot_diff(sf_dir: str) -> Dataset:
+    """SNAPSHOT DIFF — the lakehouse table-compare primitive: the
+    latest per-user state in the FIRST half of the event timeline vs
+    the SECOND half, classified added / removed / changed / unchanged
+    per user and censused.  Scale shape: the split day comes from a
+    day-scale census; both windows' row-argmaxes AND the per-user
+    A-vs-B compare run in ONE pass over user-hash coarse groups (a
+    user's rows co-locate, so the diff needs no second shuffle) —
+    partials are 4 status counts per group.  Complements
+    ``sink_merge_roundtrip`` (which proves upsert convergence; this
+    measures WHAT changed)."""
+    from hexscape_ray.stages.dedup import _pairs_via_groups, coarse_width
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    n_est = _table_nrows(sf_dir, "events")
+
+    def day_only(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"day": pa.array((us // _US_PER_DAY).astype(np.int64))})
+
+    days = two_phase_sum(
+        ev.map_batches(day_only, batch_format="pyarrow"), ["day"], [], count_as="n"
+    ).take_all()
+    dvals = [int(r["day"]) for r in days]
+    mid = (min(dvals) + max(dvals) + 1) // 2
+
+    mask = np.int64(coarse_width(n_est) - 1)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = ((us // _US_PER_DAY) >= mid).astype(np.int64)
+        return pa.table(
+            {
+                "__coarse": pa.array(np.bitwise_and(uid, mask)),
+                "uid": pa.array(uid),
+                "win": pa.array(win),
+                "us": pa.array(us),
+                "eid": batch["event_id"],
+                "ty": batch["event_type"],
+            }
+        )
+
+    def diff_block(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"status": np.empty(0, object), "n": np.empty(0, np.int64)}
+            )
+        uid = g["uid"].to_numpy()
+        win = g["win"].to_numpy()
+        us = g["us"].to_numpy()
+        eid = g["eid"].to_numpy()
+        ty = g["ty"].to_numpy()
+        k = uid * 2 + win
+        order = np.lexsort((eid, us, k))
+        k, uid, win, ty = k[order], uid[order], win[order], ty[order]
+        last = np.empty(k.shape[0], dtype=bool)
+        last[:-1] = k[1:] != k[:-1]
+        last[-1] = True  # row-argmax: max (us, eid) per (uid, win)
+        buid, bwin, bty = uid[last], win[last], ty[last]
+        # best rows are uid-sorted with win ascending inside each uid
+        first = np.empty(buid.shape[0], dtype=bool)
+        first[0] = True
+        first[1:] = buid[1:] != buid[:-1]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, buid.shape[0]))
+        status = np.empty(starts.shape[0], dtype=object)
+        one = lens == 1
+        status[one & (bwin[starts] == 0)] = "removed"
+        status[one & (bwin[starts] == 1)] = "added"
+        both = ~one
+        same = bty[starts] == bty[np.minimum(starts + 1, buid.shape[0] - 1)]
+        status[both & same] = "unchanged"
+        status[both & ~same] = "changed"
+        su, sn = np.unique(status.astype(str), return_counts=True)
+        return pd.DataFrame({"status": su, "n": sn.astype(np.int64)})
+
+    parts = _pairs_via_groups(
+        ev.map_batches(prep, batch_format="pyarrow"), n_est, diff_block
+    )
+    return two_phase_sum(parts, ["status"], ["n"], count_as=None).sort("status")
+
+
+SQL_SNAPSHOT_DIFF = """
+  WITH e AS (
+    SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+           epoch_us(ts) AS us, event_id, event_type
+    FROM events),
+  m AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e),
+  w AS (SELECT user_id,
+               CASE WHEN day >= mid THEN 1 ELSE 0 END AS win,
+               us, event_id, event_type
+        FROM e, m),
+  best AS (
+    SELECT user_id, win, event_type,
+           row_number() OVER (PARTITION BY user_id, win
+                              ORDER BY us DESC, event_id DESC) AS rn
+    FROM w),
+  piv AS (
+    SELECT user_id,
+           max(CASE WHEN win = 0 THEN event_type END) AS ta,
+           max(CASE WHEN win = 1 THEN event_type END) AS tb
+    FROM best WHERE rn = 1 GROUP BY 1),
+  st AS (
+    SELECT CASE WHEN ta IS NULL THEN 'added'
+                WHEN tb IS NULL THEN 'removed'
+                WHEN ta = tb THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM piv)
+  SELECT status, count(*) AS n FROM st GROUP BY status ORDER BY status
 """
 
 
@@ -13162,6 +13397,8 @@ RAY_QUERIES = {
     "lang_length_ttest": q_lang_length_ttest,
     "raster_to_hex": q_raster_to_hex,
     "selfjoin_size_ams": q_selfjoin_size_ams,
+    "join_size_ams": q_join_size_ams,
+    "snapshot_diff": q_snapshot_diff,
     "revenue_changepoint": q_revenue_changepoint,
     "chunk_documents": q_chunk_documents,
     "sink_ipc_roundtrip": q_sink_ipc_roundtrip,
@@ -13356,6 +13593,8 @@ ORACLES = {
     "lang_length_ttest": SQL_LANG_LENGTH_TTEST,
     "raster_to_hex": SQL_RASTER_TO_HEX,
     "selfjoin_size_ams": SQL_SELFJOIN_SIZE_AMS,
+    "join_size_ams": SQL_JOIN_SIZE_AMS,
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "revenue_changepoint": SQL_REVENUE_CHANGEPOINT,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "sink_ipc_roundtrip": SQL_SINK_IPC_ROUNDTRIP,

@@ -3152,3 +3152,60 @@ def test_hll_shard_snapshot_recovery(ray_session):
     feed(fresh, p2)
     recovered = ray.get(fresh.flush.remote())
     assert full.equals(recovered)
+
+
+def test_snapshot_diff_all_statuses(ray_session, monkeypatch, tmp_path):
+    """snapshot_diff classifies added/removed/changed/unchanged and the
+    (us, event_id)-DESC tie rule, identically in both kernel tiers."""
+    import pyarrow.parquet as pq
+
+    import hexscape_ray.stages.agg as A
+    from hexscape_ray.pipelines.queries import RAY_QUERIES
+
+    day = 86_400_000_000
+    # window split: days 0..9 -> mid = 5
+    rows = [
+        # u1: first half only -> removed
+        (1, 1 * day, 10, "view"),
+        # u2: second half only -> added
+        (2, 8 * day, 11, "buy"),
+        # u3: both halves, same latest type -> unchanged
+        (3, 2 * day, 12, "view"),
+        (3, 7 * day, 13, "view"),
+        # u4: both halves, different latest -> changed; the first-half
+        # argmax needs the (us, event_id) tie rule: two rows at the
+        # same us, higher event_id must win
+        (4, 3 * day, 14, "view"),
+        (4, 3 * day, 15, "cart"),
+        (4, 9 * day, 16, "buy"),
+        # span pins: keep min day 0 / max day 9 populated
+        (5, 0, 17, "view"),
+        (5, 9 * day + 5, 18, "view"),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "event_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    def run():
+        return (
+            RAY_QUERIES["snapshot_diff"](str(tmp_path))
+            .to_pandas()
+            .set_index("status")["n"]
+            .to_dict()
+        )
+
+    for rows_thresh in (10**9, 0):
+        monkeypatch.setattr(A, "SMALL_AGG_ROWS", rows_thresh)
+        got = run()
+        assert got == {
+            "added": 1,
+            "removed": 1,
+            "unchanged": 2,
+            "changed": 1,
+        }, (rows_thresh, got)

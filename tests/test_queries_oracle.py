@@ -114,6 +114,10 @@ ORACLE_NAMES = [
     "chunk_documents",
     # Arrow IPC stream sink/source roundtrip
     "sink_ipc_roundtrip",
+    # AMS inner-product join-cardinality estimate vs exact join size
+    "join_size_ams",
+    # lakehouse snapshot diff census (added/removed/changed/unchanged)
+    "snapshot_diff",
 ]
 
 
