@@ -13109,6 +13109,155 @@ SQL_CHUNK_DOCUMENTS = """
 """
 
 
+def q_revenue_ewma(sf_dir: str) -> Dataset:
+    """INTEGER EXPONENTIAL SMOOTHING over the gap-filled daily revenue
+    series: e_0 = v_0, e_t = (e_{t-1} + v_t) // 2 — the α=½ EWMA with
+    an explicit floor at every step, so the whole recursion stays in
+    exact int64 and the SQL oracle replays it bit-for-bit as a linear
+    recursive CTE (2405 steps at this fixture's day span; DuckDB's
+    UNION ALL working table carries one row per step).  Scale shape:
+    the day census reduces two-phase; the inherently-sequential O(n)
+    recursion runs once over the day-scale census like
+    :func:`q_revenue_changepoint`."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "day_id": pa.array((us // _US_PER_DAY).astype(np.int64)),
+                "cents": pa.array(_cents(batch["o_totalprice"])),
+            }
+        )
+
+    census = two_phase_sum(
+        ds.map_batches(prep, batch_format="pyarrow"), ["day_id"], ["cents"], count_as=None
+    ).take_all()
+    by = {int(r["day_id"]): int(r["cents"]) for r in census}
+    lo, hi = min(by), max(by)
+    days = np.arange(lo, hi + 1, dtype=np.int64)
+    rev = np.array([by.get(int(d), 0) for d in days], dtype=np.int64)
+    ewma = np.empty_like(rev)
+    e = int(rev[0])
+    ewma[0] = e
+    for i in range(1, rev.shape[0]):
+        e = (e + int(rev[i])) // 2
+        ewma[i] = e
+    out = pa.table(
+        {
+            "day_id": pa.array(days),
+            "cents": pa.array(rev),
+            "ewma": pa.array(ewma),
+        }
+    )
+    return ray.data.from_arrow(out).sort("day_id")
+
+
+SQL_REVENUE_EWMA = """
+  WITH RECURSIVE c AS (
+    SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day_id,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders GROUP BY 1),
+  axis AS (
+    SELECT unnest(range((SELECT min(day_id) FROM c),
+                        (SELECT max(day_id) FROM c) + 1)) AS day_id),
+  d AS (SELECT a.day_id, CAST(coalesce(c.cents, 0) AS BIGINT) AS cents
+        FROM axis a LEFT JOIN c USING (day_id)),
+  r AS (
+    SELECT day_id, cents, cents AS ewma
+    FROM d WHERE day_id = (SELECT min(day_id) FROM d)
+    UNION ALL
+    SELECT d.day_id, d.cents, (r.ewma + d.cents) // 2 AS ewma
+    FROM r JOIN d ON d.day_id = r.day_id + 1)
+  SELECT CAST(day_id AS BIGINT) AS day_id, cents, CAST(ewma AS BIGINT) AS ewma
+  FROM r ORDER BY day_id
+"""
+
+
+def q_corpus_distinct_ngrams(sf_dir: str) -> Dataset:
+    """CORPUS DIVERSITY via distinct-n (Li et al. '16): per language,
+    total vs distinct whitespace TRIGRAM counts and their micro-unit
+    ratio — the repetitiveness metric an LLM data pipeline tracks per
+    source/shard before mixing.  Scale shape: trigram rows pre-reduce
+    per block inside two_phase_sum, so the exchange carries (lang ×
+    distinct-gram) partials; the per-lang census then reduces the
+    reduced table.  Gram STRINGS ship here (bounded fixture vocab);
+    the corpus-scale path swaps in the 128-bit FNV gram ids of
+    stages/dedup.py::duplicate_spans — count-distinct over hashes,
+    collision-audited.  Ratio = floor(10^6·d/t + 0.5) exact in
+    integers."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def grams(batch: pa.Table) -> pa.Table:
+        langs_out, gs = [], []
+        for lang, text in zip(
+            batch["lang"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = text.split(" ")
+            for i in range(len(toks) - 2):
+                gs.append(" ".join(toks[i : i + 3]))
+                langs_out.append(lang)
+        return pa.table(
+            {
+                "lang": pa.array(langs_out, type=pa.string()),
+                "gram": pa.array(gs, type=pa.string()),
+            }
+        )
+
+    per_gram = two_phase_sum(
+        ds.map_batches(grams, batch_format="pyarrow"), ["lang", "gram"], [], count_as="n"
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "n_grams": batch["n"],
+                "n_distinct": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+
+    census = two_phase_sum(
+        per_gram.map_batches(fold, batch_format="pyarrow"),
+        ["lang"],
+        ["n_grams", "n_distinct"],
+        count_as=None,
+    )
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        t = batch["n_grams"].to_numpy(zero_copy_only=False).astype(object)
+        d = batch["n_distinct"].to_numpy(zero_copy_only=False).astype(object)
+        r = np.array(
+            [(2_000_000 * int(dd) + int(tt)) // (2 * int(tt)) for dd, tt in zip(d, t)],
+            dtype=np.int64,
+        )
+        return batch.append_column("distinct_pml", pa.array(r))
+
+    return census.map_batches(ratio, batch_format="pyarrow").sort("lang")
+
+
+SQL_CORPUS_DISTINCT_NGRAMS = """
+  WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+             FROM documents),
+  u AS (SELECT doc_id, lang, unnest(toks) AS tok,
+               generate_subscripts(toks, 1) AS i
+        FROM t),
+  g AS (SELECT lang,
+               tok || ' ' || lead(tok) OVER w || ' ' || lead(tok, 2) OVER w
+                 AS gram
+        FROM u WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+  s AS (SELECT lang, gram FROM g WHERE gram IS NOT NULL),
+  c AS (SELECT lang, count(*) AS n_grams,
+               count(DISTINCT gram) AS n_distinct
+        FROM s GROUP BY lang)
+  SELECT lang, n_grams, n_distinct,
+         CAST((2000000 * n_distinct + n_grams) // (2 * n_grams) AS BIGINT)
+           AS distinct_pml
+  FROM c ORDER BY lang
+"""
+
+
 def q_sink_ipc_roundtrip(sf_dir: str) -> Dataset:
     """Arrow IPC STREAM sink/source pair: the per-(returnflag,
     linestatus) census written as raw Arrow IPC stream files (the wire
@@ -13399,6 +13548,8 @@ RAY_QUERIES = {
     "selfjoin_size_ams": q_selfjoin_size_ams,
     "join_size_ams": q_join_size_ams,
     "snapshot_diff": q_snapshot_diff,
+    "revenue_ewma": q_revenue_ewma,
+    "corpus_distinct_ngrams": q_corpus_distinct_ngrams,
     "revenue_changepoint": q_revenue_changepoint,
     "chunk_documents": q_chunk_documents,
     "sink_ipc_roundtrip": q_sink_ipc_roundtrip,
@@ -13595,6 +13746,8 @@ ORACLES = {
     "selfjoin_size_ams": SQL_SELFJOIN_SIZE_AMS,
     "join_size_ams": SQL_JOIN_SIZE_AMS,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
+    "revenue_ewma": SQL_REVENUE_EWMA,
+    "corpus_distinct_ngrams": SQL_CORPUS_DISTINCT_NGRAMS,
     "revenue_changepoint": SQL_REVENUE_CHANGEPOINT,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "sink_ipc_roundtrip": SQL_SINK_IPC_ROUNDTRIP,

@@ -118,6 +118,10 @@ ORACLE_NAMES = [
     "join_size_ams",
     # lakehouse snapshot diff census (added/removed/changed/unchanged)
     "snapshot_diff",
+    # integer alpha=1/2 EWMA, recursive-CTE oracle
+    "revenue_ewma",
+    # distinct-n corpus diversity per language
+    "corpus_distinct_ngrams",
 ]
 
 
