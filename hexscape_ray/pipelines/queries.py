@@ -13109,6 +13109,78 @@ SQL_CHUNK_DOCUMENTS = """
 """
 
 
+def q_weighted_median_price(sf_dir: str) -> Dataset:
+    """WEIGHTED median (lower) of extended price per returnflag, with
+    quantity as the weight — the robust-center operator when rows
+    carry multiplicities (sampling weights, dedup survivor counts).
+    Scale shape: (flag, price) WEIGHT sums compress via two_phase_sum
+    — the exchange moves one row per distinct price per flag — then
+    each flag group takes the first value whose doubled cumulative
+    weight reaches the total (tie-free deterministic rule, mirrored by
+    the SQL window cumsum + min)."""
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "flag": batch["l_returnflag"],
+                "price_c": pa.array(_cents(batch["l_extendedprice"])),
+                "wt": pa.array(
+                    batch["l_quantity"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                ),
+            }
+        )
+
+    compressed = two_phase_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["flag", "price_c"],
+        ["wt"],
+        count_as=None,
+    )
+
+    def wmed(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("price_c", ignore_index=True)
+        w = g["wt"].to_numpy(np.int64)
+        cw = np.cumsum(w)
+        tw = int(cw[-1])
+        idx = int(np.searchsorted(2 * cw, tw))
+        return pd.DataFrame(
+            [
+                {
+                    "flag": g["flag"].iloc[0],
+                    "wmedian_c": int(g["price_c"].iloc[idx]),
+                    "total_weight": tw,
+                }
+            ]
+        )
+
+    return compressed.groupby("flag").map_groups(wmed, batch_format="pandas").sort(
+        "flag"
+    )
+
+
+SQL_WEIGHTED_MEDIAN_PRICE = """
+  WITH w AS (
+    SELECT l_returnflag AS flag,
+           CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS price_c,
+           CAST(l_quantity AS BIGINT) AS wt
+    FROM lineitem),
+  c AS (SELECT flag, price_c, CAST(sum(wt) AS BIGINT) AS w
+        FROM w GROUP BY 1, 2),
+  s AS (SELECT flag, price_c, w,
+               sum(w) OVER (PARTITION BY flag ORDER BY price_c) AS cw,
+               sum(w) OVER (PARTITION BY flag) AS tw
+        FROM c)
+  SELECT flag, CAST(min(price_c) AS BIGINT) AS wmedian_c,
+         CAST(min(tw) AS BIGINT) AS total_weight
+  FROM s WHERE 2 * cw >= tw GROUP BY flag ORDER BY flag
+"""
+
+
 def q_revenue_ewma(sf_dir: str) -> Dataset:
     """INTEGER EXPONENTIAL SMOOTHING over the gap-filled daily revenue
     series: e_0 = v_0, e_t = (e_{t-1} + v_t) // 2 — the α=½ EWMA with
@@ -13549,6 +13621,7 @@ RAY_QUERIES = {
     "join_size_ams": q_join_size_ams,
     "snapshot_diff": q_snapshot_diff,
     "revenue_ewma": q_revenue_ewma,
+    "weighted_median_price": q_weighted_median_price,
     "corpus_distinct_ngrams": q_corpus_distinct_ngrams,
     "revenue_changepoint": q_revenue_changepoint,
     "chunk_documents": q_chunk_documents,
@@ -13747,6 +13820,7 @@ ORACLES = {
     "join_size_ams": SQL_JOIN_SIZE_AMS,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "revenue_ewma": SQL_REVENUE_EWMA,
+    "weighted_median_price": SQL_WEIGHTED_MEDIAN_PRICE,
     "corpus_distinct_ngrams": SQL_CORPUS_DISTINCT_NGRAMS,
     "revenue_changepoint": SQL_REVENUE_CHANGEPOINT,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,

@@ -122,6 +122,8 @@ ORACLE_NAMES = [
     "revenue_ewma",
     # distinct-n corpus diversity per language
     "corpus_distinct_ngrams",
+    # quantity-weighted lower median via value-compressed census
+    "weighted_median_price",
 ]
 
 
