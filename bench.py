@@ -280,6 +280,17 @@ def run_queries() -> dict:
         "fk_orphans",
         "lang_length_ttest",
         "raster_to_hex",
+        # round-4 session-5 ops
+        "selfjoin_size_ams",
+        "join_size_ams",
+        "revenue_changepoint",
+        "chunk_documents",
+        "sink_ipc_roundtrip",
+        "image_phash_dups",
+        "snapshot_diff",
+        "revenue_ewma",
+        "corpus_distinct_ngrams",
+        "weighted_median_price",
     ]
     out = {}
     for name in names:
