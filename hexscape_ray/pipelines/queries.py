@@ -13109,6 +13109,108 @@ SQL_CHUNK_DOCUMENTS = """
 """
 
 
+# Poisson(1) CDF cut points scaled to 2^64 (k = #thresholds <= h,
+# so row multiplicities 0..7 with the right marginal probabilities);
+# shared verbatim by the SQL ladder — only determinism matters, the
+# float->int rounding of the CDF is frozen in these literals.
+_BOOT_T = (
+    6786177901268885504,
+    13572355802537771008,
+    16965444753172213760,
+    18096474403383695360,
+    18379231815936565248,
+    18435783298447138816,
+    18445208545532233728,
+)
+def q_bootstrap_revenue_ci(sf_dir: str) -> Dataset:
+    """POISSON BOOTSTRAP (Chamandy et al. '12 — the bootstrap that
+    distributes): 16 deterministic resamples of total order revenue,
+    each row contributing k ~ Poisson(1) copies per replicate with k
+    derived from splitmix64(o_orderkey ⊕ seed_b) against frozen CDF
+    cut points — so every replicate total is an EXACT integer and the
+    SQL oracle replays the ladder bit-for-bit.  Scale shape: one
+    map-only pass emits a 16-int partial row per block (the AMS
+    pattern); the exchange never sees row multiplicities.  Output: the
+    16 replicate totals plus the point estimate; the spread IS the
+    sampling-error bar a 100-TB pipeline reads off without a second
+    pass over the data."""
+    from hexscape_ray.functions.hashing import splitmix64
+    from hexscape_ray.stages.agg import combine_partials
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    seeds = np.array(_AMS_SEEDS, dtype=np.uint64)
+    ts = np.array(_BOOT_T, dtype=np.uint64)
+
+    def block_partial(batch: pa.Table) -> pa.Table:
+        key = (
+            batch["o_orderkey"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
+        )
+        cents = _cents(batch["o_totalprice"])
+        row: dict[str, list[int]] = {"one": [0], "orig": [int(cents.sum())]}
+        for b in range(16):
+            h = splitmix64(key ^ seeds[b])
+            k = (h[:, None] >= ts[None, :]).sum(axis=1).astype(np.int64)
+            row[f"t{b}"] = [int((k * cents).sum())]
+        return pa.table(row)
+
+    cols = ["orig"] + [f"t{b}" for b in range(16)]
+    crow = combine_partials(
+        ds.map_batches(block_partial, batch_format="pyarrow"), ["one"], cols
+    ).take_all()[0]
+    totals = [int(crow[f"t{b}"]) for b in range(16)]
+    out = pa.table(
+        {
+            "replicate": pa.array(np.arange(16, dtype=np.int64)),
+            "total_c": pa.array(np.array(totals, dtype=np.int64)),
+            "orig_total_c": pa.array(
+                np.full(16, int(crow["orig"]), dtype=np.int64)
+            ),
+            "lo_c": pa.array(np.full(16, min(totals), dtype=np.int64)),
+            "hi_c": pa.array(np.full(16, max(totals), dtype=np.int64)),
+        }
+    )
+    return ray.data.from_arrow(out).sort("replicate")
+
+
+def _bootstrap_sql() -> str:
+    ladder = " + ".join(
+        f"(CASE WHEN h >= {t} THEN 1 ELSE 0 END)" for t in _BOOT_T
+    )
+    chains, unions = [], []
+    for b, seed in enumerate(_AMS_SEEDS):
+        x = (
+            f"CAST(xor(CAST(o_orderkey AS UBIGINT), CAST({seed} AS UBIGINT))"
+            " AS HUGEINT)"
+        )
+        chains.append(
+            f"x{b} AS ({_splitmix64_sql(x, carry='o_orderkey, cents', src='o')})"
+        )
+        unions.append(
+            f"SELECT {b} AS replicate, CAST(sum(({ladder}) * cents) AS BIGINT)"
+            f" AS total_c FROM x{b}"
+        )
+    chain_sql = ",\n  ".join(chains)
+    return f"""
+  WITH o AS (
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+    FROM orders),
+  {chain_sql},
+  reps AS ({" UNION ALL ".join(unions)}),
+  orig AS (SELECT CAST(sum(cents) AS BIGINT) AS orig_total_c FROM o),
+  spread AS (SELECT CAST(min(total_c) AS BIGINT) AS lo_c,
+                    CAST(max(total_c) AS BIGINT) AS hi_c FROM reps)
+  SELECT r.replicate, r.total_c, g.orig_total_c, s.lo_c, s.hi_c
+  FROM reps r, orig g, spread s ORDER BY r.replicate
+"""
+
+
+SQL_BOOTSTRAP_REVENUE_CI = _bootstrap_sql()
+
+
 def q_weighted_median_price(sf_dir: str) -> Dataset:
     """WEIGHTED median (lower) of extended price per returnflag, with
     quantity as the weight — the robust-center operator when rows
@@ -13622,6 +13724,7 @@ RAY_QUERIES = {
     "snapshot_diff": q_snapshot_diff,
     "revenue_ewma": q_revenue_ewma,
     "weighted_median_price": q_weighted_median_price,
+    "bootstrap_revenue_ci": q_bootstrap_revenue_ci,
     "corpus_distinct_ngrams": q_corpus_distinct_ngrams,
     "revenue_changepoint": q_revenue_changepoint,
     "chunk_documents": q_chunk_documents,
@@ -13821,6 +13924,7 @@ ORACLES = {
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "revenue_ewma": SQL_REVENUE_EWMA,
     "weighted_median_price": SQL_WEIGHTED_MEDIAN_PRICE,
+    "bootstrap_revenue_ci": SQL_BOOTSTRAP_REVENUE_CI,
     "corpus_distinct_ngrams": SQL_CORPUS_DISTINCT_NGRAMS,
     "revenue_changepoint": SQL_REVENUE_CHANGEPOINT,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,

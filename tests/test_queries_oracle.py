@@ -124,6 +124,8 @@ ORACLE_NAMES = [
     "corpus_distinct_ngrams",
     # quantity-weighted lower median via value-compressed census
     "weighted_median_price",
+    # Poisson bootstrap: 16 deterministic resample totals + spread
+    "bootstrap_revenue_ci",
 ]
 
 
