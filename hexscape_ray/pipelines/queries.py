@@ -12597,35 +12597,16 @@ FROM hexed GROUP BY r, q ORDER BY r, q
 )
 
 
-# AMS tug-of-war seeds: splitmix64((101+i) * golden) — fixed so the SQL
-# oracle replays the identical hash chain.
-_AMS_SEEDS = (
-    13503535484124022352,
-    2408493724061635637,
-    3982550404562384204,
-    13294168326748004708,
-    3261115068336139168,
-    3455560625584534064,
-    8460542522771347084,
-    6110809269160588848,
-    7913444633578496900,
-    5771536904359502584,
-    9604845809122204929,
-    11740533680882200126,
-    2941170911402311377,
-    2825475194127864941,
-    6451737577027376737,
-    14727207869371167581,
-)
+# AMS tug-of-war seeds — shared with the streaming shard kernel
+# (stages/sketch.py); frozen so the SQL oracle replays the hash chain.
+from hexscape_ray.stages.sketch import AMS_SEEDS as _AMS_SEEDS
 
 
 def _ams_counters(ds: Dataset, col: str) -> list[int]:
     """16 AMS tug-of-war counters of the frequency vector over ``col``
     — one signed-sum partial row per block, one combine."""
-    from hexscape_ray.functions.hashing import splitmix64
     from hexscape_ray.stages.agg import combine_partials
-
-    seeds = np.array(_AMS_SEEDS, dtype=np.uint64)
+    from hexscape_ray.stages.sketch import ams_block_counters
 
     def block_partial(batch: pa.Table) -> pa.Table:
         u = (
@@ -12634,10 +12615,10 @@ def _ams_counters(ds: Dataset, col: str) -> list[int]:
             .astype(np.int64)
             .view(np.uint64)
         )
+        c = ams_block_counters(u)
         row: dict[str, list[int]] = {"one": [0]}
         for i in range(16):
-            bit = (splitmix64(u ^ seeds[i]) & np.uint64(1)).astype(np.int64)
-            row[f"s{i}"] = [int((2 * bit - 1).sum())]
+            row[f"s{i}"] = [int(c[i])]
         return pa.table(row)
 
     cols = [f"s{i}" for i in range(16)]
@@ -12668,8 +12649,12 @@ def q_selfjoin_size_ams(sf_dir: str) -> Dataset:
     The exact F2 (a user census then Σ f²) grades the guarantee
     alongside, every value an exact int64 → hash-exact oracle."""
     ds = _read(sf_dir, "events", ["user_id"])
-    c = _ams_counters(ds, "user_id")
+    return _ams_f2_finish(ds, _ams_counters(ds, "user_id"))
 
+
+def _ams_f2_finish(ds: Dataset, c: list[int]) -> Dataset:
+    """Shared F2 finish: exact census Σf² next to the 16 counters —
+    the batch and streaming counter paths grade identically."""
     census = two_phase_sum(ds, ["user_id"], [], count_as="f")
 
     def sq(batch: pa.Table) -> pa.Table:
@@ -12699,6 +12684,22 @@ def q_selfjoin_size_ams(sf_dir: str) -> Dataset:
         }
     )
     return ray.data.from_arrow(out).sort("counter")
+
+
+def q_selfjoin_size_ams_stream(sf_dir: str) -> Dataset:
+    """STREAMING twin of selfjoin_size_ams
+    (stages/streaming.py::streaming_ams_counters): the tug-of-war
+    counters accumulate in per-counter-range shard actors fed by
+    parallel router tasks — ADDITION COMMUTES, so routers need no
+    sequencing and no reorder buffers (the weakest contract of the
+    shard family: HLL needs max, latest-state needs argmax, AMS just
+    adds), and a flush snapshot composes with any replay split.
+    Shares SQL_SELFJOIN_SIZE_AMS bit-exactly."""
+    from hexscape_ray.stages.streaming import streaming_ams_counters
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    c = streaming_ams_counters(ds, "user_id")
+    return _ams_f2_finish(ds, c)
 
 
 def _ams_sql() -> str:
@@ -13725,6 +13726,7 @@ RAY_QUERIES = {
     "revenue_ewma": q_revenue_ewma,
     "weighted_median_price": q_weighted_median_price,
     "bootstrap_revenue_ci": q_bootstrap_revenue_ci,
+    "selfjoin_size_ams_stream": q_selfjoin_size_ams_stream,
     "corpus_distinct_ngrams": q_corpus_distinct_ngrams,
     "revenue_changepoint": q_revenue_changepoint,
     "chunk_documents": q_chunk_documents,
@@ -13925,6 +13927,7 @@ ORACLES = {
     "revenue_ewma": SQL_REVENUE_EWMA,
     "weighted_median_price": SQL_WEIGHTED_MEDIAN_PRICE,
     "bootstrap_revenue_ci": SQL_BOOTSTRAP_REVENUE_CI,
+    "selfjoin_size_ams_stream": SQL_SELFJOIN_SIZE_AMS,
     "corpus_distinct_ngrams": SQL_CORPUS_DISTINCT_NGRAMS,
     "revenue_changepoint": SQL_REVENUE_CHANGEPOINT,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,

@@ -318,3 +318,41 @@ def hll_finish_pdf(pdf) -> pa.Table:
             "est_micro": pa.array([], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# AMS tug-of-war (Alon–Matias–Szegedy '96): F2 / join-size counters
+# ---------------------------------------------------------------------------
+
+# splitmix64((101+i)·golden) — frozen so the SQL oracles replay the chain
+AMS_SEEDS = (
+    13503535484124022352,
+    2408493724061635637,
+    3982550404562384204,
+    13294168326748004708,
+    3261115068336139168,
+    3455560625584534064,
+    8460542522771347084,
+    6110809269160588848,
+    7913444633578496900,
+    5771536904359502584,
+    9604845809122204929,
+    11740533680882200126,
+    2941170911402311377,
+    2825475194127864941,
+    6451737577027376737,
+    14727207869371167581,
+)
+
+
+def ams_block_counters(keys_u64: np.ndarray) -> np.ndarray:
+    """16 signed tug-of-war sums of one block's key column — the
+    fully-additive AMS partial (merge = vector add, so batch two-phase
+    reduction and streaming shard accumulation share this kernel)."""
+    out = np.empty(16, dtype=np.int64)
+    for i, seed in enumerate(AMS_SEEDS):
+        bit = (splitmix64(keys_u64 ^ np.uint64(seed)) & np.uint64(1)).astype(
+            np.int64
+        )
+        out[i] = int((2 * bit - 1).sum())
+    return out

@@ -827,3 +827,92 @@ def streaming_hll_distinct(
     tables = ray.get([s.flush.remote() for s in shards])
     regs = pa.concat_tables([t for t in tables if len(t)])
     return hll_finish_pdf(regs.to_pandas())
+
+
+@ray.remote
+class AmsShard:
+    """One shard of the STREAMING AMS tug-of-war counters: counter
+    index → running signed sum.  Addition commutes — the weakest
+    recovery contract of the shard family (no sequencing, no reorder
+    buffer); ``flush()`` snapshots compose with any replay split via
+    ``load`` (sums add)."""
+
+    def __init__(self):
+        self.state: dict[int, int] = {}
+
+    def feed(self, counters: np.ndarray, vals: np.ndarray) -> int:
+        st = self.state
+        for c, v in zip(counters.tolist(), vals.tolist()):
+            st[c] = st.get(c, 0) + v
+        return len(st)
+
+    def load(self, snap: pa.Table) -> int:
+        return self.feed(
+            snap["counter"].to_numpy(zero_copy_only=False),
+            snap["c"].to_numpy(zero_copy_only=False),
+        )
+
+    def flush(self) -> pa.Table:
+        items = sorted(self.state.items())
+        return pa.table(
+            {
+                "counter": pa.array(
+                    np.asarray([k for k, _ in items], dtype=np.int64)
+                ),
+                "c": pa.array(np.asarray([v for _, v in items], dtype=np.int64)),
+            }
+        )
+
+
+@ray.remote
+def _route_ams_block(block, shards: list, col: str) -> int:
+    """Router task: one 16-int block partial, then shard delivery by
+    counter range (counter % n_shards → disjoint flushes)."""
+    from hexscape_ray.stages.sketch import ams_block_counters
+
+    if isinstance(block, pd.DataFrame):
+        block = pa.Table.from_pandas(block, preserve_index=False)
+    u = (
+        block[col]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+        .view(np.uint64)
+    )
+    part = ams_block_counters(u)
+    idx = np.arange(16, dtype=np.int64)
+    n_shards = len(shards)
+    refs = []
+    for sh in range(n_shards):
+        m = (idx % n_shards) == sh
+        refs.append(shards[sh].feed.remote(idx[m], part[m]))
+    ray.get(refs)
+    return len(block)
+
+
+def streaming_ams_counters(
+    events: Dataset, col: str, n_shards: int = 4, max_inflight: int = 32
+) -> list[int]:
+    """STREAMING AMS counter accumulation — bit-identical to the batch
+    two-phase reduction (addition commutes); returns the 16 counters."""
+    shards = [AmsShard.remote() for _ in range(n_shards)]
+    stream = events.materialize()
+    block_refs: list = []
+    for bundle in stream.iter_internal_ref_bundles():
+        block_refs.extend(bundle.block_refs)
+    inflight: list = []
+    for bref in block_refs:
+        inflight.append(_route_ams_block.remote(bref, shards, col))
+        if len(inflight) > max_inflight:
+            done, inflight = ray.wait(
+                inflight, num_returns=len(inflight) - max_inflight
+            )
+            ray.get(done)
+    ray.get(inflight)
+    tables = ray.get([s.flush.remote() for s in shards])
+    out = np.zeros(16, dtype=np.int64)
+    for t in tables:
+        if len(t):
+            out[t["counter"].to_numpy(zero_copy_only=False)] = t["c"].to_numpy(
+                zero_copy_only=False
+            )
+    return [int(v) for v in out]

@@ -3209,3 +3209,38 @@ def test_snapshot_diff_all_statuses(ray_session, monkeypatch, tmp_path):
             "unchanged": 2,
             "changed": 1,
         }, (rows_thresh, got)
+
+
+def test_ams_shard_snapshot_recovery_and_stream_parity(ray_session):
+    """AMS shard kill-and-restore parity (ADDITION commutes with any
+    replay split) + the streaming accumulation equals the batch
+    two-phase counters on the same rows."""
+    import ray
+
+    from hexscape_ray.stages.sketch import ams_block_counters
+    from hexscape_ray.stages.streaming import AmsShard, streaming_ams_counters
+
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 5000, size=20_000).astype(np.int64)
+    u = keys.view(np.uint64)
+    p1 = ams_block_counters(u[:10_000])
+    p2 = ams_block_counters(u[10_000:])
+    idx = np.arange(16, dtype=np.int64)
+
+    cont = AmsShard.remote()
+    ray.get(cont.feed.remote(idx, p1))
+    ray.get(cont.feed.remote(idx, p2))
+    full = ray.get(cont.flush.remote())
+
+    first = AmsShard.remote()
+    ray.get(first.feed.remote(idx, p1))
+    snap = ray.get(first.flush.remote())
+    fresh = AmsShard.remote()
+    ray.get(fresh.load.remote(snap))
+    ray.get(fresh.feed.remote(idx, p2))
+    assert full.equals(ray.get(fresh.flush.remote()))
+    # whole-input parity: streamed counters == one-shot block kernel
+    t = pa.table({"u": pa.array(keys)})
+    ds = ray.data.from_arrow(t).repartition(7)
+    got = streaming_ams_counters(ds, "u")
+    assert got == [int(v) for v in ams_block_counters(u)]

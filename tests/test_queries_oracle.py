@@ -126,6 +126,8 @@ ORACLE_NAMES = [
     "weighted_median_price",
     # Poisson bootstrap: 16 deterministic resample totals + spread
     "bootstrap_revenue_ci",
+    # streaming AMS shards (addition commutes; shares the batch oracle)
+    "selfjoin_size_ams_stream",
 ]
 
 
