@@ -13350,6 +13350,75 @@ SQL_REVENUE_EWMA = """
 """
 
 
+def q_langid_confusion(sf_dir: str) -> Dataset:
+    """LANGUAGE-ID graded against ground truth: the stopword-profile
+    heuristic (functions/text.py::detect_lang — per-language hit
+    counts over the first 2000 chars' \\w+ tokens, alphabetically-
+    smallest language on ties, 'und' on zero hits) censused as a
+    (label, predicted) confusion matrix.  The heuristic itself is
+    replayed in SQL — regexp_extract_all tokens ⋈ the profile VALUES
+    list, row_number() argmax with the same tie order — so the
+    lang-id OPERATOR is hash-graded, not just its row count.  One
+    map-only pass + a census through the exchange."""
+    from hexscape_ray.functions.text import detect_lang
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        preds = [detect_lang(t) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "predicted": pa.array(preds, type=pa.string()),
+            }
+        )
+
+    return (
+        two_phase_sum(
+            ds.map_batches(prep, batch_format="pyarrow"),
+            ["lang", "predicted"],
+            [],
+            count_as="n_docs",
+        )
+        .sort(["lang", "predicted"])
+    )
+
+
+def _langid_sql() -> str:
+    from hexscape_ray.functions.text import LANG_PROFILES
+
+    vals = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang in sorted(LANG_PROFILES)
+        for w in LANG_PROFILES[lang]
+    )
+    return f"""
+  WITH prof(plang, w) AS (VALUES {vals}),
+  tok AS (
+    SELECT doc_id, lang,
+           lower(unnest(regexp_extract_all(substr(text, 1, 2000), '\\w+')))
+             AS t
+    FROM documents),
+  hits AS (
+    SELECT doc_id, lang, plang, count(*) AS c
+    FROM tok JOIN prof ON prof.w = tok.t GROUP BY 1, 2, 3),
+  best AS (
+    SELECT doc_id, plang,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, plang ASC) AS rn
+    FROM hits),
+  pred AS (
+    SELECT d.lang, coalesce(b.plang, 'und') AS predicted
+    FROM documents d
+    LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1)
+  SELECT lang, predicted, count(*) AS n_docs
+  FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+SQL_LANGID_CONFUSION = _langid_sql()
+
+
 def q_corpus_distinct_ngrams(sf_dir: str) -> Dataset:
     """CORPUS DIVERSITY via distinct-n (Li et al. '16): per language,
     total vs distinct whitespace TRIGRAM counts and their micro-unit
@@ -13727,6 +13796,7 @@ RAY_QUERIES = {
     "weighted_median_price": q_weighted_median_price,
     "bootstrap_revenue_ci": q_bootstrap_revenue_ci,
     "selfjoin_size_ams_stream": q_selfjoin_size_ams_stream,
+    "langid_confusion": q_langid_confusion,
     "corpus_distinct_ngrams": q_corpus_distinct_ngrams,
     "revenue_changepoint": q_revenue_changepoint,
     "chunk_documents": q_chunk_documents,
@@ -13928,6 +13998,7 @@ ORACLES = {
     "weighted_median_price": SQL_WEIGHTED_MEDIAN_PRICE,
     "bootstrap_revenue_ci": SQL_BOOTSTRAP_REVENUE_CI,
     "selfjoin_size_ams_stream": SQL_SELFJOIN_SIZE_AMS,
+    "langid_confusion": SQL_LANGID_CONFUSION,
     "corpus_distinct_ngrams": SQL_CORPUS_DISTINCT_NGRAMS,
     "revenue_changepoint": SQL_REVENUE_CHANGEPOINT,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,

@@ -128,6 +128,8 @@ ORACLE_NAMES = [
     "bootstrap_revenue_ci",
     # streaming AMS shards (addition commutes; shares the batch oracle)
     "selfjoin_size_ams_stream",
+    # stopword-profile langid replayed in SQL, confusion census
+    "langid_confusion",
 ]
 
 
