@@ -13350,6 +13350,135 @@ SQL_REVENUE_EWMA = """
 """
 
 
+_REGEX_TOK = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def q_regex_token_counts(sf_dir: str) -> Dataset:
+    """REGEX tokenisation graded as an oracle: letter runs / digit runs
+    / single punctuation marks (alternatives over DISJOINT character
+    classes, so Python re and DuckDB's RE2 agree match-for-match —
+    the GPT-2-style splitter in functions/text.py::count_tokens_bpe
+    keeps its lookahead and stays pytest-covered; this is the shared-
+    semantics subset both engines can replay).  Compiled once per
+    process; one map-only pass."""
+    import re
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pat = re.compile(_REGEX_TOK)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n_re = np.fromiter(
+            (len(pat.findall(t)) for t in texts), dtype=np.int64, count=len(texts)
+        )
+        n_ws = np.fromiter(
+            (len(t.split(" ")) for t in texts), dtype=np.int64, count=len(texts)
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_regex_tokens": pa.array(n_re),
+                "n_ws_tokens": pa.array(n_ws),
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_REGEX_TOKEN_COUNTS = f"""
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{_REGEX_TOK}')) AS BIGINT)
+           AS n_regex_tokens,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+  FROM documents ORDER BY doc_id
+"""
+
+
+def q_partition_checksums(sf_dir: str) -> Dataset:
+    """ANTI-ENTROPY partition checksums — the replica-compare
+    primitive: per order month, the row count and an order-invariant
+    content checksum Σ (splitmix64(splitmix64(orderkey) ⊕ cents) >> 24)
+    — the 40-bit shift keeps the SUM inside exact int64 up to ~2^23
+    rows per partition (asserted), so no wrap-semantics dependency in
+    either engine.  Two sides of a replication fence compute this
+    independently and diff 2 columns per partition instead of rows.
+    Month id = civil-calendar year·12 + (month−1) from epoch days
+    (the region_monthly_growth integer algorithm)."""
+    from hexscape_ray.functions.hashing import splitmix64
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        days = us // 86_400_000_000
+        z = days + 719_468
+        era = z // 146_097
+        doe = z - era * 146_097
+        yoe = (doe - doe // 1460 + doe // 36_524 - doe // 146_096) // 365
+        y = yoe + era * 400
+        doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+        mp = (5 * doy + 2) // 153
+        m = mp + np.where(mp < 10, 3, -9)
+        y = y + (m <= 2)
+        month_id = (y * 12 + (m - 1)).astype(np.int64)
+        key = (
+            batch["o_orderkey"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
+        )
+        cents = _cents(batch["o_totalprice"]).view(np.uint64)
+        h = (splitmix64(splitmix64(key) ^ cents) >> np.uint64(24)).astype(np.int64)
+        return pa.table(
+            {
+                "month_id": pa.array(month_id),
+                "checksum": pa.array(h),
+            }
+        )
+
+    out = two_phase_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["month_id"],
+        ["checksum"],
+        count_as="n_rows",
+    )
+
+    def guard(batch: pa.Table) -> pa.Table:
+        n = batch["n_rows"].to_numpy(zero_copy_only=False)
+        assert (n < (1 << 23)).all(), "checksum sum would overflow int64"
+        return batch
+
+    return out.map_batches(guard, batch_format="pyarrow").sort("month_id")
+
+
+def _checksum_sql() -> str:
+    inner = _splitmix64_sql(
+        "CAST(o_orderkey AS HUGEINT)", carry="month_id, cents", src="o"
+    )
+    outer = _splitmix64_sql(
+        "CAST(xor(CAST(h AS UBIGINT), CAST(cents AS UBIGINT)) AS HUGEINT)",
+        carry="month_id",
+        src="h1",
+    )
+    return f"""
+  WITH o AS (
+    SELECT o_orderkey,
+           CAST(date_part('year', o_orderdate) * 12
+                + date_part('month', o_orderdate) - 1 AS BIGINT) AS month_id,
+           CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+    FROM orders),
+  h1 AS ({inner}),
+  h2 AS ({outer})
+  SELECT month_id,
+         CAST(sum(CAST(h // 16777216 AS BIGINT)) AS BIGINT) AS checksum,
+         count(*) AS n_rows
+  FROM h2 GROUP BY month_id ORDER BY month_id
+"""
+
+
+SQL_PARTITION_CHECKSUMS = _checksum_sql()
+
+
 def q_langid_confusion(sf_dir: str) -> Dataset:
     """LANGUAGE-ID graded against ground truth: the stopword-profile
     heuristic (functions/text.py::detect_lang — per-language hit
@@ -13797,6 +13926,8 @@ RAY_QUERIES = {
     "bootstrap_revenue_ci": q_bootstrap_revenue_ci,
     "selfjoin_size_ams_stream": q_selfjoin_size_ams_stream,
     "langid_confusion": q_langid_confusion,
+    "regex_token_counts": q_regex_token_counts,
+    "partition_checksums": q_partition_checksums,
     "corpus_distinct_ngrams": q_corpus_distinct_ngrams,
     "revenue_changepoint": q_revenue_changepoint,
     "chunk_documents": q_chunk_documents,
@@ -13999,6 +14130,8 @@ ORACLES = {
     "bootstrap_revenue_ci": SQL_BOOTSTRAP_REVENUE_CI,
     "selfjoin_size_ams_stream": SQL_SELFJOIN_SIZE_AMS,
     "langid_confusion": SQL_LANGID_CONFUSION,
+    "regex_token_counts": SQL_REGEX_TOKEN_COUNTS,
+    "partition_checksums": SQL_PARTITION_CHECKSUMS,
     "corpus_distinct_ngrams": SQL_CORPUS_DISTINCT_NGRAMS,
     "revenue_changepoint": SQL_REVENUE_CHANGEPOINT,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,

@@ -130,6 +130,10 @@ ORACLE_NAMES = [
     "selfjoin_size_ams_stream",
     # stopword-profile langid replayed in SQL, confusion census
     "langid_confusion",
+    # disjoint-class regex tokenizer, re == RE2 match-for-match
+    "regex_token_counts",
+    # order-invariant anti-entropy partition checksums (40-bit sums)
+    "partition_checksums",
 ]
 
 
