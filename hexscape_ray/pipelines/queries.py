@@ -13350,6 +13350,74 @@ SQL_REVENUE_EWMA = """
 """
 
 
+def q_hex_moran(sf_dir: str) -> Dataset:
+    """GLOBAL MORAN'S I spatial autocorrelation over the per-hex doc
+    census — the hotspot-clustering statistic of the geospatial tier,
+    kept EXACT: with scaled residuals z_i = n·x_i − Σx (integers), I =
+    n·Σ_adj z_i z_j / (W·Σ z_i²) is a ratio of exact integers
+    (adjacency = the 6 axial neighbours between populated cells, W =
+    directed pair count).  Micro-rounding crosses the engines' integer
+    division mismatch (DuckDB ``//`` truncates, Python floors) by
+    shifting +8 into the strictly-positive domain — floor(x+0.5) =
+    floor((x+8)+0.5) − 8 for integer shift — where trunc == floor.
+    Scale shape: the census reduces two-phase; the O(cells) adjacency
+    scan runs once on the collected cell table (the day-census
+    pattern applied to space)."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    census = two_phase_sum(
+        _hex_prepare(ds, "doc_id"), ["r", "q"], [], count_as="x"
+    ).take_all()
+    cells = {(int(c["r"]), int(c["q"])): int(c["x"]) for c in census}
+    n = len(cells)
+    s = sum(cells.values())
+    z = {k: n * v - s for k, v in cells.items()}
+    szz = 0
+    w = 0
+    for (r, q), zi in z.items():
+        for dr, dq in ((1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)):
+            zj = z.get((r + dr, q + dq))
+            if zj is not None:
+                w += 1
+                szz += zi * zj
+    sz2 = sum(v * v for v in z.values())
+    num = n * szz
+    den = w * sz2
+    assert den > 0 and num + 8 * den > 0, "degenerate Moran input"
+    i_x1m = (2_000_000 * (num + 8 * den) + den) // (2 * den) - 8_000_000
+    out = pa.table(
+        {
+            "n_cells": pa.array([n], type=pa.int64()),
+            "n_pairs": pa.array([w], type=pa.int64()),
+            "i_x1m": pa.array([i_x1m], type=pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(out)
+
+
+SQL_HEX_MORAN = (
+    _hex_cte("documents", "doc_id", "doc_id")
+    + """
+, cells AS (SELECT r, q, count(*) AS x FROM hexed GROUP BY 1, 2),
+tot AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(x) AS HUGEINT) AS s
+        FROM cells),
+zc AS (SELECT r, q, n * CAST(x AS HUGEINT) - s AS z FROM cells, tot),
+offs(dr, dq) AS (VALUES (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)),
+adj AS (
+  SELECT a.z AS za, b.z AS zb
+  FROM zc a JOIN offs o ON true
+  JOIN zc b ON b.r = a.r + o.dr AND b.q = a.q + o.dq),
+agg AS (SELECT CAST(count(*) AS HUGEINT) AS w,
+               CAST(sum(za * zb) AS HUGEINT) AS szz FROM adj),
+den AS (SELECT CAST(sum(z * z) AS HUGEINT) AS sz2 FROM zc)
+SELECT CAST(t.n AS BIGINT) AS n_cells,
+       CAST(g.w AS BIGINT) AS n_pairs,
+       CAST((2000000 * (t.n * g.szz + 8 * g.w * d.sz2) + g.w * d.sz2)
+            // (2 * g.w * d.sz2) - 8000000 AS BIGINT) AS i_x1m
+FROM tot t, agg g, den d
+"""
+)
+
+
 _REGEX_TOK = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
@@ -13927,6 +13995,7 @@ RAY_QUERIES = {
     "selfjoin_size_ams_stream": q_selfjoin_size_ams_stream,
     "langid_confusion": q_langid_confusion,
     "regex_token_counts": q_regex_token_counts,
+    "hex_moran": q_hex_moran,
     "partition_checksums": q_partition_checksums,
     "corpus_distinct_ngrams": q_corpus_distinct_ngrams,
     "revenue_changepoint": q_revenue_changepoint,
@@ -14131,6 +14200,7 @@ ORACLES = {
     "selfjoin_size_ams_stream": SQL_SELFJOIN_SIZE_AMS,
     "langid_confusion": SQL_LANGID_CONFUSION,
     "regex_token_counts": SQL_REGEX_TOKEN_COUNTS,
+    "hex_moran": SQL_HEX_MORAN,
     "partition_checksums": SQL_PARTITION_CHECKSUMS,
     "corpus_distinct_ngrams": SQL_CORPUS_DISTINCT_NGRAMS,
     "revenue_changepoint": SQL_REVENUE_CHANGEPOINT,

@@ -134,6 +134,8 @@ ORACLE_NAMES = [
     "regex_token_counts",
     # order-invariant anti-entropy partition checksums (40-bit sums)
     "partition_checksums",
+    # global Moran's I over the hex census, exact-integer ratio
+    "hex_moran",
 ]
 
 
