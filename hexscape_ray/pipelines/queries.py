@@ -13350,6 +13350,150 @@ SQL_REVENUE_EWMA = """
 """
 
 
+_POI_RADIUS = 15000.0
+
+
+def q_poi_radius_counts(sf_dir: str) -> Dataset:
+    """WITHIN-RADIUS distance join (the one-to-many sibling of
+    nearest_poi's argmin): per POI site, the count and length sum of
+    all documents within 15 km — a document near two sites counts for
+    both, which is exactly what a coverage/catchment query wants.
+    Scale shape: the 16 sites broadcast; the (n×16) d² mask reduces to
+    16 partial rows per block, so the exchange never carries the join
+    fan-out.  d² and the radius compare are the identical IEEE
+    expressions on both engines."""
+    from hexscape_ray.functions.geocode import geocode_ids
+
+    px, py = geocode_ids(_POI_KEYS)
+    r2 = _POI_RADIUS * _POI_RADIUS
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = geocode_ids_batch(batch, "doc_id")
+        x = b["x"].to_numpy(zero_copy_only=False)
+        y = b["y"].to_numpy(zero_copy_only=False)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dx = x[:, None] - px[None, :]
+        dy = y[:, None] - py[None, :]
+        within = (dx * dx + dy * dy) <= r2
+        return pa.table(
+            {
+                "poi_id": pa.array(np.arange(16, dtype=np.int64)),
+                "n_within": pa.array(within.sum(axis=0).astype(np.int64)),
+                "len_sum": pa.array(
+                    (within * nch[:, None]).sum(axis=0).astype(np.int64)
+                ),
+            }
+        )
+
+    return two_phase_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["poi_id"],
+        ["n_within", "len_sum"],
+        count_as=None,
+    ).sort("poi_id")
+
+
+SQL_POI_RADIUS_COUNTS = f"""
+  WITH pts AS (SELECT doc_id, n_chars, {_GEO_SQL.format(key='doc_id')}
+               FROM documents),
+  poi AS (
+    SELECT i AS poi_id, x AS px, y AS py FROM (
+      SELECT i, {_GEO_SQL.format(key='(7777 + 101 * i)')}
+      FROM (VALUES {_POI_VALUES_SQL}) t(i)))
+  SELECT CAST(poi_id AS BIGINT) AS poi_id,
+         CAST(count(p.doc_id) AS BIGINT) AS n_within,
+         CAST(coalesce(sum(p.n_chars), 0) AS BIGINT) AS len_sum
+  FROM poi LEFT JOIN pts p
+    ON (p.x - px) * (p.x - px) + (p.y - py) * (p.y - py)
+       <= {_POI_RADIUS!r} * {_POI_RADIUS!r}
+  GROUP BY 1 ORDER BY poi_id
+"""
+
+
+def q_hex_dbscan(sf_dir: str) -> Dataset:
+    """GRID DBSCAN (density-based spatial clustering, cell variant):
+    hex cells holding ≥ 2 documents are dense; clusters = connected
+    components of dense cells under 6-axial adjacency, labelled by the
+    component's minimum cell code — the hotspot-region extractor that
+    composes the hex census with the graph kernel.  Scale shape: the
+    census reduces two-phase; at this grid resolution the dense-cell
+    table is bounded (≤ grid cells) so the union-find runs once on the
+    collected census (finer resolutions route the adjacency edges
+    through stages/graph.py::connected_components).  SQL = recursive
+    reachability closure with min-root labels (the group_union
+    pattern on the axial lattice)."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    census = two_phase_sum(
+        _hex_prepare(ds, "doc_id"), ["r", "q"], [], count_as="x"
+    ).take_all()
+    dense = {
+        (int(c["r"]), int(c["q"])): int(c["x"])
+        for c in census
+        if int(c["x"]) >= 2
+    }
+
+    def code(rq: tuple) -> int:
+        return (rq[0] + 1024) * 2048 + (rq[1] + 1024)
+
+    parent = {k: k for k in dense}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for (r, q) in dense:
+        for dr, dq in ((1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)):
+            b = (r + dr, q + dq)
+            if b in dense:
+                ra, rb = find((r, q)), find(b)
+                if ra != rb:  # min-code root keeps SQL label parity
+                    lo, hi = (ra, rb) if code(ra) < code(rb) else (rb, ra)
+                    parent[hi] = lo
+    clusters: dict[int, list[int]] = {}
+    for k, x in dense.items():
+        root = code(find(k))
+        agg = clusters.setdefault(root, [0, 0])
+        agg[0] += 1
+        agg[1] += x
+    rows = [
+        {"cluster": c, "n_cells": clusters[c][0], "n_docs": clusters[c][1]}
+        for c in sorted(clusters)
+    ]
+    return ray.data.from_arrow(pa.Table.from_pylist(rows)).sort("cluster")
+
+
+SQL_HEX_DBSCAN = (
+    # the reach closure needs RECURSIVE on the shared WITH chain
+    _hex_cte("documents", "doc_id", "doc_id").replace(
+        "WITH pts AS", "WITH RECURSIVE pts AS", 1
+    )
+    + """
+, cells AS (SELECT r, q, count(*) AS x FROM hexed GROUP BY 1, 2),
+dense AS (SELECT r, q, x, (r + 1024) * 2048 + (q + 1024) AS id
+          FROM cells WHERE x >= 2),
+offs(dr, dq) AS (VALUES (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)),
+edges AS (
+  SELECT a.id AS src, b.id AS dst
+  FROM dense a JOIN offs o ON true
+  JOIN dense b ON b.r = a.r + o.dr AND b.q = a.q + o.dq),
+reach(a, b) AS (
+  SELECT id, id FROM dense
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+comp AS (SELECT a, min(b) AS root FROM reach GROUP BY a)
+SELECT CAST(c.root AS BIGINT) AS cluster,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(d.x) AS BIGINT) AS n_docs
+FROM comp c JOIN dense d ON d.id = c.a
+GROUP BY 1 ORDER BY cluster
+"""
+)
+
+
 def q_hex_moran(sf_dir: str) -> Dataset:
     """GLOBAL MORAN'S I spatial autocorrelation over the per-hex doc
     census — the hotspot-clustering statistic of the geospatial tier,
@@ -13996,6 +14140,8 @@ RAY_QUERIES = {
     "langid_confusion": q_langid_confusion,
     "regex_token_counts": q_regex_token_counts,
     "hex_moran": q_hex_moran,
+    "poi_radius_counts": q_poi_radius_counts,
+    "hex_dbscan": q_hex_dbscan,
     "partition_checksums": q_partition_checksums,
     "corpus_distinct_ngrams": q_corpus_distinct_ngrams,
     "revenue_changepoint": q_revenue_changepoint,
@@ -14201,6 +14347,8 @@ ORACLES = {
     "langid_confusion": SQL_LANGID_CONFUSION,
     "regex_token_counts": SQL_REGEX_TOKEN_COUNTS,
     "hex_moran": SQL_HEX_MORAN,
+    "poi_radius_counts": SQL_POI_RADIUS_COUNTS,
+    "hex_dbscan": SQL_HEX_DBSCAN,
     "partition_checksums": SQL_PARTITION_CHECKSUMS,
     "corpus_distinct_ngrams": SQL_CORPUS_DISTINCT_NGRAMS,
     "revenue_changepoint": SQL_REVENUE_CHANGEPOINT,

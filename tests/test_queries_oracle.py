@@ -136,6 +136,10 @@ ORACLE_NAMES = [
     "partition_checksums",
     # global Moran's I over the hex census, exact-integer ratio
     "hex_moran",
+    # within-radius distance join, 16 broadcast sites
+    "poi_radius_counts",
+    # grid DBSCAN: dense hex cells -> 6-adjacency components
+    "hex_dbscan",
 ]
 
 
