@@ -13350,6 +13350,187 @@ SQL_REVENUE_EWMA = """
 """
 
 
+def q_hex_od_flows(sf_dir: str) -> Dataset:
+    """ORIGIN→DESTINATION flow matrix — the movement-analytics
+    primitive: each user's consecutive events (by ts, event_id) form a
+    move between the events' hex cells (events geocode by event_id =
+    the event's place; the user is the mover), censused per (from,
+    to) cell pair.  Scale shape: a user's events co-locate in one
+    user-hash coarse group, the move pairs emerge from ONE lexsort
+    pass per group and pre-aggregate there — the exchange carries
+    (from, to) census partials, never per-move rows.  SQL = lag()
+    per user joined twice against the shared hex assignment."""
+    from hexscape_ray.stages.dedup import _pairs_via_groups, coarse_width
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    n_est = _table_nrows(sf_dir, "events")
+    mask = np.int64(coarse_width(n_est) - 1)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        b = geocode_ids_batch(batch, "event_id")
+        b = hex_encode_batch(b, SPEC, resolutions=(0,))
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "__coarse": pa.array(np.bitwise_and(uid, mask)),
+                "uid": pa.array(uid),
+                "us": batch["ts"].cast(pa.int64()),
+                "eid": batch["event_id"],
+                "r": b["r"],
+                "q": b["q"],
+            }
+        )
+
+    def moves_block(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(
+                {
+                    "fr": np.empty(0, np.int64),
+                    "fq": np.empty(0, np.int64),
+                    "tr": np.empty(0, np.int64),
+                    "tq": np.empty(0, np.int64),
+                    "n_moves": np.empty(0, np.int64),
+                }
+            )
+        uid = g["uid"].to_numpy()
+        us = g["us"].to_numpy()
+        eid = g["eid"].to_numpy()
+        r = g["r"].to_numpy()
+        q = g["q"].to_numpy()
+        order = np.lexsort((eid, us, uid))
+        uid, r, q = uid[order], r[order], q[order]
+        same = uid[1:] == uid[:-1]
+        quad = np.stack(
+            [r[:-1][same], q[:-1][same], r[1:][same], q[1:][same]], axis=1
+        )
+        u, cnt = np.unique(quad, axis=0, return_counts=True)
+        return pd.DataFrame(
+            {
+                "fr": u[:, 0],
+                "fq": u[:, 1],
+                "tr": u[:, 2],
+                "tq": u[:, 3],
+                "n_moves": cnt.astype(np.int64),
+            }
+        )
+
+    parts = _pairs_via_groups(
+        ev.map_batches(prep, batch_format="pyarrow"), n_est, moves_block
+    )
+    return two_phase_sum(
+        parts, ["fr", "fq", "tr", "tq"], ["n_moves"], count_as=None
+    ).sort(["fr", "fq", "tr", "tq"])
+
+
+SQL_HEX_OD_FLOWS = (
+    _hex_cte("events", "event_id", "event_id")
+    + """
+, e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+o AS (SELECT event_id,
+             lag(event_id) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id) AS prev_id
+      FROM e),
+p AS (SELECT prev_id, event_id FROM o WHERE prev_id IS NOT NULL)
+SELECT hf.r AS fr, hf.q AS fq, ht.r AS tr, ht.q AS tq,
+       count(*) AS n_moves
+FROM p JOIN hexed hf ON hf.event_id = p.prev_id
+JOIN hexed ht ON ht.event_id = p.event_id
+GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4
+"""
+)
+
+
+def q_hex_event_trend(sf_dir: str) -> Dataset:
+    """EMERGING-HOTSPOT trend: per hex cell, the OLS slope of weekly
+    event counts over the global week axis, kept EXACT — with week
+    index w (0-based over [min, max] weeks) the numerator n_w·Σ(w·x) −
+    (Σw)·(Σx) only needs the OBSERVED (cell, week) census rows (zero
+    weeks contribute nothing), and the denominator n_w·Σw² − (Σw)² is
+    one shared integer constant from closed forms.  Micro-slope uses
+    the same +8-shift trunc==floor bridge as hex_moran.  Scale shape:
+    the (cell, week) census reduces two-phase; per-cell sums run once
+    over the bounded cells×weeks table."""
+    ev = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        b = geocode_ids_batch(batch, "event_id")
+        b = hex_encode_batch(b, SPEC, resolutions=(0,))
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "r": b["r"],
+                "q": b["q"],
+                "week": pa.array((us // (7 * _US_PER_DAY)).astype(np.int64)),
+            }
+        )
+
+    census = two_phase_sum(
+        ev.map_batches(prep, batch_format="pyarrow"), ["r", "q", "week"], [], count_as="x"
+    ).take_all()
+    w0 = min(int(c["week"]) for c in census)
+    w1 = max(int(c["week"]) for c in census)
+    nw = w1 - w0 + 1
+    sw = nw * (nw - 1) // 2
+    sw2 = (nw - 1) * nw * (2 * nw - 1) // 6
+    den = nw * sw2 - sw * sw
+    assert den > 0, "trend needs >= 2 weeks"
+    cells: dict[tuple, list[int]] = {}
+    for c in census:
+        k = (int(c["r"]), int(c["q"]))
+        agg = cells.setdefault(k, [0, 0])
+        w = int(c["week"]) - w0
+        x = int(c["x"])
+        agg[0] += w * x
+        agg[1] += x
+    rows = []
+    for (r, q) in sorted(cells):
+        swx, sx = cells[(r, q)]
+        num = nw * swx - sw * sx
+        t_x1m = (2_000_000 * (num + 8 * den) + den) // (2 * den) - 8_000_000
+        rows.append(
+            {
+                "r": r,
+                "q": q,
+                "n_events": sx,
+                "trend_num": num,
+                "trend_x1m": t_x1m,
+            }
+        )
+    return ray.data.from_arrow(pa.Table.from_pylist(rows)).sort(["r", "q"])
+
+
+SQL_HEX_EVENT_TREND = (
+    _hex_cte(
+        "events",
+        "event_id",
+        "CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week",
+    )
+    + """
+, c AS (SELECT r, q, week, count(*) AS x FROM hexed GROUP BY 1, 2, 3),
+b AS (SELECT min(week) AS w0, max(week) AS w1 FROM c),
+k AS (SELECT CAST(w1 - w0 + 1 AS HUGEINT) AS nw,
+             CAST((w1 - w0 + 1) AS HUGEINT) * CAST(w1 - w0 AS HUGEINT) // 2
+               AS sw,
+             CAST(w1 - w0 AS HUGEINT) * CAST(w1 - w0 + 1 AS HUGEINT)
+               * CAST(2 * (w1 - w0) + 1 AS HUGEINT) // 6 AS sw2
+      FROM b),
+per AS (
+  SELECT r, q,
+         CAST(sum(CAST(week - w0 AS HUGEINT) * x) AS HUGEINT) AS swx,
+         CAST(sum(x) AS HUGEINT) AS sx
+  FROM c, b GROUP BY 1, 2),
+n AS (SELECT r, q, sx, nw * swx - sw * sx AS num,
+             nw * sw2 - sw * sw AS den
+      FROM per, k)
+SELECT r, q, CAST(sx AS BIGINT) AS n_events,
+       CAST(num AS BIGINT) AS trend_num,
+       CAST((2000000 * (num + 8 * den) + den) // (2 * den) - 8000000
+            AS BIGINT) AS trend_x1m
+FROM n ORDER BY r, q
+"""
+)
+
+
 _POI_RADIUS = 15000.0
 
 
@@ -14142,6 +14323,8 @@ RAY_QUERIES = {
     "hex_moran": q_hex_moran,
     "poi_radius_counts": q_poi_radius_counts,
     "hex_dbscan": q_hex_dbscan,
+    "hex_od_flows": q_hex_od_flows,
+    "hex_event_trend": q_hex_event_trend,
     "partition_checksums": q_partition_checksums,
     "corpus_distinct_ngrams": q_corpus_distinct_ngrams,
     "revenue_changepoint": q_revenue_changepoint,
@@ -14349,6 +14532,8 @@ ORACLES = {
     "hex_moran": SQL_HEX_MORAN,
     "poi_radius_counts": SQL_POI_RADIUS_COUNTS,
     "hex_dbscan": SQL_HEX_DBSCAN,
+    "hex_od_flows": SQL_HEX_OD_FLOWS,
+    "hex_event_trend": SQL_HEX_EVENT_TREND,
     "partition_checksums": SQL_PARTITION_CHECKSUMS,
     "corpus_distinct_ngrams": SQL_CORPUS_DISTINCT_NGRAMS,
     "revenue_changepoint": SQL_REVENUE_CHANGEPOINT,

@@ -140,6 +140,10 @@ ORACLE_NAMES = [
     "poi_radius_counts",
     # grid DBSCAN: dense hex cells -> 6-adjacency components
     "hex_dbscan",
+    # origin->destination flow matrix from per-user event sequences
+    "hex_od_flows",
+    # emerging-hotspot OLS trend per cell, exact integers
+    "hex_event_trend",
 ]
 
 
