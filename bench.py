@@ -291,6 +291,16 @@ def run_queries() -> dict:
         "revenue_ewma",
         "corpus_distinct_ngrams",
         "weighted_median_price",
+        "bootstrap_revenue_ci",
+        "selfjoin_size_ams_stream",
+        "langid_confusion",
+        "regex_token_counts",
+        "partition_checksums",
+        "hex_moran",
+        "poi_radius_counts",
+        "hex_dbscan",
+        "hex_od_flows",
+        "hex_event_trend",
     ]
     out = {}
     for name in names:

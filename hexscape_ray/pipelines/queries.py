@@ -13350,6 +13350,92 @@ SQL_REVENUE_EWMA = """
 """
 
 
+def q_hex_getis(sf_dir: str) -> Dataset:
+    """LOCAL Getis–Ord Gi* hotspot z-scores over the hex doc census —
+    the per-cell companion of hex_moran's global statistic: for each
+    populated cell, S_i = Σ counts over itself + populated 6-axial
+    neighbours, z_i = (S_i − x̄·n_i) / (s·√((n·n_i − n_i²)/(n−1))).
+    Every INPUT is an exact integer (S_i, n_i, n, Σx, Σx²); the z
+    float tree is mirrored node-for-node in SQL (IEEE doubles agree
+    bit-for-bit on identical parse trees — the ols/autocorr
+    discipline), and rounding is the repo-wide floor(x+0.5), which
+    unlike integer division is floor on both engines for negatives.
+    The lattice is the POPULATED cells (zero cells excluded by
+    definition here).  Census two-phase; O(cells) scan once."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    census = two_phase_sum(
+        _hex_prepare(ds, "doc_id"), ["r", "q"], [], count_as="x"
+    ).take_all()
+    cells = {(int(c["r"]), int(c["q"])): int(c["x"]) for c in census}
+    n = len(cells)
+    s_tot = sum(cells.values())
+    sx2 = sum(v * v for v in cells.values())
+    assert n >= 2, "Gi* needs >= 2 cells"
+    rows = []
+    for (r, q) in sorted(cells):
+        si, ni = cells[(r, q)], 1
+        for dr, dq in ((1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)):
+            v = cells.get((r + dr, q + dq))
+            if v is not None:
+                si += v
+                ni += 1
+        # mirrored float tree — keep this expression in lockstep with
+        # SQL_HEX_GETIS (same operand order, same casts)
+        xbar = float(s_tot) / float(n)
+        sdev = np.sqrt(float(sx2) / float(n) - xbar * xbar)
+        num = float(si) - xbar * float(ni)
+        den = sdev * np.sqrt(
+            (float(n) * float(ni) - float(ni) * float(ni)) / (float(n) - 1.0)
+        )
+        z = num / den
+        rows.append(
+            {
+                "r": r,
+                "q": q,
+                "x": cells[(r, q)],
+                "s_i": si,
+                "n_i": ni,
+                "z_x1m": int(np.floor(1_000_000.0 * z + 0.5)),
+            }
+        )
+    return ray.data.from_arrow(pa.Table.from_pylist(rows)).sort(["r", "q"])
+
+
+SQL_HEX_GETIS = (
+    _hex_cte("documents", "doc_id", "doc_id")
+    + """
+, cells AS (SELECT r, q, count(*) AS x FROM hexed GROUP BY 1, 2),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s,
+               CAST(sum(x * x) AS BIGINT) AS sx2
+        FROM cells),
+offs(dr, dq) AS (VALUES (0, 0), (1, 0), (-1, 0), (0, 1), (0, -1),
+                        (1, -1), (-1, 1)),
+nb AS (
+  SELECT a.r, a.q, CAST(sum(b.x) AS BIGINT) AS si,
+         CAST(count(*) AS BIGINT) AS ni
+  FROM cells a JOIN offs o ON true
+  JOIN cells b ON b.r = a.r + o.dr AND b.q = a.q + o.dq
+  GROUP BY 1, 2),
+z AS (
+  SELECT nb.r, nb.q, c.x, nb.si, nb.ni,
+         (CAST(nb.si AS DOUBLE)
+          - (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+            * CAST(nb.ni AS DOUBLE))
+         / (sqrt(CAST(t.sx2 AS DOUBLE) / CAST(t.n AS DOUBLE)
+                 - (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+                   * (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)))
+            * sqrt((CAST(t.n AS DOUBLE) * CAST(nb.ni AS DOUBLE)
+                    - CAST(nb.ni AS DOUBLE) * CAST(nb.ni AS DOUBLE))
+                   / (CAST(t.n AS DOUBLE) - 1.0))) AS zval
+  FROM nb JOIN cells c ON c.r = nb.r AND c.q = nb.q, tot t)
+SELECT r, q, CAST(x AS BIGINT) AS x, si AS s_i, ni AS n_i,
+       CAST(floor(1000000.0 * zval + 0.5) AS BIGINT) AS z_x1m
+FROM z ORDER BY r, q
+"""
+)
+
+
 def q_hex_od_flows(sf_dir: str) -> Dataset:
     """ORIGIN→DESTINATION flow matrix — the movement-analytics
     primitive: each user's consecutive events (by ts, event_id) form a
@@ -14325,6 +14411,7 @@ RAY_QUERIES = {
     "hex_dbscan": q_hex_dbscan,
     "hex_od_flows": q_hex_od_flows,
     "hex_event_trend": q_hex_event_trend,
+    "hex_getis": q_hex_getis,
     "partition_checksums": q_partition_checksums,
     "corpus_distinct_ngrams": q_corpus_distinct_ngrams,
     "revenue_changepoint": q_revenue_changepoint,
@@ -14534,6 +14621,7 @@ ORACLES = {
     "hex_dbscan": SQL_HEX_DBSCAN,
     "hex_od_flows": SQL_HEX_OD_FLOWS,
     "hex_event_trend": SQL_HEX_EVENT_TREND,
+    "hex_getis": SQL_HEX_GETIS,
     "partition_checksums": SQL_PARTITION_CHECKSUMS,
     "corpus_distinct_ngrams": SQL_CORPUS_DISTINCT_NGRAMS,
     "revenue_changepoint": SQL_REVENUE_CHANGEPOINT,

@@ -144,6 +144,8 @@ ORACLE_NAMES = [
     "hex_od_flows",
     # emerging-hotspot OLS trend per cell, exact integers
     "hex_event_trend",
+    # local Getis-Ord Gi* z-scores, mirrored float tree (two sqrts)
+    "hex_getis",
 ]
 
 
