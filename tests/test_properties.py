@@ -189,3 +189,106 @@ def test_hilbert_bijective_and_adjacent():
     xs, ys = ux.ravel()[order], uy.ravel()[order]
     step = np.abs(np.diff(xs)) + np.abs(np.diff(ys))
     assert np.all(step == 1)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(0, 2**64 - 1), min_size=1, max_size=200))
+def test_popcount64_matches_bit_count(vals):
+    from hexscape_ray.stages.multimodal import popcount64
+
+    arr = np.array(vals, dtype=np.uint64)
+    got = popcount64(arr)
+    want = np.array([int(v).bit_count() for v in vals], dtype=np.int64)
+    assert (got == want).all()
+
+
+def test_bootstrap_ladder_marginals():
+    """The frozen Poisson(1) cut points give k-marginals within 1% of
+    e^-1/k! over a large deterministic hash sample."""
+    import math
+
+    from hexscape_ray.functions.hashing import splitmix64
+    from hexscape_ray.pipelines.queries import _BOOT_T
+
+    h = splitmix64(np.arange(2_000_000, dtype=np.uint64))
+    ts = np.array(_BOOT_T, dtype=np.uint64)
+    k = (h[:, None] >= ts[None, :]).sum(axis=1)
+    e = math.exp(-1.0)
+    for kk in range(5):
+        want = e / math.factorial(kk)
+        got = float((k == kk).mean())
+        assert abs(got - want) < 0.01, (kk, got, want)
+    assert int(k.max()) <= 7
+
+
+def test_moran_sign_on_known_configurations():
+    """Moran numerator: clustered blob > 0, checkerboard < 0 — the
+    exact-integer statistic (same formula as q_hex_moran) has the
+    textbook signs on known lattices."""
+
+    def moran_num(cells):
+        n = len(cells)
+        s = sum(cells.values())
+        z = {k: n * v - s for k, v in cells.items()}
+        szz = 0
+        for (r, q), zi in z.items():
+            for dr, dq in ((1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)):
+                zj = z.get((r + dr, q + dq))
+                if zj is not None:
+                    szz += zi * zj
+        return n * szz
+
+    blob = {}
+    for r in range(6):
+        for q in range(6):
+            blob[(r, q)] = 10 if (r < 3 and q < 3) else 1
+    assert moran_num(blob) > 0
+    checker = {(r, q): (10 if (r + q) % 2 == 0 else 1) for r in range(6) for q in range(6)}
+    assert moran_num(checker) < 0
+
+
+def test_dbscan_labels_match_bruteforce_reachability():
+    """Union-find min-code labels == brute-force closure min over a
+    random dense-cell lattice (the q_hex_dbscan invariant)."""
+    rng = np.random.default_rng(5)
+    dense = {
+        (int(r), int(q))
+        for r, q in zip(rng.integers(0, 12, 60), rng.integers(0, 12, 60))
+    }
+    offs = ((1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1))
+
+    def code(k):
+        return (k[0] + 1024) * 2048 + (k[1] + 1024)
+
+    # brute closure
+    want = {}
+    for start in dense:
+        seen = {start}
+        frontier = [start]
+        while frontier:
+            cur = frontier.pop()
+            for dr, dq in offs:
+                nb = (cur[0] + dr, cur[1] + dq)
+                if nb in dense and nb not in seen:
+                    seen.add(nb)
+                    frontier.append(nb)
+        want[start] = min(code(k) for k in seen)
+
+    parent = {k: k for k in dense}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for k in dense:
+        for dr, dq in offs:
+            b = (k[0] + dr, k[1] + dq)
+            if b in dense:
+                ra, rb = find(k), find(b)
+                if ra != rb:
+                    lo, hi = (ra, rb) if code(ra) < code(rb) else (rb, ra)
+                    parent[hi] = lo
+    got = {k: code(find(k)) for k in dense}
+    assert got == want
