@@ -2622,6 +2622,92 @@ def q_image_phash_dups(sf_dir: str) -> Dataset:
     return pairs.map_batches(verify, batch_format="pyarrow").sort(["a", "b"])
 
 
+def q_audio_fp_dups(sf_dir: str) -> Dataset:
+    """NEAR-DUPLICATE AUDIO detection — the audio twin of
+    image_phash_dups, completing content dedup across all three
+    modalities (text SimHash/MinHash, image pHash, audio spectral
+    fingerprint): 60-bit gain-invariant spectral-shape fingerprints
+    (stages/multimodal.py::audio_fp60) over REAL decoded samples
+    (stdlib WAV + from-scratch FLAC), 6 exact-match bands of 10 bits
+    (guaranteed recall at hamming ≤ 5), keyed pair dedup, SWAR
+    popcount verify at threshold ≤ 2.  Fixture seeds lossless
+    wav↔flac transcodes and 0.7× volume-scaled copies — both
+    fingerprint IDENTICALLY (pure energy comparisons) while unrelated
+    multi-harmonic clips measure hamming ≥ 4.  Rows-only; recall and
+    precision asserted in pytest."""
+    from hexscape_ray.stages.multimodal import (
+        audio_fp_batch,
+        gen_media_audio_dups,
+        popcount64,
+    )
+
+    t, _ = gen_media_audio_dups(n=80)
+    hashed = ray.data.from_arrow(t).map_batches(
+        audio_fp_batch, batch_format="pyarrow"
+    )
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        mid = batch["media_id"].to_numpy(zero_copy_only=False)
+        fp = batch["afp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = fp.view(np.uint64)
+        gs, ms, hs = [], [], []
+        for b in range(6):
+            key = ((u >> np.uint64(10 * b)) & np.uint64(0x3FF)).astype(np.int64)
+            gs.append(np.int64(b << 10) | key)
+            ms.append(mid)
+            hs.append(fp)
+        return pa.table(
+            {
+                "__g": pa.array(np.concatenate(gs)),
+                "media_id": pa.array(np.concatenate(ms)),
+                "afp": pa.array(np.concatenate(hs)),
+            }
+        )
+
+    bands = hashed.map_batches(band_rows, batch_format="pyarrow")
+
+    def pairs_block(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["media_id"].to_numpy()
+        fp = g["afp"].to_numpy()
+        order = np.argsort(ids)
+        ids, fp = ids[order], fp[order]
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame(
+            {"a": ids[ii], "b": ids[jj], "ha": fp[ii], "hb": fp[jj]}
+        )
+
+    pairs = two_phase_sum(
+        bands.groupby("__g").map_groups(pairs_block, batch_format="pandas"),
+        ["a", "b", "ha", "hb"],
+        [],
+        count_as="n_bands_hit",
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ha = batch["ha"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hb = batch["hb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ham = popcount64((ha ^ hb).view(np.uint64))
+        keep = ham <= 2
+        return pa.table(
+            {
+                "a": pa.array(
+                    batch["a"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+                ),
+                "b": pa.array(
+                    batch["b"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+                ),
+                "hamming": pa.array(ham[keep]),
+                "n_bands_hit": pa.array(
+                    batch["n_bands_hit"]
+                    .to_numpy(zero_copy_only=False)[keep]
+                    .astype(np.int64)
+                ),
+            }
+        )
+
+    return pairs.map_batches(verify, batch_format="pyarrow").sort(["a", "b"])
+
+
 def q_video_frames(sf_dir: str) -> Dataset:
     import ray.data as rd
 
@@ -14242,6 +14328,7 @@ RAY_QUERIES = {
     "minhash_pairs_verified": q_minhash_pairs_verified,
     "media_features": q_media_features,
     "image_phash_dups": q_image_phash_dups,
+    "audio_fp_dups": q_audio_fp_dups,
     "video_frames": q_video_frames,
     "video_frame_features": q_video_frame_features,
     "crs_transform": q_crs_transform,

@@ -616,3 +616,126 @@ def gen_media_dups(n: int = 200, seed: int = 7) -> tuple[pa.Table, list[tuple[in
         }
     )
     return t, expected
+
+
+# ---------------------------------------------------------------------------
+# audio spectral fingerprinting — the audio twin of pHash dedup
+# ---------------------------------------------------------------------------
+
+
+def decode_audio_samples(payload: bytes) -> np.ndarray | None:
+    """payload → float sample vector via the native wav/flac codecs,
+    None when no real decoder applies."""
+    try:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return decode_wav(payload)[0]
+        if payload[:4] == b"fLaC":
+            return decode_flac(payload)[0]
+    except ValueError:
+        return None
+    return None
+
+
+def audio_fp60(x: np.ndarray) -> int:
+    """60-bit GAIN-INVARIANT spectral-shape fingerprint (Haitsma–
+    Kalker family): the clip splits into 4 equal time quarters; each
+    quarter's rfft magnitude averages into 16 geometrically-spaced
+    bands; bit (b, k) = E[b, k] > E[b+1, k] — adjacent-BAND energy
+    comparisons capture the spectral shape per quarter, and pure
+    comparisons mean a volume-scaled copy fingerprints identically
+    and a lossless transcode exactly so."""
+    x = np.asarray(x, dtype=np.float64)
+    q = x.shape[0] // 4
+    if q < 32:
+        return 0
+    e = np.empty((16, 4))
+    for k in range(4):
+        mag = np.abs(np.fft.rfft(x[k * q : (k + 1) * q]))
+        edges = np.unique(
+            np.round(np.geomspace(1, max(mag.size, 2), 17)).astype(np.int64)
+        )
+        for b in range(16):
+            if b < edges.size - 1:
+                seg = mag[edges[b] : edges[b + 1]]
+                e[b, k] = seg.mean() if seg.size else 0.0
+            else:
+                e[b, k] = 0.0
+    h = 0
+    bit = 0
+    for k in range(4):
+        for b in range(15):
+            if e[b, k] > e[b + 1, k]:
+                h |= 1 << bit
+            bit += 1
+    return h
+
+
+def audio_fp_batch(batch: pa.Table) -> pa.Table:
+    """(media_id, payload) → (media_id, afp) for decodable audio."""
+    ids, fps = [], []
+    for mid, p in zip(batch["media_id"].to_pylist(), batch["payload"].to_pylist()):
+        x = decode_audio_samples(p)
+        if x is None or len(x) < 128:
+            continue
+        ids.append(mid)
+        fps.append(audio_fp60(x))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.int64()),
+            "afp": pa.array(fps, type=pa.int64()),
+        }
+    )
+
+
+def gen_media_audio_dups(n: int = 80, seed: int = 7) -> tuple[pa.Table, list[tuple[int, int]]]:
+    """Synthetic audio corpus + seeded NEAR-DUPLICATES for the
+    fingerprint op: multi-harmonic clips (4 partials with random
+    amplitudes/phases over a random fundamental + noise — rich
+    spectral shapes, unlike pure sines whose fingerprints collide),
+    encoded wav/flac alternating.  Every second clip re-issues as a
+    lossless container transcode or a 0.7x volume-scaled copy under
+    media_id = orig + 200000.  Returns (table, expected pairs)."""
+    rng = np.random.default_rng(seed)
+    ids, urls, kinds, payloads, metas = [], [], [], [], []
+    expected = []
+    for i in range(n):
+        ns = int(rng.integers(1200, 2400))
+        t = np.arange(ns)
+        f0 = float(rng.uniform(80, 900))
+        x = rng.normal(0, 0.01, ns)
+        for hmul in range(1, 5):
+            amp = float(rng.uniform(0.05, 0.5))
+            ph = float(rng.uniform(0, 2 * np.pi))
+            x = x + amp * np.sin(2 * np.pi * f0 * hmul * t / 8000.0 + ph)
+        x = 0.8 * x / max(np.abs(x).max(), 1e-9)
+        payload = encode_wav(x, rate=8000) if i % 2 == 0 else encode_flac(x, rate=8000)
+        ids.append(i)
+        urls.append(f"https://media.example/a{i}")
+        kinds.append("audio")
+        payloads.append(payload)
+        metas.append(
+            {"width": 0, "height": 0, "duration_ms": ns * 1000 // 8000,
+             "codec": "wav" if i % 2 == 0 else "flac"}
+        )
+        if i % 2 == 0:
+            xdec = decode_audio_samples(payload)
+            if i % 4 == 0:  # lossless container transcode
+                dup = encode_flac(xdec, rate=8000)
+            else:  # volume-scaled copy (gain invariance)
+                dup = encode_wav(0.7 * np.asarray(xdec, dtype=np.float64), rate=8000)
+            ids.append(i + 200_000)
+            urls.append(f"https://media.example/a{i}#adup")
+            kinds.append("audio")
+            payloads.append(dup)
+            metas.append(metas[-1])
+            expected.append((i, i + 200_000))
+    t = pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.int64()),
+            "url": pa.array(urls, type=pa.string()),
+            "kind": pa.array(kinds, type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "meta": pa.array(metas),
+        }
+    )
+    return t, expected

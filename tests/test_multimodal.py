@@ -514,3 +514,42 @@ def test_image_phash_dups_query_recall(ray_session):
     assert got == set(expected)
     assert (df["hamming"] <= 10).all()
     assert (df["n_bands_hit"] >= 1).all()
+
+
+def test_audio_fp_invariances_and_separation():
+    """Spectral fingerprint is identical under lossless transcode and
+    volume scaling; unrelated multi-harmonic clips stay hamming >= 3."""
+    from hexscape_ray.stages.multimodal import (
+        audio_fp_batch,
+        gen_media_audio_dups,
+        popcount64,
+    )
+
+    t, expected = gen_media_audio_dups(n=80)
+    fp = audio_fp_batch(t)
+    d = dict(zip(fp["media_id"].to_pylist(), fp["afp"].to_pylist()))
+    eset = set(expected)
+    for a, b in expected:
+        assert d[a] == d[b], (a, b)
+    ids = sorted(d)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            if (a, b) in eset:
+                continue
+            ham = int(
+                popcount64(np.array([d[a] ^ d[b]], dtype=np.int64).view(np.uint64))[0]
+            )
+            assert ham > 2, (a, b, ham)
+
+
+def test_audio_fp_dups_query_recall(ray_session):
+    """The banded pipeline finds exactly the seeded audio dup pairs."""
+    from hexscape_ray.pipelines.queries import RAY_QUERIES
+    from hexscape_ray.stages.multimodal import gen_media_audio_dups
+
+    _, expected = gen_media_audio_dups(n=80)
+    df = RAY_QUERIES["audio_fp_dups"]("unused").to_pandas()
+    got = set(zip(df["a"].astype(int), df["b"].astype(int)))
+    assert got == set(expected)
+    assert (df["hamming"] <= 2).all()
