@@ -2708,6 +2708,90 @@ def q_audio_fp_dups(sf_dir: str) -> Dataset:
     return pairs.map_batches(verify, batch_format="pyarrow").sort(["a", "b"])
 
 
+def q_video_fp_dups(sf_dir: str) -> Dataset:
+    """NEAR-DUPLICATE VIDEO detection — content dedup now spans all
+    FOUR modalities (text SimHash/MinHash, image pHash, audio spectral
+    fingerprint, video): each MJPEG-AVI clip fingerprints as the
+    MAJORITY VOTE of its frames' pHashes (real RIFF parse + the numpy
+    JPEG decoder; per-frame re-encode jitter averages out), candidates
+    from 8 exact-match 8-bit bands, keyed pair dedup, SWAR popcount
+    verify at threshold ≤ 11.  Fixture seeds true lossy transcodes
+    (every frame decoded and re-encoded at JPEG q85): measured hamming
+    ≤ 10 and ≥ 3 shared bands for dups vs ≥ 13 for unrelated clips.
+    Rows-only; recall/precision asserted in pytest."""
+    from hexscape_ray.stages.multimodal import (
+        gen_media_video_dups,
+        popcount64,
+        video_fp_batch,
+    )
+
+    t, _ = gen_media_video_dups(n=40)
+    hashed = ray.data.from_arrow(t).map_batches(
+        video_fp_batch, batch_format="pyarrow"
+    )
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        mid = batch["media_id"].to_numpy(zero_copy_only=False)
+        fp = batch["vfp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = fp.view(np.uint64)
+        gs, ms, hs = [], [], []
+        for b in range(8):
+            key = ((u >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.int64)
+            gs.append(np.int64(b << 8) | key)
+            ms.append(mid)
+            hs.append(fp)
+        return pa.table(
+            {
+                "__g": pa.array(np.concatenate(gs)),
+                "media_id": pa.array(np.concatenate(ms)),
+                "vfp": pa.array(np.concatenate(hs)),
+            }
+        )
+
+    bands = hashed.map_batches(band_rows, batch_format="pyarrow")
+
+    def pairs_block(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["media_id"].to_numpy()
+        fp = g["vfp"].to_numpy()
+        order = np.argsort(ids)
+        ids, fp = ids[order], fp[order]
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame(
+            {"a": ids[ii], "b": ids[jj], "ha": fp[ii], "hb": fp[jj]}
+        )
+
+    pairs = two_phase_sum(
+        bands.groupby("__g").map_groups(pairs_block, batch_format="pandas"),
+        ["a", "b", "ha", "hb"],
+        [],
+        count_as="n_bands_hit",
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ha = batch["ha"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hb = batch["hb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ham = popcount64((ha ^ hb).view(np.uint64))
+        keep = ham <= 11
+        return pa.table(
+            {
+                "a": pa.array(
+                    batch["a"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+                ),
+                "b": pa.array(
+                    batch["b"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+                ),
+                "hamming": pa.array(ham[keep]),
+                "n_bands_hit": pa.array(
+                    batch["n_bands_hit"]
+                    .to_numpy(zero_copy_only=False)[keep]
+                    .astype(np.int64)
+                ),
+            }
+        )
+
+    return pairs.map_batches(verify, batch_format="pyarrow").sort(["a", "b"])
+
+
 def q_video_frames(sf_dir: str) -> Dataset:
     import ray.data as rd
 
@@ -14329,6 +14413,7 @@ RAY_QUERIES = {
     "media_features": q_media_features,
     "image_phash_dups": q_image_phash_dups,
     "audio_fp_dups": q_audio_fp_dups,
+    "video_fp_dups": q_video_fp_dups,
     "video_frames": q_video_frames,
     "video_frame_features": q_video_frame_features,
     "crs_transform": q_crs_transform,

@@ -739,3 +739,123 @@ def gen_media_audio_dups(n: int = 80, seed: int = 7) -> tuple[pa.Table, list[tup
         }
     )
     return t, expected
+
+
+# ---------------------------------------------------------------------------
+# video fingerprinting — per-frame pHash majority vote over MJPEG-AVI
+# ---------------------------------------------------------------------------
+
+
+def video_fp64(payload: bytes) -> int | None:
+    """MJPEG-AVI payload → 63-bit clip signature: pHash each frame
+    (real RIFF parse + the numpy JPEG decoder), then MAJORITY VOTE per
+    bit across frames — single-frame hash jitter from re-encoding
+    averages out, so a quality-70 re-encode of the same clip lands
+    within a few bits.  None when the payload isn't parseable AVI."""
+    try:
+        frames, _fps, _w, _h = parse_avi_mjpeg(payload)
+    except ValueError:
+        return None
+    votes = np.zeros(63, dtype=np.int64)
+    n = 0
+    for jb in frames:
+        try:
+            arr = decode_jpeg(jb)
+        except ValueError:
+            continue
+        h = phash64(arr)
+        bits = (h >> np.arange(63, dtype=np.uint64)) & 1
+        votes += bits.astype(np.int64)
+        n += 1
+    if n == 0:
+        return None
+    maj = votes * 2 > n  # strict majority; ties -> 0 (deterministic)
+    out = 0
+    for j in np.nonzero(maj)[0]:
+        out |= 1 << int(j)
+    return out
+
+
+def video_fp_batch(batch: pa.Table) -> pa.Table:
+    """(media_id, payload) → (media_id, vfp) for parseable videos."""
+    ids, fps = [], []
+    for mid, p in zip(batch["media_id"].to_pylist(), batch["payload"].to_pylist()):
+        fp = video_fp64(p)
+        if fp is None:
+            continue
+        ids.append(mid)
+        fps.append(fp)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.int64()),
+            "vfp": pa.array(fps, type=pa.int64()),
+        }
+    )
+
+
+def gen_media_video_dups(n: int = 40, seed: int = 7) -> tuple[pa.Table, list[tuple[int, int]]]:
+    """Synthetic MJPEG-AVI corpus + seeded VISUAL near-duplicates:
+    textured moving-gradient clips (4-8 frames); every second clip
+    re-issues with every frame decoded and re-encoded at JPEG quality
+    85 (a true lossy transcode) under media_id = orig + 300000."""
+    rng = np.random.default_rng(seed)
+    ids, urls, kinds, payloads, metas = [], [], [], [], []
+    expected = []
+    for i in range(n):
+        nf = int(rng.integers(4, 9))
+        fw, fh = int(rng.integers(36, 64)), int(rng.integers(36, 64))
+        fps_ = int(rng.integers(5, 25))
+        yy, xx = np.meshgrid(np.arange(fh), np.arange(fw), indexing="ij")
+        a1, a2 = float(rng.uniform(60, 200)), float(rng.uniform(60, 200))
+        ph1, ph2 = float(rng.uniform(0, 6)), float(rng.uniform(0, 6))
+        u1, u2 = float(rng.uniform(3.0, 14.0)), float(rng.uniform(3.0, 14.0))
+        th1, th2 = float(rng.uniform(0, np.pi)), float(rng.uniform(0, np.pi))
+        g1 = (yy * np.cos(th1) + xx * np.sin(th1)) / u1
+        g2 = (yy * np.cos(th2) + xx * np.sin(th2)) / u2
+        frames = []
+        for f in range(nf):
+            img = np.clip(
+                np.stack(
+                    [
+                        a1 * (0.5 + 0.5 * np.sin(g1 + ph1 + f * 0.3)),
+                        a2 * (0.5 + 0.5 * np.cos(g2 + ph2 + f * 0.2)),
+                        (yy + xx) * (90.0 / max(fh + fw - 2, 1)) + f * 4.0,
+                    ],
+                    axis=2,
+                )
+                + rng.normal(0, 3, (fh, fw, 3)),
+                0,
+                255,
+            ).astype(np.uint8)
+            frames.append(img)
+        payload = encode_avi_mjpeg(frames, fps=fps_)
+        ids.append(i)
+        urls.append(f"https://media.example/v{i}")
+        kinds.append("video")
+        payloads.append(payload)
+        metas.append(
+            {"width": fw, "height": fh, "duration_ms": nf * 1000 // fps_,
+             "codec": "mjpeg"}
+        )
+        if i % 2 == 0:  # lossy transcode dup: decode + re-encode q70
+            jbs, fps2, _w, _h = parse_avi_mjpeg(payload)
+            re_frames = [decode_jpeg(jb) for jb in jbs]
+            dup = encode_avi_mjpeg(
+                [encode_jpeg(fr, quality=85) for fr in re_frames], fps=fps2
+            )
+            ids.append(i + 300_000)
+            urls.append(f"https://media.example/v{i}#vdup")
+            kinds.append("video")
+            payloads.append(dup)
+            metas.append(metas[-1])
+            expected.append((i, i + 300_000))
+    t = pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.int64()),
+            "url": pa.array(urls, type=pa.string()),
+            "kind": pa.array(kinds, type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "meta": pa.array(metas),
+        }
+    )
+    return t, expected

@@ -553,3 +553,18 @@ def test_audio_fp_dups_query_recall(ray_session):
     got = set(zip(df["a"].astype(int), df["b"].astype(int)))
     assert got == set(expected)
     assert (df["hamming"] <= 2).all()
+
+
+def test_video_fp_dups_query_recall(ray_session):
+    """The banded pipeline finds exactly the seeded lossy-transcode
+    video dup pairs (majority-vote pHash; q85 re-encode <= 11 bits,
+    unrelated clips >= 13)."""
+    from hexscape_ray.pipelines.queries import RAY_QUERIES
+    from hexscape_ray.stages.multimodal import gen_media_video_dups
+
+    _, expected = gen_media_video_dups(n=40)
+    df = RAY_QUERIES["video_fp_dups"]("unused").to_pandas()
+    got = set(zip(df["a"].astype(int), df["b"].astype(int)))
+    assert got == set(expected)
+    assert (df["hamming"] <= 11).all()
+    assert (df["n_bands_hit"] >= 3).all()
