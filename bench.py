@@ -301,6 +301,9 @@ def run_queries() -> dict:
         "hex_dbscan",
         "hex_od_flows",
         "hex_event_trend",
+        "hex_getis",
+        "audio_fp_dups",
+        "video_fp_dups",
     ]
     out = {}
     for name in names:
