@@ -2531,6 +2531,29 @@ def q_media_features(sf_dir: str) -> Dataset:
     return images
 
 
+_MEDIA_DUP_CACHE: dict[str, object] = {}
+
+
+def _media_dup_table(kind: str):
+    """Driver-cached dup-fixture tables: the image/audio/video fixtures
+    re-encode real payloads (the video one runs the numpy JPEG codec
+    over every frame, ~5 s) — deterministic, so generate once per
+    process."""
+    if kind not in _MEDIA_DUP_CACHE:
+        from hexscape_ray.stages.multimodal import (
+            gen_media_audio_dups,
+            gen_media_dups,
+            gen_media_video_dups,
+        )
+
+        _MEDIA_DUP_CACHE[kind] = {
+            "image": lambda: gen_media_dups(n=200)[0],
+            "audio": lambda: gen_media_audio_dups(n=80)[0],
+            "video": lambda: gen_media_video_dups(n=40)[0],
+        }[kind]()
+    return _MEDIA_DUP_CACHE[kind]
+
+
 def q_image_phash_dups(sf_dir: str) -> Dataset:
     """NEAR-DUPLICATE IMAGE detection via 64-bit perceptual hashes
     (pHash: grayscale → 32×32 → 2-D DCT → sign pattern of the 8×8
@@ -2550,7 +2573,7 @@ def q_image_phash_dups(sf_dir: str) -> Dataset:
         popcount64,
     )
 
-    t, _ = gen_media_dups(n=200)
+    t = _media_dup_table("image")
     ds = ray.data.from_arrow(t).map_batches(
         lambda b: b.filter(pc.equal(b["kind"], "image")), batch_format="pyarrow"
     )
@@ -2641,7 +2664,7 @@ def q_audio_fp_dups(sf_dir: str) -> Dataset:
         popcount64,
     )
 
-    t, _ = gen_media_audio_dups(n=80)
+    t = _media_dup_table("audio")
     hashed = ray.data.from_arrow(t).map_batches(
         audio_fp_batch, batch_format="pyarrow"
     )
@@ -2725,7 +2748,7 @@ def q_video_fp_dups(sf_dir: str) -> Dataset:
         video_fp_batch,
     )
 
-    t, _ = gen_media_video_dups(n=40)
+    t = _media_dup_table("video")
     hashed = ray.data.from_arrow(t).map_batches(
         video_fp_batch, batch_format="pyarrow"
     )
