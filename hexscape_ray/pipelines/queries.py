@@ -13543,6 +13543,115 @@ SQL_REVENUE_EWMA = """
 """
 
 
+def q_hex_flow_imbalance(sf_dir: str) -> Dataset:
+    """NET FLOW per cell — the divergence view of the OD matrix: for
+    every hex cell touched by a move, inflow, outflow and imbalance
+    (in − out).  Rides the SAME per-user lexsort move kernel as
+    hex_od_flows but pre-aggregates per single cell (two rows per
+    move: (to, in) and (from, out)), so the exchange carries per-cell
+    partials — the OD matrix itself is never built.  SQL = the lag
+    CTE unioned both ways."""
+    from hexscape_ray.stages.dedup import _pairs_via_groups, coarse_width
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    n_est = _table_nrows(sf_dir, "events")
+    mask = np.int64(coarse_width(n_est) - 1)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        b = geocode_ids_batch(batch, "event_id")
+        b = hex_encode_batch(b, SPEC, resolutions=(0,))
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "__coarse": pa.array(np.bitwise_and(uid, mask)),
+                "uid": pa.array(uid),
+                "us": batch["ts"].cast(pa.int64()),
+                "eid": batch["event_id"],
+                "r": b["r"],
+                "q": b["q"],
+            }
+        )
+
+    def flow_block(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "r": np.empty(0, np.int64),
+                "q": np.empty(0, np.int64),
+                "n_in": np.empty(0, np.int64),
+                "n_out": np.empty(0, np.int64),
+            }
+        )
+        if len(g) < 2:
+            return empty
+        uid = g["uid"].to_numpy()
+        us = g["us"].to_numpy()
+        eid = g["eid"].to_numpy()
+        r = g["r"].to_numpy()
+        q = g["q"].to_numpy()
+        order = np.lexsort((eid, us, uid))
+        uid, r, q = uid[order], r[order], q[order]
+        same = uid[1:] == uid[:-1]
+        if not same.any():
+            return empty
+        cells = np.concatenate(
+            [
+                np.stack([r[1:][same], q[1:][same]], axis=1),  # in at dest
+                np.stack([r[:-1][same], q[:-1][same]], axis=1),  # out at src
+            ]
+        )
+        is_in = np.concatenate(
+            [
+                np.ones(int(same.sum()), dtype=np.int64),
+                np.zeros(int(same.sum()), dtype=np.int64),
+            ]
+        )
+        u, inv = np.unique(cells, axis=0, return_inverse=True)
+        n_in = np.bincount(inv, weights=is_in, minlength=len(u)).astype(np.int64)
+        n_all = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "r": u[:, 0],
+                "q": u[:, 1],
+                "n_in": n_in,
+                "n_out": n_all - n_in,
+            }
+        )
+
+    parts = _pairs_via_groups(
+        ev.map_batches(prep, batch_format="pyarrow"), n_est, flow_block
+    )
+    agg = two_phase_sum(parts, ["r", "q"], ["n_in", "n_out"], count_as=None)
+
+    def imb(batch: pa.Table) -> pa.Table:
+        i = batch["n_in"].to_numpy(zero_copy_only=False)
+        o = batch["n_out"].to_numpy(zero_copy_only=False)
+        return batch.append_column("imbalance", pa.array(i - o))
+
+    return agg.map_batches(imb, batch_format="pyarrow").sort(["r", "q"])
+
+
+SQL_HEX_FLOW_IMBALANCE = (
+    _hex_cte("events", "event_id", "event_id")
+    + """
+, e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+o AS (SELECT event_id,
+             lag(event_id) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id) AS prev_id
+      FROM e),
+p AS (SELECT prev_id, event_id FROM o WHERE prev_id IS NOT NULL),
+touch AS (
+  SELECT ht.r, ht.q, 1 AS is_in FROM p JOIN hexed ht ON ht.event_id = p.event_id
+  UNION ALL
+  SELECT hf.r, hf.q, 0 AS is_in FROM p JOIN hexed hf ON hf.event_id = p.prev_id)
+SELECT r, q,
+       CAST(sum(is_in) AS BIGINT) AS n_in,
+       CAST(sum(1 - is_in) AS BIGINT) AS n_out,
+       CAST(sum(is_in) - sum(1 - is_in) AS BIGINT) AS imbalance
+FROM touch GROUP BY 1, 2 ORDER BY r, q
+"""
+)
+
+
 def q_hex_getis(sf_dir: str) -> Dataset:
     """LOCAL Getis–Ord Gi* hotspot z-scores over the hex doc census —
     the per-cell companion of hex_moran's global statistic: for each
@@ -14607,6 +14716,7 @@ RAY_QUERIES = {
     "hex_od_flows": q_hex_od_flows,
     "hex_event_trend": q_hex_event_trend,
     "hex_getis": q_hex_getis,
+    "hex_flow_imbalance": q_hex_flow_imbalance,
     "partition_checksums": q_partition_checksums,
     "corpus_distinct_ngrams": q_corpus_distinct_ngrams,
     "revenue_changepoint": q_revenue_changepoint,
@@ -14817,6 +14927,7 @@ ORACLES = {
     "hex_od_flows": SQL_HEX_OD_FLOWS,
     "hex_event_trend": SQL_HEX_EVENT_TREND,
     "hex_getis": SQL_HEX_GETIS,
+    "hex_flow_imbalance": SQL_HEX_FLOW_IMBALANCE,
     "partition_checksums": SQL_PARTITION_CHECKSUMS,
     "corpus_distinct_ngrams": SQL_CORPUS_DISTINCT_NGRAMS,
     "revenue_changepoint": SQL_REVENUE_CHANGEPOINT,

@@ -146,6 +146,8 @@ ORACLE_NAMES = [
     "hex_event_trend",
     # local Getis-Ord Gi* z-scores, mirrored float tree (two sqrts)
     "hex_getis",
+    # per-cell net flow (divergence of the OD matrix)
+    "hex_flow_imbalance",
 ]
 
 
