@@ -304,6 +304,7 @@ def run_queries() -> dict:
         "hex_getis",
         "audio_fp_dups",
         "video_fp_dups",
+        "hex_flow_imbalance",
     ]
     out = {}
     for name in names:
