@@ -305,6 +305,7 @@ def run_queries() -> dict:
         "audio_fp_dups",
         "video_fp_dups",
         "hex_flow_imbalance",
+        "hex_coverage_gini",
     ]
     out = {}
     for name in names:

@@ -13543,6 +13543,66 @@ SQL_REVENUE_EWMA = """
 """
 
 
+def q_hex_coverage_gini(sf_dir: str) -> Dataset:
+    """SPATIAL CONCENTRATION index: the Gini coefficient of document
+    counts across populated hex cells — the one-number skew report a
+    tile service reads before choosing adaptive resolution (0 =
+    uniform coverage, →1 = everything in one cell).  Same tie-
+    invariant closed form as nation_value_gini, Σ x·c·(2L + c − n)
+    over the COUNT-compressed census (one row per distinct per-cell
+    count — the census of the census), all exact int64."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    census = two_phase_sum(_hex_prepare(ds, "doc_id"), ["r", "q"], [], count_as="x")
+
+    def to_counts(batch: pa.Table) -> pa.Table:
+        return pa.table({"x": batch["x"]})
+
+    cc = two_phase_sum(
+        census.map_batches(to_counts, batch_format="pyarrow"), ["x"], [], count_as="c"
+    ).take_all()
+    xs = np.array(sorted(int(r["x"]) for r in cc), dtype=np.int64)
+    by = {int(r["x"]): int(r["c"]) for r in cc}
+    cs = np.array([by[int(x)] for x in xs], dtype=np.int64)
+    n = int(cs.sum())
+    ell = np.concatenate([[0], np.cumsum(cs)[:-1]])
+    tnum = int(np.sum(xs * cs * (2 * ell + cs - n)))
+    s = int(np.sum(xs * cs))
+    pml = int(np.floor(1e6 * (float(tnum) / (float(n) * float(s))) + 0.5))
+    out = pa.table(
+        {
+            "n_cells": pa.array([n], type=pa.int64()),
+            "n_docs": pa.array([s], type=pa.int64()),
+            "tnum": pa.array([tnum], type=pa.int64()),
+            "gini_pml": pa.array([pml], type=pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(out)
+
+
+SQL_HEX_COVERAGE_GINI = (
+    _hex_cte("documents", "doc_id", "doc_id")
+    + """
+, cells AS (SELECT r, q, count(*) AS x FROM hexed GROUP BY 1, 2),
+cen AS (SELECT x, count(*) AS c FROM cells GROUP BY 1),
+cum AS (
+  SELECT x, c,
+         sum(c) OVER (ORDER BY x) - c AS l,
+         sum(c) OVER () AS n
+  FROM cen),
+t AS (
+  SELECT CAST(max(n) AS BIGINT) AS n,
+         CAST(sum(x * c) AS BIGINT) AS s,
+         CAST(sum(x * c * (2 * l + c - n)) AS BIGINT) AS tnum
+  FROM cum)
+SELECT n AS n_cells, s AS n_docs, tnum,
+       CAST(floor(1e6 * (CAST(tnum AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))) + 0.5)
+            AS BIGINT) AS gini_pml
+FROM t
+"""
+)
+
+
 def q_hex_flow_imbalance(sf_dir: str) -> Dataset:
     """NET FLOW per cell — the divergence view of the OD matrix: for
     every hex cell touched by a move, inflow, outflow and imbalance
@@ -14717,6 +14777,7 @@ RAY_QUERIES = {
     "hex_event_trend": q_hex_event_trend,
     "hex_getis": q_hex_getis,
     "hex_flow_imbalance": q_hex_flow_imbalance,
+    "hex_coverage_gini": q_hex_coverage_gini,
     "partition_checksums": q_partition_checksums,
     "corpus_distinct_ngrams": q_corpus_distinct_ngrams,
     "revenue_changepoint": q_revenue_changepoint,
@@ -14928,6 +14989,7 @@ ORACLES = {
     "hex_event_trend": SQL_HEX_EVENT_TREND,
     "hex_getis": SQL_HEX_GETIS,
     "hex_flow_imbalance": SQL_HEX_FLOW_IMBALANCE,
+    "hex_coverage_gini": SQL_HEX_COVERAGE_GINI,
     "partition_checksums": SQL_PARTITION_CHECKSUMS,
     "corpus_distinct_ngrams": SQL_CORPUS_DISTINCT_NGRAMS,
     "revenue_changepoint": SQL_REVENUE_CHANGEPOINT,

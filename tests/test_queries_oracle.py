@@ -148,6 +148,8 @@ ORACLE_NAMES = [
     "hex_getis",
     # per-cell net flow (divergence of the OD matrix)
     "hex_flow_imbalance",
+    # spatial concentration Gini over the count-compressed hex census
+    "hex_coverage_gini",
 ]
 
 
