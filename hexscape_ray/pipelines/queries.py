@@ -2561,88 +2561,31 @@ def q_image_phash_dups(sf_dir: str) -> Dataset:
     REAL decoded pixels (the pure-numpy png/jpeg/gif/bmp codecs).
     Candidates come from 8 exact-match bands of 8 bits (multi-index
     hashing, Manku et al. '07 — guaranteed recall at hamming ≤ 7,
-    probabilistic above); candidate pairs dedup through a keyed
-    two-phase count (n_bands_hit), then verify with a vectorised SWAR
-    popcount at threshold ≤ 10. Fixture seeds visual dups (PNG
-    transcodes + quality-70 JPEG re-encodes, measured hamming 0–8 vs
-    ≥ 16 for unrelated images); rows-only — SQL cannot decode pixels —
-    recall/precision asserted in pytest against the seeded pairs."""
-    from hexscape_ray.stages.multimodal import (
-        gen_media_dups,
-        phash_batch,
-        popcount64,
-    )
+    probabilistic above; the ≤ 10 verify threshold pins the band count,
+    see banded_hamming_pairs' sizing note); candidate pairs dedup
+    through a keyed two-phase count (n_bands_hit), then verify with a
+    vectorised SWAR popcount at threshold ≤ 10.  Star-edge bucket cap +
+    count-scaled coarse groups guard hot buckets (shared kernel,
+    stages/multimodal.py::banded_hamming_pairs).  Fixture seeds visual
+    dups (PNG transcodes + quality-70 JPEG re-encodes, measured hamming
+    0–8 vs ≥ 16 for unrelated images); rows-only — SQL cannot decode
+    pixels — recall/precision asserted in pytest against the seeded
+    pairs."""
+    from hexscape_ray.stages.multimodal import banded_hamming_pairs, phash_batch
 
     t = _media_dup_table("image")
     ds = ray.data.from_arrow(t).map_batches(
         lambda b: b.filter(pc.equal(b["kind"], "image")), batch_format="pyarrow"
     )
     hashed = ds.map_batches(phash_batch, batch_format="pyarrow")
-
-    def band_rows(batch: pa.Table) -> pa.Table:
-        mid = batch["media_id"].to_numpy(zero_copy_only=False)
-        ph = batch["phash"].to_numpy(zero_copy_only=False).astype(np.int64)
-        u = ph.view(np.uint64)
-        n = len(batch)
-        gs, ms, hs = [], [], []
-        for b in range(8):
-            key = ((u >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.int64)
-            gs.append(np.int64(b << 8) | key)
-            ms.append(mid)
-            hs.append(ph)
-        return pa.table(
-            {
-                "__g": pa.array(np.concatenate(gs)),
-                "media_id": pa.array(np.concatenate(ms)),
-                "phash": pa.array(np.concatenate(hs)),
-            }
-        )
-
-    bands = hashed.map_batches(band_rows, batch_format="pyarrow")
-
-    def pairs_block(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["media_id"].to_numpy()
-        ph = g["phash"].to_numpy()
-        order = np.argsort(ids)
-        ids, ph = ids[order], ph[order]
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame(
-            {"a": ids[ii], "b": ids[jj], "ha": ph[ii], "hb": ph[jj]}
-        )
-
-    # band-key space is bounded (8·256 fine buckets) so the fine key IS
-    # the group key; a 128-bit-hash variant would route through the
-    # count-scaled coarse-group pattern like minhash_candidate_pairs
-    pairs = two_phase_sum(
-        bands.groupby("__g").map_groups(pairs_block, batch_format="pandas"),
-        ["a", "b", "ha", "hb"],
-        [],
-        count_as="n_bands_hit",
+    return banded_hamming_pairs(
+        hashed,
+        "phash",
+        n_bands=8,
+        band_bits=8,
+        threshold=10,
+        n_rows_est=t.num_rows * 8,
     )
-
-    def verify(batch: pa.Table) -> pa.Table:
-        ha = batch["ha"].to_numpy(zero_copy_only=False).astype(np.int64)
-        hb = batch["hb"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ham = popcount64((ha ^ hb).view(np.uint64))
-        keep = ham <= 10
-        return pa.table(
-            {
-                "a": pa.array(
-                    batch["a"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
-                ),
-                "b": pa.array(
-                    batch["b"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
-                ),
-                "hamming": pa.array(ham[keep]),
-                "n_bands_hit": pa.array(
-                    batch["n_bands_hit"]
-                    .to_numpy(zero_copy_only=False)[keep]
-                    .astype(np.int64)
-                ),
-            }
-        )
-
-    return pairs.map_batches(verify, batch_format="pyarrow").sort(["a", "b"])
 
 
 def q_audio_fp_dups(sf_dir: str) -> Dataset:
@@ -2651,84 +2594,31 @@ def q_audio_fp_dups(sf_dir: str) -> Dataset:
     modalities (text SimHash/MinHash, image pHash, audio spectral
     fingerprint): 60-bit gain-invariant spectral-shape fingerprints
     (stages/multimodal.py::audio_fp60) over REAL decoded samples
-    (stdlib WAV + from-scratch FLAC), 6 exact-match bands of 10 bits
-    (guaranteed recall at hamming ≤ 5), keyed pair dedup, SWAR
-    popcount verify at threshold ≤ 2.  Fixture seeds lossless
-    wav↔flac transcodes and 0.7× volume-scaled copies — both
+    (stdlib WAV + from-scratch FLAC), 3 exact-match bands of 20 bits —
+    the widest bands the ≤ 2 verify threshold permits (recall still
+    GUARANTEED at hamming ≤ 2, and the band-key space grows 6·2^10 →
+    3·2^20, keeping bucket population corpus-bounded ~1500× longer) —
+    keyed pair dedup, SWAR popcount verify at threshold ≤ 2, star-edge
+    bucket cap + count-scaled coarse groups (shared kernel,
+    stages/multimodal.py::banded_hamming_pairs).  Fixture seeds
+    lossless wav↔flac transcodes and 0.7× volume-scaled copies — both
     fingerprint IDENTICALLY (pure energy comparisons) while unrelated
     multi-harmonic clips measure hamming ≥ 4.  Rows-only; recall and
     precision asserted in pytest."""
-    from hexscape_ray.stages.multimodal import (
-        audio_fp_batch,
-        gen_media_audio_dups,
-        popcount64,
-    )
+    from hexscape_ray.stages.multimodal import audio_fp_batch, banded_hamming_pairs
 
     t = _media_dup_table("audio")
     hashed = ray.data.from_arrow(t).map_batches(
         audio_fp_batch, batch_format="pyarrow"
     )
-
-    def band_rows(batch: pa.Table) -> pa.Table:
-        mid = batch["media_id"].to_numpy(zero_copy_only=False)
-        fp = batch["afp"].to_numpy(zero_copy_only=False).astype(np.int64)
-        u = fp.view(np.uint64)
-        gs, ms, hs = [], [], []
-        for b in range(6):
-            key = ((u >> np.uint64(10 * b)) & np.uint64(0x3FF)).astype(np.int64)
-            gs.append(np.int64(b << 10) | key)
-            ms.append(mid)
-            hs.append(fp)
-        return pa.table(
-            {
-                "__g": pa.array(np.concatenate(gs)),
-                "media_id": pa.array(np.concatenate(ms)),
-                "afp": pa.array(np.concatenate(hs)),
-            }
-        )
-
-    bands = hashed.map_batches(band_rows, batch_format="pyarrow")
-
-    def pairs_block(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["media_id"].to_numpy()
-        fp = g["afp"].to_numpy()
-        order = np.argsort(ids)
-        ids, fp = ids[order], fp[order]
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame(
-            {"a": ids[ii], "b": ids[jj], "ha": fp[ii], "hb": fp[jj]}
-        )
-
-    pairs = two_phase_sum(
-        bands.groupby("__g").map_groups(pairs_block, batch_format="pandas"),
-        ["a", "b", "ha", "hb"],
-        [],
-        count_as="n_bands_hit",
+    return banded_hamming_pairs(
+        hashed,
+        "afp",
+        n_bands=3,
+        band_bits=20,
+        threshold=2,
+        n_rows_est=t.num_rows * 3,
     )
-
-    def verify(batch: pa.Table) -> pa.Table:
-        ha = batch["ha"].to_numpy(zero_copy_only=False).astype(np.int64)
-        hb = batch["hb"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ham = popcount64((ha ^ hb).view(np.uint64))
-        keep = ham <= 2
-        return pa.table(
-            {
-                "a": pa.array(
-                    batch["a"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
-                ),
-                "b": pa.array(
-                    batch["b"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
-                ),
-                "hamming": pa.array(ham[keep]),
-                "n_bands_hit": pa.array(
-                    batch["n_bands_hit"]
-                    .to_numpy(zero_copy_only=False)[keep]
-                    .astype(np.int64)
-                ),
-            }
-        )
-
-    return pairs.map_batches(verify, batch_format="pyarrow").sort(["a", "b"])
 
 
 def q_video_fp_dups(sf_dir: str) -> Dataset:
@@ -2737,82 +2627,28 @@ def q_video_fp_dups(sf_dir: str) -> Dataset:
     fingerprint, video): each MJPEG-AVI clip fingerprints as the
     MAJORITY VOTE of its frames' pHashes (real RIFF parse + the numpy
     JPEG decoder; per-frame re-encode jitter averages out), candidates
-    from 8 exact-match 8-bit bands, keyed pair dedup, SWAR popcount
-    verify at threshold ≤ 11.  Fixture seeds true lossy transcodes
-    (every frame decoded and re-encoded at JPEG q85): measured hamming
-    ≤ 10 and ≥ 3 shared bands for dups vs ≥ 13 for unrelated clips.
-    Rows-only; recall/precision asserted in pytest."""
-    from hexscape_ray.stages.multimodal import (
-        gen_media_video_dups,
-        popcount64,
-        video_fp_batch,
-    )
+    from 8 exact-match 8-bit bands (the ≤ 11 verify threshold pins the
+    band count — see banded_hamming_pairs' sizing note), keyed pair
+    dedup, SWAR popcount verify at threshold ≤ 11, star-edge bucket
+    cap + count-scaled coarse groups (shared kernel,
+    stages/multimodal.py::banded_hamming_pairs).  Fixture seeds true
+    lossy transcodes (every frame decoded and re-encoded at JPEG q85):
+    measured hamming ≤ 10 and ≥ 3 shared bands for dups vs ≥ 13 for
+    unrelated clips.  Rows-only; recall/precision asserted in pytest."""
+    from hexscape_ray.stages.multimodal import banded_hamming_pairs, video_fp_batch
 
     t = _media_dup_table("video")
     hashed = ray.data.from_arrow(t).map_batches(
         video_fp_batch, batch_format="pyarrow"
     )
-
-    def band_rows(batch: pa.Table) -> pa.Table:
-        mid = batch["media_id"].to_numpy(zero_copy_only=False)
-        fp = batch["vfp"].to_numpy(zero_copy_only=False).astype(np.int64)
-        u = fp.view(np.uint64)
-        gs, ms, hs = [], [], []
-        for b in range(8):
-            key = ((u >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.int64)
-            gs.append(np.int64(b << 8) | key)
-            ms.append(mid)
-            hs.append(fp)
-        return pa.table(
-            {
-                "__g": pa.array(np.concatenate(gs)),
-                "media_id": pa.array(np.concatenate(ms)),
-                "vfp": pa.array(np.concatenate(hs)),
-            }
-        )
-
-    bands = hashed.map_batches(band_rows, batch_format="pyarrow")
-
-    def pairs_block(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["media_id"].to_numpy()
-        fp = g["vfp"].to_numpy()
-        order = np.argsort(ids)
-        ids, fp = ids[order], fp[order]
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame(
-            {"a": ids[ii], "b": ids[jj], "ha": fp[ii], "hb": fp[jj]}
-        )
-
-    pairs = two_phase_sum(
-        bands.groupby("__g").map_groups(pairs_block, batch_format="pandas"),
-        ["a", "b", "ha", "hb"],
-        [],
-        count_as="n_bands_hit",
+    return banded_hamming_pairs(
+        hashed,
+        "vfp",
+        n_bands=8,
+        band_bits=8,
+        threshold=11,
+        n_rows_est=t.num_rows * 8,
     )
-
-    def verify(batch: pa.Table) -> pa.Table:
-        ha = batch["ha"].to_numpy(zero_copy_only=False).astype(np.int64)
-        hb = batch["hb"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ham = popcount64((ha ^ hb).view(np.uint64))
-        keep = ham <= 11
-        return pa.table(
-            {
-                "a": pa.array(
-                    batch["a"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
-                ),
-                "b": pa.array(
-                    batch["b"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
-                ),
-                "hamming": pa.array(ham[keep]),
-                "n_bands_hit": pa.array(
-                    batch["n_bands_hit"]
-                    .to_numpy(zero_copy_only=False)[keep]
-                    .astype(np.int64)
-                ),
-            }
-        )
-
-    return pairs.map_batches(verify, batch_format="pyarrow").sort(["a", "b"])
 
 
 def q_video_frames(sf_dir: str) -> Dataset:

@@ -859,3 +859,157 @@ def gen_media_video_dups(n: int = 40, seed: int = 7) -> tuple[pa.Table, list[tup
         }
     )
     return t, expected
+
+
+# ---------------------------------------------------------------------------
+# Shared banded-hamming candidate/verify kernel (image pHash, audio FP,
+# video FP all ride this one helper — round-4 verdict #2)
+# ---------------------------------------------------------------------------
+
+MEDIA_BUCKET_CAP = 64  # all-pairs below; star edges to the min id above
+
+
+def banded_hamming_pairs(
+    hashed,
+    hash_col: str,
+    n_bands: int,
+    band_bits: int,
+    threshold: int,
+    n_rows_est: int,
+    id_col: str = "media_id",
+    bucket_cap: int = MEDIA_BUCKET_CAP,
+):
+    """Near-duplicate pairs over an integer fingerprint column via
+    multi-index hashing (Manku et al. '07): explode each fingerprint
+    into ``n_bands`` exact-match bands of ``band_bits`` bits, group by
+    band key, emit candidate pairs, dedup with a keyed two-phase count
+    (``n_bands_hit``), verify with a vectorised SWAR popcount at
+    ``hamming <= threshold``.  Returns (a, b, hamming, n_bands_hit)
+    sorted by (a, b) with a < b.
+
+    Scale guards (mirrors ``stages.dedup.minhash_candidate_pairs``):
+
+    * **Star-edge bucket cap** — a band bucket with m <= ``bucket_cap``
+      members emits the full m(m-1)/2 clique; a hot bucket (a template
+      fingerprint shared by a boilerplate cluster) emits O(m) star
+      edges to its min-id member instead, preserving the connected
+      component for clustering while bounding pair output linearly.
+    * **Count-scaled coarse groups** — never one pandas DataFrame per
+      fine bucket and never a shuffle keyed on a bounded fine-key
+      space: rows shuffle into ``coarse_width(n_rows_est)`` groups
+      (population per group bounded by construction) and fine runs are
+      found inside each group with one vectorised lexsort.
+
+    Band sizing vs recall: disjoint exact-match bands guarantee recall
+    only up to hamming ``n_bands - 1``, so the band count is bound to
+    the verify threshold, not to the key-space size one might want at
+    scale.  Pick the widest bands the threshold permits (e.g. a
+    hamming<=2 verifier over 60-bit fingerprints can use 3x20-bit
+    bands: 3.1M-slot key space, recall still guaranteed); a
+    hamming<=10 verifier over 64 bits is stuck at 8x8-bit bands — at
+    real corpus scale the fix is a longer fingerprint (256-bit pHash
+    with 16-bit bands), not wider bands over 64 bits.
+    """
+    import pandas as pd
+
+    from hexscape_ray.stages.agg import two_phase_sum
+    from hexscape_ray.stages.dedup import _pairs_via_groups, coarse_width
+
+    mask = np.uint64((1 << band_bits) - 1)
+    n_coarse = coarse_width(n_rows_est)
+    coarse_mask = np.int64(n_coarse - 1)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        mid = batch[id_col].to_numpy(zero_copy_only=False)
+        h = batch[hash_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = h.view(np.uint64)
+        gs, ms, hs = [], [], []
+        for b in range(n_bands):
+            key = ((u >> np.uint64(band_bits * b)) & mask).astype(np.int64)
+            gs.append(np.int64(b << band_bits) | key)
+            ms.append(mid)
+            hs.append(h)
+        g = np.concatenate(gs)
+        return pa.table(
+            {
+                "__g": pa.array(g),
+                "__coarse": pa.array(np.bitwise_and(g, coarse_mask)),
+                id_col: pa.array(np.concatenate(ms)),
+                hash_col: pa.array(np.concatenate(hs)),
+            }
+        )
+
+    def pairs_block(g: pd.DataFrame) -> pd.DataFrame:
+        empty = {
+            "a": np.empty(0, np.int64),
+            "b": np.empty(0, np.int64),
+            "ha": np.empty(0, np.int64),
+            "hb": np.empty(0, np.int64),
+        }
+        if len(g) == 0:
+            return pd.DataFrame(empty)
+        gk = g["__g"].to_numpy()
+        ids = g[id_col].to_numpy()
+        hv = g[hash_col].to_numpy()
+        order = np.lexsort((ids, gk))
+        gk, ids, hv = gk[order], ids[order], hv[order]
+        new = np.empty(gk.shape[0], dtype=bool)
+        new[0] = True
+        new[1:] = gk[1:] != gk[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, gk.shape[0]))
+        out_a, out_b, out_ha, out_hb = [], [], [], []
+        for s, m in zip(starts[lens >= 2], lens[lens >= 2]):
+            run_i = ids[s : s + m]  # lexsort => sorted by id within run
+            run_h = hv[s : s + m]
+            if m <= bucket_cap:
+                i, j = np.triu_indices(int(m), 1)
+                out_a.append(run_i[i])
+                out_b.append(run_i[j])
+                out_ha.append(run_h[i])
+                out_hb.append(run_h[j])
+            else:  # star edges to the min-id representative
+                out_a.append(np.repeat(run_i[0], m - 1))
+                out_b.append(run_i[1:])
+                out_ha.append(np.repeat(run_h[0], m - 1))
+                out_hb.append(run_h[1:])
+        if not out_a:
+            return pd.DataFrame(empty)
+        return pd.DataFrame(
+            {
+                "a": np.concatenate(out_a),
+                "b": np.concatenate(out_b),
+                "ha": np.concatenate(out_ha),
+                "hb": np.concatenate(out_hb),
+            }
+        )
+
+    bands = hashed.map_batches(band_rows, batch_format="pyarrow")
+    pair_rows = _pairs_via_groups(bands, n_rows_est, pairs_block)
+    pairs = two_phase_sum(
+        pair_rows, ["a", "b", "ha", "hb"], [], count_as="n_bands_hit"
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ha = batch["ha"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hb = batch["hb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ham = popcount64((ha ^ hb).view(np.uint64))
+        keep = ham <= threshold
+        return pa.table(
+            {
+                "a": pa.array(
+                    batch["a"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+                ),
+                "b": pa.array(
+                    batch["b"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+                ),
+                "hamming": pa.array(ham[keep]),
+                "n_bands_hit": pa.array(
+                    batch["n_bands_hit"]
+                    .to_numpy(zero_copy_only=False)[keep]
+                    .astype(np.int64)
+                ),
+            }
+        )
+
+    return pairs.map_batches(verify, batch_format="pyarrow").sort(["a", "b"])

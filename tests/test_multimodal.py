@@ -568,3 +568,53 @@ def test_video_fp_dups_query_recall(ray_session):
     assert got == set(expected)
     assert (df["hamming"] <= 11).all()
     assert (df["n_bands_hit"] >= 3).all()
+
+
+def test_banded_pairs_hot_bucket_cap(ray_session):
+    """A bucket hotter than the cap emits O(m) star edges, not the
+    m(m-1)/2 clique: m identical fingerprints (m > cap) must yield
+    exactly m-1 pairs, all anchored at the min id (round-4 verdict #2:
+    the media pair generators share the text path's blow-up guard)."""
+    import ray as _ray
+
+    from hexscape_ray.stages.multimodal import (
+        MEDIA_BUCKET_CAP,
+        banded_hamming_pairs,
+    )
+
+    m = MEDIA_BUCKET_CAP + 36  # one hot bucket, clearly past the cap
+    ids = np.arange(m, dtype=np.int64)
+    hashes = np.full(m, 0x1234_5678_9ABC_DEF0, dtype=np.int64)
+    hashed = _ray.data.from_arrow(
+        pa.table({"media_id": pa.array(ids), "phash": pa.array(hashes)})
+    )
+    df = banded_hamming_pairs(
+        hashed, "phash", n_bands=8, band_bits=8, threshold=10, n_rows_est=m * 8
+    ).to_pandas()
+    # star edges: every member links to the representative, so the
+    # connected component survives while pair output stays linear
+    assert len(df) == m - 1
+    assert (df["a"] == 0).all()
+    assert set(df["b"]) == set(range(1, m))
+    assert (df["hamming"] == 0).all()
+    assert (df["n_bands_hit"] == 8).all()
+
+
+def test_banded_pairs_subcap_full_clique(ray_session):
+    """Below the cap the full clique is emitted (no behaviour change
+    for normal buckets)."""
+    import ray as _ray
+
+    from hexscape_ray.stages.multimodal import banded_hamming_pairs
+
+    m = 5
+    ids = np.arange(m, dtype=np.int64)
+    hashes = np.full(m, -42, dtype=np.int64)
+    hashed = _ray.data.from_arrow(
+        pa.table({"media_id": pa.array(ids), "afp": pa.array(hashes)})
+    )
+    df = banded_hamming_pairs(
+        hashed, "afp", n_bands=3, band_bits=20, threshold=2, n_rows_est=m * 3
+    ).to_pandas()
+    assert len(df) == m * (m - 1) // 2
+    assert (df["n_bands_hit"] == 3).all()
