@@ -12361,16 +12361,23 @@ def q_fk_orphans(sf_dir: str) -> Dataset:
         partials = partials.union(c)
     census = combine_partials(partials, ["eid", "key"], ["__n"]).materialize()
 
-    # dimension parents fold into the scan as one broadcast sorted-key
-    # array per edge; the corpus-sized parent (orders) routes through
-    # an adaptive anti join on the reduced key set
+    # per-parent routing by the SAME row budget adaptive_join uses
+    # (HEXRAY_BROADCAST_ROWS, read from the module attr at call time so
+    # probes can force the co-partitioned path): a parent at/below the
+    # budget folds into the scan as one broadcast sorted-key array for
+    # its edge; a larger parent routes through an adaptive ANTI join on
+    # the reduced key set — never an unconditional driver pull of a
+    # corpus-scaled parent (round-4 verdict #4).  Row counts come from
+    # parquet footers (_table_nrows), no Ray job.
     # per-parent vectorised fetches — NOT one union read: Dataset.union
     # of tiny reads costs ~5 s of fixed per-input operator overhead on
     # this box vs 0.9 s for the sequential to_pandas calls (measured)
+    from hexscape_ray.stages import joins as _joins
+
     anti_eids = [
         eid
         for eid, (_, _, _, parent, _) in enumerate(_FK_EDGES)
-        if parent == "orders"
+        if _table_nrows(sf_dir, parent) > _joins.BROADCAST_ROWS
     ]
     pkey_refs: dict[int, object] = {}
     for eid, (_, _, _, parent, pk) in enumerate(_FK_EDGES):

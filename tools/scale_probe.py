@@ -210,6 +210,26 @@ def main() -> None:
         len(small),
     )
 
+    # 7. fk_orphans: force EVERY parent through the co-partitioned anti
+    # path (BROADCAST_ROWS=0 — adaptive_join and the query's per-parent
+    # routing both read the module attr at call time) and assert parity
+    # with the gated run (round-4 verdict #4)
+    import hexscape_ray.stages.joins as joins_mod
+
+    t0 = time.perf_counter()
+    small = run_df("fk_orphans")
+    saved_br = joins_mod.BROADCAST_ROWS
+    joins_mod.BROADCAST_ROWS = 0
+    try:
+        dist = run_df("fk_orphans")
+    finally:
+        joins_mod.BROADCAST_ROWS = saved_br
+    assert small.equals(dist), "fk_orphans broadcast/bucketed parity"
+    results["fk_orphans_gate_parity"] = (
+        round(time.perf_counter() - t0, 2),
+        len(small),
+    )
+
     for k, (sec, n) in results.items():
         print(f"OK {k}: {sec} s, {n} rows")
     ray.shutdown()
