@@ -73,7 +73,12 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
     "sv": ("och", "att", "det", "som", "en", "ett", "med", "av", "inte", "han"),
 }
 
-_TOKEN_RE = re.compile(r"\w+", re.U)
+# ASCII-spelled \w: Python's \w is Unicode while RE2's (the DuckDB
+# oracle's engine) is ASCII — the explicit class is the one spelling
+# both engines read identically, so lang-id parity survives non-ASCII
+# corpora instead of resting on the fixture being pure ASCII (ADVICE
+# r4; identical output on ASCII text by construction)
+_TOKEN_RE = re.compile(r"[A-Za-z0-9_]+")
 # BPE-ish word/punct splitter (GPT-2-style coarse classes, ASCII form)
 _BPE_RE = re.compile(r"'s|'t|'re|'ve|'m|'ll|'d| ?\w+| ?[^\s\w]+|\s+(?!\S)|\s+")
 

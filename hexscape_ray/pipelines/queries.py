@@ -12684,7 +12684,9 @@ def q_selfjoin_size_ams(sf_dir: str) -> Dataset:
     integers: est_x8 = sum of the two middle group sums (median·8).
     The exact F2 (a user census then Σ f²) grades the guarantee
     alongside, every value an exact int64 → hash-exact oracle."""
-    ds = _read(sf_dir, "events", ["user_id"])
+    # two consumers (counters + census): materialize the one-column
+    # projection so the read executes once (two-consumer recompute trap)
+    ds = _read(sf_dir, "events", ["user_id"]).materialize()
     return _ams_f2_finish(ds, _ams_counters(ds, "user_id"))
 
 
@@ -12783,13 +12785,25 @@ def q_join_size_ams(sf_dir: str) -> Dataset:
     grades the estimate alongside — every value int64 → hash-exact."""
     from hexscape_ray.stages.joins import adaptive_join
 
-    o = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
-        lambda t: pa.table({"u": t["o_custkey"].cast(pa.int64())}),
-        batch_format="pyarrow",
+    # each projected key column feeds TWO consumers (AMS counters +
+    # frequency census) — materialize once or each read+projection
+    # executes twice (the documented two-consumer recompute trap;
+    # ADVICE r4).  One int64 column: object-store resident, spillable.
+    o = (
+        _read(sf_dir, "orders", ["o_custkey"])
+        .map_batches(
+            lambda t: pa.table({"u": t["o_custkey"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .materialize()
     )
-    e = _read(sf_dir, "events", ["user_id"]).map_batches(
-        lambda t: pa.table({"u": t["user_id"].cast(pa.int64())}),
-        batch_format="pyarrow",
+    e = (
+        _read(sf_dir, "events", ["user_id"])
+        .map_batches(
+            lambda t: pa.table({"u": t["user_id"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .materialize()
     )
     co = _ams_counters(o, "u")
     ce = _ams_counters(e, "u")
@@ -13777,6 +13791,12 @@ def q_hex_event_trend(sf_dir: str) -> Dataset:
     for (r, q) in sorted(cells):
         swx, sx = cells[(r, q)]
         num = nw * swx - sw * sx
+        # the +8-shift makes Python floor-division match DuckDB HUGEINT
+        # truncation ONLY while the shifted numerator stays positive —
+        # a cell with micro-slope <= -8 would desync silently, so fail
+        # loudly instead (mirrors hex_moran's guard; widen the shift if
+        # a legitimate corpus ever trips this)
+        assert num + 8 * den > 0, ("trend micro-slope <= -8", r, q, num, den)
         t_x1m = (2_000_000 * (num + 8 * den) + den) // (2 * den) - 8_000_000
         rows.append(
             {
@@ -14034,7 +14054,10 @@ FROM tot t, agg g, den d
 )
 
 
-_REGEX_TOK = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# whitespace spelled out as explicit ASCII escapes: Python re's \s is
+# Unicode while DuckDB RE2's is ASCII, so a literal class is the only
+# spelling BOTH engines read identically on non-ASCII text (ADVICE r4)
+_REGEX_TOK = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\t\n\f\r\v ]"
 
 
 def q_regex_token_counts(sf_dir: str) -> Dataset:
@@ -14209,7 +14232,8 @@ def _langid_sql() -> str:
   WITH prof(plang, w) AS (VALUES {vals}),
   tok AS (
     SELECT doc_id, lang,
-           lower(unnest(regexp_extract_all(substr(text, 1, 2000), '\\w+')))
+           lower(unnest(regexp_extract_all(substr(text, 1, 2000),
+                                           '[A-Za-z0-9_]+')))
              AS t
     FROM documents),
   hits AS (
@@ -14344,9 +14368,12 @@ def q_sink_ipc_roundtrip(sf_dir: str) -> Dataset:
         ["cents"],
         count_as="n_items",
     )
+    # unique dir per invocation: a fixed per-sf path raced concurrent
+    # graders over the same sf dir (one rmtree'd while the other's
+    # workers were reading — the transient concurrent-sweep FAIL in the
+    # working notes; ADVICE r4).  Cleaned up after the re-read consumes.
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    out = f"/tmp/hexray_ipc/{tag}"
-    shutil.rmtree(out, ignore_errors=True)
+    out = f"/tmp/hexray_ipc/{tag}-{uuid.uuid4().hex[:12]}"
     os.makedirs(out, exist_ok=True)
 
     def write_block(batch: pa.Table) -> pa.Table:
@@ -14375,7 +14402,12 @@ def q_sink_ipc_roundtrip(sf_dir: str) -> Dataset:
     )
     back = files.map_batches(read_file, batch_format="pyarrow", batch_size=1)
     out_ds = two_phase_sum(back, ["l_returnflag"], ["cents", "n_items"], count_as=None)
-    return out_ds.sort("l_returnflag")
+    # materialize BEFORE deleting the IPC files (the caller consumes
+    # the returned Dataset after we return — lazily would read a
+    # removed directory); the census is returnflag-bounded, tiny
+    res = out_ds.sort("l_returnflag").materialize()
+    shutil.rmtree(out, ignore_errors=True)
+    return res
 
 
 SQL_SINK_IPC_ROUNDTRIP = """
