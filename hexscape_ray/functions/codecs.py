@@ -1465,3 +1465,362 @@ def decode_gif(data: bytes) -> np.ndarray:
         idx = np.frombuffer(bytes(out[:n_pix]), np.uint8)
         return table[idx].reshape(h, w, 3).copy()
     raise ValueError("no image block in GIF")
+
+
+# ---------------------------------------------------------------------------
+# MPEG-1 video, I-frame-only subset (ISO/IEC 11172-2) — pure numpy.
+#
+# A REAL inter-frame container format for the video pipeline (sequence/
+# GOP/picture/slice/macroblock syntax, intra quantiser matrix, DC
+# prediction, MPEG mismatch control, Table B.5 VLCs + escape coding),
+# restricted to intra pictures: every picture is coded type-1 (I), so
+# the decoder needs no motion compensation.  Decodes any stream THIS
+# encoder writes plus the common-VLC subset of third-party intra
+# streams; P/B pictures, custom quant matrices and the long tail of
+# B.5 raise ValueError loudly (same honest-subset contract as the
+# baseline-JPEG / fixed-predictor-FLAC codecs above).  h264 remains
+# env-blocked (no pure-numpy decoder is feasible); MPEG-1 retires the
+# last fake decode path for GENERATED fixtures.
+# ---------------------------------------------------------------------------
+
+# default intra quantiser matrix (11172-2 §2.4.2.3), raster order
+_MPEG_IQ = np.array(
+    [8, 16, 19, 22, 26, 27, 29, 34, 16, 16, 22, 24, 27, 29, 34, 37,
+     19, 22, 26, 27, 29, 34, 34, 38, 22, 22, 26, 27, 29, 34, 37, 40,
+     22, 26, 27, 29, 32, 35, 40, 48, 26, 27, 29, 32, 35, 40, 48, 58,
+     26, 27, 29, 34, 38, 46, 56, 69, 27, 29, 35, 38, 46, 56, 69, 83],
+    dtype=np.int64,
+).reshape(8, 8)
+
+# dct_dc_size VLCs (tables B.1 / B.2): size -> bitstring
+_MPEG_DC_LUM = {0: "100", 1: "00", 2: "01", 3: "101", 4: "110",
+                5: "1110", 6: "11110", 7: "111110", 8: "1111110"}
+_MPEG_DC_CHROM = {0: "00", 1: "01", 2: "10", 3: "110", 4: "1110",
+                  5: "11110", 6: "111110", 7: "1111110", 8: "11111110"}
+
+# dct_coeff_next VLCs (table B.5, common prefix subset; sign bit
+# appended at use).  ESC / EOB are handled as pseudo-symbols.
+_MPEG_B5 = {
+    (0, 1): "11", (0, 2): "0100", (0, 3): "00101", (0, 4): "0000110",
+    (0, 5): "00100110", (0, 6): "00100001",
+    (1, 1): "011", (1, 2): "000110", (1, 3): "00100101",
+    (2, 1): "0101", (2, 2): "0000100",
+    (3, 1): "00111", (3, 2): "00100100",
+    (4, 1): "00110", (5, 1): "000111", (6, 1): "000101", (7, 1): "000100",
+    (8, 1): "0000111", (9, 1): "0000101", (10, 1): "00100111",
+    (11, 1): "00100011", (12, 1): "00100010", (13, 1): "00100000",
+}
+_MPEG_EOB = "10"
+_MPEG_ESC = "000001"
+
+_MPEG_RATE_CODE = {24: 2, 25: 3, 30: 5, 50: 6, 60: 8}
+_MPEG_RATE_FPS = {1: 24, 2: 24, 3: 25, 4: 30, 5: 30, 6: 50, 7: 60, 8: 60}
+
+
+def _mpeg_decode_tables():
+    """(length, code) -> symbol maps for DC sizes and B.5."""
+    def inv(d):
+        return {(len(v), int(v, 2)): k for k, v in d.items()}
+
+    b5 = inv(_MPEG_B5)
+    b5[(len(_MPEG_EOB), int(_MPEG_EOB, 2))] = "EOB"
+    b5[(len(_MPEG_ESC), int(_MPEG_ESC, 2))] = "ESC"
+    return inv(_MPEG_DC_LUM), inv(_MPEG_DC_CHROM), b5
+
+
+_MPEG_DC_LUM_DEC, _MPEG_DC_CHROM_DEC, _MPEG_B5_DEC = _mpeg_decode_tables()
+
+
+class _MpegBitWriter:
+    """MSB-first bit writer WITHOUT JPEG byte stuffing (MPEG start
+    codes are byte-aligned and VLC structure bounds zero runs < 23)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int):
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_str(self, bits: str):
+        self.write(int(bits, 2) if bits else 0, len(bits))
+
+    def align(self):
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def start_code(self, code: int):
+        self.align()
+        self.out += bytes((0, 0, 1, code))
+
+
+def _mpeg_read_vlc(r: "_BitReader", table: dict, max_len: int):
+    code = 0
+    for length in range(1, max_len + 1):
+        code = (code << 1) | r.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("mpeg1: invalid VLC")
+
+
+def _mpeg_quant_intra(F: np.ndarray, qscale: int) -> np.ndarray:
+    """(bh, bw, 8, 8) float DCT blocks -> quantised int levels (DC in
+    units of 8, AC per §2.4.4.2 inverted), clamped to escape range."""
+    lev = np.empty_like(F, dtype=np.int64)
+    dc = F[:, :, 0, 0]
+    lev[:, :, 0, 0] = np.clip(np.floor(dc / 8.0 + 0.5), 0, 255)
+    w = _MPEG_IQ[None, None]
+    ac = np.floor(np.abs(F) * 16.0 / (2.0 * qscale * w) + 0.5)
+    ac = np.clip(ac, 0, 255) * np.sign(F)
+    lev_ac = ac.astype(np.int64)
+    lev_ac[:, :, 0, 0] = lev[:, :, 0, 0]
+    return lev_ac
+
+
+def _mpeg_dequant_intra(zz: np.ndarray, qscale: int) -> np.ndarray:
+    """64-int zigzag levels -> (8, 8) reconstructed DCT block (DC = 8x
+    level; AC via 2·lev·qscale·W/16 with mismatch control + clamp)."""
+    blk = np.zeros((8, 8), dtype=np.int64)
+    blk[_ZZ_ROWS, _ZZ_COLS] = zz
+    out = np.empty((8, 8), dtype=np.int64)
+    sign = np.sign(blk)
+    mag = (2 * np.abs(blk) * qscale * _MPEG_IQ) // 16
+    even = (mag > 0) & (mag % 2 == 0)
+    mag[even] -= 1
+    out = sign * mag
+    out[0, 0] = blk[0, 0] * 8
+    return np.clip(out, -2048, 2047)
+
+
+def _mpeg_write_block(w: "_MpegBitWriter", zz: np.ndarray, pred: int,
+                      dc_table: dict) -> int:
+    """One quantised zigzag block -> bits; returns the new DC pred."""
+    dc = int(zz[0])
+    diff = dc - pred
+    s, code = _magnitude(diff)
+    if s > 8:
+        raise ValueError("mpeg1: DC differential out of range")
+    w.write_str(dc_table[s])
+    if s:
+        w.write(code, s)
+    run = 0
+    nz = np.flatnonzero(zz[1:])
+    for k in nz:
+        lev = int(zz[1 + k])
+        run = int(k) - (int(nz[nz < k][-1]) + 1 if (nz < k).any() else 0)
+        key = (run, abs(lev))
+        if key in _MPEG_B5:
+            w.write_str(_MPEG_B5[key])
+            w.write(1 if lev < 0 else 0, 1)
+        else:  # escape: 6-bit run + 8/16-bit level
+            w.write_str(_MPEG_ESC)
+            w.write(run, 6)
+            if -127 <= lev <= 127:
+                w.write(lev & 0xFF, 8)
+            elif 128 <= lev <= 255:
+                w.write(0, 8)
+                w.write(lev, 8)
+            elif -255 <= lev <= -128:
+                w.write(0x80, 8)
+                w.write(256 + lev, 8)
+            else:
+                raise ValueError("mpeg1: level out of range")
+    w.write_str(_MPEG_EOB)
+    return dc
+
+
+def _mpeg_read_block(r: "_BitReader", pred: int, dc_table: dict) -> tuple:
+    """bits -> (64-int zigzag levels, new DC pred)."""
+    zz = np.zeros(64, dtype=np.int64)
+    s = _mpeg_read_vlc(r, dc_table, 8)
+    if s:
+        v = r.read_bits(s)
+        diff = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+    else:
+        diff = 0
+    dc = pred + diff
+    zz[0] = dc
+    k = 0
+    while True:
+        sym = _mpeg_read_vlc(r, _MPEG_B5_DEC, 8)
+        if sym == "EOB":
+            break
+        if sym == "ESC":
+            run = r.read_bits(6)
+            v = r.read_bits(8)
+            if v == 0:
+                lev = r.read_bits(8)
+            elif v == 0x80:
+                lev = r.read_bits(8) - 256
+            else:
+                lev = v - 256 if v > 128 else v
+        else:
+            run, lev = sym
+            if r.read_bit():
+                lev = -lev
+        k += run + 1
+        if k > 63:
+            raise ValueError("mpeg1: AC index overflow")
+        zz[k] = lev
+    return zz, dc
+
+
+def encode_mpeg1(frames: list, fps: int = 30, qscale: int = 8) -> bytes:
+    """List of (H, W, 3) RGB uint8 frames -> MPEG-1 video elementary
+    stream, every picture intra-coded (I-frame-only GOP)."""
+    assert frames, "mpeg1: need at least one frame"
+    H, W = frames[0].shape[:2]
+    mbw, mbh = -(-W // 16), -(-H // 16)
+    w = _MpegBitWriter()
+    # sequence header
+    w.start_code(0xB3)
+    w.write(W, 12)
+    w.write(H, 12)
+    w.write(1, 4)  # pel aspect 1:1
+    w.write(_MPEG_RATE_CODE.get(int(fps), 5), 4)
+    w.write(0x3FFFF, 18)  # variable bit rate
+    w.write(1, 1)  # marker
+    w.write(0, 10)  # vbv buffer
+    w.write(0, 1)  # constrained
+    w.write(0, 1)  # load intra q (default matrix)
+    w.write(0, 1)  # load non-intra q
+    w.start_code(0xB8)  # GOP
+    w.write(0, 25)  # time code
+    w.write(1, 1)  # closed gop
+    w.write(0, 1)  # broken link
+    for idx, fr in enumerate(frames):
+        a = np.asarray(fr, dtype=np.float64)
+        if a.ndim == 2:
+            a = np.repeat(a[:, :, None], 3, axis=2)
+        r_, g_, b_ = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+        y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+        cb = -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128.0
+        cr = 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128.0
+        y = _pad_to(y, 16)
+        # 4:2:0 box-average chroma over the padded plane
+        cbs = _pad_to(cb, 16).reshape(mbh * 8, 2, mbw * 8, 2).mean(axis=(1, 3))
+        crs = _pad_to(cr, 16).reshape(mbh * 8, 2, mbw * 8, 2).mean(axis=(1, 3))
+        Fy = _mpeg_quant_intra(_fdct_blocks(y), qscale)
+        Fcb = _mpeg_quant_intra(_fdct_blocks(cbs), qscale)
+        Fcr = _mpeg_quant_intra(_fdct_blocks(crs), qscale)
+        w.start_code(0x00)  # picture
+        w.write(idx % 1024, 10)
+        w.write(1, 3)  # I picture
+        w.write(0xFFFF, 16)  # vbv_delay
+        w.write(0, 1)  # extra_bit_picture
+        for row in range(mbh):
+            w.start_code(row + 1)  # slice, vertical position
+            w.write(qscale, 5)
+            w.write(0, 1)  # extra_bit_slice
+            pred = {"y": 1024 // 8, "cb": 1024 // 8, "cr": 1024 // 8}
+            for col in range(mbw):
+                w.write(1, 1)  # address increment = 1
+                w.write(1, 1)  # macroblock_type: intra
+                for by in range(2):
+                    for bx in range(2):
+                        zz = Fy[2 * row + by, 2 * col + bx][_ZZ_ROWS, _ZZ_COLS]
+                        pred["y"] = _mpeg_write_block(w, zz, pred["y"], _MPEG_DC_LUM)
+                zz = Fcb[row, col][_ZZ_ROWS, _ZZ_COLS]
+                pred["cb"] = _mpeg_write_block(w, zz, pred["cb"], _MPEG_DC_CHROM)
+                zz = Fcr[row, col][_ZZ_ROWS, _ZZ_COLS]
+                pred["cr"] = _mpeg_write_block(w, zz, pred["cr"], _MPEG_DC_CHROM)
+    w.start_code(0xB7)  # sequence end
+    w.align()
+    return bytes(w.out)
+
+
+def decode_mpeg1(data: bytes) -> tuple:
+    """MPEG-1 video elementary stream (I-frame-only subset) ->
+    (list of (H, W, 3) RGB uint8 frames, fps)."""
+    if data[:4] != b"\x00\x00\x01\xb3":
+        raise ValueError("mpeg1: no sequence header")
+    # index start codes
+    marks = []
+    p = 0
+    while True:
+        i = data.find(b"\x00\x00\x01", p)
+        if i < 0:
+            break
+        marks.append((i, data[i + 3]))
+        p = i + 3
+    # sequence header
+    shdr = _BitReader(data[4:])
+    W = shdr.read_bits(12)
+    H = shdr.read_bits(12)
+    shdr.read_bits(4)  # aspect
+    fps = _MPEG_RATE_FPS.get(shdr.read_bits(4), 30)
+    mbw, mbh = -(-W // 16), -(-H // 16)
+    if next(c for _, c in marks if c == 0xB3) != 0xB3:
+        raise ValueError("mpeg1: bad stream")
+    frames = []
+    cur = None  # per-picture block planes
+    for mi, (off, code) in enumerate(marks):
+        end = marks[mi + 1][0] if mi + 1 < len(marks) else len(data)
+        if code == 0x00:  # picture header
+            r = _BitReader(data[off + 4 : end])
+            r.read_bits(10)
+            ptype = r.read_bits(3)
+            if ptype != 1:
+                raise ValueError("mpeg1: only I pictures supported")
+            cur = {
+                "y": np.zeros((mbh * 2, mbw * 2, 8, 8), dtype=np.int64),
+                "cb": np.zeros((mbh, mbw, 8, 8), dtype=np.int64),
+                "cr": np.zeros((mbh, mbw, 8, 8), dtype=np.int64),
+            }
+            frames.append(cur)
+        elif 0x01 <= code <= 0xAF:  # slice
+            row = code - 1
+            r = _BitReader(data[off + 4 : end])
+            qscale = r.read_bits(5)
+            while r.read_bit():  # extra_bit_slice chain
+                r.read_bits(8)
+            pred = {"y": 1024 // 8, "cb": 1024 // 8, "cr": 1024 // 8}
+            for col in range(mbw):
+                # macroblock_address_increment: this encoder always
+                # writes 1 ('1'); stuffing/escape not supported
+                if not r.read_bit():
+                    raise ValueError("mpeg1: unsupported MB address code")
+                if not r.read_bit():  # macroblock_type
+                    if not r.read_bit():
+                        raise ValueError("mpeg1: unsupported MB type")
+                    qscale = r.read_bits(5)  # intra + mquant
+                for by in range(2):
+                    for bx in range(2):
+                        zz, pred["y"] = _mpeg_read_block(r, pred["y"], _MPEG_DC_LUM_DEC)
+                        cur["y"][2 * row + by, 2 * col + bx] = _mpeg_dequant_intra(
+                            zz, qscale
+                        )
+                zz, pred["cb"] = _mpeg_read_block(r, pred["cb"], _MPEG_DC_CHROM_DEC)
+                cur["cb"][row, col] = _mpeg_dequant_intra(zz, qscale)
+                zz, pred["cr"] = _mpeg_read_block(r, pred["cr"], _MPEG_DC_CHROM_DEC)
+                cur["cr"][row, col] = _mpeg_dequant_intra(zz, qscale)
+        elif code in (0xB3, 0xB8, 0xB7):
+            continue
+        else:
+            raise ValueError(f"mpeg1: unsupported start code 0x{code:02x}")
+    out = []
+    for cur in frames:
+        planes = {}
+        for key, F in cur.items():
+            bh, bw = F.shape[:2]
+            f = np.einsum("ui,yxuv,vj->yxij", _DCT_M, F.astype(np.float64), _DCT_M,
+                          optimize=True)
+            planes[key] = f.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        y = planes["y"][:H, :W]
+        cb = np.repeat(np.repeat(planes["cb"], 2, axis=0), 2, axis=1)[:H, :W]
+        cr = np.repeat(np.repeat(planes["cr"], 2, axis=0), 2, axis=1)[:H, :W]
+        r_ = y + 1.402 * (cr - 128.0)
+        g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b_ = y + 1.772 * (cb - 128.0)
+        rgb = np.clip(np.round(np.stack([r_, g_, b_], axis=2)), 0, 255)
+        out.append(rgb.astype(np.uint8))
+    return out, fps

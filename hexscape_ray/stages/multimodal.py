@@ -7,10 +7,13 @@ kernels: PNG and WAV decode are REAL pure-stdlib implementations
 (``functions/codecs.py`` — zlib + wave are in every CPython), used for
 the fixture payloads, which are themselves genuine PNG/WAV bytes.
 Baseline JPEG (pure-numpy huffman + IDCT), fixed-predictor-subset
-FLAC, and MJPEG-in-AVI video (RIFF container of baseline JPEGs) also
+FLAC, MJPEG-in-AVI video (RIFF container of baseline JPEGs) and
+MPEG-1 video (I-frame-only subset: sequence/GOP/picture/slice/
+macroblock syntax, intra quantiser, DC prediction, B.5 VLCs) also
 decode for REAL (``functions/codecs.py``).  The remaining
 external-lib formats (progressive jpeg, LPC flac, h264 — PIL /
-soundfile / av absent from this container) fall back to a
+soundfile / av absent from this container; h264 is PERMANENTLY
+env-blocked, no pure-numpy decoder is feasible) fall back to a
 clearly-labelled
 DETERMINISTIC FAKE derived from the payload hash, so outputs stay
 stable across runs and parallelism levels; the per-row
@@ -272,16 +275,21 @@ class VideoFrameSampler:
     MJPEG-in-AVI payloads are REAL: the RIFF container is parsed
     (``parse_avi_mjpeg``), k evenly-spaced frames are extracted, and
     each ``frame_payload`` is a genuine baseline JPEG that the image
-    stage can decode (``decode_backend="native-mjpeg"``).  Other codecs
-    (h264 — no pure-numpy decoder is feasible) keep the labelled fake:
-    deterministic byte slices of the payload (``decode_backend="fake"``).
-    Always emits exactly k rows per video (indices may repeat when the
-    stream is shorter than k)."""
+    stage can decode (``decode_backend="native-mjpeg"``).  MPEG-1
+    elementary streams (I-frame-only subset, ``codecs.decode_mpeg1``)
+    also decode for REAL: k sampled frames re-encode as lossless PNG
+    payloads (``decode_backend="native-mpeg1"``).  The one remaining
+    external-lib codec (h264 — no pure-numpy decoder is feasible)
+    keeps the labelled fake: deterministic byte slices of the payload
+    (``decode_backend="fake"``).  Always emits exactly k rows per
+    video (indices may repeat when the stream is shorter than k)."""
 
     def __init__(self, frames_per_video: int = 4):
         self.k = frames_per_video
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from hexscape_ray.functions.codecs import decode_mpeg1, encode_png
+
         ids = batch["media_id"].to_numpy(zero_copy_only=False)
         metas = batch["meta"].to_pylist()
         payloads = batch["payload"].to_pylist()
@@ -302,6 +310,19 @@ class VideoFrameSampler:
                     out_ts.append(int(s) * ms_per)
                     out_payload.append(jpegs[s])
                     out_backend.append("native-mjpeg")
+                continue
+            if p[:4] == b"\x00\x00\x01\xb3":  # MPEG-1 sequence header
+                rgb_frames, fps = decode_mpeg1(p)
+                src = np.floor(
+                    np.linspace(0, len(rgb_frames), self.k, endpoint=False)
+                ).astype(int)
+                ms_per = 1000 // max(fps, 1)
+                for f, s in enumerate(src):
+                    out_id.append(mid)
+                    out_frame.append(f)
+                    out_ts.append(int(s) * ms_per)
+                    out_payload.append(encode_png(rgb_frames[s]))
+                    out_backend.append("native-mpeg1")
                 continue
             dur = max(int(m.get("duration_ms") or 1000), 1)
             step = max(len(p) // self.k, 1)
@@ -327,9 +348,11 @@ def gen_media(n: int = 200, seed: int = 7) -> pa.Table:
     audio payloads are GENUINE bytes (PNG / baseline JFIF / GIF89a /
     24-bit BMP rotating per image, 16–48 px RGB gradients; WAV PCM16
     and FLAC mono 8 kHz sine+noise) so the decode stages run real
-    kernels; video payloads mix GENUINE MJPEG-in-AVI streams (every
-    third video — real RIFF container of baseline JPEG frames) with
-    opaque pseudo-h264 (no pure-numpy h264 decoder is feasible)."""
+    kernels; video payloads rotate GENUINE MJPEG-in-AVI (real RIFF
+    container of baseline JPEG frames), GENUINE MPEG-1 I-frame
+    elementary streams (``codecs.encode_mpeg1``) and opaque
+    pseudo-h264 (the one format with no feasible pure-numpy decoder —
+    the labelled fake path)."""
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
     rows_meta, payloads = [], []
@@ -413,6 +436,48 @@ def gen_media(n: int = 200, seed: int = 7) -> pa.Table:
                         "height": fh,
                         "duration_ms": nf * 1000 // fps,
                         "codec": "mjpeg",
+                    }
+                )
+            elif i % 3 == 1:  # genuine MPEG-1 I-frame elementary stream
+                # the MAIN rng stream must stay draw-for-draw identical
+                # to the original fixture (gen_media_dups' image dup
+                # hamming margins are content-dependent downstream of
+                # this point), so this branch consumes the exact draws
+                # the old pseudo-h264 branch did and derives the MPEG-1
+                # content from a per-item CHILD rng instead
+                size = int(rng.integers(2_000, 20_000))
+                rng.integers(0, 256, size, dtype=np.uint8)  # stream parity
+                sub = np.random.default_rng(seed * 100_003 + i)
+                from hexscape_ray.functions.codecs import encode_mpeg1
+
+                nf = int(sub.integers(4, 9))
+                fw, fh = int(sub.integers(16, 33)), int(sub.integers(16, 33))
+                fps = int(sub.integers(5, 25))
+                yy, xx = np.meshgrid(np.arange(fh), np.arange(fw), indexing="ij")
+                vids = []
+                for f in range(nf):
+                    img = np.clip(
+                        np.stack(
+                            [
+                                yy * (170.0 / max(fh - 1, 1)) + f * 7.0,
+                                xx * (170.0 / max(fw - 1, 1)),
+                                (yy + xx) * (85.0 / max(fh + fw - 2, 1)) + f * 5.0,
+                            ],
+                            axis=2,
+                        )
+                        + sub.normal(0, 10, (fh, fw, 3))
+                        + 15,
+                        0,
+                        255,
+                    ).astype(np.uint8)
+                    vids.append(img)
+                payloads.append(encode_mpeg1(vids, fps=fps))
+                rows_meta.append(
+                    {
+                        "width": fw,
+                        "height": fh,
+                        "duration_ms": nf * 1000 // fps,
+                        "codec": "mpeg1",
                     }
                 )
             else:
@@ -751,18 +816,31 @@ def video_fp64(payload: bytes) -> int | None:
     (real RIFF parse + the numpy JPEG decoder), then MAJORITY VOTE per
     bit across frames — single-frame hash jitter from re-encoding
     averages out, so a quality-70 re-encode of the same clip lands
-    within a few bits.  None when the payload isn't parseable AVI."""
+    within a few bits.  MPEG-1 I-frame streams decode through
+    ``codecs.decode_mpeg1`` and fingerprint identically, so a
+    cross-CONTAINER transcode (AVI↔MPEG-1 of the same clip) is a
+    detectable near-dup.  None when the payload is neither."""
+    arrs: list = []
     try:
-        frames, _fps, _w, _h = parse_avi_mjpeg(payload)
+        jbs, _fps, _w, _h = parse_avi_mjpeg(payload)
+        for jb in jbs:
+            try:
+                arrs.append(decode_jpeg(jb))
+            except ValueError:
+                continue
     except ValueError:
-        return None
+        if payload[:4] == b"\x00\x00\x01\xb3":
+            from hexscape_ray.functions.codecs import decode_mpeg1
+
+            try:
+                arrs, _ = decode_mpeg1(payload)
+            except ValueError:
+                return None
+        else:
+            return None
     votes = np.zeros(63, dtype=np.int64)
     n = 0
-    for jb in frames:
-        try:
-            arr = decode_jpeg(jb)
-        except ValueError:
-            continue
+    for arr in arrs:
         h = phash64(arr)
         bits = (h >> np.arange(63, dtype=np.uint64)) & 1
         votes += bits.astype(np.int64)

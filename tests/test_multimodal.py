@@ -333,8 +333,8 @@ def test_video_native_mjpeg_frames(media_ds):
 
     _, _, frames = media_pipeline(media_ds, frames_per_video=4)
     df = frames.to_pandas()
-    # fixture mixes real AVI (mjpeg) with opaque pseudo-h264
-    assert set(df["decode_backend"]) == {"native-mjpeg", "fake"}
+    # fixture rotates real AVI (mjpeg), real MPEG-1 and pseudo-h264
+    assert set(df["decode_backend"]) == {"native-mjpeg", "native-mpeg1", "fake"}
     # backend is per-video consistent and matches the meta codec
     src = gen_media(n=150)
     codec_by_id = {
@@ -344,9 +344,9 @@ def test_video_native_mjpeg_frames(media_ds):
         )
         if k == "video"
     }
+    want_by_codec = {"mjpeg": "native-mjpeg", "mpeg1": "native-mpeg1", "h264": "fake"}
     for mid, grp in df.groupby("media_id"):
-        want = "native-mjpeg" if codec_by_id[mid] == "mjpeg" else "fake"
-        assert set(grp["decode_backend"]) == {want}
+        assert set(grp["decode_backend"]) == {want_by_codec[codec_by_id[mid]]}
     # every native frame payload is a genuine decodable baseline JPEG
     native = df[df["decode_backend"] == "native-mjpeg"]
     assert len(native) > 0
@@ -360,8 +360,9 @@ def test_video_frame_features_end_to_end(media_ds):
 
     _, _, frames = media_pipeline(media_ds, frames_per_video=3)
     feats = frame_features(frames).to_pandas()
-    # mjpeg frames decode natively through the shared image stage
-    assert set(feats["decode_backend"]) == {"native-jpeg", "fake"}
+    # mjpeg frames decode natively through the shared image stage as
+    # JPEG; mpeg1 frame samples are lossless PNG re-encodes
+    assert set(feats["decode_backend"]) == {"native-jpeg", "native-png", "fake"}
     native = feats[feats["decode_backend"] == "native-jpeg"]
     assert len(native) > 0
     # fixture frames are gradient images: real decode means real means
@@ -618,3 +619,69 @@ def test_banded_pairs_subcap_full_clique(ray_session):
     ).to_pandas()
     assert len(df) == m * (m - 1) // 2
     assert (df["n_bands_hit"] == 3).all()
+
+
+def test_mpeg1_roundtrip_lossy_bound():
+    """encode_mpeg1 -> decode_mpeg1 reconstructs every frame within a
+    tight lossy bound (default qscale): real DCT/quant/VLC pipeline,
+    not a stub."""
+    from hexscape_ray.functions.codecs import decode_mpeg1, encode_mpeg1
+
+    rng = np.random.default_rng(11)
+    frames = []
+    for i in range(4):
+        yy, xx = np.mgrid[0:45, 0:61]
+        fr = np.stack(
+            [
+                (xx * 3 + i * 17) % 256,
+                (yy * 5 + i * 5) % 256,
+                np.clip((yy + xx) * 2 + rng.normal(0, 6, (45, 61)), 0, 255),
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        frames.append(fr)
+    bs = encode_mpeg1(frames, fps=25)
+    assert bs[:4] == b"\x00\x00\x01\xb3"  # sequence header start code
+    assert bs[-4:] == b"\x00\x00\x01\xb7"  # sequence end
+    dec, fps = decode_mpeg1(bs)
+    assert fps == 25 and len(dec) == len(frames)
+    for a, b in zip(frames, dec):
+        assert b.shape == a.shape and b.dtype == np.uint8
+        err = np.abs(a.astype(int) - b.astype(int))
+        assert err.mean() < 6.0 and err.max() <= 48, (err.mean(), err.max())
+
+
+def test_mpeg1_rejects_non_intra_and_garbage():
+    from hexscape_ray.functions.codecs import decode_mpeg1, encode_mpeg1
+
+    with pytest.raises(ValueError):
+        decode_mpeg1(b"\x00" * 32)
+    # flip the picture_coding_type of a valid stream to P (2) and
+    # assert the loud failure instead of silent garbage
+    fr = [np.zeros((16, 16, 3), dtype=np.uint8)]
+    bs = bytearray(encode_mpeg1(fr))
+    pic = bs.find(b"\x00\x00\x01\x00")
+    # picture header: 10 bits temporal ref then 3 bits type at bit 10
+    # byte layout after start code: TTTTTTTT TTCCCxxx
+    bs[pic + 5] = (bs[pic + 5] & 0b11000111) | (2 << 3)
+    with pytest.raises(ValueError):
+        decode_mpeg1(bytes(bs))
+
+
+def test_video_fp64_mpeg1_support():
+    """video_fp64 fingerprints MPEG-1 streams for real: deterministic,
+    and identical frame content in the same container hashes
+    identically."""
+    from hexscape_ray.functions.codecs import encode_mpeg1
+    from hexscape_ray.stages.multimodal import video_fp64
+
+    yy, xx = np.mgrid[0:32, 0:48]
+    frames = [
+        np.stack([(xx * 4 + f * 9) % 256, (yy * 6) % 256, (xx + yy) % 256], axis=2)
+        .astype(np.uint8)
+        for f in range(5)
+    ]
+    p = encode_mpeg1(frames, fps=30)
+    fp = video_fp64(p)
+    assert fp is not None and fp == video_fp64(p)
+    assert video_fp64(encode_mpeg1(frames, fps=30)) == fp
