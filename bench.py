@@ -179,6 +179,13 @@ def run_headline() -> dict:
 def run_queries() -> dict:
     from hexscape_ray.pipelines import queries as Q
 
+    # prebuild the driver-side media fixtures (deterministic synthetic
+    # corpora, cached per process) so the first media query's timing
+    # measures the dedup pipeline, not fixture generation (~5 s of
+    # numpy JPEG encode/decode for the video corpus)
+    for kind in ("image", "audio", "video"):
+        Q._media_dup_table(kind)
+
     names = [
         "hex_lineitem_agg",
         "pricing_summary",
