@@ -397,7 +397,15 @@ def main_single():
     if queries:
         print(json.dumps({"queries_full": queries}))
 
-    # ---- compact headline: the FINAL printed line -------------------
+    print(build_headline_line(head, queries, sc))
+    ray.shutdown()
+
+
+def build_headline_line(head: dict, queries: dict, sc: dict | None) -> str:
+    """Compact FINAL-line JSON: 12 slowest queries + totals + scaling
+    efficiencies, hard-capped at ``_MAX_HEADLINE_BYTES`` (sheds query
+    entries if ever exceeded) so the driver's 2000-byte tail capture
+    always parses."""
     ok = {k: v for k, v in queries.items() if v >= 0}
     failed = sorted(k for k, v in queries.items() if v < 0)
     slowest = dict(
@@ -441,8 +449,7 @@ def main_single():
     while len(line) > _MAX_HEADLINE_BYTES and result["queries"]:
         result["queries"] = dict(list(result["queries"].items())[:-1])
         line = json.dumps(result)
-    print(line)
-    ray.shutdown()
+    return line
 
 
 def main_scaling():

@@ -685,3 +685,43 @@ def test_video_fp64_mpeg1_support():
     fp = video_fp64(p)
     assert fp is not None and fp == video_fp64(p)
     assert video_fp64(encode_mpeg1(frames, fps=30)) == fp
+
+
+def test_banded_pairs_recall_guarantee(ray_session):
+    """Multi-index-hashing recall contract: ANY pair within hamming <=
+    n_bands - 1 shares at least one exact band, so the kernel must
+    find it (seeded random fingerprints, planted perturbations)."""
+    import ray as _ray
+
+    from hexscape_ray.stages.multimodal import banded_hamming_pairs
+
+    rng = np.random.default_rng(123)
+    n = 60
+    base = rng.integers(-(2**62), 2**62, n, dtype=np.int64)
+    all_ids, all_h, expected = [], [], []
+    for i, h in enumerate(base):
+        all_ids.append(2 * i)
+        all_h.append(int(h))
+        k = int(rng.integers(0, 8))  # hamming 0..7 = n_bands-1
+        u = int(h) & ((1 << 64) - 1)  # flip in the uint64 domain
+        for b in rng.choice(64, size=k, replace=False):
+            u ^= 1 << int(b)
+        flip = u - (1 << 64) if u >= (1 << 63) else u
+        all_ids.append(2 * i + 1)
+        all_h.append(flip)
+        expected.append((2 * i, 2 * i + 1))
+    hashed = _ray.data.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array(all_ids, type=pa.int64()),
+                "phash": pa.array(all_h, type=pa.int64()),
+            }
+        )
+    )
+    df = banded_hamming_pairs(
+        hashed, "phash", n_bands=8, band_bits=8, threshold=7,
+        n_rows_est=len(all_ids) * 8,
+    ).to_pandas()
+    got = set(zip(df["a"].astype(int), df["b"].astype(int)))
+    missed = [p for p in expected if p not in got]
+    assert not missed, missed
