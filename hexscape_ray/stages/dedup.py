@@ -240,6 +240,14 @@ class MinHasher:
         CHUNK = int(__import__("os").environ.get("HEXRAY_MINHASH_CHUNK", "4096"))
         bounds = np.concatenate([[0], np.cumsum(sh_lens)])
         sh32 = (sh_all >> np.uint64(32)).astype(np.uint32)
+        # one reusable (CHUNK, n_perm) buffer + in-place ufuncs: the
+        # naive `sh[:,None]*a+b` form allocates two ~1 MB temporaries
+        # per chunk and the old transpose-copy another — measured 945
+        # + 502 µs/chunk vs 425 µs for out=-fused affine + axis-0
+        # reduceat (each reduction step is an elementwise min of two
+        # contiguous 64-wide rows).  Arithmetic identical (uint32
+        # wraparound mul+add), so signatures are bit-for-bit the same.
+        buf = np.empty((CHUNK, self.n_perm), dtype=np.uint32)
         pos = 0  # index into long_rows
         while pos < long_rows.size:
             take = int(
@@ -247,12 +255,16 @@ class MinHasher:
             )
             take = max(1, min(take, long_rows.size - pos))
             sh = sh32[bounds[pos] : bounds[pos + take]]
+            if sh.size > buf.shape[0]:  # one oversized doc
+                buf = np.empty((sh.size, self.n_perm), dtype=np.uint32)
+            v = buf[: sh.size]
             with np.errstate(over="ignore"):
-                vals = sh[:, None] * self.a32[None, :] + self.b32[None, :]
-            valsT = np.ascontiguousarray(vals.T)
+                np.multiply(sh[:, None], self.a32[None, :], out=v)
+                np.add(v, self.b32[None, :], out=v)
             seg_starts = np.asarray(bounds[pos : pos + take] - bounds[pos])
-            mins = np.minimum.reduceat(valsT, seg_starts, axis=1)
-            sigs[long_rows[pos : pos + take]] = mins.T
+            sigs[long_rows[pos : pos + take]] = np.minimum.reduceat(
+                v, seg_starts, axis=0
+            )
             pos += take
         return sigs
 
