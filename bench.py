@@ -330,6 +330,8 @@ def run_queries() -> dict:
         "video_fp_dups",
         "hex_flow_imbalance",
         "hex_coverage_gini",
+        # round-5 ops
+        "set_similarity_pairs",
     ]
     out = {}
     for name in names:

@@ -2029,3 +2029,45 @@ FROM fps ORDER BY doc_id, pos
 """
 
 
+
+
+def q_set_similarity_pairs(sf_dir: str) -> Dataset:
+    """EXACT-RECALL set-similarity self-join at Jaccard ≥ 0.95 over
+    per-doc distinct token sets — prefix filtering (Chaudhuri ICDE'06 /
+    PPJoin WWW'08), the guaranteed-recall complement to the MinHash-LSH
+    family: candidates come from buckets of globally-RARE tokens (each
+    doc's first |d| − ⌈τ|d|⌉ + 1 tokens under the (df, tok) order — any
+    J ≥ τ pair provably shares one) with the τ·max ≤ min length filter,
+    then exact |∩|/|∪| through the shared incidence-CSR verify
+    (stages/dedup.py::setsim_prefix_pairs / exact_pair_counts).  The
+    integer threshold 20·inter ≥ 19·union and jac_x1m = ⌊10⁶·i/u⌋ keep
+    the oracle hash-exact; the SQL ground truth is the literal
+    all-pairs token self-join, so parity certifies RECALL, not just
+    precision."""
+    from hexscape_ray.stages.dedup import setsim_prefix_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return setsim_prefix_pairs(ds).sort(["a", "b"])
+
+
+SQL_SET_SIMILARITY_PAIRS = """
+  WITH tok0 AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+  ),
+  tok AS (SELECT DISTINCT doc_id, t FROM tok0 WHERE t <> ''),
+  sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+  inter AS (
+    SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+    FROM tok x JOIN tok y ON x.t = y.t AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+  )
+  SELECT i.a, i.b,
+         CAST(i.i AS BIGINT) AS inter_toks,
+         CAST(sa.n + sb.n - i.i AS BIGINT) AS union_toks,
+         CAST((1000000 * i.i) // (sa.n + sb.n - i.i) AS BIGINT) AS jac_x1m
+  FROM inter i
+  JOIN sz sa ON sa.doc_id = i.a
+  JOIN sz sb ON sb.doc_id = i.b
+  WHERE 20 * i.i >= 19 * (sa.n + sb.n - i.i)
+  ORDER BY 1, 2
+"""

@@ -1775,8 +1775,6 @@ def ndx_verified_pairs(ds: Dataset) -> pa.Table:
     Only the LSH-bounded pair list itself ever reaches the driver."""
     import ray as _ray
 
-    from hexscape_ray.stages.agg import two_phase_agg, two_phase_sum
-
     n_docs = ds.count()
     grams = ndx_gram_rows(ds).materialize()
     pair_blocks = _ray.get(ndx_candidate_pairs(grams, n_docs).to_arrow_refs())
@@ -1793,14 +1791,44 @@ def ndx_verified_pairs(ds: Dataset) -> pa.Table:
     if not pair_blocks:
         return empty
     ptab = pa.concat_tables(pair_blocks)
+    nb = ptab["n_bands_hit"].to_numpy(zero_copy_only=False).astype(np.int64)
+    a, b, ig, ug, order = exact_pair_counts(grams, ptab, "doc_id", "g")
+    return pa.table(
+        {
+            "a": pa.array(a),
+            "b": pa.array(b),
+            "n_bands_hit": pa.array(nb[order]),
+            "inter_grams": pa.array(ig),
+            "union_grams": pa.array(ug),
+        }
+    )
+
+
+def exact_pair_counts(
+    rows: Dataset, ptab: pa.Table, id_col: str, key_col: str
+) -> tuple:
+    """EXACT set intersection/union sizes for a bounded candidate-pair
+    list over a distributed (id, key) row table, without collecting
+    the corpus: probe a broadcast id→(pid, side) incidence CSR (three
+    sorted int64 arrays, ``ray.put`` once) with one searchsorted +
+    flat-index gather per batch, reduce via MAX per (pair, key) then
+    SUM per pair.  Shared by the ndx near-dup verify and the
+    prefix-filter set-similarity join.
+
+    Returns (a, b, inter, union, order) with pairs lexsorted by
+    (a, b); ``order`` maps the caller's ptab row order to the output
+    order so aligned payload columns can be carried through."""
+    import ray as _ray
+
+    from hexscape_ray.stages.agg import two_phase_agg, two_phase_sum
+
     a = ptab["a"].to_numpy(zero_copy_only=False).astype(np.int64)
     b = ptab["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-    nb = ptab["n_bands_hit"].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.lexsort((b, a))
-    a, b, nb = a[order], b[order], nb[order]
+    a, b = a[order], b[order]
     npairs = a.size
 
-    # doc → (pid, side) incidence as a CSR over SORTED doc keys: probe
+    # id → (pid, side) incidence as a CSR over SORTED id keys: probe
     # with two searchsorted calls, expand with repeat + intra-run
     # offsets — one vectorised gather per batch
     pid_rng = np.arange(npairs, dtype=np.int64)
@@ -1814,8 +1842,8 @@ def ndx_verified_pairs(ds: Dataset) -> pa.Table:
 
     def hits(batch: pa.Table) -> pa.Table:
         doc_s, pid_s, side_s = _ray.get(inc_ref)
-        d = batch["doc_id"].to_numpy(zero_copy_only=False)
-        g = batch["g"].to_numpy(zero_copy_only=False)
+        d = batch[id_col].to_numpy(zero_copy_only=False)
+        g = batch[key_col].to_numpy(zero_copy_only=False)
         lo = np.searchsorted(doc_s, d, "left")
         hi = np.searchsorted(doc_s, d, "right")
         cnt = hi - lo
@@ -1836,7 +1864,7 @@ def ndx_verified_pairs(ds: Dataset) -> pa.Table:
         )
 
     per_gram = two_phase_agg(
-        grams.map_batches(hits, batch_format="pyarrow"),
+        rows.map_batches(hits, batch_format="pyarrow"),
         ["pid", "g"],
         {"a_bit": "max", "b_bit": "max"},
     )
@@ -1855,32 +1883,24 @@ def ndx_verified_pairs(ds: Dataset) -> pa.Table:
 
     def ng_rows(batch: pa.Table) -> pa.Table:
         doc_s, _, _ = _ray.get(inc_ref)
-        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        d = batch[id_col].to_numpy(zero_copy_only=False)
         lo = np.searchsorted(doc_s, d, "left")
         hi = np.searchsorted(doc_s, d, "right")
         return batch.filter(pa.array(hi > lo))
 
     sizes_df = two_phase_sum(
-        grams.map_batches(ng_rows, batch_format="pyarrow"),
-        ["doc_id"],
+        rows.map_batches(ng_rows, batch_format="pyarrow"),
+        [id_col],
         [],
         count_as="ng",
     ).to_pandas()
-    sz_doc = sizes_df["doc_id"].to_numpy().astype(np.int64)
+    sz_doc = sizes_df[id_col].to_numpy().astype(np.int64)
     sz_ng = sizes_df["ng"].to_numpy().astype(np.int64)
     o3 = np.argsort(sz_doc)
     sz_doc, sz_ng = sz_doc[o3], sz_ng[o3]
     ng_a = sz_ng[np.searchsorted(sz_doc, a)]
     ng_b = sz_ng[np.searchsorted(sz_doc, b)]
-    return pa.table(
-        {
-            "a": pa.array(a),
-            "b": pa.array(b),
-            "n_bands_hit": pa.array(nb),
-            "inter_grams": pa.array(ig),
-            "union_grams": pa.array(ng_a + ng_b - ig),
-        }
-    )
+    return a, b, ig, ng_a + ng_b - ig, order
 
 
 def ndx_winnow_rows(ds: Dataset, w: int = 4) -> Dataset:
@@ -1936,3 +1956,383 @@ def ndx_winnow_rows(ds: Dataset, w: int = 4) -> Dataset:
         )
 
     return ds.map_batches(enc, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Exact-recall set-similarity self-join (prefix filtering)
+# ---------------------------------------------------------------------------
+
+
+def setsim_prefix_pairs(
+    ds: Dataset,
+    tau_num: int = 19,
+    tau_den: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """ALL document pairs with token-set Jaccard >= tau_num/tau_den —
+    EXACT RECALL, unlike the MinHash-LSH family (which trades recall
+    for candidate volume): prefix filtering (Chaudhuri et al. ICDE'06 /
+    PPJoin, Xiao et al. WWW'08).  Returns (a, b, inter_toks,
+    union_toks, jac_x1m) sorted by (a, b).
+
+    Shape (all two-phase / coarse-group, no corpus materialisation):
+
+    1. token rows (doc, tok-hash, n) — distinct FNV-1a-64 token hashes
+       per doc, vectorised; n = per-doc distinct count rides along.
+    2. global document-frequency census per token (two-phase count),
+       joined back adaptively (broadcast at fixture vocab, bucketed
+       past the row budget).
+    3. PREFIX per doc: under the global (df, tok) total order, the
+       first |d| - ceil(tau*|d|) + 1 tokens.  THEOREM (prefix filter):
+       any pair with J >= tau shares at least one prefix token, so
+       grouping prefix rows by token loses NO qualifying pair.
+    4. candidate pairs per prefix-token bucket under TWO provably-safe
+       filters: LENGTH (tau*max(|a|,|b|) <= min) and POSITIONAL
+       (PPJoin: from prefix positions pa, pb the overlap is bounded by
+       1 + min(|a|-1-pa, |b|-1-pb), which must reach
+       ceil(tau/(1+tau)*(|a|+|b|)) — measured 7.4x candidate prune on
+       the degenerate 31-token fixture vocab at sf0.1, where EVERY
+       "rare" token is shared by thousands of docs).  No star-edge
+       cap — exact recall forbids dropping pairs.
+    5. exact |A∩B| / |A∪B| per candidate, PLACEMENT-ADAPTIVE: when the
+       token table fits the broadcast budget (HEXRAY_BROADCAST_ROWS)
+       the pair list stays DISTRIBUTED and each batch verifies against
+       a broadcast packed-key token CSR (dense-doc × token-rank codes,
+       one searchsorted per expanded token — the copurchase_triangles
+       kernel; the pairs-heavy shape, since degenerate vocabularies
+       make candidates ≫ docs); past the budget the bounded-pair
+       incidence path (``exact_pair_counts``) takes over.  Then the
+       integer threshold tau_den·inter >= tau_num·union.
+
+    Token identity is the 64-bit FNV hash (collision-audited corpus
+    assumption, as in corpus_distinct_ngrams); the SQL oracle compares
+    token STRINGS, so parity additionally certifies collision-freedom
+    on the fixture vocab."""
+    import pandas as pd
+    import ray as _ray
+
+    from hexscape_ray.functions.hashing import splitmix64
+    from hexscape_ray.stages.agg import two_phase_sum
+    from hexscape_ray.stages.joins import adaptive_join
+
+    def enc(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_id, out_tok, out_n = [], [], []
+        for i, t in zip(ids, batch[text_col].to_pylist()):
+            toks = t.lower().split()
+            if not toks:
+                continue
+            h = np.unique(fnv1a_64_str_array(toks).view(np.int64))
+            out_id.append(np.full(h.size, i, dtype=np.int64))
+            out_tok.append(h)
+            out_n.append(np.full(h.size, h.size, dtype=np.int64))
+        if not out_id:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "tok": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_id)),
+                "tok": pa.array(np.concatenate(out_tok)),
+                "n": pa.array(np.concatenate(out_n)),
+            }
+        )
+
+    tokens = ds.map_batches(enc, batch_format="pyarrow").materialize()
+    n_rows = tokens.count()
+
+    census = two_phase_sum(
+        tokens.select_columns(["tok"]), ["tok"], [], count_as="df"
+    )
+    tok_df = adaptive_join(
+        tokens,
+        census,
+        on="tok",
+        big_schema=pa.schema(
+            [(id_col, pa.int64()), ("tok", pa.int64()), ("n", pa.int64())]
+        ),
+        side_schema=pa.schema([("tok", pa.int64()), ("df", pa.int64())]),
+    )
+
+    n_coarse = coarse_width(n_rows)
+    mask = np.int64(n_coarse - 1)
+
+    def add_doc_bucket(t: pa.Table) -> pa.Table:
+        d = t[id_col].to_numpy(zero_copy_only=False).view(np.uint64)
+        with np.errstate(over="ignore"):
+            h = splitmix64(d)
+        return t.append_column(
+            "__coarse", pa.array(np.bitwise_and(h.view(np.int64), mask))
+        )
+
+    def prefix_block(g: pd.DataFrame) -> pd.DataFrame:
+        empty = {
+            "tok": np.empty(0, np.int64),
+            id_col: np.empty(0, np.int64),
+            "n": np.empty(0, np.int64),
+        }
+        if len(g) == 0:
+            return pd.DataFrame(empty)
+        d = g[id_col].to_numpy()
+        tok = g["tok"].to_numpy()
+        n = g["n"].to_numpy()
+        df = g["df"].to_numpy()
+        order = np.lexsort((tok, df, d))
+        d, tok, n = d[order], tok[order], n[order]
+        new = np.empty(d.size, dtype=bool)
+        new[0] = True
+        new[1:] = d[1:] != d[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, d.size))
+        rank = np.arange(d.size, dtype=np.int64) - np.repeat(starts, lens)
+        # prefix length |d| - ceil(tau*|d|) + 1
+        L = n - (tau_num * n + tau_den - 1) // tau_den + 1
+        keep = rank < L
+        return pd.DataFrame(
+            {
+                "tok": tok[keep],
+                id_col: d[keep],
+                "n": n[keep],
+                "p": rank[keep],  # prefix position (positional filter)
+            }
+        )
+
+    prefixes = _pairs_via_groups(
+        tok_df.map_batches(add_doc_bucket, batch_format="pyarrow"),
+        n_rows,
+        prefix_block,
+    )
+
+    def add_tok_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__coarse",
+            pa.array(
+                np.bitwise_and(t["tok"].to_numpy(zero_copy_only=False), mask)
+            ),
+        )
+
+    def pair_block(g: pd.DataFrame) -> pd.DataFrame:
+        empty = {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)}
+        if len(g) == 0:
+            return pd.DataFrame(empty)
+        tok = g["tok"].to_numpy()
+        d = g[id_col].to_numpy()
+        n = g["n"].to_numpy()
+        p = g["p"].to_numpy()
+        order = np.lexsort((d, tok))
+        tok, d, n, p = tok[order], d[order], n[order], p[order]
+        new = np.empty(tok.size, dtype=bool)
+        new[0] = True
+        new[1:] = tok[1:] != tok[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, tok.size))
+        out_a, out_b = [], []
+        for s, m in zip(starts[lens >= 2], lens[lens >= 2]):
+            run_d = d[s : s + m]
+            run_n = n[s : s + m]
+            run_p = p[s : s + m]
+            i, j = np.triu_indices(int(m), 1)
+            # length filter: J >= tau requires tau*max(|a|,|b|) <= min
+            na, nb_ = run_n[i], run_n[j]
+            ok = tau_num * np.maximum(na, nb_) <= tau_den * np.minimum(na, nb_)
+            # positional filter (PPJoin): overlap <= 1 + min(remaining
+            # tokens after this prefix position on either side), which
+            # must reach alpha = ceil(tau/(1+tau) * (|a|+|b|))
+            alpha = (tau_num * (na + nb_) + tau_num + tau_den - 1) // (
+                tau_num + tau_den
+            )
+            ub = 1 + np.minimum(na - 1 - run_p[i], nb_ - 1 - run_p[j])
+            ok &= ub >= alpha
+            out_a.append(run_d[i][ok])
+            out_b.append(run_d[j][ok])
+        if not out_a:
+            return pd.DataFrame(empty)
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        )
+
+    cand = _pairs_via_groups(
+        prefixes.map_batches(add_tok_bucket, batch_format="pyarrow"),
+        n_rows,
+        pair_block,
+    )
+    # materialize BEFORE the verify map: the small-tier candidate
+    # dedup is a repartition(1) single task, and Ray fuses the
+    # downstream map into it — without the break the verify of every
+    # candidate ran serially in that one task (measured 24 s at sf0.1
+    # vs ~1 s parallel over the 64k-row combine slices)
+    pair_ds = (
+        two_phase_sum(cand, ["a", "b"], [], count_as="__n")
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+
+    from hexscape_ray.stages import joins as _joins
+
+    if n_rows <= _joins.BROADCAST_ROWS:
+        # pairs-heavy tier: broadcast the token table and verify the
+        # (distributed) pair list batch-by-batch.  Two kernels:
+        # BITSET when the vocab fits 1024 bits — per-doc bitmask rows,
+        # inter = popcount(A & B) over ceil(v/64) words (degenerate
+        # small-vocab corpora are exactly where candidates explode, and
+        # this kernel costs ~nothing per pair; the 40M-row expansion
+        # kernel it replaces was memory-bandwidth-bound: 61 s for 1.8M
+        # candidates at sf0.1 vs <1 s bitset) — else a packed-key CSR
+        # probe chunked by batch_size (cache-resident temporaries, the
+        # HEXRAY_MINHASH_CHUNK lesson).
+        tok_blocks = [
+            t
+            for t in _ray.get(
+                tokens.select_columns([id_col, "tok"]).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        tt = pa.concat_tables(tok_blocks)
+        dd = tt[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        kk = tt["tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((kk, dd))
+        dd, kk = dd[o], kk[o]
+        docs_u, doc_start = np.unique(dd, return_index=True)
+        doc_start = doc_start.astype(np.int64)
+        doc_end = np.append(doc_start[1:], dd.size).astype(np.int64)
+        vocab = np.unique(kk)
+        v = vocab.size
+        empty_out = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "inter_toks": pa.array([], pa.int64()),
+                "union_toks": pa.array([], pa.int64()),
+                "jac_x1m": pa.array([], pa.int64()),
+            }
+        )
+
+        def finish(a, b, ig, la, lb):
+            ug = la + lb - ig
+            keep = tau_den * ig >= tau_num * ug
+            return pa.table(
+                {
+                    "a": pa.array(a[keep].astype(np.int64)),
+                    "b": pa.array(b[keep].astype(np.int64)),
+                    "inter_toks": pa.array(ig[keep]),
+                    "union_toks": pa.array(ug[keep]),
+                    "jac_x1m": pa.array((1_000_000 * ig[keep]) // ug[keep]),
+                }
+            )
+
+        if v <= 1024:
+            words = -(-v // 64)
+            bits = np.zeros((docs_u.size, words), dtype=np.uint64)
+            dense = np.searchsorted(docs_u, dd)
+            rank = np.searchsorted(vocab, kk)
+            np.bitwise_or.at(
+                bits,
+                (dense, rank >> 6),
+                np.uint64(1) << (rank.astype(np.uint64) & np.uint64(63)),
+            )
+            sizes = (doc_end - doc_start).astype(np.int64)
+            bits_ref = _ray.put((docs_u, bits, sizes))
+
+            def verify(batch: pa.Table) -> pa.Table:
+                if batch.num_rows == 0 or "a" not in batch.column_names:
+                    return empty_out
+                docs_u, bits, sizes = _ray.get(bits_ref)
+                a = batch["a"].to_numpy(zero_copy_only=False)
+                b = batch["b"].to_numpy(zero_copy_only=False)
+                ia = np.searchsorted(docs_u, a)
+                ib = np.searchsorted(docs_u, b)
+                both = bits[ia] & bits[ib]
+                # SWAR popcount per word, summed across words
+                x = both
+                m1 = np.uint64(0x5555555555555555)
+                m2 = np.uint64(0x3333333333333333)
+                m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+                x = x - ((x >> np.uint64(1)) & m1)
+                x = (x & m2) + ((x >> np.uint64(2)) & m2)
+                x = (x + (x >> np.uint64(4))) & m4
+                pc_ = (
+                    (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+                ).astype(np.int64)
+                ig = pc_.sum(axis=1)
+                return finish(a, b, ig, sizes[ia], sizes[ib])
+
+        else:
+            packed = (
+                np.searchsorted(docs_u, dd).astype(np.int64) * v
+                + np.searchsorted(vocab, kk)
+            )
+            csr_ref = _ray.put((docs_u, doc_start, doc_end, packed, vocab))
+
+            def verify(batch: pa.Table) -> pa.Table:
+                if batch.num_rows == 0 or "a" not in batch.column_names:
+                    return empty_out
+                docs_u, ds_, de_, packed, vocab = _ray.get(csr_ref)
+                v = vocab.size
+                a = batch["a"].to_numpy(zero_copy_only=False)
+                b = batch["b"].to_numpy(zero_copy_only=False)
+                ia = np.searchsorted(docs_u, a)
+                ib = np.searchsorted(docs_u, b)
+                la = de_[ia] - ds_[ia]
+                lb = de_[ib] - ds_[ib]
+                # expand A's token ranks per pair, pack with B's dense
+                # id, one searchsorted into packed counts the hits
+                total = int(la.sum())
+                cum = np.cumsum(la)
+                intra = np.arange(total, dtype=np.int64) - np.repeat(
+                    cum - la, la
+                )
+                flat = np.repeat(ds_[ia], la) + intra
+                a_ranks = packed[flat] % v
+                probe = np.repeat(ib.astype(np.int64) * v, la) + a_ranks
+                pos = np.searchsorted(packed, probe)
+                np.clip(pos, 0, packed.size - 1, out=pos)
+                hit = (packed[pos] == probe).astype(np.int64)
+                c = np.concatenate([[0], np.cumsum(hit)])
+                ig = c[cum] - c[cum - la]
+                return finish(a, b, ig, la, lb)
+
+        # split the (possibly single-block) combined pair list so the
+        # verify parallelises; 64k-pair batches keep temporaries small
+        n_pairs = pair_ds.count()
+        pair_ds = pair_ds.repartition(max(8, min(256, -(-n_pairs // 65536))))
+        return pair_ds.map_batches(
+            verify, batch_format="pyarrow", batch_size=65536
+        )
+
+    # corpus-scale tier: bounded candidate list through the shared
+    # incidence-CSR verify (real vocabularies make prefix buckets
+    # rare, so candidates stay ~true pairs)
+    pair_blocks = [t for t in _ray.get(pair_ds.to_arrow_refs()) if t.num_rows]
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "inter_toks": pa.array([], pa.int64()),
+            "union_toks": pa.array([], pa.int64()),
+            "jac_x1m": pa.array([], pa.int64()),
+        }
+    )
+    if not pair_blocks:
+        return _ray.data.from_arrow(empty)
+    ptab = pa.concat_tables(pair_blocks)
+    a, b, ig, ug, _ = exact_pair_counts(
+        tokens.select_columns([id_col, "tok"]), ptab, id_col, "tok"
+    )
+    keep = tau_den * ig >= tau_num * ug
+    a, b, ig, ug = a[keep], b[keep], ig[keep], ug[keep]
+    return _ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "inter_toks": pa.array(ig),
+                "union_toks": pa.array(ug),
+                "jac_x1m": pa.array((1_000_000 * ig) // ug),
+            }
+        )
+    )

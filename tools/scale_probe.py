@@ -128,6 +128,7 @@ def main() -> None:
         "near_dup_pairs",
         "copurchase_triangles",
         "pareto_lineitem",
+        "set_similarity_pairs",
     ):
         t0 = time.perf_counter()
         small = run_df(name)
@@ -226,6 +227,31 @@ def main() -> None:
         joins_mod.BROADCAST_ROWS = saved_br
     assert small.equals(dist), "fk_orphans broadcast/bucketed parity"
     results["fk_orphans_gate_parity"] = (
+        round(time.perf_counter() - t0, 2),
+        len(small),
+    )
+
+    # 8. set_similarity_pairs: force the corpus-scale incidence verify
+    # tier (BROADCAST_ROWS=0) and assert parity with the bitset tier.
+    # Runs at sf0.01: the incidence tier is sized for real-vocabulary
+    # corpora (candidates ~ true pairs); on the degenerate 31-token
+    # fixture vocab at sf0.1 its 1.8M candidates x ~23-token expansion
+    # is the pathological shape the bitset tier exists to avoid.
+    sf001 = sf.replace("sf0.1", "sf0.01")
+    t0 = time.perf_counter()
+
+    def run_sim(path):
+        df = Q.RAY_QUERIES["set_similarity_pairs"](path).to_pandas()
+        return df.sort_values(list(df.columns), ignore_index=True)
+
+    small = run_sim(sf001)
+    joins_mod.BROADCAST_ROWS = 0
+    try:
+        dist = run_sim(sf001)
+    finally:
+        joins_mod.BROADCAST_ROWS = saved_br
+    assert small.equals(dist), "setsim verify-tier parity"
+    results["setsim_verify_tier_parity"] = (
         round(time.perf_counter() - t0, 2),
         len(small),
     )
