@@ -369,8 +369,12 @@ def q_copurchase_triangles(sf_dir: str) -> Dataset:
             {"p_partkey": pa.array(node_arr), "n_triangles": pa.array(cnt_arr)}
         )
 
+    # the adaptive combine emits ONE block — split it so the wedge
+    # expansion parallelises instead of running serial in a single
+    # fused task (measured 3.95 s of the query's 6.4 s at sf0.1)
+    edges_split = edges.repartition(max(8, min(256, -(-ea.size // 16384))))
     return two_phase_sum(
-        edges.map_batches(tri, batch_format="pyarrow", batch_size=16384),
+        edges_split.map_batches(tri, batch_format="pyarrow", batch_size=16384),
         ["p_partkey"],
         ["n_triangles"],
         count_as=None,
