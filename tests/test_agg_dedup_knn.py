@@ -3244,3 +3244,68 @@ def test_ams_shard_snapshot_recovery_and_stream_parity(ray_session):
     ds = ray.data.from_arrow(t).repartition(7)
     got = streaming_ams_counters(ds, "u")
     assert got == [int(v) for v in ams_block_counters(u)]
+
+
+def test_setsim_prefix_pairs_random_recall(ray_session):
+    """Randomised recall/precision check for the exact-recall
+    set-similarity join: on seeded random corpora (skewed Zipf-ish
+    vocab so prefix buckets collide), the distributed prefix-filter
+    pipeline must return EXACTLY the brute-force J >= 19/20 pair set —
+    across all three verify tiers."""
+    import itertools
+
+    import ray.data as rd
+
+    from hexscape_ray.stages import joins as joins_mod
+    from hexscape_ray.stages.dedup import setsim_prefix_pairs
+
+    for seed in (1, 2, 3):
+        rng = np.random.default_rng(seed)
+        vocab = [f"w{k}" for k in range(24)]
+        docs = []
+        base = [rng.choice(vocab, size=rng.integers(8, 20), replace=False)
+                for _ in range(12)]
+        for i in range(40):
+            t = list(base[i % len(base)])
+            # perturb: drop/add up to 1 token so some pairs straddle tau
+            if rng.random() < 0.6 and len(t) > 9:
+                t = t[: len(t) - 1]
+            if rng.random() < 0.3:
+                extra = vocab[int(rng.integers(0, len(vocab)))]
+                if extra not in t:
+                    t.append(extra)
+            docs.append((i, " ".join(t)))
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "text": pa.array([d[1] for d in docs], pa.string()),
+            }
+        )
+
+        # brute force ground truth over token SETS
+        sets = {i: set(t.split()) for i, t in docs}
+        want = set()
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if 20 * inter >= 19 * union:
+                want.add((a, b, inter, union))
+
+        def got_pairs():
+            df = setsim_prefix_pairs(rd.from_arrow(tbl)).to_pandas()
+            return set(
+                zip(
+                    df["a"].astype(int),
+                    df["b"].astype(int),
+                    df["inter_toks"].astype(int),
+                    df["union_toks"].astype(int),
+                )
+            )
+
+        assert got_pairs() == want, f"bitset tier, seed {seed}"
+        saved = joins_mod.BROADCAST_ROWS
+        joins_mod.BROADCAST_ROWS = 0  # force the incidence verify tier
+        try:
+            assert got_pairs() == want, f"incidence tier, seed {seed}"
+        finally:
+            joins_mod.BROADCAST_ROWS = saved
