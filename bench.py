@@ -332,6 +332,7 @@ def run_queries() -> dict:
         "hex_coverage_gini",
         # round-5 ops
         "set_similarity_pairs",
+        "set_similarity_stream",
     ]
     out = {}
     for name in names:

@@ -2075,3 +2075,17 @@ SQL_SET_SIMILARITY_PAIRS = """
   WHERE 20 * i.i >= 19 * (sa.n + sb.n - i.i)
   ORDER BY 1, 2
 """
+
+
+def q_set_similarity_stream(sf_dir: str) -> Dataset:
+    """STREAMING-INGEST twin of set_similarity_pairs
+    (stages/streaming.py::streaming_setsim_pairs): token rows
+    accumulate on doc-hash shard actors as the corpus streams in;
+    exact-recall pairing runs at flush because prefix membership
+    depends on the FINAL global df order — the documented contrast
+    with the LSH stream's online probe (probabilistic recall).
+    Output identical to the batch operator ⇒ same SQL oracle."""
+    from hexscape_ray.stages.streaming import streaming_setsim_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return streaming_setsim_pairs(ds).sort(["a", "b"])

@@ -2044,6 +2044,27 @@ def setsim_prefix_pairs(
         )
 
     tokens = ds.map_batches(enc, batch_format="pyarrow").materialize()
+    return setsim_from_token_rows(tokens, tau_num, tau_den, id_col)
+
+
+def setsim_from_token_rows(
+    tokens: Dataset,
+    tau_num: int = 19,
+    tau_den: int = 20,
+    id_col: str = "doc_id",
+) -> Dataset:
+    """:func:`setsim_prefix_pairs` from the (id, tok, n) token-row
+    point — shared by the batch operator and the streaming-ingest
+    twin (``stages/streaming.py::streaming_setsim_pairs``), whose
+    shards hand over exactly this table at flush.  ``tokens`` must be
+    materialized (three consumers: census, prefix map, verify)."""
+    import pandas as pd
+    import ray as _ray
+
+    from hexscape_ray.functions.hashing import splitmix64
+    from hexscape_ray.stages.agg import two_phase_sum
+    from hexscape_ray.stages.joins import adaptive_join
+
     n_rows = tokens.count()
 
     census = two_phase_sum(

@@ -916,3 +916,122 @@ def streaming_ams_counters(
                 zero_copy_only=False
             )
     return [int(v) for v in out]
+
+
+@ray.remote
+class SetSimShard:
+    """One shard of the STREAMING exact set-similarity state: the
+    (doc_id, tok, n) token rows of its doc-hash slice, append-only.
+    Guaranteed-recall similarity needs the FINAL global document-
+    frequency order (a token's rarity decides prefix membership), so
+    pair emission happens at flush — the shards hand their token
+    tables over and the batch prefix/verify machinery
+    (``dedup.setsim_from_token_rows``) runs on the assembled state.
+    That is the honest contrast with :class:`LSHShard`: LSH can
+    ``probe()`` candidates ONLINE because its buckets don't depend on
+    corpus statistics, at the price of probabilistic recall; exact
+    recall is a flush-time (watermark) answer."""
+
+    def __init__(self):
+        self._ids: list[np.ndarray] = []
+        self._toks: list[np.ndarray] = []
+        self._ns: list[np.ndarray] = []
+
+    def feed(self, ids: np.ndarray, toks: np.ndarray, ns: np.ndarray) -> int:
+        self._ids.append(np.asarray(ids, dtype=np.int64))
+        self._toks.append(np.asarray(toks, dtype=np.int64))
+        self._ns.append(np.asarray(ns, dtype=np.int64))
+        return sum(a.size for a in self._ids)
+
+    def flush_tokens(self) -> pa.Table:
+        if not self._ids:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "tok": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(self._ids)),
+                "tok": pa.array(np.concatenate(self._toks)),
+                "n": pa.array(np.concatenate(self._ns)),
+            }
+        )
+
+
+@ray.remote
+def _route_setsim_block(block, shards: list, id_col: str, text_col: str) -> int:
+    """Router task: tokenize one block with the IDENTICAL kernel the
+    batch operator uses (distinct FNV-1a-64 token hashes per doc) and
+    deliver each shard its doc-hash slice."""
+    from hexscape_ray.functions.hashing import fnv1a_64_str_array, splitmix64
+
+    if isinstance(block, pd.DataFrame):
+        block = pa.Table.from_pandas(block, preserve_index=False)
+    ids = block[id_col].to_numpy(zero_copy_only=False)
+    out_id, out_tok, out_n = [], [], []
+    for i, t in zip(ids, block[text_col].to_pylist()):
+        toks = t.lower().split()
+        if not toks:
+            continue
+        h = np.unique(fnv1a_64_str_array(toks).view(np.int64))
+        out_id.append(np.full(h.size, i, dtype=np.int64))
+        out_tok.append(h)
+        out_n.append(np.full(h.size, h.size, dtype=np.int64))
+    if not out_id:
+        return 0
+    d = np.concatenate(out_id)
+    tok = np.concatenate(out_tok)
+    n = np.concatenate(out_n)
+    with np.errstate(over="ignore"):
+        hs = splitmix64(d.view(np.uint64))
+    n_shards = len(shards)
+    shard = (hs % np.uint64(n_shards)).astype(np.int64)
+    refs = []
+    for s in range(n_shards):
+        m = shard == s
+        if m.any():
+            refs.append(shards[s].feed.remote(d[m], tok[m], n[m]))
+    ray.get(refs)
+    return len(block)
+
+
+def streaming_setsim_pairs(
+    docs: Dataset,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_inflight: int = 32,
+) -> Dataset:
+    """STREAMING-INGEST exact set-similarity join: token rows
+    accumulate incrementally on doc-hash shards (parallel router
+    tasks, no ordering machinery — token rows of distinct docs
+    commute); at flush the shards' state assembles into the batch
+    prefix-filter pipeline, so the output — and the SQL oracle — is
+    identical to ``set_similarity_pairs``."""
+    shards = [SetSimShard.remote() for _ in range(n_shards)]
+    stream = docs.materialize()
+    block_refs: list = []
+    for bundle in stream.iter_internal_ref_bundles():
+        block_refs.extend(bundle.block_refs)
+    inflight: list = []
+    for bref in block_refs:
+        inflight.append(_route_setsim_block.remote(bref, shards, id_col, text_col))
+        if len(inflight) > max_inflight:
+            done, inflight = ray.wait(
+                inflight, num_returns=len(inflight) - max_inflight
+            )
+            ray.get(done)
+    ray.get(inflight)
+    from hexscape_ray.stages.dedup import setsim_from_token_rows
+
+    # flush refs are TASK RETURNS (driver-owned); materialize the
+    # assembled token table before the shards can be released
+    tok_refs = [s.flush_tokens.remote() for s in shards]
+    ray.wait(tok_refs, num_returns=len(tok_refs))
+    tokens = ray.data.from_arrow_refs(tok_refs).materialize()
+    for s in shards:
+        ray.kill(s)
+    return setsim_from_token_rows(tokens)

@@ -3309,3 +3309,43 @@ def test_setsim_prefix_pairs_random_recall(ray_session):
             assert got_pairs() == want, f"incidence tier, seed {seed}"
         finally:
             joins_mod.BROADCAST_ROWS = saved
+
+
+def test_setsim_stream_matches_batch(ray_session):
+    """The streaming-ingest twin's flush-time output is identical to
+    the batch prefix-filter operator (same token kernel, same
+    machinery over the assembled shard state) — including under a
+    repartitioned (different arrival order) stream."""
+    import ray.data as rd
+
+    from hexscape_ray.stages.dedup import setsim_prefix_pairs
+    from hexscape_ray.stages.streaming import streaming_setsim_pairs
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{k}" for k in range(20)]
+    docs = []
+    base = [rng.choice(vocab, size=rng.integers(8, 16), replace=False)
+            for _ in range(10)]
+    for i in range(60):
+        t = list(base[i % len(base)])
+        if rng.random() < 0.5 and len(t) > 9:
+            t = t[:-1]
+        docs.append((i, " ".join(t)))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs], pa.string()),
+        }
+    )
+    want = (
+        setsim_prefix_pairs(rd.from_arrow(tbl))
+        .to_pandas()
+        .sort_values(["a", "b"], ignore_index=True)
+    )
+    got = (
+        streaming_setsim_pairs(rd.from_arrow(tbl).repartition(7), n_shards=3)
+        .to_pandas()
+        .sort_values(["a", "b"], ignore_index=True)
+    )
+    assert want.equals(got)
+    assert len(want) > 0
