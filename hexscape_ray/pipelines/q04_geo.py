@@ -24,15 +24,25 @@ del _prev
 # ---------------------------------------------------------------------------
 
 _FIXTURE_CACHE: dict[str, object] = {}
+_FIXTURE_LOCK = __import__("threading").Lock()
 
 
 def _fixture_tables():
-    if "admin" not in _FIXTURE_CACHE:
-        from hexscape_ray.sources.fixtures import gen_admin, gen_landcover, gen_points
+    # lock, not check-then-act: the parallel oracle sweep calls this
+    # from several threads, and a reader between the first and third
+    # assignment saw a half-filled cache (the long-standing transient
+    # "KeyError: 'landcover'" sweep failure — root-caused round 5)
+    with _FIXTURE_LOCK:
+        if "points" not in _FIXTURE_CACHE:
+            from hexscape_ray.sources.fixtures import (
+                gen_admin,
+                gen_landcover,
+                gen_points,
+            )
 
-        _FIXTURE_CACHE["admin"] = gen_admin()
-        _FIXTURE_CACHE["landcover"] = gen_landcover()
-        _FIXTURE_CACHE["points"] = gen_points()
+            _FIXTURE_CACHE["admin"] = gen_admin()
+            _FIXTURE_CACHE["landcover"] = gen_landcover()
+            _FIXTURE_CACHE["points"] = gen_points()
     return _FIXTURE_CACHE
 
 
